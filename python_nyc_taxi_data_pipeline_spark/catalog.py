@@ -1,0 +1,67 @@
+"""Path-based parquet catalog.
+
+The reference keeps its tables in PostgreSQL schemas (bronze/silver/
+gold/meta — ``src/db_setup.py:76,108,146,281``). Here every table is a
+parquet path; this module is the single place that maps logical table
+names to files, so plans never hard-code paths.
+
+Scale note: reads go through ``spark.read.parquet`` so Catalyst gets
+predicate pushdown / column pruning / partition pruning for free; no
+schema inference happens on the driver beyond parquet footer reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-provided synthetic fixture tables (TESTDATA.md).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``sf_dir``.
+
+    ``events`` is stored with nanosecond parquet timestamps, which the
+    Spark vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read the
+    raw int64 nanos (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ at
+    microsecond precision — the same truncation DuckDB applies, so the
+    oracle sees identical values. Session tz is pinned to UTC for the
+    instant→NTZ hop so the result is timezone-independent.
+    """
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; options: {FIXTURE_TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F  # local import: keep module cheap
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql plans)."""
+    for name in FIXTURE_TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

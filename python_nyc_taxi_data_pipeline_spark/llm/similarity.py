@@ -1,0 +1,165 @@
+"""Similarity search over the ``embeddings`` fixture (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+variant as the scale path. All arithmetic is promoted to double and the
+reported similarity is rounded to 6 dp so Spark and the DuckDB oracle
+agree bit-for-bit (ranking ties break on neighbor id).
+
+Scale design: brute force is O(|Q|·|C|) — correct for small query sets
+or re-ranking; the LSH path buckets vectors by signs of projections
+onto deterministic pseudo-random hyperplanes so candidate generation is
+a shuffle join on the bucket key (random-hyperplane LSH, Charikar '02).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+TOP_K = 5
+QUERY_MOD = 50  # vec_id % 50 == 0 → query subset
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+      FROM v
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(list_zip(q.v, c.v),
+                                              p -> p[1] * p[2]),
+                               (acc, x) -> acc + x)
+                   / (q.nrm * c.nrm), 6) AS cosine_sim
+      FROM n q, n c
+      WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+    QUALIFY rank <= {TOP_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the query subset
+    (vec_id % 50 == 0). Query side broadcasts; candidates stream."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    q = n.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = n.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+N_PLANES = 8
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j of
+    plane p is a signed value derived from a fixed integer mix (no RNG —
+    reproducible across runs and engines)."""
+    comps = []
+    for j in range(dim):
+        # xorshift-style integer mix, reduced to [-0.5, 0.5)
+        h = (plane * 2654435761 + j * 40503) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 1274126177) & 0xFFFFFFFF
+        comps.append((h / 4294967296.0) - 0.5)
+    return comps
+
+
+@register("knn_cosine_lsh", oracle=None, tags=("llm", "similarity", "lsh"))
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k: vectors bucket by the 8-bit sign
+    signature of projections onto fixed hyperplanes; queries only score
+    candidates sharing their bucket. Approximate — unit tests measure
+    recall against the brute-force baseline (no SQL oracle)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    first = e.select(F.size("v").alias("d")).first()
+    dim = first["d"] if first else 0
+    planes = [_hyperplane(dim, p) for p in range(N_PLANES)]
+
+    def bucket_of(v: Column) -> Column:
+        bits = []
+        for p, plane in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(c) for c in plane]),
+                    lambda x, c: x * c,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out
+
+    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"), bucket_of(F.col("v")).alias("bucket"))
+    q = n.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = n.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("query_id") != F.col("vec_id")),
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

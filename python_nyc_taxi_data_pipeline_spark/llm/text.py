@@ -1,0 +1,179 @@
+"""Text analysis operators for training-data curation: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All deterministic and JVM-side; the first three have exact DuckDB
+oracles. The rules are intentionally simple, documented functions —
+the engineering content is that they run as single-pass, codegen'd
+column expressions over 100 TB of documents (no Python in the loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+@register(
+    "docs_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS regex_tokens,
+           n_chars
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (letter runs,
+    digit runs, single punctuation) per document."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)).alias(
+            "regex_tokens"
+        ),
+        "n_chars",
+    )
+
+
+@register(
+    "docs_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_word,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w IN {STOPWORDS!r})) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           CASE WHEN len(string_split(text, ' ')) >= 50
+                 AND round(CAST(len(list_filter(string_split(text, ' '),
+                                                w -> w IN {STOPWORDS!r})) AS DOUBLE)
+                           / len(string_split(text, ' ')), 4) BETWEEN 0.01 AND 0.6
+                THEN 'keep' ELSE 'drop' END AS quality_bucket
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio quality gates (the classic cheap filters
+    used before model-based quality scoring)."""
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    stop_ratio = F.round(
+        F.size(
+            F.filter(words, lambda w: w.isin(*STOPWORDS))
+        ).cast("double")
+        / n_words,
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.col("n_chars").cast("double") / n_words, 4).alias("chars_per_word"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when(
+            (n_words >= 50) & stop_ratio.between(0.01, 0.6), "keep"
+        )
+        .otherwise("drop")
+        .alias("quality_bucket"),
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), w -> w IN {markers!r}))"
+    )
+
+
+@register(
+    "docs_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql(LANG_MARKERS['en'])} AS s_en,
+             {_lang_score_sql(LANG_MARKERS['es'])} AS s_es,
+             {_lang_score_sql(LANG_MARKERS['de'])} AS s_de,
+             {_lang_score_sql(LANG_MARKERS['fr'])} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+             WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+             WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM scores
+    """,
+    tags=("llm", "text"),
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic tie order
+    en > es > de > fr; no markers → 'und'). A real deployment swaps the
+    marker lists for char-n-gram profiles — the plan shape is identical."""
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+
+    def score(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    s_en = score(LANG_MARKERS["en"])
+    s_es = score(LANG_MARKERS["es"])
+    s_de = score(LANG_MARKERS["de"])
+    s_fr = score(LANG_MARKERS["fr"])
+    predicted = (
+        F.when(F.greatest(s_en, s_es, s_de, s_fr) == 0, "und")
+        .when(s_en >= F.greatest(s_es, s_de, s_fr), "en")
+        .when(s_es >= F.greatest(s_de, s_fr), "es")
+        .when(s_de >= s_fr, "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang")
+    )
+
+
+@register("docs_fingerprint", oracle=None, tags=("llm", "text"))
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al. '03 shape):
+    8-char shingle hashes → min per sliding window of 4 → distinct
+    fingerprints. xxhash64 has no DuckDB twin → structural tests only."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        """
+        array_distinct(transform(
+          sequence(1, greatest(length(text) - 7 - 3, 1)),
+          j -> array_min(transform(
+            sequence(j, j + 3),
+            i -> xxhash64(substr(text, i, 8))
+          ))
+        ))
+        """
+    )
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.array_min(fp).alias("min_fingerprint"),
+    )

@@ -1,0 +1,75 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Each implemented operator from SURVEY.md §2 registers itself here as a
+named query: a ``(spark, sf_dir) -> DataFrame`` callable plus (when the
+semantics are SQL-expressible) a DuckDB oracle SQL string over the same
+parquet fixture tables. The driver hash-compares the two per round.
+
+Determinism contract (so Spark and DuckDB hash-match):
+- money/measure sums accumulate in DECIMAL(18,2) (exact, order-free)
+  and are cast back to DOUBLE in both engines;
+- averages are ``round(sum_decimal::double / count, 2)``;
+- every computed column is aliased identically on both sides;
+- timestamps stay TIMESTAMP_NTZ end-to-end (naive in DuckDB too).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None → driver does a rows-only check
+    tags: tuple[str, ...] = ()
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a query under ``name`` with an optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = RegisteredQuery(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, RegisteredQuery]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: q.fn for n, q in all_queries().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {n: q.oracle for n, q in all_queries().items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imports are for their registration side effects.
+    from .plans import core, tpch  # noqa: F401
+    from .streaming import windows  # noqa: F401
+    from .llm import dedup, similarity, text  # noqa: F401
+
+    _LOADED = True
