@@ -89,7 +89,9 @@ def duration_minutes(start: str | Column, end: str | Column) -> Column:
     """
     s = F.col(start) if isinstance(start, str) else start
     e = F.col(end) if isinstance(end, str) else end
-    secs = e.cast("timestamp_ntz").cast("long") - s.cast("timestamp_ntz").cast("long")
+    # NTZ cannot cast to BIGINT in Spark 4; timestamp_diff is the
+    # NTZ-safe, timezone-free whole-seconds difference.
+    secs = F.timestamp_diff("SECOND", s, e)
     return F.floor(secs / 60).cast("int")
 
 

@@ -1,0 +1,209 @@
+"""Medallion (bronze/silver/gold/meta) pipeline driver.
+
+Re-expresses the reference's PL/pgSQL procedure
+(`/root/reference/src/sql/bronze_incremental_load.sql:1-81`) and
+orchestrator (`src/etl_pipeline_run.py:9-24`) as parquet tables + pure
+DataFrame ops. Schema-agnostic: the taxi instantiation lives in
+``pipeline.taxi``; tests drive an orders-shaped instantiation.
+
+Semantics parity notes:
+- Watermark freshness filter is strictly `>` (re-runs pass nothing).
+- Out-of-window fresh rows dead-letter into ``meta/invalid_records``
+  with an anti-join on the configured key (ON CONFLICT DO NOTHING,
+  `bronze_incremental_load.sql:61-62`).
+- Watermark recomputes FROM THE TARGET bounded to the window
+  (`:64-65`) — a crash between data write and metadata write re-reads
+  the same max, so re-processing is safe (SURVEY §3.4).
+- One metadata row per run with status/runtime/error
+  (`:70-78`); failures append a 'failed' row and re-raise.
+
+Deliberate divergence (documented): the reference derives the month
+window from the *current* watermark's month
+(`bronze_incremental_load.sql:22-24`), which routes every month after
+the first into the dead-letter table — its own runtime logs are
+consistent with this (bronze.incremental_load run times grow with the
+ON CONFLICT probe against an ever-growing invalid_records). Our
+``ingest_batch`` accepts the explicit month window from the
+orchestrator (which always knows which month it is loading — the
+reference's Python driver does too, `src/etl_pipeline_run.py:19-20`)
+and defaults to the reference behavior when none is given.
+
+Scale notes: bronze appends are parquet file adds (no rewrite); the
+dead-letter anti-join reads only the key columns of the invalid table;
+the watermark recompute is a partition-pruned max (bronze is laid out
+by month).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.upsert import insert_if_absent
+from ..operators.watermark import (
+    MonthWindow,
+    month_window_of,
+    next_watermark,
+    read_watermark,
+    split_by_watermark,
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("last_load_date", T.TimestampNTZType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("runtime_seconds", T.DoubleType()),
+        T.StructField("error_message", T.StringType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class MedallionConfig:
+    warehouse: str
+    ts_col: str
+    dead_letter_keys: tuple[str, ...]
+    default_watermark: datetime
+    partition_col: str = "load_month"  # derived yyyy-MM partition column
+
+
+@dataclass(frozen=True)
+class IngestResult:
+    loaded: int
+    dead_lettered: int
+    watermark: datetime
+    runtime_seconds: float
+
+
+class MedallionPipeline:
+    def __init__(self, spark: SparkSession, config: MedallionConfig):
+        self.spark = spark
+        self.cfg = config
+        w = config.warehouse
+        self.bronze_path = os.path.join(w, "bronze")
+        self.invalid_path = os.path.join(w, "meta", "invalid_records")
+        self.meta_path = os.path.join(w, "meta", "runs")
+        self.silver_path = os.path.join(w, "silver")
+        self.gold_path = os.path.join(w, "gold")
+
+    # -- table access -----------------------------------------------------
+
+    def _read_or_none(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def bronze(self) -> DataFrame | None:
+        return self._read_or_none(self.bronze_path)
+
+    def invalid_records(self) -> DataFrame | None:
+        return self._read_or_none(self.invalid_path)
+
+    def meta(self) -> DataFrame | None:
+        return self._read_or_none(self.meta_path)
+
+    def current_watermark(self) -> datetime:
+        return read_watermark(self.meta(), self.cfg.default_watermark)
+
+    # -- bronze incremental load (I1-I5) ----------------------------------
+
+    def ingest_batch(
+        self, batch: DataFrame, window: MonthWindow | None = None
+    ) -> IngestResult:
+        """One bronze incremental load (the stored procedure's body)."""
+        t0 = time.perf_counter()
+        wm = self.current_watermark()
+        win = window or month_window_of(wm)
+        try:
+            in_win, out_win = split_by_watermark(batch, self.cfg.ts_col, wm, win)
+
+            # bronze append, partitioned by load month for pruning (S6).
+            in_win = in_win.withColumn(
+                self.cfg.partition_col,
+                F.date_format(F.col(self.cfg.ts_col), "yyyy-MM"),
+            )
+            in_win = in_win.cache()
+            loaded = in_win.count()
+            if loaded:
+                (
+                    in_win.write.mode("append")
+                    .partitionBy(self.cfg.partition_col)
+                    .parquet(self.bronze_path)
+                )
+            in_win.unpersist()
+
+            # dead-letter with cross-run key dedup (U1/S8).
+            existing_invalid = self.invalid_records()
+            novel = (
+                insert_if_absent(
+                    out_win, existing_invalid, self.cfg.dead_letter_keys
+                )
+                if existing_invalid is not None
+                else out_win.dropDuplicates(list(self.cfg.dead_letter_keys))
+            )
+            novel = novel.cache()
+            dead = novel.count()
+            if dead:
+                novel.write.mode("append").parquet(self.invalid_path)
+            novel.unpersist()
+
+            # watermark recompute FROM THE TARGET, bounded to the window (I4).
+            bronze_df = self.bronze()
+            new_wm = (
+                next_watermark(bronze_df, self.cfg.ts_col, win, wm)
+                if bronze_df is not None
+                else wm
+            )
+            runtime = time.perf_counter() - t0
+            self._append_meta(new_wm, "success", runtime, None)
+            return IngestResult(loaded, dead, new_wm, runtime)
+        except Exception as exc:  # I5 failure path: log 'failed', re-raise
+            runtime = time.perf_counter() - t0
+            self._append_meta(wm, "failed", runtime, str(exc)[:1000])
+            raise
+
+    def _append_meta(
+        self,
+        wm: datetime | None,
+        status: str,
+        runtime: float,
+        error: str | None,
+    ) -> None:
+        row = [(wm, status, float(runtime), error)]
+        (
+            self.spark.createDataFrame(row, META_SCHEMA)
+            .write.mode("append")
+            .parquet(self.meta_path)
+        )
+
+    # -- silver / gold ----------------------------------------------------
+
+    def silver_refresh(
+        self,
+        transform,
+        partition_col: str | None = None,
+        name: str = "fact",
+    ) -> int:
+        """Full-refresh snapshot: bronze → transform → overwrite silver
+        (`silver_full_refresh_transformation.sql:34-72`; truncate+insert
+        per README:191 → ``mode("overwrite")``)."""
+        bronze_df = self.bronze()
+        if bronze_df is None:
+            return 0
+        out = transform(bronze_df)
+        path = os.path.join(self.silver_path, name)
+        writer = out.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+        return self.spark.read.parquet(path).count()
+
+    def read_silver(self, name: str = "fact") -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.silver_path, name))
