@@ -95,6 +95,11 @@ class MedallionPipeline:
     # -- table access -----------------------------------------------------
 
     def _read_or_none(self, path: str) -> DataFrame | None:
+        # Local-path existence check first: avoids Spark logging a noisy
+        # FileNotFound stacktrace for the expected first-run case. The
+        # try/except stays for non-local filesystems (s3://, hdfs://).
+        if "://" not in path and not os.path.exists(path):
+            return None
         try:
             return self.spark.read.parquet(path)
         except Exception:

@@ -1,0 +1,274 @@
+"""Extended analytic operators beyond the reference's surface.
+
+SURVEY §2 marks these "absent in reference / available built-in":
+set ops (§2.7), rollup/cube/grouping-sets and distinct aggs (§2.4),
+lag/lead window analytics (§2.5), range and as-of joins (§2.3). Each is
+implemented Spark-first with a DuckDB oracle so the coverage is
+verified, not just claimed.
+
+Scale notes inline per query; the common theme: as-of joins avoid the
+per-row correlated subquery by the union+window trick (one shuffle on
+the entity key), and range joins keep an equi component so Catalyst
+plans a hash join with a range residual instead of a nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from ..registry import register
+
+
+@register(
+    "set_except_churned",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+    tags=("setop",),
+)
+def set_except_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers active in 1996 but not 1997."""
+    o = load(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics; exceptAll would keep
+    # surplus duplicate occurrences — bag semantics, not SQL EXCEPT)
+    return y96.subtract(y97)
+
+
+@register(
+    "set_intersect_retained",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+    tags=("setop",),
+)
+def set_intersect_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers active in both 1996 and 1997."""
+    o = load(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@register(
+    "rollup_order_counts",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (year, priority) → (year) → grand total. One
+    shuffle; Spark expands grouping sets map-side."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations of (status, priority)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (order_year))
+    """,
+    tags=("agg", "sql"),
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the spark.sql entry point (the
+    engine's second query surface, X4)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (CAST(year(o_orderdate) AS INT)))
+        """
+    )
+
+
+@register(
+    "agg_distinct_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT key) per group — Spark plans a two-phase expand +
+    partial dedup, no driver involvement."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (engine-specific sketch → no
+    cross-engine oracle; rows-only check + unit test bounds the error
+    vs the exact count)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           lag(o_orderdate) OVER w AS prev_order_ts,
+           lead(o_orderdate) OVER w AS next_order_ts,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT)
+             AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD order history per customer (deterministic tie-break on
+    the key). One shuffle on o_custkey."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        prev.alias("prev_order_ts"),
+        F.lead("o_orderdate").over(w).alias("next_order_ts"),
+        F.timestamp_diff("DAY", prev, F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "asof_last_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts <= e.ts) AS last_click_ts
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+    tags=("join", "asof"),
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (backward): for each error event, the most recent
+    click of the same user at or before it.
+
+    Spark lacks a native as-of join; the scalable composition is
+    union-the-streams + last(ignorenulls) over an ordered window — ONE
+    shuffle on user_id, no correlated per-row lookup, no range
+    explosion. (The oracle uses the correlated-subquery formulation,
+    which is fine for DuckDB at fixture scale.)
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    merged = clicks.unionByName(errors)
+    # clicks sort before errors at equal ts → c.ts <= e.ts semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last(
+        F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("last_click_ts", last_click)
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@register(
+    "range_join_5min_pairs",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+    tags=("join", "range"),
+)
+def range_join_5min_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join: ordered event pairs of the same user within 5
+    minutes. The user_id equi-conjunct makes this a hash join with a
+    range residual — never a nested-loop cross product."""
+    e = load(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

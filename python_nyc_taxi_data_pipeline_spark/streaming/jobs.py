@@ -1,0 +1,107 @@
+"""Structured Streaming jobs.
+
+The batch window queries in ``streaming.windows`` use the exact
+operators Structured Streaming executes (``F.window`` /
+``F.session_window``); this module runs them as real streams:
+file-source ``readStream`` → event-time watermark → windowed agg →
+sink, with ``Trigger.AvailableNow`` for bounded replay.
+
+Parity: the reference has no streams (SURVEY §2.9) — its incremental
+loop is the batch high-water-mark pattern in ``pipeline.medallion``.
+This is the engine's forward-looking equivalent: the same bronze
+ingest expressed as a continuous query with checkpointed exactly-once
+file sinks.
+
+Scale notes: state is keyed by (window, key) and bounded by the
+watermark (late data beyond ``delay`` is dropped and state evicted);
+``maxFilesPerTrigger`` bounds per-micro-batch work on backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over parquet event files (schema declared,
+    never inferred — streaming sources require it anyway)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def tumbling_counts(stream: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Tumbling 1h windows per event_type with a late-data watermark —
+    the streaming twin of ``windows.window_tumbling_1h``.
+
+    Event-time watermarks require TIMESTAMP (not NTZ): we cast in at
+    the boundary and cast the window back to NTZ on output; with the
+    engine's pinned UTC session the wall times are identical.
+    """
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    agg: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain the bounded stream into an in-memory table
+    (Trigger.AvailableNow → processes all available input, then stops)."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_to_parquet_sink(
+    agg: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Checkpointed append-mode parquet sink: emits only windows sealed
+    by the watermark; restart-safe exactly-once via the checkpoint +
+    sink metadata log."""
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

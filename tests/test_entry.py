@@ -26,6 +26,7 @@ def test_queries_and_oracles_consistent(spark):
         "docs_simhash",
         "knn_cosine_lsh",
         "docs_fingerprint",
+        "agg_approx_distinct",
     }
 
 

@@ -1,0 +1,111 @@
+"""Property tests for the hash-based (non-oracled) LLM-data operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from python_nyc_taxi_data_pipeline_spark.catalog import load
+from python_nyc_taxi_data_pipeline_spark.llm.multimodal import (
+    FEATURE_DIM,
+    documents_as_binary,
+    extract_features,
+    fake_feature_extractor,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_pairs_are_verified_subset(spark):
+    """Every LSH pair is exact-Jaccard-verified ≥ threshold, so the
+    same-lang portion must be a subset of the brute-force pair set."""
+    qs = E.queries()
+    lsh = qs["docs_minhash_lsh_pairs"](spark, SF_DIR)
+    brute = qs["docs_ngram_jaccard_pairs"](spark, SF_DIR)
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    lsh_same_lang = (
+        lsh.join(docs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("lang", "lang_a")
+        .join(
+            docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "lang", "lang_b"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    extra = lsh_same_lang.join(brute, ["doc_a", "doc_b"], "left_anti")
+    assert extra.count() == 0
+    # and all reported similarities clear the threshold
+    assert lsh.filter(F.col("jaccard") < 0.30).count() == 0
+
+
+def test_simhash_deterministic_and_near_dup_property(spark):
+    qs = E.queries()
+    a = qs["docs_simhash"](spark, SF_DIR).collect()
+    b = qs["docs_simhash"](spark, SF_DIR).collect()
+    assert sorted(a) == sorted(b)  # stable across runs
+    # identical text → identical simhash (hash of the word multiset)
+    docs = load(spark, SF_DIR, "documents")
+    sh = qs["docs_simhash"](spark, SF_DIR)
+    joined = docs.join(sh, "doc_id").select("text", "simhash")
+    per_text = joined.groupBy("text").agg(
+        F.count_distinct("simhash").alias("n_hashes")
+    )
+    assert per_text.filter(F.col("n_hashes") > 1).count() == 0
+
+
+def test_knn_lsh_results_agree_with_bruteforce_scores(spark):
+    """Approximate top-k must report the same cosine values as brute
+    force for every (query, neighbor) pair it returns."""
+    qs = E.queries()
+    lsh = qs["knn_cosine_lsh"](spark, SF_DIR).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("lsh_sim")
+    )
+    brute = (
+        qs["knn_cosine_bruteforce"](spark, SF_DIR)
+        .select("query_id", "neighbor_id", F.col("cosine_sim").alias("bf_sim"))
+    )
+    both = lsh.join(brute, ["query_id", "neighbor_id"])
+    assert both.filter(F.col("lsh_sim") != F.col("bf_sim")).count() == 0
+
+
+def test_approx_distinct_within_rsd(spark):
+    qs = E.queries()
+    approx = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in qs["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n_customers"]
+        for r in qs["agg_distinct_exact"](spark, SF_DIR).collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(3, 0.1 * ex), (k, approx[k], ex)
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    binary = documents_as_binary(docs)
+    feats = extract_features(binary).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["features"]) == FEATURE_DIM
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+        assert r["n_bytes"] > 0
+    # the Spark path reproduces the pure-python extractor exactly
+    one = docs.limit(1).collect()[0]
+    spark_row = [r for r in feats if r["doc_id"] == one["doc_id"]][0]
+    assert spark_row["features"] == fake_feature_extractor(
+        one["text"].encode("utf-8")
+    )
+
+
+def test_decode_stub_raises():
+    import pytest
+
+    from python_nyc_taxi_data_pipeline_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
