@@ -1,0 +1,107 @@
+"""Tests for sql runner, logger, skew operators, and http source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_nyc_taxi_data_pipeline_spark.catalog import load, register_views
+from python_nyc_taxi_data_pipeline_spark.operators.skew import (
+    replicate_broadcast_join,
+    salted_count_sum,
+    with_salt,
+)
+from python_nyc_taxi_data_pipeline_spark.sources.http import (
+    download_url_template,
+    read_parquet_with_schema,
+)
+from python_nyc_taxi_data_pipeline_spark.sources.logging_util import custom_logging
+from python_nyc_taxi_data_pipeline_spark.sources.schemas import BRONZE_TAXI_SCHEMA
+from python_nyc_taxi_data_pipeline_spark.sources.sql_runner import (
+    run_sql_file,
+    split_sql_statements,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_download_url_template():
+    # parity with the reference's only unit test (test_download_url.py:13-15)
+    assert download_url_template(2024, 1).endswith("yellow_tripdata_2024-01.parquet")
+    assert download_url_template(2024, 11).endswith("yellow_tripdata_2024-11.parquet")
+
+
+def test_split_sql_statements_quotes_and_comments():
+    text = """
+    -- a comment; with a semicolon
+    SELECT 'a;b' AS x;
+    SELECT 1 AS y
+    """
+    stmts = split_sql_statements(text)
+    assert len(stmts) == 2
+    assert "'a;b'" in stmts[0]
+
+
+def test_run_sql_file(spark, tmp_path):
+    register_views(spark, SF_DIR)
+    f = tmp_path / "script.sql"
+    f.write_text(
+        "CREATE OR REPLACE TEMP VIEW t_orders AS SELECT * FROM orders;\n"
+        "SELECT count(*) AS n FROM t_orders;"
+    )
+    result = run_sql_file(spark, f)
+    assert result.collect()[0]["n"] == load(spark, SF_DIR, "orders").count()
+
+
+def test_custom_logging(tmp_path):
+    log = tmp_path / "x" / "p.log"
+    logger = custom_logging(log, name="t-log")
+    logger.info("hello-log")
+    for h in logger.handlers:
+        h.flush()
+    assert "hello-log" in log.read_text()
+
+
+def test_salted_agg_matches_plain(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    salted = salted_count_sum(
+        li,
+        ["l_returnflag"],
+        {"qty": F.sum(F.col("l_quantity").cast("decimal(18,2)"))},
+        n_salts=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+    a = {r["l_returnflag"]: (r["n_rows"], r["qty"]) for r in salted.collect()}
+    b = {r["l_returnflag"]: (r["n_rows"], r["qty"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_with_salt_deterministic_and_bounded(spark):
+    o = load(spark, SF_DIR, "orders")
+    s1 = with_salt(o, 16).select("__salt")
+    assert s1.agg(F.max("__salt")).first()[0] < 16
+    assert s1.agg(F.min("__salt")).first()[0] >= 0
+    # deterministic across evaluations
+    c1 = s1.groupBy("__salt").count().collect()
+    c2 = with_salt(o, 16).groupBy("__salt").count().collect()
+    assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))
+
+
+def test_replicate_broadcast_join_matches_plain(spark):
+    o = load(spark, SF_DIR, "orders")
+    c = load(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, "o_custkey").count()
+    salted = replicate_broadcast_join(o, c, "o_custkey", n_salts=4).count()
+    assert plain == salted
+
+
+def test_read_parquet_with_schema_casts_and_fills(spark):
+    # events parquet as a stand-in: missing taxi columns → typed NULLs
+    df = read_parquet_with_schema(
+        spark, f"{SF_DIR}/orders.parquet", BRONZE_TAXI_SCHEMA
+    )
+    assert [f.name for f in BRONZE_TAXI_SCHEMA.fields] == df.columns
+    row = df.limit(1).collect()[0]
+    assert row["vendorid"] is None  # absent in source → NULL of declared type
