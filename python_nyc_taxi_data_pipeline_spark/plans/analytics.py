@@ -167,6 +167,57 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (verified bit-identical to DuckDB's
+    quantile_cont). Spark's exact percentile sorts per group in the
+    aggregation buffer — for 100 TB hot paths switch to
+    approx_percentile (t-digest) and accept the sketch error."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+
+
+@register(
+    "union_all_activity",
+    oracle="""
+    SELECT o_custkey AS custkey, 'order' AS kind, o_orderdate AS ts FROM orders
+    UNION ALL
+    SELECT c_custkey AS custkey, 'signup' AS kind,
+           TIMESTAMP '1994-01-01 00:00:00' AS ts
+    FROM customer
+    """,
+    tags=("setop", "union"),
+)
+def union_all_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag): a unified activity feed from two sources —
+    no shuffle at all, partitions concatenate."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.lit("order").alias("kind"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("signup").alias("kind"),
+        F.lit("1994-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+    )
+    return o.unionByName(c)
+
+
+@register(
     "window_lag_lead",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
