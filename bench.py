@@ -29,6 +29,49 @@ def sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def bench_medallion(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end medallion run (the BASELINE.md comparable: the
+    reference ingests 16.8M rows at ≈18-22k rows/s end-to-end).
+    Returns (seconds, rows processed through bronze+silver+gold)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_nyc_taxi_data_pipeline_spark.operators.watermark import MonthWindow
+    from python_nyc_taxi_data_pipeline_spark.pipeline.taxi import run_pipeline
+    from python_nyc_taxi_data_pipeline_spark.sources.fixture_taxi import (
+        orders_as_taxi,
+    )
+    from datetime import datetime
+
+    # copies=50 scales the months-1..5 slice to ~500k rows at sf0.1 so
+    # fixed per-job overhead amortizes the way the reference's 16.8M-row
+    # dataset does (BASELINE.md measures steady-state throughput). The
+    # source frame is cached — the reference's timed loop also starts
+    # from an in-memory (pandas) batch, not from re-deriving per action.
+    taxi = orders_as_taxi(spark, sf_dir, copies=50).cache()
+    taxi.count()
+    batches = []
+    for m in range(1, 6):
+        batches.append(
+            (
+                taxi.filter(F.month("tpep_pickup_datetime") == m),
+                MonthWindow(datetime(2024, m, 1), datetime(2024, m + 1, 1)),
+            )
+        )
+    warehouse = tempfile.mkdtemp(prefix="bench_wh_")
+    t0 = time.perf_counter()
+    pipe = run_pipeline(spark, warehouse, batches)
+    n_rows = pipe.read_silver().count()
+    # gold views are lazy; force all three (the reference's observable output)
+    for v in ("gold_vendor_metrics", "gold_monthly_metrics", "gold_payment_metrics"):
+        spark.sql(f"SELECT * FROM {v}").collect()
+    elapsed = time.perf_counter() - t0
+    taxi.unpersist()
+    pipe.destroy()
+    return elapsed, n_rows
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("bench")
@@ -39,6 +82,8 @@ def main() -> int:
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    med_sec, med_rows = bench_medallion(spark, sf_dir)
+    timings["medallion_e2e"] = round(med_sec, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -48,6 +93,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_of(sf_dir),
+                "medallion_rows": med_rows,
+                "medallion_rows_per_sec": round(med_rows / med_sec, 1),
             }
         )
     )

@@ -160,7 +160,15 @@ class MedallionPipeline:
             novel.unpersist()
 
             # watermark recompute FROM THE TARGET, bounded to the window (I4).
+            # The month window maps 1:1 onto the load_month partition, so we
+            # filter on the partition column first — partition pruning reads
+            # only the affected month even when bronze holds years of data.
             bronze_df = self.bronze()
+            if bronze_df is not None and self.cfg.partition_col in bronze_df.columns:
+                bronze_df = bronze_df.filter(
+                    F.col(self.cfg.partition_col)
+                    == win.start.strftime("%Y-%m")
+                )
             new_wm = (
                 next_watermark(bronze_df, self.cfg.ts_col, win, wm)
                 if bronze_df is not None
@@ -212,3 +220,14 @@ class MedallionPipeline:
 
     def read_silver(self, name: str = "fact") -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.silver_path, name))
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def destroy(self) -> None:
+        """X6 — destructive environment reset (the reference's
+        DROP DATABASE ... WITH (FORCE) + recreate,
+        `src/utils/database_connection.py:45-73`, `db_setup.py:59-60`):
+        removes the whole warehouse directory tree."""
+        import shutil
+
+        shutil.rmtree(self.cfg.warehouse, ignore_errors=True)

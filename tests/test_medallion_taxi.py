@@ -23,63 +23,9 @@ from python_nyc_taxi_data_pipeline_spark.pipeline.taxi import (
     silver_transform,
     taxi_pipeline,
 )
-from python_nyc_taxi_data_pipeline_spark.sources.schemas import BRONZE_TAXI_SCHEMA
+from python_nyc_taxi_data_pipeline_spark.sources.fixture_taxi import orders_as_taxi
 
 from tests.conftest import SF_DIR
-
-
-def orders_as_taxi(spark, sf_dir: str):
-    """Map the orders fixture into the bronze taxi schema. Pickup month
-    is remapped onto 2024 so the reference's 2024 window semantics hold:
-    1995-mm-dd → 2024-mm-dd (clamped), preserving time-of-month spread."""
-    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
-    vendor_ids = F.element_at(
-        F.array(F.lit(1), F.lit(2), F.lit(6), F.lit(7), F.lit(99)),
-        (F.col("o_orderkey") % 5 + 1).cast("int"),
-    )
-    pickup = F.to_timestamp_ntz(
-        F.concat(
-            F.lit("2024-"),
-            F.date_format("o_orderdate", "MM-dd"),
-            F.lit(" "),
-            F.lpad((F.col("o_orderkey") % 24).cast("string"), 2, "0"),
-            F.lit(":15:00"),
-        )
-    )
-    taxi = o.select(
-        vendor_ids.cast("int").alias("vendorid"),
-        pickup.alias("tpep_pickup_datetime"),
-        (pickup + F.make_dt_interval(mins=(F.col("o_orderkey") % 90 + 1).cast("int"))).alias(
-            "tpep_dropoff_datetime"
-        ),
-        (F.col("o_custkey") % 5).cast("string").alias("passenger_count"),
-        (F.col("o_totalprice") / 1000).cast("decimal(18,2)").alias("trip_distance"),
-        F.concat(((F.col("o_orderkey") % 6) + 1).cast("string"), F.lit(".0")).alias(
-            "ratecodeid"
-        ),
-        F.when(F.col("o_orderkey") % 7 == 0, "Y").otherwise("N").alias(
-            "store_and_fwd_flag"
-        ),
-        (F.col("o_orderkey") % 200).cast("int").alias("pulocationid"),
-        (F.col("o_custkey") % 200).cast("int").alias("dolocationid"),
-        (F.col("o_orderkey") % 7).cast("int").alias("payment_type"),
-        *[
-            (F.col("o_totalprice") / d).cast("decimal(18,2)").alias(name)
-            for name, d in [
-                ("fare_amount", 10),
-                ("extra", 100),
-                ("mta_tax", 200),
-                ("tip_amount", 50),
-                ("tolls_amount", 400),
-                ("improvement_surcharge", 500),
-                ("total_amount", 8),
-                ("congestion_surcharge", 300),
-                ("airport_fee", 600),
-            ]
-        ],
-    )
-    assert [f.name for f in BRONZE_TAXI_SCHEMA.fields] == taxi.columns
-    return taxi
 
 
 @pytest.fixture(scope="module")

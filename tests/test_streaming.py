@@ -40,6 +40,43 @@ def test_stream_tumbling_equals_batch(spark, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_streaming_bronze_loader(spark, tmp_path):
+    """foreachBatch bronze ingest: files landing in a directory flow
+    through the SAME medallion ingest (watermark, dead-letter, meta);
+    the checkpoint ensures already-processed files never replay."""
+    from datetime import datetime
+
+    from python_nyc_taxi_data_pipeline_spark.operators.watermark import MonthWindow
+    from python_nyc_taxi_data_pipeline_spark.pipeline.taxi import taxi_pipeline
+    from python_nyc_taxi_data_pipeline_spark.sources.fixture_taxi import orders_as_taxi
+    from python_nyc_taxi_data_pipeline_spark.sources.schemas import BRONZE_TAXI_SCHEMA
+    from python_nyc_taxi_data_pipeline_spark.streaming.bronze_stream import (
+        stream_ingest,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    pipe = taxi_pipeline(spark, str(tmp_path / "wh"))
+
+    taxi = orders_as_taxi(spark, SF_DIR)
+    jan = taxi.filter(F.month("tpep_pickup_datetime") == 1)
+    feb = taxi.filter(F.month("tpep_pickup_datetime") == 2)
+
+    jan.coalesce(1).write.mode("append").parquet(landing)
+    win1 = MonthWindow(datetime(2024, 1, 1), datetime(2024, 2, 1))
+    stream_ingest(spark, pipe, landing, BRONZE_TAXI_SCHEMA, ckpt, window=win1)
+    n_after_jan = pipe.bronze().count()
+    assert n_after_jan > 0
+
+    # new file lands; the checkpoint processes ONLY it
+    feb.coalesce(1).write.mode("append").parquet(landing)
+    win2 = MonthWindow(datetime(2024, 2, 1), datetime(2024, 3, 1))
+    stream_ingest(spark, pipe, landing, BRONZE_TAXI_SCHEMA, ckpt, window=win2)
+    assert pipe.bronze().count() == n_after_jan + feb.count()
+    # meta has one success row per non-empty micro-batch
+    assert pipe.meta().filter(F.col("status") == "success").count() >= 2
+
+
 def test_stream_parquet_sink_checkpoint_restart(spark, tmp_path):
     """append-mode parquet sink + checkpoint: a second availableNow run
     over the same input emits nothing new (exactly-once replay)."""
