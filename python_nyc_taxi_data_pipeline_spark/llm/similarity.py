@@ -95,6 +95,68 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_cosine_partitioned",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+      FROM v
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(list_zip(q.v, c.v),
+                                              p -> p[1] * p[2]),
+                               (acc, x) -> acc + x)
+                   / (q.nrm * c.nrm), 6) AS cosine_sim
+      FROM n q, n c
+      WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id <> c.vec_id
+        AND q.label = c.label
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+    QUALIFY rank <= {TOP_K}
+    """,
+    tags=("llm", "similarity", "ivf"),
+)
+def knn_cosine_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style partitioned ANN: candidates restricted to the query's
+    coarse cell (here the ``label`` column stands in for a centroid
+    assignment — a real IVF trains k-means and probes nprobe cells).
+    The candidate join becomes a shuffle join on the cell id: each
+    query scores |cell| vectors instead of all of them — the scale path
+    when the corpus outgrows brute force. Exact within-cell semantics →
+    fully oracle-checked."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    n = e.select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+    q = n.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = n.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel")) & (F.col("query_id") != F.col("vec_id")),
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 N_PLANES = 8
 
 

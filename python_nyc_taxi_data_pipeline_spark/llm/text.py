@@ -161,18 +161,18 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-char shingle hashes → min per sliding window of 4 → distinct
     fingerprints. xxhash64 has no DuckDB twin → structural tests only."""
     d = load(spark, sf_dir, "documents")
-    fp = F.expr(
-        """
-        array_distinct(transform(
-          sequence(1, greatest(length(text) - 7 - 3, 1)),
-          j -> array_min(transform(
-            sequence(j, j + 3),
-            i -> xxhash64(substr(text, i, 8))
-          ))
-        ))
-        """
+    # two steps so each shingle hashes once (the naive nested form
+    # recomputes xxhash64 w× per sliding window)
+    hashes = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)),"
+        " i -> xxhash64(substr(text, i, 8)))"
     )
-    return d.select(
+    with_h = d.select("doc_id", hashes.alias("h"))
+    fp = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(h) - 3, 1)),"
+        " j -> array_min(slice(h, j, 4))))"
+    )
+    return with_h.select(
         "doc_id",
         F.size(fp).alias("n_fingerprints"),
         F.array_min(fp).alias("min_fingerprint"),

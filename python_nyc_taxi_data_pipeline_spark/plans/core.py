@@ -347,6 +347,65 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           json_extract_string(props, '$.missing') AS missing_value
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (semi-structured
+    handling beyond the reference's flat schema). Missing paths → NULL
+    in both engines."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_value"),
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT doc_id,
+           upper(substr(text, 1, 12)) AS head_upper,
+           trim(substr(text, 1, 12)) AS head_trim,
+           replace(substr(text, 1, 40), ' ', '_') AS head_snake,
+           length(text) AS text_len,
+           CAST(strpos(text, 'data') AS INT) AS first_data_pos,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           substr(text, 1, 5) || '…' || CAST(n_chars AS VARCHAR) AS concat_demo
+    FROM documents
+    """,
+    tags=("scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (upper/trim/replace/length/locate/lpad/
+    concat) — SURVEY §2.8 marks these absent in the reference; all
+    JVM-side codegen."""
+    d = load(spark, sf_dir, "documents")
+    head12 = F.substring("text", 1, 12)
+    return d.select(
+        "doc_id",
+        F.upper(head12).alias("head_upper"),
+        F.trim(head12).alias("head_trim"),
+        F.replace(F.substring("text", 1, 40), F.lit(" "), F.lit("_")).alias(
+            "head_snake"
+        ),
+        F.length("text").cast("long").alias("text_len"),
+        F.locate("data", F.col("text")).cast("int").alias("first_data_pos"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.concat(
+            F.substring("text", 1, 5), F.lit("…"), F.col("n_chars").cast("string")
+        ).alias("concat_demo"),
+    )
+
+
+@register(
     "top_k_customers",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal FROM customer
