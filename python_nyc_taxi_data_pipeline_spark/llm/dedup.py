@@ -110,6 +110,13 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select("doc_id", "lang", word_trigrams(F.col("text")).alias("grams")).filter(
         F.size("grams") >= 1
     )
+    # The plan uses g on FOUR branches (two posting sides + two size
+    # sides); without materialization the shingle derivation recomputes
+    # per branch and dominates the query (measured: ~80% of wall time).
+    # localCheckpoint truncates lineage and materializes once — the
+    # same call a 100 TB run would make (or a staged intermediate
+    # table) before a self-join.
+    g = g.localCheckpoint(eager=False)
     sizes = g.select("doc_id", F.size("grams").alias("n_grams"))
     posts = g.select("doc_id", "lang", F.explode("grams").alias("gram"))
     a, b = posts.alias("a"), posts.alias("b")
@@ -178,6 +185,9 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select("doc_id", word_trigrams(F.col("text")).alias("grams")).filter(
         F.size("grams") >= 1
     )
+    # reused by the signature branch and both verify sides — materialize
+    # once (see docs_ngram_jaccard_pairs)
+    g = g.localCheckpoint(eager=False)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     sig = g.select("doc_id", minhash_signature(F.col("grams")).alias("sig"))
     # Candidate generation shuffles only (doc_id, band_hash) — 16 bytes a
