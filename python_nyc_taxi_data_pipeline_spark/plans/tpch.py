@@ -130,6 +130,108 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fk_violations",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+    )
+    """,
+    tags=("join", "validation"),
+)
+def fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — FK integrity as a validation anti-join (the reference
+    declares FKs, `db_setup.py:185,191,195`; Spark validates instead of
+    enforcing). Dim side broadcasts; empty result = clean data."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    return o.select("o_orderkey", "o_custkey").join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("tpch", "subquery"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + join — the standard Spark plan;
+    Catalyst performs the same rewrite for the SQL form."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+      )
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("tpch", "having", "semijoin"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: GROUP BY + HAVING feeding a semi-join, then the
+    3-way join and top-k. The HAVING set is small → broadcast semi-join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
     "tpch_q5_local_supplier_volume",
     oracle=f"""
     SELECT n.n_name, {_REVENUE} AS revenue
