@@ -155,6 +155,50 @@ def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register(
+    "docs_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+               '{PII_SSN}', '[SSN]', 'g'),
+             '{PII_PHONE}', '[PHONE]', 'g') AS redacted,
+           len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{PII_SSN}')) AS n_ssns
+    FROM documents
+    """,
+    tags=("llm", "text", "pii"),
+)
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email / SSN / phone patterns replaced with typed
+    placeholders, plus per-doc detection counts (the audit side). Order
+    matters (SSN before phone — phone's separator class would eat SSN
+    prefixes). All JVM regex; patterns chosen to behave identically
+    under Java and RE2-style engines."""
+    d = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_SSN,
+            "[SSN]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_SSN), 0)).alias("n_ssns"),
+    )
+
+
 @register("docs_fingerprint", oracle=None, tags=("llm", "text"))
 def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al. '03 shape):

@@ -167,6 +167,35 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "validate_events",
+    oracle="""
+    SELECT event_id,
+           list_filter([
+             CASE WHEN NOT (value BETWEEN 0 AND 500) THEN 'value_range' END,
+             CASE WHEN NOT (event_type IN ('click','view','signup','purchase'))
+                  THEN 'known_type' END,
+             CASE WHEN user_id IS NULL THEN 'user_nonnull' END
+           ], x -> x IS NOT NULL) AS violations
+    FROM events
+    """,
+    tags=("validation",),
+)
+def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality tagging (generalized dead-letter routing):
+    every rule evaluates in one codegen'd pass; the violations array is
+    the machine-readable reject reason."""
+    from ..operators.validate import in_range, in_set, not_null, with_violations
+
+    e = load(spark, sf_dir, "events")
+    rules = {
+        "value_range": in_range("value", 0, 500),
+        "known_type": in_set("event_type", ["click", "view", "signup", "purchase"]),
+        "user_nonnull": not_null("user_id"),
+    }
+    return with_violations(e, rules).select("event_id", "violations")
+
+
+@register(
     "percentile_order_value",
     oracle="""
     SELECT o_orderpriority,

@@ -1,0 +1,81 @@
+"""Validation split, small-file compaction, write-audit-publish."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_nyc_taxi_data_pipeline_spark.catalog import load
+from python_nyc_taxi_data_pipeline_spark.operators.maintenance import (
+    compact_partitions,
+    parquet_files_under,
+    write_audit_publish,
+)
+from python_nyc_taxi_data_pipeline_spark.operators.validate import (
+    in_range,
+    in_set,
+    not_null,
+    split_valid,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_split_valid_partitions_rows(spark):
+    e = load(spark, SF_DIR, "events")
+    rules = {
+        "value_range": in_range("value", 0, 50),
+        "known_type": in_set("event_type", ["click", "view"]),
+        "user_nonnull": not_null("user_id"),
+    }
+    valid, invalid = split_valid(e, rules)
+    assert valid.count() + invalid.count() == e.count()
+    # every invalid row names at least one violated rule; reasons correct
+    bad = invalid.filter(
+        F.array_contains("violations", "value_range") & F.col("value").between(0, 50)
+    )
+    assert bad.count() == 0
+    assert valid.filter(~F.col("event_type").isin("click", "view")).count() == 0
+
+
+def test_compact_partitions_reduces_files_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    e = load(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # simulate many small appends
+    for _ in range(4):
+        e.repartition(6).write.mode("append").partitionBy("day").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    days = [r["day"] for r in spark.read.parquet(path).select("day").distinct().collect()]
+    before_files = len(parquet_files_under(path))
+
+    compact_partitions(spark, path, "day", days, sort_cols=["ts"])
+
+    after_files = len(parquet_files_under(path))
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after_files < before_files
+    assert after_files <= len(days)  # tiny partitions → 1 file each
+    # data content identical
+    a = spark.read.parquet(path).drop("day")
+    assert a.exceptAll(e.drop("day").union(e.drop("day")).union(e.drop("day")).union(e.drop("day"))).count() == 0
+
+
+def test_write_audit_publish_success_and_rollback(spark, tmp_path):
+    final = str(tmp_path / "pub" / "table")
+    o = load(spark, SF_DIR, "orders")
+
+    ok = write_audit_publish(o, final, audit=lambda df: df.count() == o.count())
+    assert ok
+    assert spark.read.parquet(final).count() == o.count()
+
+    # failing audit must not clobber the published table
+    bad = o.limit(3)
+    ok2 = write_audit_publish(bad, final, audit=lambda df: df.count() > 100)
+    assert not ok2
+    assert spark.read.parquet(final).count() == o.count()  # untouched
+
+    # successful re-publish replaces atomically
+    ok3 = write_audit_publish(bad, final, audit=lambda df: True)
+    assert ok3
+    assert spark.read.parquet(final).count() == 3
