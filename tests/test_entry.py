@@ -27,6 +27,7 @@ def test_queries_and_oracles_consistent(spark):
         "knn_cosine_lsh",
         "docs_fingerprint",
         "agg_approx_distinct",
+        "events_user_trend",
     }
 
 

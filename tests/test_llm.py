@@ -85,6 +85,27 @@ def test_approx_distinct_within_rsd(spark):
         assert abs(approx[k] - ex) <= max(3, 0.1 * ex), (k, approx[k], ex)
 
 
+def test_grouped_trend_matches_closed_form(spark):
+    """applyInPandas least-squares slope ≡ covar_pop/var_pop in SQL."""
+    e = load(spark, SF_DIR, "events")
+    trend = {
+        r["user_id"]: r["value_slope_per_hour"]
+        for r in E.queries()["events_user_trend"](spark, SF_DIR).collect()
+    }
+    hours = (F.col("ts").cast("timestamp_ltz").cast("double") / 3600.0)
+    sql_slope = {
+        r["user_id"]: r["slope"]
+        for r in e.groupBy("user_id")
+        .agg(
+            (F.covar_pop(hours, F.col("value")) / F.var_pop(hours)).alias("slope")
+        )
+        .collect()
+    }
+    assert set(trend) == set(sql_slope)
+    for uid, s in trend.items():
+        assert abs(s - sql_slope[uid]) < 1e-4, (uid, s, sql_slope[uid])
+
+
 def test_multimodal_feature_extraction(spark):
     docs = load(spark, SF_DIR, "documents").limit(50)
     binary = documents_as_binary(docs)

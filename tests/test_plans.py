@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: the scale-relevant plan properties
+(broadcasts, pushdown, top-k, no stray shuffles) must not silently rot."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import __spark_entry__ as E
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_broadcasts_dim(spark):
+    p = plan_of(E.queries()["flagship_supplier_metrics"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # the fact side must never shuffle for J1
+
+
+def test_watermark_filters_push_to_scan(spark):
+    p = plan_of(E.queries()["watermark_in_window"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThan" in p
+
+
+def test_top_k_uses_take_ordered(spark):
+    p = plan_of(E.queries()["top_k_customers"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # no global sort shuffle
+
+
+def test_q1_reads_only_needed_columns(spark):
+    p = plan_of(E.queries()["tpch_q1_pricing_summary"](spark, SF_DIR))
+    # column pruning: the 7 used columns, not the full 11-column schema
+    scan_lines = [line for line in p.splitlines() if "ReadSchema" in line]
+    assert scan_lines
+    assert "l_orderkey" not in scan_lines[0]
+    assert "l_quantity" in scan_lines[0]
+
+
+def test_dedup_exact_is_hash_aggregate_not_sort(spark):
+    p = plan_of(E.queries()["dedup_exact"](spark, SF_DIR))
+    assert "HashAggregate" in p
+    assert "Window" not in p
+
+
+def test_q5_all_dims_broadcast(spark):
+    p = plan_of(E.queries()["tpch_q5_local_supplier_volume"](spark, SF_DIR))
+    # region/nation/supplier/customer all broadcast → ≥4 broadcast joins
+    assert p.count("BroadcastHashJoin") >= 4
