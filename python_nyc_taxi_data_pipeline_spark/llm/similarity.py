@@ -157,6 +157,71 @@ def knn_cosine_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_cosine_gemm", oracle=None, tags=("llm", "similarity", "vectorized"))
+def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force kNN: the query matrix ships inside a
+    self-contained mapInPandas closure; each Arrow batch of corpus
+    vectors does ONE numpy GEMM against it and emits per-batch top-k
+    candidates; a final window rank merges candidates globally.
+
+    This is the Arrow/pandas fast path the brief calls out (batch
+    matrix multiply ≫ per-pair expression evaluation): at 100 TB the
+    corpus streams through executors in batches while the (small) query
+    block broadcasts. Float summation order differs from the scalar
+    plan → rows-only check + tolerance test against the exact baseline.
+    """
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    top_k = TOP_K
+
+    out_schema = (
+        "query_id long, neighbor_id long, cosine_sim double"
+    )
+
+    def score(batches):
+        import numpy as np  # self-contained closure
+        import pandas as pd
+
+        qm = q_mat  # captured by value via cloudpickle
+        qi = np.array(q_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ qm.T  # (batch, n_queries)
+            cids = pdf["vec_id"].to_numpy()
+            rows = []
+            k = min(top_k + 1, sims.shape[0])
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                idx = np.argpartition(-col, k - 1)[:k]
+                for i in idx:
+                    if int(cids[i]) != int(qi[j]):
+                        rows.append((int(qi[j]), int(cids[i]), round(float(col[i]), 6)))
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "cosine_sim"]
+            )
+
+    candidates = e.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 N_PLANES = 8
 
 

@@ -70,6 +70,6 @@ def _ensure_loaded() -> None:
     # Imports are for their registration side effects.
     from .plans import analytics, core, tpch  # noqa: F401
     from .streaming import windows  # noqa: F401
-    from .llm import dedup, grouped, similarity, text  # noqa: F401
+    from .llm import clusters, dedup, grouped, similarity, text  # noqa: F401
 
     _LOADED = True

@@ -28,6 +28,8 @@ def test_queries_and_oracles_consistent(spark):
         "docs_fingerprint",
         "agg_approx_distinct",
         "events_user_trend",
+        "docs_dup_clusters",
+        "knn_cosine_gemm",
     }
 
 

@@ -71,6 +71,63 @@ def test_knn_lsh_results_agree_with_bruteforce_scores(spark):
     assert both.filter(F.col("lsh_sim") != F.col("bf_sim")).count() == 0
 
 
+def test_dup_clusters_match_union_find(spark):
+    """Distributed connected components ≡ driver-side union-find."""
+    qs = E.queries()
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in qs["docs_ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in qs["docs_dup_clusters"](spark, SF_DIR).collect()
+    }
+    all_docs = load(spark, SF_DIR, "documents").count()
+    assert len(got) == all_docs
+    for node, rep in expected.items():
+        assert got[node] == rep, (node, got[node], rep)
+    # singletons map to themselves
+    singles = [d for d, r in got.items() if d not in expected]
+    assert all(got[d] == d for d in singles)
+
+
+def test_knn_gemm_matches_bruteforce(spark):
+    """Vectorized GEMM top-k ≡ exact baseline (tolerance for float
+    summation order)."""
+    qs = E.queries()
+    bf = {}
+    for r in qs["knn_cosine_bruteforce"](spark, SF_DIR).collect():
+        bf.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine_sim"]))
+    gm = {}
+    for r in qs["knn_cosine_gemm"](spark, SF_DIR).collect():
+        gm.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine_sim"]))
+    assert set(bf) == set(gm)
+    for q in bf:
+        sims_bf = sorted(s for _, s in bf[q])
+        sims_gm = sorted(s for _, s in gm[q])
+        assert len(sims_bf) == len(sims_gm)
+        for a, b in zip(sims_bf, sims_gm):
+            assert abs(a - b) < 1e-5, (q, a, b)
+
+
 def test_approx_distinct_within_rsd(spark):
     qs = E.queries()
     approx = {
