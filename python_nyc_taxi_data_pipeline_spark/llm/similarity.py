@@ -157,6 +157,56 @@ def knn_cosine_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embeddings_normalize_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm,
+             list_reduce(list_transform(v, x -> abs(x)), (acc, x) -> greatest(acc, x)) AS max_abs
+      FROM v
+    )
+    SELECT vec_id, label,
+           round(nrm, 6) AS l2_norm,
+           list_transform(v, x -> round(x / nrm, 6)) AS unit_vec,
+           list_transform(v, x -> CAST(round(x * 127.0 / max_abs, 0) AS INT)) AS int8_vec
+    FROM n
+    """,
+    tags=("llm", "embedding"),
+)
+def embeddings_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing: L2 normalization + symmetric int8
+    quantization (the storage/compute reduction step before ANN
+    indexing — 4× smaller vectors, SIMD-friendly dot products). All
+    array-lambda JVM ops; exact oracle."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    nrm = _norm(F.col("v"))
+    max_abs = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    n = e.select("vec_id", "label", "v", nrm.alias("nrm"), max_abs.alias("max_abs"))
+    return n.select(
+        "vec_id",
+        "label",
+        F.round(F.col("nrm"), 6).alias("l2_norm"),
+        F.transform(F.col("v"), lambda x: F.round(x / F.col("nrm"), 6)).alias(
+            "unit_vec"
+        ),
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * F.lit(127.0) / F.col("max_abs"), 0).cast("int"),
+        ).alias("int8_vec"),
+    )
+
+
 @register("knn_cosine_gemm", oracle=None, tags=("llm", "similarity", "vectorized"))
 def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized brute-force kNN: the query matrix ships inside a

@@ -75,6 +75,15 @@ def tumbling_counts(stream: DataFrame, delay: str = "1 hour") -> DataFrame:
     )
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: the static dim broadcasts to every
+    micro-batch (re-read per trigger for slowly-changing dims when the
+    dim is a file source). No state, no watermark needed."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 def run_to_memory_sink(
     agg: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> None:

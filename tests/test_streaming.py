@@ -40,6 +40,31 @@ def test_stream_tumbling_equals_batch(spark, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_stream_static_enrichment_join(spark, tmp_path):
+    src = _write_source(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.2), ("purchase", 10.0), ("signup", 5.0)],
+        "event_type string, weight double",
+    )
+    stream = read_event_stream(spark, src)
+    from python_nyc_taxi_data_pipeline_spark.streaming.jobs import enrich_with_dim
+
+    enriched = enrich_with_dim(stream, dim, "event_type")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM enriched_events")
+    assert out.count() == load(spark, SF_DIR, "events").count()
+    # unmatched type ('error') keeps the row with NULL weight (left join)
+    assert out.filter("event_type = 'error' AND weight IS NULL").count() > 0
+    assert out.filter("event_type = 'click' AND weight = 1.0").count() > 0
+
+
 def test_streaming_bronze_loader(spark, tmp_path):
     """foreachBatch bronze ingest: files landing in a directory flow
     through the SAME medallion ingest (watermark, dead-letter, meta);
