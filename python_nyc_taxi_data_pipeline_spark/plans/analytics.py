@@ -167,6 +167,108 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "full_outer_reconciliation",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_without_customer'
+                WHEN o.o_custkey IS NULL THEN 'customer_without_order'
+                ELSE 'matched' END AS reconciliation,
+           count(*) AS n_rows
+    FROM customer c
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("join", "outer"),
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — two-sided reconciliation (which customers never
+    ordered; which orders reference no customer)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    recon = (
+        F.when(F.col("c_custkey").isNull(), "order_without_customer")
+        .when(F.col("o_custkey").isNull(), "customer_without_order")
+        .otherwise("matched")
+    )
+    return (
+        j.select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            recon.alias("reconciliation"),
+        )
+        .groupBy("custkey", "reconciliation")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order status as columns per priority. Values enumerated
+    explicitly (at scale an unenumerated pivot means a driver-side
+    distinct pass first — always list the values)."""
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@register(
+    "unpivot_money_columns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'extendedprice' AS component,
+           l_extendedprice AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+    tags=("unpivot",),
+)
+def unpivot_money_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) via ``stack`` — wide money columns to long form;
+    zero shuffles, purely generative projection."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax) AS (component, amount)"
+        ),
+    )
+
+
+@register("stratified_sample_docs", oracle=None, tags=("llm", "sampling"))
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language (class rebalancing for training
+    mixes): per-stratum fractions via ``sampleBy`` with a fixed seed —
+    deterministic for a given input, but engine-specific RNG → rows-only
+    check; the unit test bounds per-stratum proportions."""
+    d = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "es": 0.8, "de": 0.8, "fr": 0.8, "zh": 0.8}
+    return d.sampleBy("lang", fractions, seed=42)
+
+
+@register(
     "validate_events",
     oracle="""
     SELECT event_id,

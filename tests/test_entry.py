@@ -30,6 +30,7 @@ def test_queries_and_oracles_consistent(spark):
         "events_user_trend",
         "docs_dup_clusters",
         "knn_cosine_gemm",
+        "stratified_sample_docs",
     }
 
 

@@ -180,6 +180,24 @@ def test_multimodal_feature_extraction(spark):
     )
 
 
+def test_stratified_sample_proportions_and_determinism(spark):
+    qs = E.queries()
+    s1 = qs["stratified_sample_docs"](spark, SF_DIR)
+    s2 = qs["stratified_sample_docs"](spark, SF_DIR)
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )  # fixed seed → deterministic
+    totals = {
+        r["lang"]: r["count"]
+        for r in load(spark, SF_DIR, "documents").groupBy("lang").count().collect()
+    }
+    sampled = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    fractions = {"en": 0.25, "es": 0.8, "de": 0.8, "fr": 0.8, "zh": 0.8}
+    for lang, frac in fractions.items():
+        got = sampled.get(lang, 0) / totals[lang]
+        assert abs(got - frac) < 0.25, (lang, got, frac)
+
+
 def test_decode_stub_raises():
     import pytest
 
