@@ -340,3 +340,67 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+NEARDUP_COSINE = 0.42  # fixture embeddings are near-orthogonal; 0.42 ≈ p99.9+
+
+
+@register(
+    "embeddings_neardup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+      FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_reduce(list_transform(list_zip(a.v, b.v),
+                                            p -> p[1] * p[2]),
+                             (acc, x) -> acc + x)
+                 / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a, n b
+    WHERE a.vec_id < b.vec_id
+      AND list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                      (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {NEARDUP_COSINE}
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: every unordered pair
+    with cosine ≥ threshold (the semantic-dedup step of a training-data
+    pipeline — MinHash catches lexical dups, this catches paraphrases).
+
+    Exact all-pairs baseline: the corpus self-joins on ``vec_id <
+    vec_id`` with one side broadcast, so it is O(n²) dot products but
+    ZERO shuffles. Fold-left dot product matches DuckDB's list_reduce
+    bit-for-bit → fully oracle-checked. At 100 TB this exact pass runs
+    per-bucket AFTER a candidate generator (the random-hyperplane LSH
+    of ``knn_cosine_lsh`` or ANN cluster assignment — at real semantic
+    thresholds ≥0.9 hyperplane collision probability is high); the
+    scoring kernel is identical, only the pair generator changes."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    # The corpus parquet is one small file → one input split; the n²
+    # scoring must parallelize, so spread the probe side across the
+    # cluster before the broadcast nested-loop join (at scale this is
+    # the map side of a block-partitioned all-pairs pass).
+    b = n.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim_raw", cos)
+        .filter(F.col("cosine_sim_raw") >= NEARDUP_COSINE)
+        .select("id_a", "id_b", F.round("cosine_sim_raw", 6).alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )

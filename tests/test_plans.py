@@ -54,3 +54,33 @@ def test_q5_all_dims_broadcast(spark):
     p = plan_of(E.queries()["tpch_q5_local_supplier_volume"](spark, SF_DIR))
     # region/nation/supplier/customer all broadcast → ≥4 broadcast joins
     assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_q6_predicates_and_projection_reach_scan(spark):
+    p = plan_of(E.queries()["tpch_q6_forecast_revenue"](spark, SF_DIR))
+    scan_lines = [line for line in p.splitlines() if "ReadSchema" in line]
+    assert scan_lines and "l_orderkey" not in scan_lines[0]
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+
+
+def test_q4_semi_join_no_full_materialization(spark):
+    p = plan_of(E.queries()["tpch_q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in p
+
+
+def test_q16_not_in_lowers_to_broadcast_anti_join(spark):
+    p = plan_of(E.queries()["tpch_q16_supplier_cnt"](spark, SF_DIR))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_q10_top20_uses_take_ordered(spark):
+    p = plan_of(E.queries()["tpch_q10_returned_items"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_neardup_probe_side_parallelized(spark):
+    df = E.queries()["embeddings_neardup_pairs"](spark, SF_DIR)
+    p = plan_of(df)
+    # the n² scoring must not run on the single input split
+    assert "BroadcastNestedLoopJoin" in p
+    assert "RoundRobinPartitioning" in p
