@@ -377,9 +377,12 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact all-pairs baseline: the corpus self-joins on ``vec_id <
     vec_id`` with one side broadcast, so it is O(n²) dot products but
     ZERO shuffles. Fold-left dot product matches DuckDB's list_reduce
-    bit-for-bit → fully oracle-checked. At 100 TB this exact pass runs
-    per-bucket AFTER a candidate generator (the random-hyperplane LSH
-    of ``knn_cosine_lsh`` or ANN cluster assignment — at real semantic
+    bit-for-bit → fully oracle-checked. (Measured alternative: a
+    64-term unrolled getItem chain is ~7× SLOWER here — the BNLJ
+    residual is interpreted, where one fold beats 64 bounds-checked
+    array accesses.) At 100 TB this exact pass runs per-bucket AFTER a
+    candidate generator (the random-hyperplane LSH of
+    ``knn_cosine_lsh`` or ANN cluster assignment — at real semantic
     thresholds ≥0.9 hyperplane collision probability is high); the
     scoring kernel is identical, only the pair generator changes."""
     e = load(spark, sf_dir, "embeddings").select(

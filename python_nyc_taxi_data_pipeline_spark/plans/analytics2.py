@@ -1,0 +1,309 @@
+"""Second analytics battery: full window-function surface, time-range
+rolling frames, array aggregation, deterministic hash splits, and
+document chunking for LLM-data pipelines.
+
+Extends `plans/analytics.py` (the reference's only window op is the
+ROW_NUMBER dedup, `silver_full_refresh_transformation.sql:40-49`; these
+cover the rest of the analytic-window family Spark provides).
+
+Scale rules:
+- all windows partition on a real key (user_id / priority) — no
+  unpartitioned global windows, which serialize onto one task;
+- array aggregation emits sorted arrays joined to strings so results
+  are deterministic under any shuffle order;
+- the hash split derives from md5 — stable across engines, runs,
+  and cluster sizes (never ``rand()``, which breaks retry idempotency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "window_rank_battery",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(rank()         OVER w AS INT)  AS price_rank,
+           CAST(dense_rank()   OVER w AS INT)  AS price_dense_rank,
+           CAST(ntile(4)       OVER w AS INT)  AS price_quartile,
+           round(percent_rank() OVER w, 6)     AS price_pct_rank,
+           round(cume_dist()    OVER w, 6)     AS price_cume_dist
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-02-01 00:00:00'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-rank family (rank / dense_rank / ntile /
+    percent_rank / cume_dist) in one pass over one window spec — one
+    shuffle on the partition key serves all five functions. The
+    orderkey tie-break makes every rank deterministic."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-02-01 00:00:00").cast("timestamp_ntz"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+@register(
+    "events_rolling_1h_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / count(*) OVER w, 4) AS avg_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("window", "time-range"),
+)
+def events_rolling_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour average (trailing event-time frame) —
+    the feature-engineering staple. Spark's RANGE frame needs a numeric
+    sort key, so the frame runs over whole seconds since a NAIVE epoch
+    anchor (timestampdiff on TIMESTAMP_NTZ — unlike unix_timestamp it
+    never consults the session timezone, so a driver session running in
+    any tz gets identical frames); DECIMAL accumulation inside the
+    frame keeps the moving sum order-independent. One shuffle on
+    user_id; the frame scan is a single sorted pass."""
+    e = load(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w),
+                4,
+            ).alias("avg_value_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "events_user_profile_arrays",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS event_types,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("agg", "array"),
+)
+def events_user_profile_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-user distinct event-type profile.
+    collect_set is shuffle-order-dependent, so the array is sorted then
+    serialized — the deterministic form any downstream exact-dedup or
+    feature hash needs. Single hash aggregate on user_id."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+                "event_types"
+            ),
+            F.count_distinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "docs_hash_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hh
+      FROM documents
+    )
+    SELECT CASE WHEN hh < 'cd' THEN 'train'
+                WHEN hh < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM h
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("llm", "split"),
+)
+def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by md5 of the
+    document id — stable across engines, re-runs, and cluster sizes,
+    unlike rand()-based splits which break retry idempotency and
+    cross-system reproducibility. The hex-prefix comparison ('cd' =
+    205/256 ≈ 0.80, 'e6' = 230/256 ≈ 0.90) keeps the whole derivation
+    inside codegen'd string ops — no UDF."""
+    d = load(spark, sf_dir, "documents")
+    hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(hh < "cd", "train").when(hh < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+CHUNK_SIZE = 40  # words per chunk
+CHUNK_STRIDE = 20  # 50% overlap
+
+
+@register(
+    "docs_chunk_sliding",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(i AS INT) AS chunk_id,
+             array_to_string(
+               list_slice(w, i * {CHUNK_STRIDE} + 1,
+                          i * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ') AS chunk_text
+      FROM words,
+           UNNEST(range(0, greatest(1,
+             CAST(ceil((len(w) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS BIGINT) + 1
+           ))) AS t(i)
+    )
+    SELECT doc_id, chunk_id, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_words
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (40-word chunks, 20-word
+    stride) — the context-window preparation step before embedding or
+    tokenization. The chunk index sequence is computed per document and
+    exploded; slicing stays in JVM array functions, so the operator is
+    a narrow map + explode with no shuffle (rows fan out in place)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("w") - F.lit(CHUNK_SIZE)) / F.lit(float(CHUNK_STRIDE))).cast(
+            "long"
+        )
+        + F.lit(1),
+    )
+    chunks = d.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk_text = F.concat_ws(
+        " ", F.slice(F.col("w"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            chunk_text.alias("chunk_text"),
+        )
+        .withColumn("chunk_words", F.size(F.split("chunk_text", " ")).cast("int"))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "events_gaps_islands",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, event_type, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id, event_type,
+           min(ts) AS island_start, max(ts) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, island_id, event_type
+    HAVING count(*) >= 3
+    ORDER BY user_id, island_id
+    """,
+    tags=("window", "sequence"),
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive identical
+    event_type per user (the classic sequence-segmentation shape —
+    session stitching, state-change detection, run-length encoding).
+    Two window passes over ONE partitioning (user_id) — Spark plans a
+    single shuffle + sort reused by both windows — then a hash agg on
+    the derived island id. The event_id tie-break makes runs
+    deterministic when timestamps collide."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island_id", F.sum("is_start").over(wcum))
+    return (
+        islands.groupBy("user_id", "island_id", "event_type")
+        .agg(
+            F.min("ts").alias("island_start"),
+            F.max("ts").alias("island_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 3)
+        .orderBy("user_id", "island_id")
+    )

@@ -68,7 +68,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Imports are for their registration side effects.
-    from .plans import analytics, core, tpch, tpch_ext  # noqa: F401
+    from .plans import analytics, analytics2, core, tpch, tpch_ext  # noqa: F401
     from .streaming import windows  # noqa: F401
     from .llm import clusters, dedup, grouped, similarity, text  # noqa: F401
 
