@@ -114,3 +114,24 @@ def run_to_parquet_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    stream: DataFrame, keys: list[str] | None = None, delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of the bronze anti-join dedup (U1) and the
+    at-least-once → effectively-once bridge for replayed sources.
+
+    State holds one entry per key seen inside the horizon and is
+    evicted as the watermark passes — bounded by (keys × horizon), not
+    by stream length, which is what makes it safe on an unbounded
+    ingest at scale."""
+    keys = keys or ["event_id"]
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )

@@ -1,0 +1,123 @@
+"""SCD2 dimension maintenance + CSV/JSONL format round-trips +
+streaming dedup."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_nyc_taxi_data_pipeline_spark.operators.scd2 import (
+    scd2_apply,
+    scd2_as_of,
+    scd2_init,
+)
+from python_nyc_taxi_data_pipeline_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    with_corrupt_capture,
+    write_csv,
+    write_jsonl,
+)
+
+from tests.conftest import SF_DIR
+
+DIM_SCHEMA = "vendor_id int, vendor_name string, tier string"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, DIM_SCHEMA)
+
+
+def test_scd2_versions_and_as_of(spark):
+    t1, t2, t3 = (datetime(2024, m, 1) for m in (1, 2, 3))
+    dim = scd2_init(_batch(spark, [(1, "CMT", "gold"), (2, "VTS", "silver")]), t1)
+    # t2: vendor 1 changes tier; vendor 3 appears; vendor 2 unchanged
+    dim = scd2_apply(
+        dim,
+        _batch(spark, [(1, "CMT", "platinum"), (2, "VTS", "silver"), (3, "NEW", "bronze")]),
+        ["vendor_id"],
+        t2,
+    )
+    rows = {(r.vendor_id, r.tier): r for r in dim.collect()}
+    # vendor 1 closed + vendor 1 new version + vendor 2 kept + vendor 3 new
+    assert len(rows) == 4
+    closed = rows[(1, "gold")]
+    assert closed.is_current is False and closed.valid_to == t2
+    new = rows[(1, "platinum")]
+    assert new.is_current is True and new.valid_from == t2 and new.valid_to is None
+    assert rows[(2, "silver")].is_current is True
+    assert rows[(2, "silver")].valid_from == t1  # untouched
+    assert rows[(3, "bronze")].valid_from == t2
+
+    # point-in-time views
+    at_t1 = {r.vendor_id: r.tier for r in scd2_as_of(dim, t1).collect()}
+    assert at_t1 == {1: "gold", 2: "silver"}
+    at_t3 = {r.vendor_id: r.tier for r in scd2_as_of(dim, t3).collect()}
+    assert at_t3 == {1: "platinum", 2: "silver", 3: "bronze"}
+
+
+def test_scd2_idempotent_reapply(spark):
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    snap = [(1, "CMT", "gold"), (2, "VTS", "silver")]
+    dim = scd2_init(_batch(spark, snap), t1)
+    again = scd2_apply(dim, _batch(spark, snap), ["vendor_id"], t2)
+    # identical snapshot → no new versions, no closures
+    assert again.count() == 2
+    assert again.filter(F.col("is_current")).count() == 2
+    assert again.filter(F.col("valid_from") == t2).count() == 0
+
+
+def test_csv_roundtrip_with_nulls(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("d", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a", 1.5), (2, None, None)], schema)
+    path = str(tmp_path / "csv_rt")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("s", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, None)], schema)
+    path = str(tmp_path / "jsonl_rt")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+    # dead-letter: malformed line surfaces in _corrupt_record, job survives
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"k": 1, "s": "ok"}\n{not json at all}\n')
+    cap = read_jsonl(
+        spark, str(bad), with_corrupt_capture(schema), failfast=False
+    ).cache()
+    assert cap.count() == 2
+    assert cap.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    cap.unpersist()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+    from python_nyc_taxi_data_pipeline_spark.streaming.jobs import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    src = str(tmp_path / "dup_src")
+    ev = load(spark, SF_DIR, "events").limit(500)
+    # replay the same rows twice (at-least-once delivery)
+    ev.unionAll(ev).repartition(4).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files_per_trigger=2)
+    run_to_memory_sink(dedup_stream(stream), "dedup_sink", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_sink").first()
+    assert got.n == got.d == 500
