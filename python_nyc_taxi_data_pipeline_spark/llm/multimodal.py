@@ -112,3 +112,80 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(binary_df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Image-resize plumbing: binary in → (dims, binary) out over
+    mapInPandas. The resample kernel is STUBBED (deterministic byte
+    striding standing in for ``PIL.Image.resize``) — the Spark-side
+    contract (schema, Arrow batching, self-contained closure, 1:1 row
+    shape) is the real deliverable; a deployment swaps the inner
+    function for the codec call."""
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stride_resize(p: bytes) -> bytes:
+            if not p:
+                return bytes(target)
+            if len(p) >= target:
+                step = len(p) / target
+                return bytes(p[int(i * step)] for i in range(target))
+            reps = (target + len(p) - 1) // len(p)
+            return (p * reps)[:target]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(lambda p: stride_resize(bytes(p))),
+                }
+            )
+
+    return binary_df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame, frame_bytes: int = 64, every_nth: int = 4
+) -> DataFrame:
+    """Video frame-sampling plumbing: one payload row fans out to N
+    frame rows (every ``every_nth`` fixed-size chunk — the stub for a
+    container demuxer like PyAV keyframe iteration). Demonstrates the
+    1→N mapInPandas shape: the output batch length is decoupled from
+    the input batch length, which is how decode-explode stages keep
+    memory bounded at 100 TB (frames stream out per Arrow batch rather
+    than materializing per-video lists)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                n_frames = max(1, len(p) // frame_bytes)
+                for k in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(p[k * frame_bytes:(k + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return binary_df.mapInPandas(run, FRAMES_SCHEMA)

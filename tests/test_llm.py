@@ -205,3 +205,40 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_resize_shape_and_determinism(spark):
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+    from python_nyc_taxi_data_pipeline_spark.llm.multimodal import (
+        documents_as_binary,
+        resize_images,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    out = resize_images(documents_as_binary(docs), width=8, height=8)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r.payload) == 64 and r.width == 8 for r in rows)
+    # pure function of input → identical on re-run
+    again = {r.doc_id: bytes(r.payload) for r in out.collect()}
+    assert all(again[r.doc_id] == bytes(r.payload) for r in rows)
+
+
+def test_multimodal_frame_sampling_fan_out(spark):
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+    from python_nyc_taxi_data_pipeline_spark.llm.multimodal import (
+        documents_as_binary,
+        sample_frames,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    binary = documents_as_binary(docs)
+    out = sample_frames(binary, frame_bytes=32, every_nth=4).collect()
+    n_bytes = {r.doc_id: r.meta.n_bytes for r in binary.collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        expect = (max(1, n_bytes[doc_id] // 32) + 3) // 4
+        assert len(frames) == expect
+        assert sorted(f.frame_idx for f in frames) == [4 * i for i in range(expect)]
