@@ -50,6 +50,59 @@ def word_trigrams(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_trigram_hashes(words: Column) -> Column:
+    """Distinct word 3-gram shingles as 64-bit fingerprints
+    (``xxhash64(w_i, w_{i+1}, w_{i+2})`` — no intermediate string is
+    ever built). Broder-style hashed shingles: set operations
+    (intersection / distinct / minhash) on 8-byte longs instead of
+    ~100-byte strings, which shrinks both CPU and shuffle volume by an
+    order of magnitude. Single-space tokenization makes the word-triple
+    → hash mapping injective modulo 64-bit collisions (~1e-8 at 1e6
+    distinct shingles — below any observable effect on Jaccard).
+
+    ``words`` must be a MATERIALIZED array column (not an inline
+    ``split()`` expression): lambda bodies are exempt from common-
+    subexpression elimination, so an inline split re-tokenizes the
+    document for every element access (measured 10× slower)."""
+    return F.when(
+        F.size(words) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 3),
+                lambda i: F.xxhash64(
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def hashed_shingle_table(
+    spark: SparkSession, d: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, grams array<bigint>) with both the word
+    split and the shingle derivation materialized via localCheckpoint:
+    the split barrier stops projection collapse from re-inlining
+    ``split()`` into the trigram lambda, and the shingle barrier lets
+    the (multi-branch) consumers reuse one computation. Repartitions
+    first — the fixture is a single input split and shingling is the
+    dominant CPU cost."""
+    w = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", *extra_cols, F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    return (
+        w.select(
+            "doc_id", *extra_cols, word_trigram_hashes(F.col("w")).alias("grams")
+        )
+        .filter(F.size("grams") >= 1)
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "docs_exact_dedup",
     oracle="""
@@ -107,16 +160,10 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 fixture and the standard exact set-similarity-join layout.
     """
     d = load(spark, sf_dir, "documents")
-    g = d.select("doc_id", "lang", word_trigrams(F.col("text")).alias("grams")).filter(
-        F.size("grams") >= 1
-    )
-    # The plan uses g on FOUR branches (two posting sides + two size
-    # sides); without materialization the shingle derivation recomputes
-    # per branch and dominates the query (measured: ~80% of wall time).
-    # localCheckpoint truncates lineage and materializes once — the
-    # same call a 100 TB run would make (or a staged intermediate
-    # table) before a self-join.
-    g = g.localCheckpoint(eager=False)
+    # The plan uses the shingle table on FOUR branches (two posting
+    # sides + two size sides); hashed_shingle_table materializes it
+    # once (the same staging a 100 TB run would do before a self-join).
+    g = hashed_shingle_table(spark, d, extra_cols=("lang",))
     sizes = g.select("doc_id", F.size("grams").alias("n_grams"))
     posts = g.select("doc_id", "lang", F.explode("grams").alias("gram"))
     a, b = posts.alias("a"), posts.alias("b")
@@ -139,9 +186,14 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("inter")),
         6,
     )
+    # sizes is 12 bytes/doc — broadcast so the pair table is never
+    # shuffled again (checkpointed inputs hide size stats from AQE, so
+    # the hint is explicit; measured 6× on the sf0.1 fixture). At a
+    # corpus too large for a size-map broadcast, drop the hints and the
+    # joins fall back to sort-merge on doc_id.
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -182,12 +234,11 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     was tuned for and no false positives post-verify.
     """
     d = load(spark, sf_dir, "documents")
-    g = d.select("doc_id", word_trigrams(F.col("text")).alias("grams")).filter(
-        F.size("grams") >= 1
-    )
-    # reused by the signature branch and both verify sides — materialize
-    # once (see docs_ngram_jaccard_pairs)
-    g = g.localCheckpoint(eager=False)
+    # reused by the signature branch and both verify sides — one
+    # materialized shingle table (see docs_ngram_jaccard_pairs).
+    # Shingles are 64-bit fingerprints, so each of the 16 permutation
+    # hashes reads 8 bytes instead of re-hashing a ~100-char string.
+    g = hashed_shingle_table(spark, d)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     sig = g.select("doc_id", minhash_signature(F.col("grams")).alias("sig"))
     # Candidate generation shuffles only (doc_id, band_hash) — 16 bytes a
@@ -221,9 +272,12 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # Verify step: join the shingle sets back for candidate pairs only.
+    # The candidate list is the small side (LSH prunes to near-dups) —
+    # broadcast it so the gram arrays never shuffle.
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-    verified = candidates.join(ga, "doc_a").join(gb, "doc_b")
+    pairs_with_a = ga.join(F.broadcast(candidates), "doc_a")
+    verified = F.broadcast(pairs_with_a).join(gb, "doc_b")
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size("grams_a") + F.size("grams_b") - inter
     jac = F.round(inter.cast("double") / union, 6)
