@@ -307,3 +307,76 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") >= 3)
         .orderBy("user_id", "island_id")
     )
+
+
+@register(
+    "orders_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(EXTRACT(year FROM o_orderdate) - 1995 AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST(EXTRACT(year FROM o_orderdate) - 1995 AS DECIMAL(18,2))
+                      * CAST(EXTRACT(year FROM o_orderdate) - 1995 AS DECIMAL(18,2)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(EXTRACT(year FROM o_orderdate) - 1995 AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           round(sx / n, 4) AS mean_price,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_price_year
+    FROM s
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "statistics"),
+)
+def orders_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority mean / sample stddev / Pearson correlation (price vs
+    order year) computed FROM EXACT DECIMAL MOMENT SUMS rather than the
+    builtin float accumulators: Σx, Σx², Σxy accumulate losslessly
+    (DECIMAL products at their natural scale fit comfortably in 38
+    digits), so the derived statistics are identical doubles on any
+    partitioning and in both engines — the oracle-checkable way to do
+    distributed statistics. Builtin ``stddev``/``corr`` stream partial
+    float moments whose merge order varies run to run; here the only
+    float ops happen once, on the driver-visible final row."""
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    y = (F.year("o_orderdate") - F.lit(1995)).cast("decimal(18,2)")
+    agg = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    sx, sxx, sy, syy, sxy = (F.col(c) for c in ("sx", "sxx", "sy", "syy", "sxy"))
+    return (
+        agg.select(
+            "o_orderpriority",
+            "n",
+            F.round(sx / n, 4).alias("mean_price"),
+            F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias("stddev_price"),
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            ).alias("corr_price_year"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -121,3 +121,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     run_to_memory_sink(dedup_stream(stream), "dedup_sink", output_mode="append")
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_sink").first()
     assert got.n == got.d == 500
+
+
+def test_schema_evolution_additive_and_refusals(spark, tmp_path):
+    import pytest
+
+    from python_nyc_taxi_data_pipeline_spark.sources.evolution import (
+        SchemaEvolutionError,
+        append_evolved,
+        backfill_defaults,
+        read_evolved,
+        validate_append,
+    )
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    v1.write.parquet(path)
+
+    # additive append: new nullable column
+    v2 = spark.createDataFrame([(3, "c", 9.5)], "k int, s string, score double")
+    added = append_evolved(v2, path, v1.schema)
+    assert added == ["score"]
+
+    merged = read_evolved(spark, path)
+    assert set(merged.columns) == {"k", "s", "score"}
+    by_k = {r.k: r for r in merged.collect()}
+    assert by_k[1].score is None and by_k[3].score == 9.5
+
+    filled = backfill_defaults(merged, {"score": 0.0})
+    assert {r.k: r.score for r in filled.collect()} == {1: 0.0, 2: 0.0, 3: 9.5}
+
+    # refusals: drop and retype are rewrites, not appends
+    with pytest.raises(SchemaEvolutionError, match="drops columns"):
+        validate_append(merged.schema, v1.select("k").schema)
+    v_retyped = spark.createDataFrame([("1", "x")], "k string, s string")
+    with pytest.raises(SchemaEvolutionError, match="changes column types"):
+        validate_append(v1.schema, v_retyped.schema)
