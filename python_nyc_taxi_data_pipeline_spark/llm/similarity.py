@@ -388,7 +388,11 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    # Norms feed both join sides — materialize once instead of
+    # recomputing the fold per branch.
+    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm")).localCheckpoint(
+        eager=True
+    )
     a = n.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

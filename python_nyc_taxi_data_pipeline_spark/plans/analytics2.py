@@ -380,3 +380,75 @@ def orders_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'l1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT 'l2_click', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'l3_purchase', CAST(count(*) AS BIGINT) FROM s3
+    ORDER BY stage
+    """,
+    tags=("sequence", "funnel"),
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → later click → later purchase):
+    users surviving each stage, where stage N counts only events AFTER
+    the user's stage-N−1 time — the product-analytics staple that needs
+    per-user sequential logic, not independent filters.
+
+    Layout: one shuffle on user_id serves all three stages (each stage
+    is a groupBy(user_id) over the already-partitioned events, and the
+    stage joins are user_id-to-user_id so Spark reuses the
+    partitioning). Stage outputs shrink monotonically → later joins
+    broadcast."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit("l1_view").alias("stage"), "users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit("l2_click").alias("stage"), "users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit("l3_purchase").alias("stage"), "users"
+        ),
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return out.orderBy("stage")
