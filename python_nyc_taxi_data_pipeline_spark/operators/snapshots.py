@@ -1,0 +1,138 @@
+"""Manifest-based snapshot versioning + time travel for plain parquet.
+
+Extends ``operators.maintenance.write_audit_publish`` (which gives
+atomic single-version promotion) with a commit log: every commit
+writes an immutable file set plus a manifest listing exactly the files
+of that version. Readers pin a manifest → consistent snapshot
+isolation; old versions stay readable until expired — the core
+mechanism lakehouse formats (Delta/Iceberg/Hudi) institutionalize,
+reduced to its parquet-only essentials.
+
+Layout:
+
+    table/
+      data/<version>-<uuid>.parquet     immutable data files
+      _manifests/v00000001.json         {"version", "files", "committed_at"}
+      _manifests/_latest                 text pointer, written last
+
+Guarantees (single-writer):
+- A reader that resolved a manifest never sees partial commits —
+  manifests are written AFTER their data files, and `_latest` is
+  written after the manifest (write ordering = the only primitive
+  plain object stores give you).
+- Time travel: ``read_version(n)`` / ``versions()``.
+- ``expire_versions(keep)`` deletes data files referenced ONLY by
+  expired manifests (mark-and-sweep over the manifest set).
+
+Scale notes: manifests list files, not rows — O(#files) JSON, which is
+why compaction (fewer, bigger files) also keeps the commit log small.
+Reading by explicit file list (``spark.read.parquet(*files)``) skips
+directory listing entirely — at cloud-store scale, listing IS the
+bottleneck the manifest removes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- commit protocol ---------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """Write ``df`` as a new version. ``mode='overwrite'`` makes the
+        new manifest exactly the new files; ``mode='append'`` carries
+        the previous version's files forward plus the new ones."""
+        staging = os.path.join(self.root, f"_staging_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        new_files = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            version_tag = uuid.uuid4().hex[:12]
+            dst = os.path.join(self.data_dir, f"{version_tag}-{name}")
+            shutil.move(os.path.join(staging, name), dst)
+            new_files.append(dst)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        prev = self.latest_version()
+        files = new_files
+        if mode == "append" and prev is not None:
+            files = self._manifest(prev)["files"] + new_files
+        version = (prev or 0) + 1
+        manifest = {
+            "version": version,
+            "files": files,
+            "committed_at": time.time(),
+        }
+        mpath = os.path.join(self.manifest_dir, f"v{version:08d}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        # pointer LAST: readers either see the old version or the fully
+        # committed new one
+        with open(os.path.join(self.manifest_dir, "_latest"), "w") as f:
+            f.write(str(version))
+        return version
+
+    # -- reads -------------------------------------------------------------
+
+    def _manifest(self, version: int) -> dict:
+        mpath = os.path.join(self.manifest_dir, f"v{version:08d}.json")
+        with open(mpath) as f:
+            return json.load(f)
+
+    def latest_version(self) -> int | None:
+        p = os.path.join(self.manifest_dir, "_latest")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(n[1:9])
+            for n in os.listdir(self.manifest_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def read_version(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: the exact file list of ``version`` (default
+        latest). No directory listing, no visibility of in-flight
+        commits."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        files = self._manifest(v)["files"]
+        return self.spark.read.parquet(*files)
+
+    # -- retention ---------------------------------------------------------
+
+    def expire_versions(self, keep: int) -> list[str]:
+        """Drop all but the newest ``keep`` manifests and garbage-collect
+        data files no retained manifest references. Returns deleted
+        file paths."""
+        vs = self.versions()
+        retained, expired = vs[-keep:], vs[:-keep]
+        live = {f for v in retained for f in self._manifest(v)["files"]}
+        deleted = []
+        for v in expired:
+            for f in self._manifest(v)["files"]:
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+                    deleted.append(f)
+            os.remove(os.path.join(self.manifest_dir, f"v{v:08d}.json"))
+        return deleted
