@@ -157,3 +157,63 @@ def test_schema_evolution_additive_and_refusals(spark, tmp_path):
     v_retyped = spark.createDataFrame([("1", "x")], "k string, s string")
     with pytest.raises(SchemaEvolutionError, match="changes column types"):
         validate_append(v1.schema, v_retyped.schema)
+
+
+def test_scd2_random_sequences_hold_invariants(spark):
+    """Property: after any sequence of snapshot batches, (a) each key
+    has exactly one current row, (b) validity intervals per key are
+    non-overlapping and contiguous, (c) as-of reconstruction matches a
+    driver-side model. Hypothesis drives the sequences; examples are
+    bounded because each runs real Spark jobs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    batch_strategy = st.lists(
+        st.dictionaries(
+            st.integers(1, 3),  # keys
+            st.sampled_from(["a", "b", "c"]),  # attribute value
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(batch_strategy)
+    @settings(max_examples=8, deadline=None)
+    def run(batches):
+        times = [datetime(2024, 1 + i, 1) for i in range(len(batches))]
+        dim = None
+        model: dict[int, str] = {}
+        states = []  # driver-side model per step
+        for snap, t in zip(batches, times):
+            b = _batch(spark, [(k, f"name{k}", v) for k, v in sorted(snap.items())])
+            if dim is None:
+                dim = scd2_init(b, t)
+                model = dict(snap)
+            else:
+                dim = scd2_apply(dim, b, ["vendor_id"], t)
+                model.update(snap)
+            states.append((t, dict(model)))
+        rows = dim.collect()
+
+        # (a) one current row per key ever seen
+        current = [r for r in rows if r.is_current]
+        assert sorted(r.vendor_id for r in current) == sorted(model.keys())
+        # (b) per-key intervals: closed rows end where a later starts;
+        # exactly one open interval
+        by_key: dict[int, list] = {}
+        for r in rows:
+            by_key.setdefault(r.vendor_id, []).append(r)
+        for k, versions in by_key.items():
+            versions.sort(key=lambda r: r.valid_from)
+            opens = [r for r in versions if r.valid_to is None]
+            assert len(opens) == 1 and opens[-1] is versions[-1]
+            for prev_r, next_r in zip(versions, versions[1:]):
+                assert prev_r.valid_to == next_r.valid_from
+        # (c) as-of each step time matches the model state then
+        for t, state in states:
+            got = {r.vendor_id: r.tier for r in scd2_as_of(dim, t).collect()}
+            assert got == state
+
+    run()
