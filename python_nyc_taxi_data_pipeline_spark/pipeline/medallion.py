@@ -115,6 +115,26 @@ class MedallionPipeline:
         return self._read_or_none(self.meta_path)
 
     def current_watermark(self) -> datetime:
+        # The runs table is one tiny row per run and lives on the
+        # driver's critical path (read before EVERY batch, written
+        # after) — going through a Spark job for it costs ~0.5 s per
+        # batch in fixed scheduling overhead. On a local filesystem,
+        # read it with pyarrow directly; the parquet layout is
+        # unchanged, so `meta()` (Spark) still reads the same table.
+        if "://" not in self.meta_path and os.path.exists(self.meta_path):
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(self.meta_path, format="parquet").to_table(
+                columns=["last_load_date", "status"]
+            )
+            best = None
+            for wm, status in zip(
+                tbl.column("last_load_date").to_pylist(),
+                tbl.column("status").to_pylist(),
+            ):
+                if status == "success" and wm is not None:
+                    best = wm if best is None else max(best, wm)
+            return best or self.cfg.default_watermark
         return read_watermark(self.meta(), self.cfg.default_watermark)
 
     # -- bronze incremental load (I1-I5) ----------------------------------
@@ -189,6 +209,27 @@ class MedallionPipeline:
         runtime: float,
         error: str | None,
     ) -> None:
+        if "://" not in self.meta_path:
+            # driver-side metadata append: one pyarrow file write, no
+            # Spark job (see current_watermark)
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(self.meta_path, exist_ok=True)
+            tbl = pa.table(
+                {
+                    "last_load_date": pa.array([wm], pa.timestamp("us")),
+                    "status": pa.array([status], pa.string()),
+                    "runtime_seconds": pa.array([float(runtime)], pa.float64()),
+                    "error_message": pa.array([error], pa.string()),
+                }
+            )
+            pq.write_table(
+                tbl, os.path.join(self.meta_path, f"run-{uuid.uuid4().hex}.parquet")
+            )
+            return
         row = [(wm, status, float(runtime), error)]
         (
             self.spark.createDataFrame(row, META_SCHEMA)
