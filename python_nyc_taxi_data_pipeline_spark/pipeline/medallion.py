@@ -180,20 +180,31 @@ class MedallionPipeline:
             novel.unpersist()
 
             # watermark recompute FROM THE TARGET, bounded to the window (I4).
-            # The month window maps 1:1 onto the load_month partition, so we
-            # filter on the partition column first — partition pruning reads
-            # only the affected month even when bronze holds years of data.
-            bronze_df = self.bronze()
-            if bronze_df is not None and self.cfg.partition_col in bronze_df.columns:
-                bronze_df = bronze_df.filter(
-                    F.col(self.cfg.partition_col)
-                    == win.start.strftime("%Y-%m")
+            # The month window maps 1:1 onto the load_month partition, so
+            # only the affected month's files matter even when bronze holds
+            # years of data. On a local filesystem the exact max(ts) comes
+            # straight from the partition's parquet FOOTER STATS (driver-
+            # side, no Spark job — still "from the target": the stats
+            # describe the committed files, including prior runs of the
+            # same month). Remote paths fall back to the partition-pruned
+            # Spark aggregate.
+            if "://" not in self.bronze_path:
+                new_wm = self._month_max_from_footers(win) or wm
+            else:
+                bronze_df = self.bronze()
+                if (
+                    bronze_df is not None
+                    and self.cfg.partition_col in bronze_df.columns
+                ):
+                    bronze_df = bronze_df.filter(
+                        F.col(self.cfg.partition_col)
+                        == win.start.strftime("%Y-%m")
+                    )
+                new_wm = (
+                    next_watermark(bronze_df, self.cfg.ts_col, win, wm)
+                    if bronze_df is not None
+                    else wm
                 )
-            new_wm = (
-                next_watermark(bronze_df, self.cfg.ts_col, win, wm)
-                if bronze_df is not None
-                else wm
-            )
             runtime = time.perf_counter() - t0
             self._append_meta(new_wm, "success", runtime, None)
             return IngestResult(loaded, dead, new_wm, runtime)
@@ -201,6 +212,33 @@ class MedallionPipeline:
             runtime = time.perf_counter() - t0
             self._append_meta(wm, "failed", runtime, str(exc)[:1000])
             raise
+
+    def _month_max_from_footers(self, win: MonthWindow) -> datetime | None:
+        """Exact max(ts_col) of one month partition from parquet
+        row-group statistics — no Spark job, no data read. Returns None
+        when the partition has no files (nothing loaded for the month
+        yet), which callers treat as "watermark unchanged"."""
+        part_dir = os.path.join(
+            self.bronze_path,
+            f"{self.cfg.partition_col}={win.start.strftime('%Y-%m')}",
+        )
+        if not os.path.isdir(part_dir):
+            return None
+        import pyarrow.parquet as pq
+
+        best: datetime | None = None
+        for name in os.listdir(part_dir):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(part_dir, name)).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == self.cfg.ts_col and c.statistics:
+                        mx = c.statistics.max
+                        if mx is not None:
+                            best = mx if best is None else max(best, mx)
+        return best
 
     def _append_meta(
         self,
