@@ -135,3 +135,30 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(keys)
         .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes", delay: str = "1 hour") -> DataFrame:
+    """Streaming session windows per user — the streaming twin of
+    ``windows.window_session_30m``. Session state merges windows as
+    events arrive and seals a session once the watermark passes its
+    gap-extended end; append mode then emits it exactly once. State per
+    (user, open session) — bounded by active users × horizon, the
+    canonical stateful-streaming sizing."""
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", delay)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -118,3 +118,25 @@ def test_stream_parquet_sink_checkpoint_restart(spark, tmp_path):
     run_to_parquet_sink(tumbling_counts(stream2), out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2
+
+
+def test_stream_sessions_equal_batch(spark, tmp_path):
+    from python_nyc_taxi_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        run_to_memory_sink,
+        session_counts,
+    )
+    from python_nyc_taxi_data_pipeline_spark.streaming.windows import (
+        window_session_30m,
+    )
+
+    src = _write_source(spark, tmp_path)
+    stream = read_event_stream(spark, src, max_files_per_trigger=2)
+    run_to_memory_sink(session_counts(stream), "stream_sessions", "append")
+    streamed = spark.sql("SELECT * FROM stream_sessions")
+    batch = window_session_30m(spark, SF_DIR)
+    # append mode emits only watermark-sealed sessions; every emitted
+    # session must match the batch result exactly, and the bulk of
+    # sessions must have been sealed (bounded input, 1h delay)
+    assert streamed.count() > 0.8 * batch.count()
+    assert streamed.exceptAll(batch).count() == 0
