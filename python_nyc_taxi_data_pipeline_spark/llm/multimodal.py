@@ -189,3 +189,41 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return binary_df.mapInPandas(run, FRAMES_SCHEMA)
+
+
+def extract_features_arrow(binary_df: DataFrame) -> DataFrame:
+    """mapInArrow featurization — same contract as ``extract_features``
+    but operating on raw ``pyarrow.RecordBatch``es: no pandas
+    conversion at all, which matters when payloads are large binaries
+    (pandas wraps each as a Python bytes object; Arrow keeps them in
+    one contiguous buffer). Completes the Arrow-UDF API matrix
+    (mapInPandas / applyInPandas / applyInPandasWithState / mapInArrow)."""
+    dim = FEATURE_DIM
+
+    def run(batches):
+        import pyarrow as pa
+
+        def featurize(p: bytes) -> list[float]:
+            counts = [0] * dim
+            for b in p:
+                counts[b % dim] += 1
+            total = float(len(p)) or 1.0
+            return [c / total for c in counts]
+
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            metas = batch.column("meta")
+            payloads = batch.column("payload")
+            feats = [featurize(p.as_py()) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(
+                        [m["n_bytes"] for m in metas.to_pylist()], pa.int32()
+                    ),
+                    pa.array(feats, pa.list_(pa.float64())),
+                ],
+                names=["doc_id", "n_bytes", "features"],
+            )
+
+    return binary_df.mapInArrow(run, FEATURES_SCHEMA)

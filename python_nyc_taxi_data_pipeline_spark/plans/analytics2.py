@@ -452,3 +452,62 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = counts[0].unionByName(counts[1]).unionByName(counts[2])
     return out.orderBy("stage")
+
+
+@register(
+    "events_user_slope_sql",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                           AS DECIMAL(12,0))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                           AS DECIMAL(12,0))
+                      * CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                             AS DECIMAL(12,0))) AS DOUBLE) AS stt,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                           AS DECIMAL(12,0))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS stv
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(CASE WHEN n * stt - st * st = 0 THEN 0.0
+                      ELSE 3600.0 * (n * stv - st * sv) / (n * stt - st * st)
+                 END, 6) AS value_slope_per_hour
+    FROM m
+    ORDER BY user_id
+    """,
+    tags=("agg", "statistics", "regression"),
+)
+def events_user_slope_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares slope of value over event time, closed
+    form from exact decimal moment sums — the SQL-native twin of the
+    applyInPandas ``events_user_trend`` demo. One hash aggregate, no
+    Python workers, hash-stable under any partitioning (the moments
+    are exact; the final slope arithmetic runs on identical doubles in
+    both engines). Seconds are naive (timestampdiff on NTZ) so any
+    driver session timezone produces the same result."""
+    e = load(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    ).cast("decimal(12,0)")
+    val = F.col("value").cast("decimal(18,6)")
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sec).cast("double").alias("st"),
+        F.sum(sec * sec).cast("double").alias("stt"),
+        F.sum(val).cast("double").alias("sv"),
+        F.sum(sec * val).cast("double").alias("stv"),
+    )
+    n, st, stt, sv, stv = (F.col(c) for c in ("n", "st", "stt", "sv", "stv"))
+    denom = n * stt - st * st
+    slope = F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.lit(3600.0) * (n * stv - st * sv) / denom
+    )
+    return (
+        m.select("user_id", "n", F.round(slope, 6).alias("value_slope_per_hour"))
+        .orderBy("user_id")
+    )

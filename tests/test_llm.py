@@ -242,3 +242,21 @@ def test_multimodal_frame_sampling_fan_out(spark):
         expect = (max(1, n_bytes[doc_id] // 32) + 3) // 4
         assert len(frames) == expect
         assert sorted(f.frame_idx for f in frames) == [4 * i for i in range(expect)]
+
+
+def test_multimodal_arrow_matches_pandas_path(spark):
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+    from python_nyc_taxi_data_pipeline_spark.llm.multimodal import (
+        documents_as_binary,
+        extract_features,
+        extract_features_arrow,
+    )
+
+    docs = load(spark, SF_DIR, "documents").limit(40)
+    binary = documents_as_binary(docs)
+    via_pandas = {r.doc_id: r for r in extract_features(binary).collect()}
+    via_arrow = {r.doc_id: r for r in extract_features_arrow(binary).collect()}
+    assert via_pandas.keys() == via_arrow.keys()
+    for k in via_pandas:
+        assert via_pandas[k].n_bytes == via_arrow[k].n_bytes
+        assert via_pandas[k].features == via_arrow[k].features

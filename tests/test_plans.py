@@ -84,3 +84,17 @@ def test_neardup_probe_side_parallelized(spark):
     # the n² scoring must not run on the single input split
     assert "BroadcastNestedLoopJoin" in p
     assert "RoundRobinPartitioning" in p
+
+
+def test_join_strategy_hints_are_honored(spark):
+    # the engine controls join strategy when AQE/stats would guess
+    # wrong: hints must survive optimization
+    import __spark_entry__  # noqa: F401  (ensures session configs)
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+
+    o = load(spark, SF_DIR, "orders")
+    c = load(spark, SF_DIR, "customer")
+    shuffled = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in plan_of(shuffled)
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in plan_of(merged)
