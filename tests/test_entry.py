@@ -26,11 +26,9 @@ def test_queries_and_oracles_consistent(spark):
         "docs_simhash",
         "knn_cosine_lsh",
         "docs_fingerprint",
-        "agg_approx_distinct",
         "events_user_trend",
         "docs_dup_clusters",
         "knn_cosine_gemm",
-        "stratified_sample_docs",
     }
 
 

