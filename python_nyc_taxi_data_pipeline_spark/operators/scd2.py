@@ -48,6 +48,7 @@ def scd2_apply(
     batch: DataFrame,
     keys: Sequence[str],
     effective: datetime,
+    on_duplicate: str = "error",
 ) -> DataFrame:
     """Apply one batch of attribute snapshots to an SCD2 dim.
 
@@ -55,23 +56,61 @@ def scd2_apply(
     columns only. Returns the full new dim (history + closed + new
     versions). Deterministic: same inputs → same output regardless of
     partitioning.
-    """
+
+    A batch MUST hold at most one snapshot per business key — duplicate
+    keys would fan out the full-outer join into overlapping validity
+    intervals. ``on_duplicate`` controls enforcement: ``"error"``
+    (default) runs one small aggregate on the batch and raises;
+    ``"keep_first"`` dedups deterministically (lowest attribute tuple
+    wins) without the extra job. NULL business keys are legal: join
+    matching is null-safe and side detection uses sentinel columns, not
+    key nullness."""
     keys = list(keys)
     attrs = [c for c in batch.columns if c not in keys]
     eff = F.lit(effective).cast("timestamp_ntz")
 
+    if on_duplicate == "error":
+        dup = (
+            batch.groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"scd2_apply: batch has duplicate business keys, e.g. "
+                f"{tuple(dup[0][k] for k in keys)!r}; pass "
+                f"on_duplicate='keep_first' for deterministic dedup"
+            )
+    elif on_duplicate == "keep_first":
+        from pyspark.sql import Window
+
+        order = [F.col(a).asc_nulls_first() for a in attrs] or [F.lit(1)]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        raise ValueError(f"on_duplicate must be 'error' or 'keep_first', got {on_duplicate!r}")
+
     history = dim.filter(~F.col("is_current"))
-    current = dim.filter(F.col("is_current"))
+    current = dim.filter(F.col("is_current")).withColumn("__d_side", F.lit(True))
 
     b = batch.select(
         *[F.col(k).alias(f"__b_{k}") for k in keys],
         *[F.col(a).alias(f"__b_{a}") for a in attrs],
+        F.lit(True).alias("__b_side"),
     )
     key_eq = [F.col(k).eqNullSafe(F.col(f"__b_{k}")) for k in keys]
     joined = current.join(b, _and_all(key_eq), "full_outer")
 
-    batch_side = F.col(f"__b_{keys[0]}").isNotNull()
-    dim_side = F.col(keys[0]).isNotNull()
+    # Sentinels, not key nullness: rows whose business key IS NULL must
+    # still be attributed to the correct side of the full-outer join.
+    batch_side = F.col("__b_side").isNotNull()
+    dim_side = F.col("__d_side").isNotNull()
     changed = _or_all(
         [~F.col(a).eqNullSafe(F.col(f"__b_{a}")) for a in attrs]
     ) if attrs else F.lit(False)

@@ -70,6 +70,11 @@ class SnapshotTable:
         shutil.rmtree(staging, ignore_errors=True)
 
         prev = self.latest_version()
+        # A crash between manifest write and pointer write can leave an
+        # orphan manifest newer than `_latest`; it was never committed,
+        # so remove it (and its unreferenced data files) before reusing
+        # its version number — readers must never resolve it.
+        self._clean_uncommitted(prev)
         files = new_files
         if mode == "append" and prev is not None:
             files = self._manifest(prev)["files"] + new_files
@@ -103,19 +108,49 @@ class SnapshotTable:
             return int(f.read().strip())
 
     def versions(self) -> list[int]:
+        """Committed versions only: bounded by the `_latest` pointer.
+        A manifest newer than the pointer is an uncommitted leftover
+        from a crash mid-commit — invisible here, cleaned by the next
+        ``commit``."""
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        return [v for v in self._all_manifest_versions() if v <= latest]
+
+    def _all_manifest_versions(self) -> list[int]:
         return sorted(
             int(n[1:9])
             for n in os.listdir(self.manifest_dir)
             if n.startswith("v") and n.endswith(".json")
         )
 
+    def _clean_uncommitted(self, latest: int | None) -> None:
+        committed_files = {
+            f
+            for v in self._all_manifest_versions()
+            if latest is not None and v <= latest
+            for f in self._manifest(v)["files"]
+        }
+        for v in self._all_manifest_versions():
+            if latest is None or v > latest:
+                for f in self._manifest(v)["files"]:
+                    if f not in committed_files and os.path.exists(f):
+                        os.remove(f)
+                os.remove(os.path.join(self.manifest_dir, f"v{v:08d}.json"))
+
     def read_version(self, version: int | None = None) -> DataFrame:
         """Snapshot read: the exact file list of ``version`` (default
         latest). No directory listing, no visibility of in-flight
         commits."""
-        v = version if version is not None else self.latest_version()
+        latest = self.latest_version()
+        v = version if version is not None else latest
         if v is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
+        if latest is None or v > latest:
+            raise ValueError(
+                f"version {v} is not committed (latest is {latest}); "
+                "a newer manifest without a pointer is mid-commit garbage"
+            )
         files = self._manifest(v)["files"]
         return self.spark.read.parquet(*files)
 
@@ -124,7 +159,11 @@ class SnapshotTable:
     def expire_versions(self, keep: int) -> list[str]:
         """Drop all but the newest ``keep`` manifests and garbage-collect
         data files no retained manifest references. Returns deleted
-        file paths."""
+        file paths. ``keep`` must be ≥ 1 — a table always retains its
+        current version (``keep=0`` would otherwise silently be a no-op:
+        ``vs[-0:]`` is the whole list)."""
+        if keep < 1:
+            raise ValueError(f"expire_versions: keep must be >= 1, got {keep}")
         vs = self.versions()
         retained, expired = vs[-keep:], vs[:-keep]
         live = {f for v in retained for f in self._manifest(v)["files"]}

@@ -186,9 +186,14 @@ class MedallionPipeline:
             # straight from the partition's parquet FOOTER STATS (driver-
             # side, no Spark job — still "from the target": the stats
             # describe the committed files, including prior runs of the
-            # same month). Remote paths fall back to the partition-pruned
-            # Spark aggregate.
-            if "://" not in self.bronze_path:
+            # same month). The footer stats span the WHOLE month partition,
+            # so this fast path applies only when the window IS the
+            # calendar month; a caller-supplied narrower window would
+            # over-advance the watermark past win.end and silently skip
+            # rows in (win.end, month_max] on later loads. Narrower
+            # windows and remote paths use the window-bounded Spark
+            # aggregate.
+            if "://" not in self.bronze_path and win == month_window_of(win.start):
                 new_wm = self._month_max_from_footers(win) or wm
             else:
                 bronze_df = self.bronze()

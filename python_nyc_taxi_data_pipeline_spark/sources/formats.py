@@ -44,11 +44,21 @@ def read_csv(
 
 
 def write_csv(df: DataFrame, path: str, header: bool = False) -> None:
+    """NULL writes as the bare token (``NULL ''`` — the reference COPY
+    contract, `incremental_ingestion.py:49`); a non-null empty string
+    writes as a QUOTED empty field (``""``) — a COPY-CSV consumer like
+    the reference's Postgres stage reads the two back distinctly.
+
+    Caveat, pinned by ``tests/test_formats.py``: Spark's own CSV
+    *reader* cannot make that distinction (the univocity parser applies
+    ``emptyValue`` substitution before the ``nullValue`` match), so
+    ``read_csv`` maps both back to NULL — the same conflation the
+    reference itself has on its pandas ``to_csv`` write side."""
     (
         df.write.mode("overwrite")
         .option("header", header)
         .option("nullValue", NULL_TOKEN)
-        .option("emptyValue", NULL_TOKEN)
+        .option("emptyValue", '""')
         .csv(path)
     )
 

@@ -116,3 +116,37 @@ def test_failure_appends_failed_meta_row(spark, taxi_df, tmp_path):
     assert len(meta) == 1
     assert meta[0]["status"] == "failed"
     assert meta[0]["error_message"]
+
+
+def test_watermark_never_advances_past_narrow_window_end(spark, taxi_df, tmp_path):
+    """A caller-supplied window narrower than the calendar month must
+    not pick up the footer-stats fast path: the month partition can
+    hold rows beyond win.end (from a wider prior load or a crashed
+    run), and an unclamped footer max would over-advance the watermark,
+    silently skipping rows in (win.end, footer_max] on later loads."""
+    pipe = taxi_pipeline(spark, str(tmp_path / "wh"))
+    jan = month_batch(taxi_df, 1)
+    narrow = MonthWindow(datetime(2024, 1, 1), datetime(2024, 1, 10))
+    r1 = pipe.ingest_batch(jan, narrow)
+    assert r1.watermark < datetime(2024, 1, 10)
+
+    # poison the month partition with rows beyond the narrow window end
+    late = jan.filter(
+        F.col("tpep_pickup_datetime") >= F.lit("2024-01-20").cast("timestamp_ntz")
+    ).limit(5)
+    (
+        late.withColumn("load_month", F.lit("2024-01"))
+        .write.mode("append")
+        .partitionBy("load_month")
+        .parquet(pipe.bronze_path)
+    )
+
+    # empty batch → pure watermark recompute; must stay window-bounded
+    r2 = pipe.ingest_batch(jan.limit(0), narrow)
+    assert r2.watermark == r1.watermark
+    assert r2.watermark < datetime(2024, 1, 10)
+
+    # the full-month window still uses the footer fast path and sees the
+    # late rows (they ARE committed bronze data for that month)
+    r3 = pipe.ingest_batch(jan.limit(0), win(1))
+    assert r3.watermark >= datetime(2024, 1, 20)

@@ -217,3 +217,54 @@ def test_scd2_random_sequences_hold_invariants(spark):
             assert got == state
 
     run()
+
+
+def test_scd2_duplicate_batch_keys_raise_or_dedup(spark):
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    dim = scd2_init(_batch(spark, [(1, "CMT", "gold")]), t1)
+    dup = _batch(spark, [(1, "CMT", "platinum"), (1, "CMT", "bronze")])
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate business keys"):
+        scd2_apply(dim, dup, ["vendor_id"], t2)
+    # keep_first: deterministic precedence = lowest attribute tuple
+    out = scd2_apply(dim, dup, ["vendor_id"], t2, on_duplicate="keep_first")
+    current = {r.tier for r in out.collect() if r.is_current}
+    assert current == {"bronze"}
+    # exactly one current row, no overlapping intervals
+    assert out.filter(F.col("is_current")).count() == 1
+
+
+def test_scd2_null_business_key_rows_survive(spark):
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    dim = scd2_init(_batch(spark, [(None, "UNK", "none"), (1, "CMT", "gold")]), t1)
+    # null-key row changes attribute → close + new version, like any key
+    out = scd2_apply(
+        dim, _batch(spark, [(None, "UNK", "basic"), (1, "CMT", "gold")]), ["vendor_id"], t2
+    )
+    rows = [r for r in out.collect() if r.vendor_id is None]
+    assert len(rows) == 2  # closed old version + new current version
+    closed = [r for r in rows if not r.is_current]
+    assert len(closed) == 1 and closed[0].valid_to == t2
+    cur = [r for r in rows if r.is_current]
+    assert len(cur) == 1 and cur[0].tier == "basic"
+
+
+def test_csv_write_distinguishes_null_from_empty_on_disk(spark, tmp_path):
+    """Write side: NULL -> bare token, '' -> quoted "" (a COPY-CSV
+    consumer reads them back distinctly). Read side: Spark's parser
+    conflates both to NULL — pinned here as documented behavior."""
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("s", T.StringType())]
+    )
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "x")], schema)
+    path = str(tmp_path / "csv_ne")
+    write_csv(df, path)
+    import glob
+
+    raw = "".join(open(p).read() for p in glob.glob(path + "/*.csv"))
+    lines = {ln.split(",", 1)[0]: ln.split(",", 1)[1] for ln in raw.splitlines()}
+    assert lines["1"] == ""  # NULL -> bare empty token
+    assert lines["2"] == '""'  # empty string -> quoted
+    back = {r.k: r.s for r in read_csv(spark, path, schema).collect()}
+    assert back == {1: None, 2: None, 3: "x"}  # documented conflation

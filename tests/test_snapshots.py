@@ -59,3 +59,42 @@ def test_reader_never_sees_partial_commit(spark, tmp_path):
     # the pinned snapshot still reads v1's files — full isolation
     assert pinned.count() == 10
     assert t.read_version().count() == 2
+
+
+def test_orphan_manifest_invisible_and_cleaned(spark, tmp_path):
+    """A crash between manifest write and pointer write leaves an orphan
+    manifest newer than `_latest`: it must not be listed, not be
+    readable, and be garbage-collected by the next commit."""
+    import json
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 10))
+    # simulate the crash: hand-write a v2 manifest, never move the pointer
+    orphan_data = str(tmp_path / "tbl" / "data" / "deadbeef-orphan.parquet")
+    _df(spark, 0, 1).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage")
+    )
+    src = next(
+        p
+        for p in os.listdir(str(tmp_path / "stage"))
+        if p.endswith(".parquet")
+    )
+    os.rename(str(tmp_path / "stage" / src), orphan_data)
+    with open(str(tmp_path / "tbl" / "_manifests" / "v00000002.json"), "w") as f:
+        json.dump({"version": 2, "files": [orphan_data], "committed_at": 0}, f)
+
+    assert t.versions() == [1]
+    with pytest.raises(ValueError, match="not committed"):
+        t.read_version(2)
+    # next commit reuses version 2 and removes the orphan's leftovers
+    v = t.commit(_df(spark, 0, 3))
+    assert v == 2
+    assert t.read_version(2).count() == 3
+    assert not os.path.exists(orphan_data)
+
+
+def test_expire_requires_keep_at_least_one(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="keep must be >= 1"):
+        t.expire_versions(0)
