@@ -67,13 +67,49 @@ def connected_components(
     return labels
 
 
-@register("docs_dup_clusters", oracle=None, tags=("llm", "dedup", "iterative"))
+def _clusters_oracle() -> str:
+    """DuckDB twin of min-label propagation: a recursive CTE computing
+    reachability over the same (deterministic) Jaccard pair edges, then
+    min reachable label per node. The ``r.lbl < e.dst`` guard prunes
+    non-decreasing propagations — the component minimum always passes it
+    (it is smaller than every other node on any path), so the result is
+    unchanged and the recursion state stays linear in cluster size."""
+    from .dedup import GRAMS_CTE_SQL, JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE g AS (
+{GRAMS_CTE_SQL}
+    ),
+    pairs AS (
+{JACCARD_PAIRS_SQL}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.lbl < e.dst
+    )
+    SELECT d.doc_id,
+           coalesce(min(r.lbl), d.doc_id) AS cluster_rep
+    FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@register("docs_dup_clusters", oracle=_clusters_oracle(), tags=("llm", "dedup", "iterative"))
 def docs_dup_clusters(spark, sf_dir: str) -> DataFrame:
     """Duplicate groups from the near-dup pair graph: every document in
     a cluster maps to the cluster's min-doc_id representative;
-    singletons map to themselves. Iterative → no SQL oracle (the brief's
-    rows-only category); the unit test checks against a driver-side
-    union-find on the same edges."""
+    singletons map to themselves. The iterative Spark loop is checked
+    against a DuckDB recursive-CTE connected components over the same
+    deterministic edge set (plus a driver-side union-find in the unit
+    test)."""
     from .dedup import docs_ngram_jaccard_pairs
 
     pairs = docs_ngram_jaccard_pairs(spark, sf_dir).select(

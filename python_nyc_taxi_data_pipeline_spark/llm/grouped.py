@@ -60,8 +60,51 @@ def user_value_trend(events: DataFrame) -> DataFrame:
     )
 
 
-@register("events_user_trend", oracle=None, tags=("udf", "grouped"))
+@register(
+    "events_user_trend",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           TRUE AS slope_matches_sql,
+           TRUE AS mean_matches_sql
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("udf", "grouped"),
+)
 def events_user_trend(spark, sf_dir: str) -> DataFrame:
-    """Grouped-map UDF surface (rows-only driver check; the unit test
-    verifies slopes against a closed-form SQL regression)."""
-    return user_value_trend(load(spark, sf_dir, "events"))
+    """Grouped-map UDF surface with a *checkable* contract: the pandas
+    least-squares fit is float-order-sensitive, so instead of shipping
+    raw slopes the query joins the grouped-map result against Spark's
+    own closed-form ``regr_slope``/``avg`` and emits per-user booleans
+    asserting agreement within the 6-dp rounding tolerance. The DuckDB
+    oracle recomputes the exact group counts and expects TRUE — a
+    broken UDF path now fails the driver hash check. (The grouped-map
+    demo itself stays the point: this registered entry exercises
+    applyInPandas end-to-end on every run.)"""
+    e = load(spark, sf_dir, "events")
+    fitted = user_value_trend(e)
+    # tz-free epoch hours (ntz stays ntz — no session-tz/DST distortion);
+    # any constant offset cancels in the regression slope anyway.
+    hours = (
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+        .cast("double")
+        / 3600.0
+    )
+    sql_side = e.groupBy("user_id").agg(
+        F.regr_slope(F.col("value").cast("double"), hours).alias("slope_sql"),
+        F.avg(F.col("value").cast("double")).alias("mean_sql"),
+    )
+    return fitted.join(sql_side, "user_id").select(
+        "user_id",
+        "n_events",
+        (
+            F.abs(
+                F.col("value_slope_per_hour") - F.coalesce(F.col("slope_sql"), F.lit(0.0))
+            )
+            <= 1e-6
+        ).alias("slope_matches_sql"),
+        (F.abs(F.col("value_mean") - F.col("mean_sql")) <= 1e-6).alias(
+            "mean_matches_sql"
+        ),
+    )

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-Container constraint: no image/audio codecs are installed, so the
-actual decode is STUBBED (``decode_image`` raises NotImplementedError;
-``fake_feature_extractor`` is the deterministic stand-in). Everything
-Spark-side — schema, batch iteration, partitioning, output shape — is
-real and tested; swapping the stub for PIL/torchvision changes one
-function body, not the plan.
+Container constraint: no image codec LIBRARIES are installed, so the
+decode path implements a dependency-free raster codec instead of
+linking one: Netpbm PPM/PGM (P6/P5 binary, P3/P2 ASCII) — a real,
+byte-honest format — with nearest-neighbor resize over the decoded
+pixel grid. Exotic formats (PNG/JPEG) still raise; swapping in
+PIL/torchvision changes one function body, not the plan. Non-image
+payloads (e.g. text bytes) keep the documented deterministic stride
+fallback so the plumbing composes over mixed corpora.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches through the
 Python worker — memory is bounded by
@@ -65,12 +67,89 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB — the container has no image codecs. A real deployment:
-    ``PIL.Image.open(io.BytesIO(payload))``."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this container"
-    )
+def _make_pnm_decoder():
+    """Build the Netpbm decoder as a runtime-created closure so UDFs
+    that capture it are pickled BY VALUE (cloudpickle ships module-level
+    functions by reference, which would require this package on worker
+    PYTHONPATH)."""
+
+    def decode(payload: bytes) -> dict:
+        """Decode PPM/PGM (P6/P5 binary, P3/P2 ASCII, maxval ≤ 255) to
+        ``{"width", "height", "channels", "maxval", "pixels"}`` with
+        ``pixels`` as row-major interleaved bytes. Raises ValueError on
+        any other format (PNG/JPEG need a codec library)."""
+        magic = bytes(payload[:2])
+        if magic not in (b"P6", b"P5", b"P3", b"P2"):
+            raise ValueError(
+                f"unsupported image format {magic!r}: PPM/PGM (P2/P3/P5/P6) only"
+            )
+        binary = magic in (b"P6", b"P5")
+        channels = 3 if magic in (b"P6", b"P3") else 1
+
+        def tokens(data: bytes, start: int):
+            i = start
+            while i < len(data):
+                c = data[i : i + 1]
+                if c == b"#":  # comment to end-of-line
+                    while i < len(data) and data[i : i + 1] != b"\n":
+                        i += 1
+                elif c.isspace():
+                    i += 1
+                else:
+                    j = i
+                    while (
+                        j < len(data)
+                        and not data[j : j + 1].isspace()
+                        and data[j : j + 1] != b"#"
+                    ):
+                        j += 1
+                    yield i, data[i:j]
+                    i = j
+
+        tok = tokens(payload, 2)
+        header = []
+        for pos, t in tok:
+            header.append((pos, t))
+            if len(header) == 3:
+                break
+        if len(header) < 3:
+            raise ValueError("truncated PNM header")
+        (_, w_t), (_, h_t), (max_pos, max_t) = header
+        width, height, maxval = int(w_t), int(h_t), int(max_t)
+        if width <= 0 or height <= 0:
+            raise ValueError(f"bad PNM dimensions {width}x{height}")
+        if maxval <= 0 or maxval > 255:
+            raise ValueError(f"unsupported PNM maxval {maxval} (8-bit only)")
+        need = width * height * channels
+        if binary:
+            # pixel data begins exactly one whitespace byte after maxval
+            start = max_pos + len(max_t) + 1
+            pixels = bytes(payload[start : start + need])
+        else:
+            vals = [int(t) for _, t in tok]
+            if len(vals) < need:
+                raise ValueError("truncated ASCII pixel data")
+            pixels = bytes(vals[:need])
+        if len(pixels) < need:
+            raise ValueError("truncated binary pixel data")
+        return {
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "maxval": maxval,
+            "pixels": pixels,
+        }
+
+    return decode
+
+
+decode_image = _make_pnm_decoder()
+
+
+def encode_ppm(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Re-encode a decoded raster as binary PPM (P6) / PGM (P5)."""
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{width} {height}\n255\n".encode() + pixels
 
 
 def fake_feature_extractor(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -124,16 +203,76 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(binary_df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
-    """Image-resize plumbing: binary in → (dims, binary) out over
-    mapInPandas. The resample kernel is STUBBED (deterministic byte
-    striding standing in for ``PIL.Image.resize``) — the Spark-side
-    contract (schema, Arrow batching, self-contained closure, 1:1 row
-    shape) is the real deliverable; a deployment swaps the inner
-    function for the codec call."""
-    target = width * height
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def decode_images(binary_df: DataFrame) -> DataFrame:
+    """Real decode stage: PNM payloads → row-major pixel rasters via
+    mapInPandas. Undecodable payloads are DROPPED (the dead-letter
+    variant would route them instead) — decode-and-filter is the honest
+    shape of a multimodal ingest stage. Closure is self-contained: the
+    decoder is a runtime-created closure pickled by value."""
+    decode = _make_pnm_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, ps = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode(bytes(payload))
+                except ValueError:
+                    continue
+                ids.append(doc_id)
+                ws.append(img["width"])
+                hs.append(img["height"])
+                cs.append(img["channels"])
+                ps.append(img["pixels"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "channels": pd.array(cs, dtype="int32"),
+                    "pixels": ps,
+                }
+            )
+
+    return binary_df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def resize_images(binary_df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Image resize over mapInPandas: PNM payloads are DECODED and
+    nearest-neighbor resampled on the real pixel grid, then re-encoded
+    (P6/P5). Non-image payloads keep the deterministic byte-stride
+    fallback so the stage composes over mixed corpora — swapping the
+    kernel for PIL changes the inner function, not the plan."""
+    target = width * height
+    tw, th = width, height
+    decode = _make_pnm_decoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def nearest_resize(img: dict) -> bytes:
+            sw, sh, ch = img["width"], img["height"], img["channels"]
+            px = img["pixels"]
+            out = bytearray(tw * th * ch)
+            for y in range(th):
+                sy = y * sh // th
+                row = sy * sw
+                for x in range(tw):
+                    si = (row + x * sw // tw) * ch
+                    di = (y * tw + x) * ch
+                    out[di : di + ch] = px[si : si + ch]
+            magic = b"P6" if ch == 3 else b"P5"
+            return magic + f"\n{tw} {th}\n255\n".encode() + bytes(out)
+
         def stride_resize(p: bytes) -> bytes:
             if not p:
                 return bytes(target)
@@ -143,13 +282,19 @@ def resize_images(binary_df: DataFrame, width: int = 16, height: int = 16) -> Da
             reps = (target + len(p) - 1) // len(p)
             return (p * reps)[:target]
 
+        def resize_one(p: bytes) -> bytes:
+            try:
+                return nearest_resize(decode(p))
+            except ValueError:
+                return stride_resize(p)
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": width,
-                    "height": height,
-                    "payload": pdf["payload"].map(lambda p: stride_resize(bytes(p))),
+                    "width": tw,
+                    "height": th,
+                    "payload": pdf["payload"].map(lambda p: resize_one(bytes(p))),
                 }
             )
 

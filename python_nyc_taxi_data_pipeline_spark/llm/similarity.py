@@ -37,9 +37,9 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-@register(
-    "knn_cosine_bruteforce",
-    oracle=f"""
+# Exact top-k oracle SQL — shared verbatim by the brute-force query and
+# the GEMM contract (which asserts the vectorized path reproduces it).
+KNN_EXACT_TOPK_SQL = f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -62,7 +62,12 @@ def _norm(a: Column) -> Column:
            ) AS INT) AS rank
     FROM pairs
     QUALIFY rank <= {TOP_K}
-    """,
+"""
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=KNN_EXACT_TOPK_SQL,
     tags=("llm", "similarity"),
 )
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,8 +212,7 @@ def embeddings_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("knn_cosine_gemm", oracle=None, tags=("llm", "similarity", "vectorized"))
-def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_gemm_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized brute-force kNN: the query matrix ships inside a
     self-contained mapInPandas closure; each Arrow batch of corpus
     vectors does ONE numpy GEMM against it and emits per-batch top-k
@@ -218,7 +222,8 @@ def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix multiply ≫ per-pair expression evaluation): at 100 TB the
     corpus streams through executors in batches while the (small) query
     block broadcasts. Float summation order differs from the scalar
-    plan → rows-only check + tolerance test against the exact baseline.
+    plan, so the registered ``knn_cosine_gemm`` query wraps this in a
+    contract comparing it against the exact scalar plan.
     """
     import numpy as np
 
@@ -272,6 +277,45 @@ def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_cosine_gemm",
+    oracle=f"""
+    SELECT query_id,
+           count(*) AS n_neighbors,
+           TRUE AS gemm_matches_exact
+    FROM ({KNN_EXACT_TOPK_SQL}) t
+    GROUP BY query_id
+    """,
+    tags=("llm", "similarity", "vectorized"),
+)
+def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract over ``knn_gemm_raw``: GEMM float64
+    summation order differs from the scalar fold by final ulps, so the
+    registered query joins the GEMM top-k against the exact scalar
+    top-k (itself hash-checked via ``knn_cosine_bruteforce``) and
+    asserts per query that the neighbor sets are identical and the
+    reported similarities agree within the 6-dp rounding tolerance. The
+    DuckDB oracle recomputes the exact top-k counts and expects TRUE."""
+    gemm = knn_gemm_raw(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("sim_g")
+    )
+    exact = knn_cosine_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("cosine_sim").alias("sim_e")
+    )
+    j = exact.join(gemm, ["query_id", "neighbor_id"], "full_outer")
+    mismatch = (
+        F.col("sim_e").isNull()
+        | F.col("sim_g").isNull()
+        | (F.abs(F.col("sim_e") - F.col("sim_g")) > 1e-6)
+    )
+    return j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("sim_e").isNotNull(), 1).otherwise(0)).alias(
+            "n_neighbors"
+        ),
+        (F.sum(F.when(mismatch, 1).otherwise(0)) == 0).alias("gemm_matches_exact"),
+    )
+
+
 N_PLANES = 8
 
 
@@ -289,12 +333,67 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-@register("knn_cosine_lsh", oracle=None, tags=("llm", "similarity", "lsh"))
+EMBEDDING_DIM = 64  # fixture embedding width (oracle planes are built for it)
+
+
+def _lsh_oracle() -> str:
+    """Full value oracle for the hyperplane-LSH top-k: the hyperplanes
+    are deterministic Python-generated constants, so the DuckDB twin
+    embeds the same literals and reproduces bucketing bit-for-bit
+    (list_reduce folds in the same element order as ``F.aggregate``,
+    both in float64 — the same property every other array oracle here
+    relies on). The LSH result is approximate w.r.t. brute force but
+    EXACT w.r.t. its own definition — so it is hash-checkable."""
+    planes = [_hyperplane(EMBEDDING_DIM, p) for p in range(N_PLANES)]
+
+    def arr(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(c) for c in plane) + "]"
+
+    def proj(plane: list[float]) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip(v, {arr(plane)}),"
+            " p -> p[1] * p[2]), (acc, x) -> acc + x)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(plane)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm,
+             {bucket} AS bucket
+      FROM v
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(list_zip(q.v, c.v),
+                                              p -> p[1] * p[2]),
+                               (acc, x) -> acc + x)
+                   / (q.nrm * c.nrm), 6) AS cosine_sim
+      FROM n q JOIN n c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+           ) AS INT) AS rank
+    FROM pairs
+    QUALIFY rank <= {TOP_K}
+    """
+
+
+@register("knn_cosine_lsh", oracle=_lsh_oracle(), tags=("llm", "similarity", "lsh"))
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-k: vectors bucket by the 8-bit sign
     signature of projections onto fixed hyperplanes; queries only score
-    candidates sharing their bucket. Approximate — unit tests measure
-    recall against the brute-force baseline (no SQL oracle)."""
+    candidates sharing their bucket. Approximate w.r.t. brute force
+    (unit tests measure recall) but exact w.r.t. its own definition —
+    the DuckDB oracle replays the same deterministic hyperplanes."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )

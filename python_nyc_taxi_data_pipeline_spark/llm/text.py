@@ -199,11 +199,9 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("docs_fingerprint", oracle=None, tags=("llm", "text"))
-def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprint (Schleimer et al. '03 shape):
-    8-char shingle hashes → min per sliding window of 4 → distinct
-    fingerprints. xxhash64 has no DuckDB twin → structural tests only."""
+def fingerprint_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp array<bigint>, n_fingerprints, n_windows) — the full
+    winnowing fingerprint sets plus the structural window count."""
     d = load(spark, sf_dir, "documents")
     # two steps so each shingle hashes once (the naive nested form
     # recomputes xxhash64 w× per sliding window)
@@ -211,13 +209,96 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, greatest(length(text) - 7, 1)),"
         " i -> xxhash64(substr(text, i, 8)))"
     )
-    with_h = d.select("doc_id", hashes.alias("h"))
+    n_windows = F.greatest(
+        F.greatest(F.length("text") - 7, F.lit(1)) - 3, F.lit(1)
+    )
+    with_h = d.select("doc_id", hashes.alias("h"), n_windows.alias("n_windows"))
     fp = F.expr(
         "array_distinct(transform(sequence(1, greatest(size(h) - 3, 1)),"
         " j -> array_min(slice(h, j, 4))))"
     )
     return with_h.select(
+        "doc_id", fp.alias("fp"), F.size(fp).alias("n_fingerprints"), "n_windows"
+    )
+
+
+def fingerprint_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al. '03 shape):
+    8-char shingle hashes → min per sliding window of 4 → distinct
+    fingerprints. Deterministic but xxhash64-based (no DuckDB twin);
+    the registered ``docs_fingerprint`` query wraps this in an
+    oracle-checkable contract."""
+    return fingerprint_sets(spark, sf_dir).select(
         "doc_id",
-        F.size(fp).alias("n_fingerprints"),
-        F.array_min(fp).alias("min_fingerprint"),
+        "n_fingerprints",
+        F.array_min("fp").alias("min_fingerprint"),
+    )
+
+
+FP_NEARDUP_OVERLAP = 0.5  # measured fixture near-dup min overlap: 1.0; random-pair max ≈ 0.4
+
+
+def _fingerprint_oracle() -> str:
+    from .dedup import GRAMS_CTE_SQL, JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH g AS (
+{GRAMS_CTE_SQL}
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           TRUE AS overlap_ge_half,
+           TRUE AS bounds_ok_a,
+           TRUE AS bounds_ok_b
+    FROM (
+{JACCARD_PAIRS_SQL}
+    ) p
+    """
+
+
+@register(
+    "docs_fingerprint",
+    oracle=_fingerprint_oracle(),
+    tags=("llm", "text"),
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract over the winnowing fingerprints:
+    xxhash64 has no DuckDB twin, so the registered query asserts
+    winnowing's defining guarantee on data the oracle CAN verify — for
+    every exact-Jaccard near-dup pair (≥ 0.30, the hash-checked pair
+    set), the fingerprint sets overlap by ≥ {FP_NEARDUP_OVERLAP:.0%} of
+    the smaller set (measured fixture minimum: 100%; unrelated pairs
+    max ≈ 40%), and both documents' fingerprint counts respect the
+    exact structural bound 1 ≤ n ≤ n_windows. Raw fingerprints stay
+    pinned by the determinism unit tests."""
+    from .dedup import docs_ngram_jaccard_pairs
+
+    fps = fingerprint_sets(spark, sf_dir)
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    bounds_ok = (F.col("n_fingerprints") >= 1) & (
+        F.col("n_fingerprints") <= F.col("n_windows")
+    )
+    fa = fps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fp").alias("fp_a"),
+        bounds_ok.alias("bounds_ok_a"),
+    )
+    fb = fps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp").alias("fp_b"),
+        bounds_ok.alias("bounds_ok_b"),
+    )
+    overlap = F.size(F.array_intersect("fp_a", "fp_b")) / F.least(
+        F.size("fp_a"), F.size("fp_b")
+    )
+    return (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (overlap >= FP_NEARDUP_OVERLAP).alias("overlap_ge_half"),
+            "bounds_ok_a",
+            "bounds_ok_b",
+        )
     )

@@ -42,18 +42,23 @@ def test_minhash_lsh_pairs_are_verified_subset(spark):
 
 
 def test_simhash_deterministic_and_near_dup_property(spark):
-    qs = E.queries()
-    a = qs["docs_simhash"](spark, SF_DIR).collect()
-    b = qs["docs_simhash"](spark, SF_DIR).collect()
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import simhash_table
+
+    a = simhash_table(spark, SF_DIR).collect()
+    b = simhash_table(spark, SF_DIR).collect()
     assert sorted(a) == sorted(b)  # stable across runs
     # identical text → identical simhash (hash of the word multiset)
     docs = load(spark, SF_DIR, "documents")
-    sh = qs["docs_simhash"](spark, SF_DIR)
+    sh = simhash_table(spark, SF_DIR)
     joined = docs.join(sh, "doc_id").select("text", "simhash")
     per_text = joined.groupBy("text").agg(
         F.count_distinct("simhash").alias("n_hashes")
     )
     assert per_text.filter(F.col("n_hashes") > 1).count() == 0
+    # the registered contract query: every near-dup pair within the
+    # Hamming bound (and there ARE pairs, so the contract has teeth)
+    checks = E.queries()["docs_simhash"](spark, SF_DIR).collect()
+    assert checks and all(r["hamming_le_12"] for r in checks)
 
 
 def test_knn_lsh_results_agree_with_bruteforce_scores(spark):
@@ -112,12 +117,14 @@ def test_dup_clusters_match_union_find(spark):
 def test_knn_gemm_matches_bruteforce(spark):
     """Vectorized GEMM top-k ≡ exact baseline (tolerance for float
     summation order)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.similarity import knn_gemm_raw
+
     qs = E.queries()
     bf = {}
     for r in qs["knn_cosine_bruteforce"](spark, SF_DIR).collect():
         bf.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine_sim"]))
     gm = {}
-    for r in qs["knn_cosine_gemm"](spark, SF_DIR).collect():
+    for r in knn_gemm_raw(spark, SF_DIR).collect():
         gm.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine_sim"]))
     assert set(bf) == set(gm)
     for q in bf:
@@ -126,6 +133,9 @@ def test_knn_gemm_matches_bruteforce(spark):
         assert len(sims_bf) == len(sims_gm)
         for a, b in zip(sims_bf, sims_gm):
             assert abs(a - b) < 1e-5, (q, a, b)
+    # the registered contract query agrees, per query
+    checks = qs["knn_cosine_gemm"](spark, SF_DIR).collect()
+    assert checks and all(r["gemm_matches_exact"] for r in checks)
 
 
 def test_approx_distinct_within_rsd(spark):
@@ -146,9 +156,11 @@ def test_approx_distinct_within_rsd(spark):
 def test_grouped_trend_matches_closed_form(spark):
     """applyInPandas least-squares slope ≡ covar_pop/var_pop in SQL."""
     e = load(spark, SF_DIR, "events")
+    from python_nyc_taxi_data_pipeline_spark.llm.grouped import user_value_trend
+
     trend = {
         r["user_id"]: r["value_slope_per_hour"]
-        for r in E.queries()["events_user_trend"](spark, SF_DIR).collect()
+        for r in user_value_trend(e).collect()
     }
     hours = (F.col("ts").cast("timestamp_ltz").cast("double") / 3600.0)
     sql_slope = {
@@ -205,13 +217,65 @@ def test_stratified_sample_proportions_and_determinism(spark):
     assert checks and all(r["within_bounds"] for r in checks)
 
 
-def test_decode_stub_raises():
+def _gradient_ppm(w, h):
+    """Deterministic P6 test image: R=x*16, G=y*16, B=(x+y)*8."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(((x * 16) % 256, (y * 16) % 256, ((x + y) * 8) % 256))
+    return b"P6\n# test comment\n" + f"{w} {h}\n255\n".encode() + bytes(px)
+
+
+def test_decode_real_pnm_payloads():
     import pytest
 
     from python_nyc_taxi_data_pipeline_spark.llm.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    # binary PPM with a header comment
+    img = decode_image(_gradient_ppm(4, 3))
+    assert (img["width"], img["height"], img["channels"]) == (4, 3, 3)
+    assert len(img["pixels"]) == 4 * 3 * 3
+    assert img["pixels"][:6] == bytes((0, 0, 0, 16, 0, 8))  # (0,0) then (1,0)
+
+    # ASCII PGM
+    pgm = b"P2\n3 2\n255\n0 10 20\n30 40 50\n"
+    img2 = decode_image(pgm)
+    assert (img2["width"], img2["height"], img2["channels"]) == (3, 2, 1)
+    assert img2["pixels"] == bytes((0, 10, 20, 30, 40, 50))
+
+    # unsupported / corrupt formats raise
+    with pytest.raises(ValueError, match="unsupported image format"):
         decode_image(b"\x89PNG")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"P6\n4 4\n255\n\x00\x01")
+
+
+def test_decode_and_resize_real_images(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.multimodal import (
+        decode_image,
+        decode_images,
+        resize_images,
+    )
+
+    rows = [(i, _gradient_ppm(8, 8), (len(_gradient_ppm(8, 8)), "image/x-ppm")) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, meta struct<n_bytes:int, media_type:string>"
+    )
+    decoded = {r.doc_id: r for r in decode_images(df).collect()}
+    assert len(decoded) == 6
+    assert decoded[0].width == 8 and decoded[0].channels == 3
+    assert bytes(decoded[0].pixels) == decode_image(_gradient_ppm(8, 8))["pixels"]
+
+    resized = {r.doc_id: r for r in resize_images(df, width=4, height=4).collect()}
+    out = decode_image(bytes(resized[0].payload))
+    assert (out["width"], out["height"], out["channels"]) == (4, 4, 3)
+    # nearest-neighbor: output pixel (x,y) = source pixel (2x, 2y)
+    src = decode_image(_gradient_ppm(8, 8))
+    for y in range(4):
+        for x in range(4):
+            di = (y * 4 + x) * 3
+            si = ((y * 2) * 8 + x * 2) * 3
+            assert out["pixels"][di : di + 3] == src["pixels"][si : si + 3]
 
 
 def test_multimodal_resize_shape_and_determinism(spark):

@@ -78,12 +78,16 @@ def test_q10_top20_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in p
 
 
-def test_neardup_probe_side_parallelized(spark):
+def test_neardup_is_block_partitioned_gemm(spark):
     df = E.queries()["embeddings_neardup_pairs"](spark, SF_DIR)
     p = plan_of(df)
-    # the n² scoring must not run on the single input split
-    assert "BroadcastNestedLoopJoin" in p
-    assert "RoundRobinPartitioning" in p
+    # block-partitioned exact all-pairs: no corpus broadcast, no
+    # nested-loop join — the n² scoring runs as per-block-pair GEMMs
+    # behind a shuffle on (bi, bj)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "FlatMapGroupsInPandas" in p
+    assert "hashpartitioning(bi" in p
 
 
 def test_join_strategy_hints_are_honored(spark):
