@@ -64,10 +64,15 @@ def add_one_month(col: str | Column) -> Column:
     return (c.cast("timestamp_ntz") + F.expr("INTERVAL 1 MONTH"))
 
 
-def month_name(col: str | Column) -> Column:
-    """F4 — English month name, UNPADDED (see module docstring)."""
+def month_name(col: str | Column, padded: bool = False) -> Column:
+    """F4 — English month name. Default UNPADDED (see module docstring);
+    ``padded=True`` right-pads to 9 chars with spaces, matching
+    Postgres ``TO_CHAR(ts, 'Month')``
+    (`/root/reference/src/sql/gold_aggregate_layer.sql:17,22`)
+    bit-for-bit for a user diffing against reference output."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.date_format(c, "MMMM")
+    name = F.date_format(c, "MMMM")
+    return F.rpad(name, 9, " ") if padded else name
 
 
 def minutes_into_month(col: str | Column) -> Column:

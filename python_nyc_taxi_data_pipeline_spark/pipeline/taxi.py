@@ -91,10 +91,16 @@ def build_dims(spark: SparkSession, bronze: DataFrame) -> dict[str, DataFrame]:
 
 
 def create_gold_views(
-    spark: SparkSession, silver: DataFrame, dims: dict[str, DataFrame]
+    spark: SparkSession,
+    silver: DataFrame,
+    dims: dict[str, DataFrame],
+    padded_month: bool = False,
 ) -> None:
     """The three gold views (`gold_aggregate_layer.sql:3-38`), recomputed
-    on read exactly like CREATE OR REPLACE VIEW. Dims broadcast."""
+    on read exactly like CREATE OR REPLACE VIEW. Dims broadcast.
+    ``padded_month=True`` reproduces Postgres ``TO_CHAR('Month')``
+    9-char padding (`gold_aggregate_layer.sql:17`) bit-for-bit; default
+    stays the documented unpadded divergence (SURVEY §2.8 F4)."""
     yt = silver
     vendor = F.broadcast(dims["vendor"])
 
@@ -112,7 +118,7 @@ def create_gold_views(
     monthly_metrics = (
         yt.groupBy(
             F.date_trunc("month", "tpep_pickup_datetime").alias("month_start"),
-            month_name("tpep_pickup_datetime").alias("month"),
+            month_name("tpep_pickup_datetime", padded=padded_month).alias("month"),
         )
         .agg(
             F.count(F.lit(1)).alias("total_rides"),

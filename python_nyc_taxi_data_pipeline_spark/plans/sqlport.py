@@ -20,6 +20,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..catalog import load
 from ..registry import register
 from ..sources.fixture_taxi import orders_as_taxi
 from ..sources.sql_runner import run_sql_file
@@ -85,3 +86,41 @@ def sql_scripts_gold_vendor(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_sql_file(spark, SQL_DIR / "silver_full_refresh.sql")
     run_sql_file(spark, SQL_DIR / "gold_aggregate_layer.sql")
     return spark.table("gold_vendor_metrics")
+
+
+@register(
+    "monthly_metrics_padded_month",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month_start,
+           rpad(monthname(o_orderdate), 9, ' ') AS month,
+           count(*) AS total_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY total_orders DESC
+    """,
+    tags=("gold", "parity", "date"),
+)
+def monthly_metrics_padded_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold.monthly_metrics with Postgres ``TO_CHAR('Month')`` 9-char
+    month padding (`/root/reference/src/sql/gold_aggregate_layer.sql:17`)
+    — the parity twin of the default unpadded ``monthly_metrics``
+    (documented divergence, SURVEY §2.8 F4). Both variants are
+    oracle-checked; the taxi gold view selects via
+    ``create_gold_views(padded_month=True)``."""
+    from pyspark.sql import functions as F
+
+    from ..functions.scalars import decimal_sum, month_name, month_start
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            month_start("o_orderdate").alias("month_start"),
+            month_name("o_orderdate", padded=True).alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            decimal_sum("o_totalprice", "total_value"),
+        )
+        .orderBy(F.desc("total_orders"))
+    )

@@ -150,3 +150,16 @@ def test_watermark_never_advances_past_narrow_window_end(spark, taxi_df, tmp_pat
     # late rows (they ARE committed bronze data for that month)
     r3 = pipe.ingest_batch(jan.limit(0), win(1))
     assert r3.watermark >= datetime(2024, 1, 20)
+
+
+def test_gold_month_padding_flag(spark, taxi_df):
+    """padded_month=True reproduces TO_CHAR('Month') 9-char padding."""
+    silver = silver_transform(taxi_df)
+    dims = build_dims(spark, taxi_df)
+    create_gold_views(spark, silver, dims, padded_month=True)
+    months = [r["month"] for r in spark.table("gold_monthly_metrics").collect()]
+    assert months and all(len(m) == 9 for m in months)
+    assert any(m != m.rstrip() for m in months)  # really padded, not truncated
+    create_gold_views(spark, silver, dims)  # default: unpadded
+    months = [r["month"] for r in spark.table("gold_monthly_metrics").collect()]
+    assert any(len(m) != 9 for m in months)
