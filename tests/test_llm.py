@@ -331,3 +331,48 @@ def test_multimodal_arrow_matches_pandas_path(spark):
     for k in via_pandas:
         assert via_pandas[k].n_bytes == via_arrow[k].n_bytes
         assert via_pandas[k].features == via_arrow[k].features
+
+
+def test_dedup_apply_keeps_one_rep_per_cluster(spark):
+    qs = E.queries()
+    kept = {r.doc_id for r in qs["docs_dedup_apply"](spark, SF_DIR).collect()}
+    clusters = {
+        r.doc_id: r.cluster_rep
+        for r in qs["docs_dup_clusters"](spark, SF_DIR).collect()
+    }
+    # kept = exactly the cluster representatives
+    assert kept == {rep for rep in clusters.values()}
+    # every dropped doc's representative IS kept
+    for doc, rep in clusters.items():
+        assert rep in kept
+        if doc not in kept:
+            assert clusters[rep] == rep
+
+
+def test_pack_sequences_invariants(spark):
+    from python_nyc_taxi_data_pipeline_spark.plans.curation import PACK_BUDGET
+
+    rows = sorted(
+        E.queries()["docs_pack_sequences"](spark, SF_DIR).collect(),
+        key=lambda r: r.doc_id,
+    )
+    # pack ids are monotone non-decreasing in doc order and start at 0
+    ids = [r.pack_id for r in rows]
+    assert ids[0] == 0 and all(a <= b for a, b in zip(ids, ids[1:]))
+    # a document's pack is its running offset div budget
+    offset = 0
+    for r in rows:
+        assert r.pack_id == offset // PACK_BUDGET, r
+        offset += r.n_tokens
+
+
+def test_contamination_pairs_cross_split(spark):
+    qs = E.queries()
+    rows = qs["docs_train_test_contamination"](spark, SF_DIR).collect()
+    pair_set = {
+        (r.doc_a, r.doc_b)
+        for r in qs["docs_ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert (r.doc_a, r.doc_b) in pair_set  # subset of the near-dup pairs
+        assert r.split_a != r.split_b  # and each one crosses the split
