@@ -324,43 +324,32 @@ def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     b of xxhash64(word)). Deterministic; verified structurally in tests
     (stable across runs, identical texts → identical fingerprints).
 
-    Layout: explode(distinct words) → LANE-PACKED bit counters: the 64
-    per-bit ones-counts ride in 16 longs of four 16-bit lanes each, so
-    the aggregate is 16 SUMs instead of 64 (4× smaller partial-agg
-    buffer AND 4× less generated code — the 64-sum variant's one-shot
-    cost was dominated by whole-stage codegen compilation). Lanes can't
-    carry into each other while every lane stays < 2¹⁶ — i.e. up to
-    65535 distinct words per document (two orders of magnitude beyond
-    any fixture doc). Bit b is set iff ones(b) > n_words/2, identical to the
-    sign-of-±1-votes rule. Documents with no words keep fingerprint 0
-    via the left join.
+    Layout: explode(distinct words) → 64 partial-aggregated bit votes
+    per doc (one shuffle, map-side combine). Measured alternative that
+    did NOT win: lane-packing the 64 ones-counts into 16 longs of four
+    16-bit lanes (16 SUMs instead of 64) is ~1.8× SLOWER cold — the
+    per-row shift/mask/shiftleft chains cost more than the when/±1
+    sums whole-stage codegen compiles for the unpacked form. Documents
+    with no words keep fingerprint 0 via the left join.
     """
     d = load(spark, sf_dir, "documents")
     words = F.array_distinct(F.split(F.col("text"), " "))
     posts = d.select("doc_id", F.explode(words).alias("w")).withColumn(
         "h", F.xxhash64("w")
     )
-    # long j packs ones-counters for bits 4j..4j+3 in lanes 0,16,32,48
-    packs = [
+    votes = [
         F.sum(
-            sum(
-                F.shiftleft(
-                    F.shiftright("h", 4 * j + lane).bitwiseAND(F.lit(1).cast("long")),
-                    16 * lane,
-                )
-                for lane in range(4)
-            )
-        ).alias(f"p{j}")
-        for j in range(16)
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
     ]
-    agg = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"), *packs)
+    agg = posts.groupBy("doc_id").agg(*votes)
     simhash = None
     for b in range(64):
-        j, lane = divmod(b, 4)
-        ones = F.shiftright(F.col(f"p{j}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
         bit_value = (1 << b) if b < 63 else -(1 << 63)
-        c = F.when(2 * ones > F.col("n_words"), F.lit(bit_value).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        c = (
+            F.when(F.col(f"b{b}") > 0, F.lit(bit_value).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
         simhash = c if simhash is None else simhash + c
     fp = agg.select("doc_id", simhash.alias("simhash"))
