@@ -87,27 +87,55 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: documents fill fixed
     token-budget training sequences in doc_id order; a document's pack
     is its cumulative token offset integer-divided by the budget.
-    RNG-free (reproducible across engines/cluster sizes — the property
-    rand()-based packing loses on retry) and one window over a total
-    ordering — Spark range-partitions the global sort, so no single
-    reducer sees the whole corpus."""
+    RNG-free — reproducible across engines/cluster sizes, the property
+    rand()-based packing loses on retry.
+
+    The cumulative offset is a DISTRIBUTED PREFIX SUM, not a global
+    window: an unpartitioned ``Window.orderBy`` would collapse the
+    whole corpus into one task. Instead: range-repartition on the
+    ordering key, per-partition running sums (each partition local),
+    and a driver-side cumulation of the per-partition subtotals joined
+    back as broadcast base offsets. The result depends only on the
+    total doc_id order — range boundaries (sampled, run-varying) can
+    move rows between partitions without changing any offset."""
     d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    t = (
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .repartitionByRange(n_part, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning: pid must match the
+        # frame the subtotals were computed from
+    )
+    subtotals = sorted(
+        (r["pid"], r["sub"])
+        for r in t.groupBy("pid").agg(F.sum("n_tokens").alias("sub")).collect()
+    )
+    bases, acc = {}, 0
+    for pid, sub in subtotals:
+        bases[pid] = acc
+        acc += sub
+    base_df = spark.createDataFrame(
+        [(pid, base) for pid, base in bases.items()], "pid int, base long"
     )
     w = (
-        Window.orderBy("doc_id")
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return t.select(
-        "doc_id",
-        "n_tokens",
-        offset.alias("offset_tokens"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        F.expr(f"offset_tokens div {PACK_BUDGET}").alias("pack_id"),
+    within = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        t.join(F.broadcast(base_df), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("base") + within).alias("offset_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"offset_tokens div {PACK_BUDGET}").alias("pack_id"),
+        )
     )
 
 
@@ -154,4 +182,75 @@ def docs_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(sb), "doc_b")
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
+def _embeddings_dedup_oracle() -> str:
+    """Recursive-CTE connected components over the exact cosine
+    near-dup pair edges (same shape as the text-side cluster oracle)."""
+    from ..llm.similarity import NEARDUP_COSINE
+
+    return f"""
+    WITH RECURSIVE v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS MATERIALIZED (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+      FROM v
+    ), pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a, n b
+      WHERE a.vec_id < b.vec_id
+        AND list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                        (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {NEARDUP_COSINE}
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.lbl < e.dst
+    )
+    SELECT emb.vec_id, emb.label,
+           coalesce(min(r.lbl), emb.vec_id) AS cluster_rep,
+           (coalesce(min(r.lbl), emb.vec_id) = emb.vec_id) AS kept
+    FROM embeddings emb LEFT JOIN reach r ON r.node = emb.vec_id
+    GROUP BY emb.vec_id, emb.label
+    """
+
+
+@register(
+    "embeddings_dedup_apply",
+    oracle=_embeddings_dedup_oracle(),
+    tags=("llm", "dedup", "embedding", "curation"),
+)
+def embeddings_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup APPLIED to the embedding modality: connected
+    components over the exact cosine near-dup pairs (the
+    block-partitioned GEMM plan), each vector mapped to its cluster's
+    min-id representative, ``kept`` marking the survivor — the row set
+    a training run would filter on. Reuses the generic min-label
+    propagation from ``llm/clusters.py``; the near-dup edge generation
+    is the only modality-specific part."""
+    from ..llm.clusters import connected_components
+    from ..llm.similarity import embeddings_neardup_pairs
+
+    pairs = embeddings_neardup_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    rep = F.coalesce(F.col("component"), F.col("vec_id"))
+    return (
+        emb.join(comp, emb.vec_id == comp.node, "left")
+        .select(
+            "vec_id",
+            "label",
+            rep.alias("cluster_rep"),
+            (rep == F.col("vec_id")).alias("kept"),
+        )
     )

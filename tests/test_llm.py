@@ -376,3 +376,17 @@ def test_contamination_pairs_cross_split(spark):
     for r in rows:
         assert (r.doc_a, r.doc_b) in pair_set  # subset of the near-dup pairs
         assert r.split_a != r.split_b  # and each one crosses the split
+
+
+def test_embeddings_dedup_apply_consistent_with_pairs(spark):
+    qs = E.queries()
+    rows = {r.vec_id: r for r in qs["embeddings_dedup_apply"](spark, SF_DIR).collect()}
+    pairs = [
+        (r.id_a, r.id_b) for r in qs["embeddings_neardup_pairs"](spark, SF_DIR).collect()
+    ]
+    # no two kept vectors form a near-dup pair; every vector's rep is kept
+    for a, b in pairs:
+        assert not (rows[a].kept and rows[b].kept), (a, b)
+    for r in rows.values():
+        assert rows[r.cluster_rep].kept
+        assert r.kept == (r.cluster_rep == r.vec_id)
