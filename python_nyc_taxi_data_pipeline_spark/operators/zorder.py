@@ -46,6 +46,9 @@ def _interleave(a: Column, b: Column, bits: int = Z_BITS) -> Column:
 
 
 def _rank_positions_exact(df: DataFrame, col: str, bits: int) -> Column:
+    """Test-side referee only: the unpartitioned window funnels all
+    rows through one task — never the scale path. Production uses the
+    approxQuantile bins (``exact=False``, the default)."""
     w = Window.orderBy(F.col(col))
     return (F.percent_rank().over(w) * F.lit((1 << bits) - 1)).cast("int")
 
