@@ -1,0 +1,124 @@
+"""Corpus-level text statistics: vocabulary frequency table and
+per-document keyword extraction — the profiling every tokenizer/BPE
+training and data-mixing step runs before touching 100 TB of text.
+
+Both are classic two-level aggregations (explode → group), fully
+SQL-expressible → exact DuckDB oracles. Scale notes: the explode
+shuffles (token) / (doc_id, token) keys only — never the documents;
+the vocabulary table gets a map-side combine (partial aggregation) so
+shuffle volume is distinct-tokens-per-partition, not corpus tokens;
+keyword top-k is a bounded window per doc.
+
+Determinism: keyword RANKING is pure integer arithmetic (term
+frequency desc, document frequency asc — rarer wins — then term); the
+float tf-idf score is carried as a rounded OUTPUT column but never
+decides order, so engine ulp differences in ln() cannot flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+VOCAB_TOP_N = 1000
+KEYWORDS_PER_DOC = 5
+
+
+@register(
+    "corpus_vocabulary",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, t.token
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+    ), vocab AS (
+      SELECT token,
+             count(*) AS tf_corpus,
+             count(DISTINCT doc_id) AS doc_freq
+      FROM tok GROUP BY token
+    )
+    SELECT token, tf_corpus, doc_freq,
+           CAST(row_number() OVER (ORDER BY tf_corpus DESC, token) AS BIGINT) AS rank
+    FROM vocab
+    QUALIFY rank <= {VOCAB_TOP_N}
+    """,
+    tags=("llm", "text", "stats"),
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{VOCAB_TOP_N} corpus vocabulary with corpus term frequency
+    and document frequency — the input to BPE/tokenizer training and
+    stopword discovery. One explode + one partial-aggregated groupBy;
+    the top-N is a TakeOrdered, not a global sort."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf_corpus"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.desc("tf_corpus"), F.asc("token"))
+    return (
+        vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= VOCAB_TOP_N)
+    )
+
+
+@register(
+    "docs_top_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, t.token
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+             CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.doc_freq ASC, tf.token
+             ) AS INT) AS kw_rank,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.doc_freq), 6) AS tfidf
+      FROM tf JOIN df USING (token), n
+    )
+    SELECT doc_id, token, tf, doc_freq, kw_rank, tfidf
+    FROM scored
+    WHERE kw_rank <= {KEYWORDS_PER_DOC}
+    """,
+    tags=("llm", "text", "stats"),
+)
+def docs_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KEYWORDS_PER_DOC} keywords per document: ranked by term
+    frequency (doc-frequency ascending then term as tie-breaks — all
+    integer/string comparisons, engine-stable), with the float tf-idf
+    carried as a rounded score column that never decides order. The
+    document-frequency side is a small broadcastable table; the rank
+    window is bounded per doc."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = d.count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("token")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= KEYWORDS_PER_DOC)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "doc_freq",
+            "kw_rank",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+    )

@@ -78,7 +78,7 @@ def _ensure_loaded() -> None:
     from .llm import clusters, dedup, grouped, similarity, text  # noqa: F401
     from .plans import tpch_ext  # noqa: F401
     from .streaming import windows  # noqa: F401
-    from .plans import curation, sqlport  # noqa: F401
+    from .plans import curation, sqlport, textstats  # noqa: F401
     from .plans import analytics, analytics2, core, tpch  # noqa: F401
 
     _LOADED = True

@@ -162,3 +162,61 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", delay: str = "1 h
             "total_value",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_delay: str = "1 hour",
+    right_delay: str = "1 hour",
+    within: str = "interval 10 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL JOIN: pair each left event with right
+    events of the same key whose event time falls in
+    ``[left.ts, left.ts + within]`` — the click→conversion attribution
+    shape. Both sides carry watermarks so Spark can bound the join
+    state: a buffered left row is droppable once the right watermark
+    passes ``left.ts + within`` (and symmetrically), which is what
+    makes this run forever on unbounded streams; without the time
+    bound the state would grow without limit.
+
+    Inner join (stream-stream outer joins need both watermark AND a
+    time-range condition — same condition shape, different nullability;
+    inner is the attribution default).
+    """
+    lt = (
+        left.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", left_delay)
+        .select(
+            F.col(key).alias("l_key"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_type").alias("l_type"),
+            F.col("event_id").alias("l_event_id"),
+        )
+    )
+    rt = (
+        right.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+        .withWatermark("ts", right_delay)
+        .select(
+            F.col(key).alias("r_key"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_type").alias("r_type"),
+            F.col("event_id").alias("r_event_id"),
+        )
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(within))
+        & (F.col("l_event_id") != F.col("r_event_id"))
+    )
+    return lt.join(rt, cond, "inner").select(
+        F.col("l_key").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        F.col("l_ts").cast("timestamp_ntz").alias("l_ts"),
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+        "l_type",
+        "r_type",
+    )

@@ -140,3 +140,59 @@ def test_stream_sessions_equal_batch(spark, tmp_path):
     # sessions must have been sealed (bounded input, 1h delay)
     assert streamed.count() > 0.8 * batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked, state-bounded) must
+    produce exactly the rows of the same join run in batch."""
+    from pyspark.sql import functions as F
+
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+    from python_nyc_taxi_data_pipeline_spark.streaming.jobs import (
+        interval_join_streams,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    from tests.conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events").limit(400)
+    clicks_dir = str(tmp_path / "clicks")
+    views_dir = str(tmp_path / "views")
+    clicks = ev.filter(F.col("event_type") == "click")
+    others = ev.filter(F.col("event_type") != "click")
+    clicks.repartition(2).write.parquet(clicks_dir)
+    others.repartition(2).write.parquet(views_dir)
+
+    joined = interval_join_streams(
+        read_event_stream(spark, clicks_dir, max_files_per_trigger=1),
+        read_event_stream(spark, views_dir, max_files_per_trigger=1),
+    )
+    run_to_memory_sink(joined, "ssjoin_sink", output_mode="append")
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ssjoin_sink").collect()
+    }
+
+    # batch referee: identical semantics with plain DataFrames
+    c = clicks.select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    v = others.select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    batch = c.join(
+        v,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 10 minutes"))
+        & (F.col("l_event_id") != F.col("r_event_id")),
+    )
+    expected = {
+        (r.l_event_id, r.r_event_id) for r in batch.collect()
+    }
+    assert got == expected and len(expected) > 0
