@@ -84,58 +84,63 @@ def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "packing", "curation"),
 )
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sequence packing: documents fill fixed
-    token-budget training sequences in doc_id order; a document's pack
-    is its cumulative token offset integer-divided by the budget.
-    RNG-free — reproducible across engines/cluster sizes, the property
-    rand()-based packing loses on retry.
+    """Deterministic sequence packing of the documents table (see
+    ``pack_by_budget``): RNG-free — reproducible across
+    engines/cluster sizes, the property rand()-based packing loses on
+    retry."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    return pack_by_budget(t, "doc_id", "n_tokens", PACK_BUDGET).select(
+        "doc_id", "n_tokens", "pack_id"
+    )
+
+
+def pack_by_budget(
+    df: DataFrame, order_col: str, tokens_col: str, budget: int
+) -> DataFrame:
+    """Reusable deterministic packing operator: rows fill fixed
+    ``budget``-token sequences in ``order_col`` order; a row's pack is
+    its cumulative token offset integer-divided by the budget.
 
     The cumulative offset is a DISTRIBUTED PREFIX SUM, not a global
     window: an unpartitioned ``Window.orderBy`` would collapse the
-    whole corpus into one task. Instead: range-repartition on the
+    whole input into one task. Instead: range-repartition on the
     ordering key, per-partition running sums (each partition local),
     and a driver-side cumulation of the per-partition subtotals joined
-    back as broadcast base offsets. The result depends only on the
-    total doc_id order — range boundaries (sampled, run-varying) can
-    move rows between partitions without changing any offset."""
-    d = load(spark, sf_dir, "documents")
+    back as broadcast base offsets (one metadata-sized collect). The
+    result depends only on the total ``order_col`` order — range
+    boundaries (sampled, run-varying) can move rows between partitions
+    without changing any offset. Output: input columns + ``pack_id``."""
+    spark = df.sparkSession
     n_part = max(2, spark.sparkContext.defaultParallelism)
     t = (
-        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
-        .repartitionByRange(n_part, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
+        df.repartitionByRange(n_part, order_col)
+        .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partitioning: pid must match the
         # frame the subtotals were computed from
     )
     subtotals = sorted(
-        (r["pid"], r["sub"])
-        for r in t.groupBy("pid").agg(F.sum("n_tokens").alias("sub")).collect()
+        (r["__pid"], r["sub"])
+        for r in t.groupBy("__pid").agg(F.sum(tokens_col).alias("sub")).collect()
     )
     bases, acc = {}, 0
     for pid, sub in subtotals:
         bases[pid] = acc
         acc += sub
     base_df = spark.createDataFrame(
-        [(pid, base) for pid, base in bases.items()], "pid int, base long"
+        [(pid, base) for pid, base in bases.items()], "__pid int, __base long"
     )
     w = (
-        Window.partitionBy("pid")
-        .orderBy("doc_id")
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    within = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    within = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
     return (
-        t.join(F.broadcast(base_df), "pid")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (F.col("base") + within).alias("offset_tokens"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.expr(f"offset_tokens div {PACK_BUDGET}").alias("pack_id"),
-        )
+        t.join(F.broadcast(base_df), "__pid")
+        .withColumn("__offset", F.col("__base") + within)
+        .withColumn("pack_id", F.expr(f"__offset div {budget}"))
+        .drop("__pid", "__base", "__offset")
     )
 
 

@@ -76,3 +76,31 @@ def test_download_url_template_shape(year, month):
     url = download_url_template(year, month)
     assert url.endswith(f"yellow_tripdata_{year}-{month:02d}.parquet")
     assert url.startswith("https://")
+
+
+def test_pack_by_budget_matches_naive_prefix_sum(spark):
+    """Property: the distributed prefix-sum packing equals the naive
+    driver-side running sum for random token sequences and budgets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_nyc_taxi_data_pipeline_spark.plans.curation import pack_by_budget
+
+    @given(
+        st.lists(st.integers(0, 300), min_size=1, max_size=60),
+        st.integers(16, 512),
+    )
+    @settings(max_examples=6, deadline=None)
+    def run(tokens, budget):
+        rows = [(i, t) for i, t in enumerate(tokens)]
+        df = spark.createDataFrame(rows, "k long, n_tokens long")
+        got = {
+            r.k: r.pack_id
+            for r in pack_by_budget(df, "k", "n_tokens", budget).collect()
+        }
+        offset = 0
+        for i, t in enumerate(tokens):
+            assert got[i] == offset // budget, (i, got[i], offset, budget)
+            offset += t
+
+    run()
