@@ -57,11 +57,13 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf_corpus"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), THEN rank the bounded N rows; an
+    # unpartitioned row_number over the full vocabulary would funnel
+    # every distinct token through one task.
+    top = vocab.orderBy(F.desc("tf_corpus"), F.asc("token")).limit(VOCAB_TOP_N)
     w = Window.orderBy(F.desc("tf_corpus"), F.asc("token"))
-    return (
-        vocab.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= VOCAB_TOP_N)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 @register(
@@ -121,4 +123,50 @@ def docs_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
             ).alias("tfidf"),
         )
+    )
+
+
+DUP_LINE_FRACTION_MAX = 0.30  # Gopher-style repetition gate
+
+
+@register(
+    "docs_repetition_filter",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, string_split(text, '. ') AS segs
+      FROM documents
+    ), stats AS (
+      SELECT doc_id,
+             len(segs) AS n_segments,
+             len(list_distinct(segs)) AS n_distinct
+      FROM lines
+    )
+    SELECT doc_id, n_segments, n_distinct,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_segments, 6) AS dup_fraction,
+           (1.0 - CAST(n_distinct AS DOUBLE) / n_segments)
+             <= {DUP_LINE_FRACTION_MAX} AS keep
+    FROM stats
+    """,
+    tags=("llm", "text", "quality"),
+)
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate (the Gopher-rules shape): split
+    each document into sentence-ish segments, measure the duplicate
+    fraction (1 − distinct/total), and keep documents under the
+    threshold — boilerplate and template spam score high. Single
+    codegen'd pass, array ops only; exact oracle."""
+    d = load(spark, sf_dir, "documents")
+    segs = F.split("text", "\\. ")
+    stats = d.select(
+        "doc_id",
+        F.size(segs).alias("n_segments"),
+        F.size(F.array_distinct(segs)).alias("n_distinct"),
+    )
+    dup = 1.0 - F.col("n_distinct").cast("double") / F.col("n_segments")
+    return stats.select(
+        "doc_id",
+        "n_segments",
+        "n_distinct",
+        F.round(dup, 6).alias("dup_fraction"),
+        (dup <= DUP_LINE_FRACTION_MAX).alias("keep"),
     )
