@@ -82,22 +82,29 @@ def main() -> int:
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
     med_sec, med_rows = bench_medallion(spark, sf_dir)
     timings["medallion_e2e"] = round(med_sec, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(sf_dir),
-                "medallion_rows": med_rows,
-                "medallion_rows_per_sec": round(med_rows / med_sec, 1),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "query_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_of(sf_dir),
+            "medallion_rows": med_rows,
+            "medallion_rows_per_sec": round(med_rows / med_sec, 1),
+        }
     )
+    # The driver's stdout capture can truncate a long line — persist the
+    # full result to a file too so every query's timing survives.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
     return 0
 

@@ -60,6 +60,55 @@ def user_value_trend(events: DataFrame) -> DataFrame:
     )
 
 
+def user_value_trend_batched(events: DataFrame) -> DataFrame:
+    """Same per-user least-squares fit, but through ONE mapInPandas
+    pass: hash-repartition on ``user_id``, concatenate each partition's
+    Arrow batches, and fit EVERY group in that partition with a single
+    vectorized pandas groupby — no per-group Python round-trip. With
+    thousands of tiny groups this is ~5-10× cheaper than the grouped-map
+    path (which pays a pandas call per group); memory is bounded by one
+    partition, same as any shuffle consumer."""
+
+    def fit_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf["t"] = pdf["ts"].astype("int64") / 3.6e12  # ns → hours
+        g = pdf.groupby("user_id", sort=False)
+        n = g.size()
+        tm, vm = g["t"].mean(), g["value"].mean()
+        # demeaned moments per group, all vectorized
+        pdf["t0"] = pdf["t"] - pdf["user_id"].map(tm)
+        pdf["v0"] = pdf["value"].astype(float) - pdf["user_id"].map(vm)
+        pdf["tv"] = pdf["t0"] * pdf["v0"]
+        pdf["tt"] = pdf["t0"] * pdf["t0"]
+        agg = pdf.groupby("user_id", sort=False)[["tv", "tt"]].sum()
+        slope = np.where(
+            (n.to_numpy() >= 2) & (agg["tt"].to_numpy() > 0),
+            agg["tv"].to_numpy() / np.where(agg["tt"].to_numpy() > 0, agg["tt"].to_numpy(), 1.0),
+            0.0,
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": n.index.to_numpy(dtype="int64"),
+                "n_events": n.to_numpy(dtype="int64"),
+                "value_slope_per_hour": np.round(slope, 6),
+                "value_mean": np.round(vm.to_numpy(dtype=float), 6),
+            }
+        )
+
+    spark = events.sparkSession
+    n_part = max(2, spark.sparkContext.defaultParallelism // 4)
+    return (
+        events.select("user_id", "ts", "value")
+        .repartition(n_part, "user_id")
+        .mapInPandas(fit_partition, TREND_SCHEMA)
+    )
+
+
 @register(
     "events_user_trend",
     oracle="""
@@ -79,11 +128,13 @@ def events_user_trend(spark, sf_dir: str) -> DataFrame:
     own closed-form ``regr_slope``/``avg`` and emits per-user booleans
     asserting agreement within the 6-dp rounding tolerance. The DuckDB
     oracle recomputes the exact group counts and expects TRUE — a
-    broken UDF path now fails the driver hash check. (The grouped-map
-    demo itself stays the point: this registered entry exercises
-    applyInPandas end-to-end on every run.)"""
+    broken UDF path now fails the driver hash check. Uses the batched
+    mapInPandas fit (one vectorized pandas groupby per partition) — the
+    per-group applyInPandas variant stays exported/unit-tested as the
+    grouped-map API demo, but with ~150 tiny groups it pays a pandas
+    call per group and was the bench's 5.6s outlier."""
     e = load(spark, sf_dir, "events")
-    fitted = user_value_trend(e)
+    fitted = user_value_trend_batched(e)
     # tz-free epoch hours (ntz stays ntz — no session-tz/DST distortion);
     # any constant offset cancels in the regression slope anyway.
     hours = (

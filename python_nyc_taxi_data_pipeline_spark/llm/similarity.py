@@ -162,6 +162,36 @@ def knn_cosine_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def normalize_quantize_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing: L2 normalization + symmetric int8
+    quantization (the storage/compute reduction step before ANN
+    indexing — 4× smaller vectors, SIMD-friendly dot products). All
+    array-lambda JVM ops. Returns RAW array columns — the working
+    representation downstream operators consume; unregistered because
+    the driver canonicalizer cannot sort/hash list cells (r02:
+    ``unhashable type: 'list'``). The registered twin below serializes."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    nrm = _norm(F.col("v"))
+    max_abs = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    n = e.select("vec_id", "label", "v", nrm.alias("nrm"), max_abs.alias("max_abs"))
+    return n.select(
+        "vec_id",
+        "label",
+        F.col("nrm").alias("l2_norm"),
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("unit_vec"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * F.lit(127.0) / F.col("max_abs"), 0).cast("int"),
+        ).alias("int8_vec"),
+    )
+
+
 @register(
     "embeddings_normalize_quantize",
     oracle="""
@@ -176,18 +206,27 @@ def knn_cosine_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     )
     SELECT vec_id, label,
-           round(nrm, 6) AS l2_norm,
-           list_transform(v, x -> round(x / nrm, 6)) AS unit_vec,
-           list_transform(v, x -> CAST(round(x * 127.0 / max_abs, 0) AS INT)) AS int8_vec
+           CAST(round(nrm * 1000000.0, 0) AS BIGINT) AS l2_norm_micro,
+           array_to_string(
+             list_transform(v, x -> CAST(CAST(round(x / nrm * 1000000.0, 0) AS BIGINT) AS VARCHAR)),
+             ',') AS unit_vec,
+           array_to_string(
+             list_transform(v, x -> CAST(CAST(round(x * 127.0 / max_abs, 0) AS INT) AS VARCHAR)),
+             ',') AS int8_vec
     FROM n
     """,
     tags=("llm", "embedding"),
 )
 def embeddings_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding preprocessing: L2 normalization + symmetric int8
-    quantization (the storage/compute reduction step before ANN
-    indexing — 4× smaller vectors, SIMD-friendly dot products). All
-    array-lambda JVM ops; exact oracle."""
+    """Driver-checkable twin of :func:`normalize_quantize_raw`.
+
+    Raw ``array<double>`` / ``array<int>`` cells are unhashable to the
+    driver canonicalizer, and double→string formatting diverges between
+    engines (Spark ``1.0E-5`` vs DuckDB ``1e-05``), so every output is
+    an integer or a comma-joined integer string: the norm and unit
+    vector are scaled to micro-units (×1e6, round-half-up in both
+    engines) before serialization. IEEE double ops fold in array order
+    on both sides, so the scaled integers are bit-determined."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
@@ -198,16 +237,28 @@ def embeddings_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
         lambda acc, x: F.greatest(acc, x),
     )
     n = e.select("vec_id", "label", "v", nrm.alias("nrm"), max_abs.alias("max_abs"))
+    micro = F.lit(1000000.0)
     return n.select(
         "vec_id",
         "label",
-        F.round(F.col("nrm"), 6).alias("l2_norm"),
-        F.transform(F.col("v"), lambda x: F.round(x / F.col("nrm"), 6)).alias(
-            "unit_vec"
-        ),
-        F.transform(
-            F.col("v"),
-            lambda x: F.round(x * F.lit(127.0) / F.col("max_abs"), 0).cast("int"),
+        F.round(F.col("nrm") * micro, 0).cast("long").alias("l2_norm_micro"),
+        F.array_join(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x / F.col("nrm") * micro, 0)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("unit_vec"),
+        F.array_join(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x * F.lit(127.0) / F.col("max_abs"), 0)
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("int8_vec"),
     )
 

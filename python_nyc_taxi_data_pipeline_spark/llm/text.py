@@ -202,7 +202,14 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprint_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp array<bigint>, n_fingerprints, n_windows) — the full
     winnowing fingerprint sets plus the structural window count."""
-    d = load(spark, sf_dir, "documents")
+    return fingerprint_sets_of(load(spark, sf_dir, "documents"))
+
+
+def fingerprint_sets_of(d: DataFrame) -> DataFrame:
+    """Winnowing fingerprints over an arbitrary ``(doc_id, text)``
+    frame — lets callers pre-filter (e.g. to candidate-pair docs) so
+    the char-window transform only runs where fingerprints are
+    consumed."""
     # two steps so each shingle hashes once (the naive nested form
     # recomputes xxhash64 w× per sliding window)
     hashes = F.expr(
@@ -272,8 +279,23 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by the determinism unit tests."""
     from .dedup import docs_ngram_jaccard_pairs
 
-    fps = fingerprint_sets(spark, sf_dir)
-    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    # Pin the (tiny) pair set once — it feeds BOTH the semi-join filter
+    # below and the final join, and pair generation is the dominant cost.
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    # Fingerprint ONLY the docs that appear in a near-dup pair: the
+    # char-window winnowing transform is the expensive step, and the
+    # contract consumes fingerprints solely for pair participants —
+    # at 100 TB this keeps the fingerprint job proportional to the
+    # candidate set, not the corpus.
+    pair_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = load(spark, sf_dir, "documents").join(
+        F.broadcast(pair_ids), "doc_id", "left_semi"
+    )
+    fps = fingerprint_sets_of(d)
     bounds_ok = (F.col("n_fingerprints") >= 1) & (
         F.col("n_fingerprints") <= F.col("n_windows")
     )

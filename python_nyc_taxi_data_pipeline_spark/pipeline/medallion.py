@@ -71,6 +71,11 @@ class MedallionConfig:
     dead_letter_keys: tuple[str, ...]
     default_watermark: datetime
     partition_col: str = "load_month"  # derived yyyy-MM partition column
+    # Driver-side pyarrow/footer shortcuts only apply on a local
+    # filesystem; False forces the distributed Spark paths everywhere —
+    # the code a real cluster (s3://, hdfs://) runs, kept testable
+    # locally by flipping this flag.
+    local_fastpaths: bool = True
 
 
 @dataclass(frozen=True)
@@ -91,6 +96,11 @@ class MedallionPipeline:
         self.meta_path = os.path.join(w, "meta", "runs")
         self.silver_path = os.path.join(w, "silver")
         self.gold_path = os.path.join(w, "gold")
+
+    def _local(self, path: str) -> bool:
+        """True when driver-side pyarrow/footer shortcuts may be used
+        for ``path`` (local filesystem AND not disabled by config)."""
+        return self.cfg.local_fastpaths and "://" not in path
 
     # -- table access -----------------------------------------------------
 
@@ -121,7 +131,7 @@ class MedallionPipeline:
         # batch in fixed scheduling overhead. On a local filesystem,
         # read it with pyarrow directly; the parquet layout is
         # unchanged, so `meta()` (Spark) still reads the same table.
-        if "://" not in self.meta_path and os.path.exists(self.meta_path):
+        if self._local(self.meta_path) and os.path.exists(self.meta_path):
             import pyarrow.dataset as ds
 
             tbl = ds.dataset(self.meta_path, format="parquet").to_table(
@@ -193,7 +203,7 @@ class MedallionPipeline:
             # rows in (win.end, month_max] on later loads. Narrower
             # windows and remote paths use the window-bounded Spark
             # aggregate.
-            if "://" not in self.bronze_path and win == month_window_of(win.start):
+            if self._local(self.bronze_path) and win == month_window_of(win.start):
                 new_wm = self._month_max_from_footers(win) or wm
             else:
                 bronze_df = self.bronze()
@@ -252,7 +262,7 @@ class MedallionPipeline:
         runtime: float,
         error: str | None,
     ) -> None:
-        if "://" not in self.meta_path:
+        if self._local(self.meta_path):
             # driver-side metadata append: one pyarrow file write, no
             # Spark job (see current_watermark)
             import uuid

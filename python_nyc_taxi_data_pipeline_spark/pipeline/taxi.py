@@ -30,7 +30,9 @@ from ..sources.schemas import (
 DEFAULT_WATERMARK = datetime(2024, 1, 1)
 
 
-def taxi_pipeline(spark: SparkSession, warehouse: str) -> MedallionPipeline:
+def taxi_pipeline(
+    spark: SparkSession, warehouse: str, local_fastpaths: bool = True
+) -> MedallionPipeline:
     return MedallionPipeline(
         spark,
         MedallionConfig(
@@ -38,6 +40,7 @@ def taxi_pipeline(spark: SparkSession, warehouse: str) -> MedallionPipeline:
             ts_col="tpep_pickup_datetime",
             dead_letter_keys=INVALID_RECORDS_KEY,
             default_watermark=DEFAULT_WATERMARK,
+            local_fastpaths=local_fastpaths,
         ),
     )
 

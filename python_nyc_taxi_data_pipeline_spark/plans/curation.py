@@ -67,7 +67,10 @@ def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_pack_sequences",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      -- CAST: DuckDB len() is BIGINT and SUM() OVER is HUGEINT; the
+      -- driver hash is dtype-sensitive, so pin both n_tokens and
+      -- pack_id to BIGINT to match Spark's int64 columns.
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
       SELECT doc_id, n_tokens,
@@ -78,7 +81,7 @@ def docs_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, n_tokens,
-           offset_tokens // {PACK_BUDGET} AS pack_id
+           CAST(offset_tokens // {PACK_BUDGET} AS BIGINT) AS pack_id
     FROM c
     """,
     tags=("llm", "packing", "curation"),
@@ -89,7 +92,10 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines/cluster sizes, the property rand()-based packing loses on
     retry."""
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    # cast: F.size is INT; the oracle (DuckDB len) is BIGINT — align.
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
     return pack_by_budget(t, "doc_id", "n_tokens", PACK_BUDGET).select(
         "doc_id", "n_tokens", "pack_id"
     )

@@ -286,10 +286,13 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_class",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           -- CAST: DuckDB SUM(int) is HUGEINT (pandas float64); Spark
+           -- F.sum(when) is BIGINT (int64) — the driver hash is
+           -- dtype-sensitive, so align to BIGINT on both sides.
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o, lineitem l
     WHERE o.o_orderkey = l.l_orderkey
       AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

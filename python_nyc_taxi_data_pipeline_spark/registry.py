@@ -46,9 +46,29 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def _evidence() -> dict[str, int]:
+    """Per-query newest driver-green round, from ``evidence.json``
+    (regenerated each round by ``tools/update_evidence.py``)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "evidence.json")
+    try:
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        return {}
+
+
 def all_queries() -> dict[str, RegisteredQuery]:
+    """Registered queries, ordered so the driver's 50-query correctness
+    window always covers the weakest evidence first: brand-new queries
+    (no driver row yet, priority -1), then never-green ones (0), then
+    oldest-green ascending. Ties break by name for determinism."""
     _ensure_loaded()
-    return dict(_REGISTRY)
+    ev = _evidence()
+    ordered = sorted(_REGISTRY.values(), key=lambda q: (ev.get(q.name, -1), q.name))
+    return {q.name: q for q in ordered}
 
 
 def queries() -> dict[str, QueryFn]:
@@ -67,14 +87,10 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Imports are for their registration side effects.
-    #
-    # ORDER MATTERS: the round-1 driver recorded CORRECTNESS rows for exactly
-    # the first 50 registered names, leaving everything that registered after
-    # `plans.tpch` (all llm/*, tpch_ext, streaming windows) driver-unverified.
-    # Register the previously-unchecked surface FIRST so that, cap or no cap,
-    # those queries get driver oracle rows this round; the tail (analytics2,
-    # core, tpch) was fully green in CORRECTNESS_r01.json.
+    # Imports are for their registration side effects. Import order no
+    # longer determines the driver's 50-query window — `all_queries()`
+    # re-orders by evidence.json (never-green first, stalest-green next),
+    # so weak evidence always lands inside the checked window.
     from .llm import clusters, dedup, grouped, similarity, text  # noqa: F401
     from .plans import tpch_ext  # noqa: F401
     from .streaming import windows  # noqa: F401

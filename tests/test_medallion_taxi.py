@@ -44,8 +44,14 @@ def win(month: int) -> MonthWindow:
     return MonthWindow(datetime(2024, month, 1), datetime(2024, month + 1, 1))
 
 
-def test_full_medallion_run(spark, taxi_df, tmp_path):
-    pipe = taxi_pipeline(spark, str(tmp_path / "wh"))
+@pytest.mark.parametrize("local_fastpaths", [True, False], ids=["local", "cluster"])
+def test_full_medallion_run(spark, taxi_df, tmp_path, local_fastpaths):
+    # local=True exercises the driver-side pyarrow/footer shortcuts;
+    # cluster=False forces the distributed Spark code paths a real
+    # s3://-warehouse deployment runs (watermark read, footer-free
+    # watermark recompute, Spark meta append) — same end-to-end
+    # idempotency evidence on both.
+    pipe = taxi_pipeline(spark, str(tmp_path / "wh"), local_fastpaths=local_fastpaths)
 
     jan = month_batch(taxi_df, 1)
     feb = month_batch(taxi_df, 2).cache()

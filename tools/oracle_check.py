@@ -35,14 +35,45 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonicalization: sort columns by name, then sort
+    rows by the RAW values of every column. No ``astype(str)`` smoothing
+    before the sort — if a column holds unhashable values (lists/arrays)
+    this raises exactly like the driver's canonicalizer does (r02:
+    ``TypeError: unhashable type: 'list'`` from pandas ``sort_values``)."""
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+    try:
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+    except TypeError as exc:
+        raise TypeError(
+            f"unsortable result column (driver canonicalizer dies the same "
+            f"way): {exc}"
+        ) from exc
+
+
+_INT_KINDS = frozenset("iub")  # signed / unsigned / bool
+
+
+def _kind(s: pd.Series) -> str:
+    k = s.dtype.kind
+    if k in _INT_KINDS:
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    return "object"
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    """Strict, dtype-sensitive compare mirroring the driver's value-hash.
+
+    The driver hashes canonicalized raw values, so an int64 column on one
+    side and a float64 on the other hash-mismatch even when the values are
+    numerically equal (r02: DuckDB HUGEINT → pandas float64 vs Spark
+    BIGINT → int64 failed ``tpch_q12_priority_class`` /
+    ``docs_pack_sequences``). Hence: int-vs-float dtype divergence is a
+    FAIL here, integers compare exactly, and floats compare bit-exactly
+    (NaN==NaN) with the max abs diff reported on mismatch."""
     problems = []
     if len(spark_df) != len(duck_df):
         problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
@@ -52,20 +83,40 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         return problems
     if problems:
         return problems
-    s, d = normalize(spark_df), normalize(duck_df)
+    try:
+        s, d = normalize(spark_df), normalize(duck_df)
+    except TypeError as exc:
+        return [str(exc)]
     for c in s.columns:
         a, b = s[c], d[c]
-        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-            ok = (
-                (a.astype(float).fillna(-1e308) - b.astype(float).fillna(-1e308))
-                .abs()
-                .max()
-                <= 1e-9
-            ) if len(a) else True
-        else:
-            ok = a.astype(str).equals(b.astype(str))
+        ka, kb = _kind(a), _kind(b)
+        if ka != kb and {ka, kb} <= {"int", "float"}:
+            problems.append(
+                f"dtype divergence in col {c}: spark={a.dtype} duck={b.dtype} "
+                f"— driver value-hash WILL mismatch (cast the oracle or the "
+                f"Spark column so integer/float kinds agree)"
+            )
+            continue
+        if ka == kb == "float":
+            an, bn = a.to_numpy(dtype=float), b.to_numpy(dtype=float)
+            both_nan = pd.isna(an) & pd.isna(bn)
+            eq = (an == bn) | both_nan
+            if not eq.all():
+                import numpy as np
+
+                diff = np.abs(np.nan_to_num(an) - np.nan_to_num(bn))
+                idx = [int(i) for i in (~eq).nonzero()[0][:3]]
+                examples = [(i, a.iloc[i], b.iloc[i]) for i in idx]
+                problems.append(
+                    f"float values not bit-equal in col {c} "
+                    f"(max abs diff {diff.max():.3e}): {examples}"
+                )
+            continue
+        # int / datetime / object: exact equality on raw values
+        # (None/NaN-safe via astype(str) AFTER the raw sort).
+        ok = a.astype(str).equals(b.astype(str))
         if not ok:
-            mism = (a.astype(str) != b.astype(str))
+            mism = a.astype(str) != b.astype(str)
             idx = mism[mism].index[:3].tolist()
             examples = [(i, a.iloc[i], b.iloc[i]) for i in idx[:3]]
             problems.append(f"values differ in col {c}: {examples}")
