@@ -76,8 +76,15 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("bench")
     timings: dict[str, float] = {}
-    # Warm the JVM/session on the smallest fixture so q1 doesn't pay startup.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the JVM/session so the FIRST registered query (the registry
+    # orders weakest-evidence first, so it changes round to round) isn't
+    # charged for one-time startup: codegen + a noop write, and one
+    # trivial mapInPandas pass to spin up the Python worker pool.
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
     for name, q in all_queries().items():
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1,11 +1,15 @@
-"""Extended TPC-H-shaped plans (Q4/Q6/Q7/Q8/Q10/Q12/Q13/Q14/Q15/Q16/Q19/Q22).
+"""Extended TPC-H-shaped plans
+(Q2/Q4/Q6/Q7/Q8/Q9/Q10/Q11/Q12/Q13/Q14/Q15/Q16/Q19/Q20/Q21/Q22 —
+with Q1/Q3/Q5/Q13/Q15-core in `plans/tpch.py`, all 22 classic query
+SHAPES are covered).
 
 Widens the join/agg surface beyond `plans/tpch.py` with the remaining
 classic shapes expressible over the trimmed fixture star schema (no
 partsupp / commitdate / shipmode / phone / container columns, so each
 query keeps the SHAPE — EXISTS, disjunctive predicates, conditional
 aggregation, double aggregation over an outer join, NOT-IN anti-join,
-scalar-subquery thresholds — while substituting available columns).
+scalar-subquery thresholds, per-group argmin, sole-blame lateness —
+while substituting available columns).
 
 Scale rules shared by all plans (the 100 TB stance):
 - dims (part/supplier/customer/nation/region) broadcast — they stay
@@ -595,4 +599,311 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             decimal_sum("c_acctbal", "totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), ranked AS (
+      SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.p_partkey ORDER BY s.s_acctbal, s.s_suppkey
+             ) AS rn
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_size < 15
+    )
+    SELECT p_partkey, p_brand, s_name, s_acctbal, n_name
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "argmin", "window"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin supplier. The fixture schema has
+    no partsupp/ps_supplycost, so the correlated MIN picks the
+    lowest-acctbal supplier that ever shipped the part (ties broken by
+    suppkey). Spark-first plan: the part→supplier pair set is DISTINCT
+    lineitem keys (one shuffle, map-side combine), the per-part argmin
+    is a row_number window over that deduped pair set (tiny vs
+    lineitem), and part/supplier/nation are broadcast dims."""
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey"), F.col("l_suppkey"))
+        .distinct()
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity
+             AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "multijoin", "agg"),
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year across
+    a 5-table join. No ps_supplycost in the fixture schema, so unit
+    cost is modeled as 0.6 × p_retailprice (same expression tree on
+    both engines → bit-identical doubles before the DECIMAL
+    accumulation). The p_name filter is pushed into the broadcast part
+    dim, pruning lineitem via the join; the only shuffle is the final
+    (nation, year) aggregate."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l.l_partkey AS p_partkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,4))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    ), tot AS (
+      SELECT CAST(SUM(value_dec) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM pv
+    )
+    SELECT pv.p_partkey, CAST(pv.value_dec AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(pv.value_dec AS DOUBLE) > tot.total / tot.n_parts * 1.5
+    ORDER BY part_value DESC, p_partkey
+    """,
+    tags=("tpch", "scalar-subquery", "agg"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value vs a global scalar-subquery
+    threshold (parts above 1.5× the MEAN part value of one nation's
+    shipped volume — scale-invariant, so the result is non-empty at
+    every SF, unlike the classic fixed fraction; value = discounted
+    price standing in for ps_supplycost×availqty). The global
+    total derives from the SAME per-part decimal aggregate —
+    computed once, reused via a 1-row broadcast cross join, so the
+    plan adds no second pass over lineitem."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    li = load(spark, sf_dir, "lineitem")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_disc_price()).alias("value_dec"))
+        .localCheckpoint(eager=True)  # computed once; reused by the
+        # total AND the filter branch (lineitem is scanned exactly once)
+    )
+    tot = pv.agg(
+        F.sum("value_dec").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total") / F.col("n_parts") * 1.5
+        )
+        .select(
+            "p_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+@register(
+    "tpch_q20_excess_shippers",
+    oracle="""
+    WITH pq AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS pair_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'cold%'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), marked AS (
+      SELECT l_suppkey,
+             CAST(pair_qty AS DOUBLE) AS pair_qty_d,
+             CAST(SUM(pair_qty) OVER (PARTITION BY l_partkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY l_partkey) AS part_mean_d
+      FROM pq
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM marked m
+    JOIN supplier s ON s.s_suppkey = m.l_suppkey
+    WHERE m.pair_qty_d > m.part_mean_d
+    ORDER BY s.s_suppkey
+    """,
+    tags=("tpch", "semijoin", "window"),
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding "excess" share of a filtered
+    part family (no ps_availqty in the fixture schema, so excess =
+    shipped more of a 'cold%' part than that part's mean per-supplier
+    quantity). Nested-subquery chain expressed Spark-first: one
+    (part,supp) decimal aggregate, a per-part window mean over that
+    SMALL aggregate (not over lineitem), then a distinct semi-join
+    into the supplier dim."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
+    li = load(spark, sf_dir, "lineitem")
+    pq = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pair_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    marked = pq.select(
+        "l_suppkey",
+        F.col("pair_qty").cast("double").alias("pair_qty_d"),
+        (
+            F.sum("pair_qty").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("part_mean_d"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    excess = marked.filter(F.col("pair_qty_d") > F.col("part_mean_d")).select(
+        "l_suppkey"
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+      FROM li GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM li l WHERE l.late = 1) lw
+    JOIN per_order po ON po.l_orderkey = lw.l_orderkey
+    JOIN supplier s ON s.s_suppkey = lw.l_suppkey
+    WHERE po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("tpch", "antijoin", "agg"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely to blame for keeping a
+    multi-supplier order waiting ("late" = shipped >90 days after the
+    order date; the fixture schema has no receipt/commit dates). The
+    classic EXISTS + NOT EXISTS pair collapses into ONE pass over
+    lineitem: a (orderkey, suppkey) aggregate with a per-supplier late
+    flag, then window counts over the order — so lineitem is scanned
+    once and only order-sized aggregates shuffle again; no lineitem
+    self-joins."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    per_pair = (
+        li.select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late_any"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late_any",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late_any").over(w).alias("n_late"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        flagged.filter(
+            (F.col("late_any") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
     )

@@ -102,3 +102,26 @@ def test_join_strategy_hints_are_honored(spark):
     assert "ShuffledHashJoin" in plan_of(shuffled)
     merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
     assert "SortMergeJoin" in plan_of(merged)
+
+
+def test_q9_dims_broadcast_one_agg_shuffle(spark):
+    p = plan_of(E.queries()["tpch_q9_product_type_profit"](spark, SF_DIR))
+    # part/supplier/nation are broadcast; only orders⋈lineitem may shuffle
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters: [IsNotNull(p_name), StringContains(p_name,widget)" in p
+
+
+def test_q2_argmin_runs_on_deduped_pairs(spark):
+    p = plan_of(E.queries()["tpch_q2_min_cost_supplier"](spark, SF_DIR))
+    # the distinct (partkey, suppkey) aggregate precedes the window
+    assert "HashAggregate" in p and "Window" in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "TakeOrderedAndProject" in p  # top-100 without a global sort
+
+
+def test_q21_single_orderkey_shuffle_no_self_joins(spark):
+    p = plan_of(E.queries()["tpch_q21_waiting_suppliers"](spark, SF_DIR))
+    # the EXISTS/NOT-EXISTS pair is one grouped aggregate + window, not
+    # two extra lineitem self-joins: exactly ONE lineitem scan
+    assert p.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in p
