@@ -37,33 +37,37 @@ def connected_components(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
+
+    def label_sum(df: DataFrame):
+        # decimal(38,0) accumulator: overflow-safe at any node-id scale
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
+        # ONE fused pass per round: neighbor labels and own labels union
+        # into a single min-aggregate (2 shuffles/round: the join and the
+        # groupBy), replacing the previous neighbor-agg + left-join +
+        # change-detection-join (3 shuffles + an extra join).
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-            )
+            sym.join(labels, sym.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("component"))
+            .union(labels.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        # Convergence via a SCALAR: per-node labels only ever decrease,
+        # so sum(component) is strictly monotone until the fixpoint —
+        # equal sums ⟺ no label moved (metadata-sized action, no join).
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
