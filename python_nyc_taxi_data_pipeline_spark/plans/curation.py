@@ -265,3 +265,125 @@ def embeddings_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rep == F.col("vec_id")).alias("kept"),
         )
     )
+
+
+SOURCE_QUOTA = 10  # max docs kept per source (fixture sources hold ~25)
+
+
+@register(
+    "docs_source_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INT) AS rk
+      FROM documents
+    )
+    WHERE rk <= {SOURCE_QUOTA}
+    """,
+    tags=("llm", "sampling", "curation"),
+)
+def docs_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: cap each source at {SOURCE_QUOTA}
+    documents, selected by a DETERMINISTIC pseudo-random order
+    (md5(doc_id) — engine-reproducible, unlike rand(); the hash order is
+    uncorrelated with document content, so the kept subset is an
+    unbiased sample of each source). The mixture-control step every
+    pretraining corpus build runs to stop one crawl dominating.
+
+    Scale: one shuffle on source. A pathologically hot source makes one
+    window partition large; at 100 TB pre-gate with an approximate
+    per-source count and a hash-threshold filter (keep rows whose
+    md5 < quota/count quantile) before the exact window — same output,
+    bounded partition."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_QUOTA)
+    )
+
+
+@register(
+    "docs_mixture_weights",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM per_lang
+    )
+    SELECT p.lang, p.n_docs,
+           round(p.n_docs / t.total, 6) AS actual_frac,
+           round((1.0 / t.n_langs) / (p.n_docs / t.total), 6) AS sample_weight
+    FROM per_lang p, tot t
+    ORDER BY p.lang
+    """,
+    tags=("llm", "sampling", "curation"),
+)
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting: per-language sampling weight that
+    would rebalance the corpus to a UNIFORM language mixture
+    (weight = target_frac / actual_frac; >1 = upsample, <1 =
+    downsample) — the knob a data-mixture plan turns (cf. DoReMi-style
+    mixture tuning; here the target is uniform). Pure two-level
+    aggregate: per-lang counts, then a 1-row global broadcast."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_lang.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return (
+        per_lang.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("actual_frac"),
+            F.round(
+                (F.lit(1.0) / F.col("n_langs"))
+                / (F.col("n_docs") / F.col("total")),
+                6,
+            ).alias("sample_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "docs_quality_median_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars, round(pr, 6) AS pr FROM (
+      SELECT doc_id, lang, n_chars,
+             PERCENT_RANK() OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+             ) AS pr
+      FROM documents
+    )
+    WHERE pr >= 0.5
+    """,
+    tags=("llm", "quality", "curation"),
+)
+def docs_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile gate: keep each language's top
+    half by a quality proxy (n_chars; swap in any score column), via
+    percent_rank within the language — the "filter to the top X% by
+    quality, per language so high-resource languages don't starve
+    low-resource ones" curation step. One shuffle on lang; the
+    percent_rank formula ((rank-1)/(n-1)) is engine-identical and the
+    (n_chars, doc_id) ordering is total, so the kept set is exact."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .withColumn("pr", F.round("pr", 6))
+    )
