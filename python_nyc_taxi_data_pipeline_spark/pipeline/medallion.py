@@ -160,19 +160,25 @@ class MedallionPipeline:
             in_win, out_win = split_by_watermark(batch, self.cfg.ts_col, wm, win)
 
             # bronze append, partitioned by load month for pruning (S6).
+            # Row counts come from Observation metrics attached to the
+            # write job itself — one pass per sink instead of the old
+            # cache()+count()+write() double action (2 jobs saved per
+            # batch; at scale this also removes the cache memory
+            # pressure of a full batch).
+            from pyspark.sql import Observation
+
             in_win = in_win.withColumn(
                 self.cfg.partition_col,
                 F.date_format(F.col(self.cfg.ts_col), "yyyy-MM"),
             )
-            in_win = in_win.cache()
-            loaded = in_win.count()
-            if loaded:
-                (
-                    in_win.write.mode("append")
-                    .partitionBy(self.cfg.partition_col)
-                    .parquet(self.bronze_path)
-                )
-            in_win.unpersist()
+            obs_in = Observation()
+            (
+                in_win.observe(obs_in, F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .partitionBy(self.cfg.partition_col)
+                .parquet(self.bronze_path)
+            )
+            loaded = int(obs_in.get["n"])
 
             # dead-letter with cross-run key dedup (U1/S8).
             existing_invalid = self.invalid_records()
@@ -183,11 +189,11 @@ class MedallionPipeline:
                 if existing_invalid is not None
                 else out_win.dropDuplicates(list(self.cfg.dead_letter_keys))
             )
-            novel = novel.cache()
-            dead = novel.count()
-            if dead:
-                novel.write.mode("append").parquet(self.invalid_path)
-            novel.unpersist()
+            obs_dead = Observation()
+            novel.observe(obs_dead, F.count(F.lit(1)).alias("n")).write.mode(
+                "append"
+            ).parquet(self.invalid_path)
+            dead = int(obs_dead.get["n"])
 
             # watermark recompute FROM THE TARGET, bounded to the window (I4).
             # The month window maps 1:1 onto the load_month partition, so
@@ -304,13 +310,19 @@ class MedallionPipeline:
         bronze_df = self.bronze()
         if bronze_df is None:
             return 0
+        from pyspark.sql import Observation
+
         out = transform(bronze_df)
-        path = os.path.join(self.silver_path, name)
-        writer = out.write.mode("overwrite")
+        # row count from the write's own Observation metric — no second
+        # scan of the just-written table
+        obs = Observation()
+        writer = out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        )
         if partition_col:
             writer = writer.partitionBy(partition_col)
-        writer.parquet(path)
-        return self.spark.read.parquet(path).count()
+        writer.parquet(os.path.join(self.silver_path, name))
+        return int(obs.get["n"])
 
     def read_silver(self, name: str = "fact") -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.silver_path, name))
