@@ -390,3 +390,56 @@ def test_embeddings_dedup_apply_consistent_with_pairs(spark):
     for r in rows.values():
         assert rows[r.cluster_rep].kept
         assert r.kept == (r.cluster_rep == r.vec_id)
+
+
+def test_source_quota_sample_invariants(spark):
+    from collections import Counter
+
+    from python_nyc_taxi_data_pipeline_spark.plans.curation import SOURCE_QUOTA
+
+    qs = E.queries()
+    rows = qs["docs_source_quota_sample"](spark, SF_DIR).collect()
+    per_source = Counter(r.source for r in rows)
+    assert all(n <= SOURCE_QUOTA for n in per_source.values())
+    # deterministic: identical kept set on a re-run (md5 order, no rand())
+    again = {r.doc_id for r in qs["docs_source_quota_sample"](spark, SF_DIR).collect()}
+    assert {r.doc_id for r in rows} == again
+    # a source with >= quota docs is capped exactly AT the quota
+    totals = Counter(
+        r.source for r in load(spark, SF_DIR, "documents").select("source").collect()
+    )
+    for src, total in totals.items():
+        assert per_source.get(src, 0) == min(total, SOURCE_QUOTA)
+
+
+def test_mixture_weights_rebalance_to_uniform(spark):
+    rows = E.queries()["docs_mixture_weights"](spark, SF_DIR).collect()
+    n_langs = len(rows)
+    assert abs(sum(r.actual_frac for r in rows) - 1.0) < 1e-4
+    # weight × actual share ≈ the uniform target share for every lang
+    for r in rows:
+        assert abs(r.sample_weight * r.actual_frac - 1.0 / n_langs) < 1e-4
+
+
+def test_quality_median_filter_keeps_top_half_per_lang(spark):
+    from collections import Counter, defaultdict
+
+    kept = E.queries()["docs_quality_median_filter"](spark, SF_DIR).collect()
+    assert all(r.pr >= 0.5 for r in kept)
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars").collect()
+    totals = Counter(d.lang for d in docs)
+    kept_by_lang = defaultdict(list)
+    for r in kept:
+        kept_by_lang[r.lang].append(r)
+    for lang, n in totals.items():
+        ks = kept_by_lang[lang]
+        # percent_rank >= 0.5 keeps the top ~half: n - ceil((n-1)/2) rows
+        assert len(ks) == n - -(-(n - 1) // 2)
+        # every kept doc's proxy >= every dropped doc's proxy (ties split
+        # deterministically by doc_id, so compare against the strict max)
+        kept_ids = {r.doc_id for r in ks}
+        dropped = [d for d in docs if d.lang == lang and d.doc_id not in kept_ids]
+        if dropped and ks:
+            assert min(r.n_chars for r in ks) >= max(d.n_chars for d in dropped) or any(
+                d.n_chars == min(r.n_chars for r in ks) for d in dropped
+            )
