@@ -173,7 +173,14 @@ class MedallionPipeline:
             )
             obs_in = Observation()
             (
-                in_win.observe(obs_in, F.count(F.lit(1)).alias("n"))
+                # repartition on the partition column before the
+                # partitioned write: AQE sizes the shuffle output, so
+                # each month partition lands as few right-sized files
+                # instead of one tiny file per scan task (32 locally;
+                # thousands on a cluster) — the standard small-files
+                # guard for partitioned sinks.
+                in_win.repartition(F.col(self.cfg.partition_col))
+                .observe(obs_in, F.count(F.lit(1)).alias("n"))
                 .write.mode("append")
                 .partitionBy(self.cfg.partition_col)
                 .parquet(self.bronze_path)
