@@ -336,7 +336,12 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture tuning; here the target is uniform). Pure two-level
     aggregate: per-lang counts, then a 1-row global broadcast."""
     d = load(spark, sf_dir, "documents")
-    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_lang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)  # tiny; reused by the global total
+        # AND the weight projection — documents scans exactly once
+    )
     tot = per_lang.agg(
         F.sum("n_docs").cast("double").alias("total"),
         F.count(F.lit(1)).alias("n_langs"),
