@@ -90,8 +90,16 @@ def main() -> int:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    # The BASELINE.md comparable is the reference's STEADY-STATE
+    # throughput over a 16.8M-row sustained ingest, so measure the
+    # medallion run warm: one untimed pass JITs the write/agg paths
+    # (its fresh temp warehouse is destroyed), then the timed pass.
+    # Cold-vs-warm on this VM swings the e2e number by up to 2×, which
+    # would drown any real regression signal.
+    bench_medallion(spark, sf_dir)
     med_sec, med_rows = bench_medallion(spark, sf_dir)
     timings["medallion_e2e"] = round(med_sec, 3)
+    print(f"# medallion_e2e: {timings['medallion_e2e']}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     line = json.dumps(
         {
