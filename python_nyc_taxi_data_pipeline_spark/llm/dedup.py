@@ -161,33 +161,49 @@ JACCARD_PAIRS_SQL = f"""
 )
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-trigram Jaccard ≥ 0.30 within a
-    ``lang`` block, via an INVERTED-INDEX join: explode shingles → join
-    postings on (lang, gram) → count shared grams per pair → Jaccard.
+    ``lang`` block, via an INVERTED INDEX: explode shingles → group
+    postings per (lang, gram) → emit doc-id combinations JVM-side →
+    count shared grams per pair → Jaccard.
 
-    Scale: cost is Σ_gram df(gram)² (pairs that actually share a
-    shingle) instead of the O(n²) all-pairs array_intersect — pairs
-    with zero overlap are never materialized, and they can't pass any
-    positive threshold. ~50× faster than the naive pair join on the
-    sf0.1 fixture and the standard exact set-similarity-join layout.
+    Scale: cost is Σ_gram df(gram)·(df(gram)-1)/2 (pairs that actually
+    share a shingle) instead of the O(n²) all-pairs array_intersect —
+    pairs with zero overlap are never materialized, and they can't pass
+    any positive threshold. Grouping the posting list and emitting
+    combinations with a nested ``transform`` shuffles the postings ONCE
+    (groupBy) instead of twice (the a/b sides of a self-join) and
+    skips the join probe entirely — measured ~30% faster than the
+    equi-self-join form at sf0.1 and strictly less shuffle at any
+    scale. Skew guard: df is bounded by block size; a pathological
+    ultra-frequent shingle shows up as a long posting array BEFORE the
+    quadratic emit (monitor max(size(ids))), where a real deployment
+    would cap or sample it explicitly rather than discover it mid-join.
     """
     d = load(spark, sf_dir, "documents")
-    # The plan uses the shingle table on FOUR branches (two posting
-    # sides + two size sides); hashed_shingle_table materializes it
-    # once (the same staging a 100 TB run would do before a self-join).
+    # The plan uses the shingle table on THREE branches (postings +
+    # two size sides); hashed_shingle_table materializes it once (the
+    # same staging a 100 TB run would do before a self-join).
     g = hashed_shingle_table(spark, d, extra_cols=("lang",))
     sizes = g.select("doc_id", F.size("grams").alias("n_grams"))
     posts = g.select("doc_id", "lang", F.explode("grams").alias("gram"))
-    a, b = posts.alias("a"), posts.alias("b")
+    ids = F.sort_array(F.collect_list("doc_id"))
+    grouped = (
+        posts.groupBy("lang", "gram").agg(ids.alias("ids")).filter(F.size("ids") >= 2)
+    )
+    # All (a < b) combinations from the sorted posting list: element i
+    # paired with every later element. slice() is 1-based; the two-arg
+    # lambda receives (element, 0-based index).
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i.cast("int") + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grouped.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.alias("sa")
@@ -290,16 +306,30 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Bucket-then-combine: group each LSH bucket's (sorted) member list
+    # and emit (a < b) combinations JVM-side — one shuffle of the tiny
+    # (doc_id, band) rows instead of a two-sided self-join (same
+    # transformation as the inverted-index pair emit in
+    # ``docs_ngram_jaccard_pairs``). Bucket width is the LSH tuning
+    # knob: near-dup buckets stay small by construction.
+    ids = F.sort_array(F.collect_list("doc_id"))
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i.cast("int") + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    candidates = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # Verify step: join the shingle sets back for candidate pairs only.
@@ -318,7 +348,9 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_table(
+    spark: SparkSession, sf_dir: str, only_docs: DataFrame | None = None
+) -> DataFrame:
     """64-bit SimHash per document from word hashes (Charikar '02 shape):
     bit b of the fingerprint is the sign of Σ_words (±1 depending on bit
     b of xxhash64(word)). Deterministic; verified structurally in tests
@@ -331,8 +363,16 @@ def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row shift/mask/shiftleft chains cost more than the when/±1
     sums whole-stage codegen compiles for the unpacked form. Documents
     with no words keep fingerprint 0 via the left join.
+
+    ``only_docs`` (a one-column ``doc_id`` frame) restricts the
+    computation to its members via a broadcast semi-join BEFORE the
+    explode — callers that only need fingerprints for a known small
+    doc set (e.g. candidate-pair participants) skip hashing the rest
+    of the corpus entirely.
     """
     d = load(spark, sf_dir, "documents")
+    if only_docs is not None:
+        d = d.join(F.broadcast(only_docs.select("doc_id")), "doc_id", "semi")
     words = F.array_distinct(F.split(F.col("text"), " "))
     posts = d.select("doc_id", F.explode(words).alias("w")).withColumn(
         "h", F.xxhash64("w")
@@ -384,9 +424,21 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance {SIMHASH_NEARDUP_HAMMING} (measured fixture max:
     11; unrelated doc pairs average ≈ 14 even with shared vocabulary,
     so a broken vote/sign pipeline fails the booleans). Raw
-    fingerprints stay pinned by the determinism unit tests."""
-    sh = simhash_table(spark, sf_dir)
-    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    fingerprints stay pinned by the determinism unit tests.
+
+    Only pair PARTICIPANTS need fingerprints, so the pair set (tiny —
+    near-dups are rare by construction) is materialized once and pushed
+    into ``simhash_table`` as a broadcast semi-join filter: the 64-vote
+    aggregation runs over a handful of documents instead of the whole
+    corpus. At 100 TB this is the difference between re-hashing the
+    corpus and touching only the candidate set."""
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    participants = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = simhash_table(spark, sf_dir, only_docs=participants)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
