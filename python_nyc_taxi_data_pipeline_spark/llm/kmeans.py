@@ -1,0 +1,169 @@
+"""Embedding clustering: nearest-centroid assignment and Lloyd k-means.
+
+The training-data use case is corpus bucketing — clustering document
+embeddings to stratify mixtures, find semantic near-dup groups, or
+build IVF-style coarse quantizers (``llm.similarity`` uses the same
+shape for its partitioned ANN path).
+
+Scale design (100 TB of embeddings, k clusters, d dims):
+- Centroids are k×d doubles — metadata-sized. They live on the driver
+  between iterations and reach executors as LITERAL expressions inside
+  whole-stage codegen (the same broadcast-centroid-matrix design as
+  Spark MLlib's KMeans); the corpus is never collected.
+- Assignment is a pure map: per row, argmin over k literal-centroid
+  distances via JVM array lambdas — ZERO shuffle, zero Python.
+- The Lloyd update is the only shuffle, once per iteration:
+  posexplode(embedding) → SUM/COUNT per (cluster, dim) — k·d groups,
+  map-side combined, then collected (k·d values, metadata-sized) to
+  rebuild centroids driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+K_CENTROIDS = 8
+LLOYD_ITERATIONS = 3
+
+Centroid = tuple[int, list[float]]
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def assign_nearest(vectors: DataFrame, centroids: list[Centroid]) -> DataFrame:
+    """(vec_id, evec) → (vec_id, evec, cluster_id, dist_sq) as a pure
+    map stage: the k distances form an array of (dist, cid) structs and
+    ``array_min`` picks the lexicographic minimum — deterministic
+    tie-break on the lowest cid, no shuffle, no window. The whole
+    argmin is ONE sql expression string (k·d literals through a single
+    parse, not k·d Py4J ``lit`` round-trips — the latter dominated
+    wall-time when rebuilt every Lloyd iteration)."""
+    def vec_lit(cvec: list[float]) -> str:
+        return "array(" + ",".join(
+            f"CAST('{float(x)!r}' AS DOUBLE)" for x in cvec
+        ) + ")"
+
+    cmat = "array(" + ",".join(
+        f"named_struct('c', CAST({int(cid)} AS BIGINT), 'v', {vec_lit(cvec)})"
+        for cid, cvec in centroids
+    ) + ")"
+    # The centroid matrix constant-folds to ONE literal before codegen,
+    # so the generated code is a compact runtime loop over k — not a
+    # k·d-term expression recompiled every Lloyd iteration.
+    best = F.expr(
+        f"""array_min(transform({cmat}, s -> named_struct(
+              'd', aggregate(zip_with(evec, s.v, (a, b) -> (a-b)*(a-b)),
+                             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
+              'c', s.c)))"""
+    )
+    return vectors.select(
+        "vec_id",
+        "evec",
+        best["c"].alias("cluster_id"),
+        best["d"].alias("dist_sq"),
+    )
+
+
+def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("evec")
+    )
+
+
+def _seed_centroids(vectors: DataFrame, k: int) -> list[Centroid]:
+    """Deterministic init: the k lowest vec_ids (a k-row collect)."""
+    rows = vectors.filter(F.col("vec_id") < k).collect()
+    return [(int(r["vec_id"]), list(r["evec"])) for r in sorted(rows, key=lambda r: r["vec_id"])]
+
+
+@register(
+    "embeddings_nearest_centroid",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {K_CENTROIDS}
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS evec FROM embeddings
+    ),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(
+               [ (evec[i]-cvec[i])*(evec[i]-cvec[i])
+                 for i in generate_series(1, len(evec)) ],
+               (a, b) -> a + b) AS dist_sq
+      FROM e CROSS JOIN c
+    )
+    SELECT vec_id, cid AS cluster_id, round(dist_sq, 4) AS dist_sq
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq, cid) = 1
+    """,
+    tags=("llm", "clustering"),
+)
+def embeddings_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer assignment: every embedding to its nearest of
+    the k seed centroids (the k lowest vec_ids), exact L2, deterministic
+    tie-break. One shuffle-free codegen pass over the corpus."""
+    vectors = _load_vectors(spark, sf_dir)
+    assigned = assign_nearest(vectors, _seed_centroids(vectors, K_CENTROIDS))
+    return assigned.select(
+        "vec_id", "cluster_id", F.round("dist_sq", 4).alias("dist_sq")
+    )
+
+
+def lloyd_iterate(
+    vectors: DataFrame, centroids: list[Centroid], iterations: int
+) -> list[Centroid]:
+    """Run ``iterations`` Lloyd rounds; returns the final centroids.
+    One k·d-group aggregation shuffle per round; the per-row assignment
+    is fused into the same stage (no join back to the corpus)."""
+    for _ in range(iterations):
+        sums = (
+            assign_nearest(vectors, centroids)
+            .select("cluster_id", F.posexplode("evec").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()  # k·d rows — metadata-sized by construction
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for row in sums:
+            by_cid.setdefault(int(row["cluster_id"]), {})[int(row["dim"])] = (
+                row["s"] / row["n"]
+            )
+        centroids = [
+            (cid, [dims[i] for i in range(len(dims))])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return centroids
+
+
+@register("embeddings_kmeans", tags=("llm", "clustering"))  # rows-only:
+# per-cluster double means are partition-order-sensitive in the last
+# ulps, so no bit-exact SQL oracle; invariants are pytest-verified
+# (tests/test_kmeans.py: non-increasing inertia, argmin consistency).
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 3 iterations, deterministic seed = lowest
+    vec_ids): returns per-cluster size and inertia. Each iteration is
+    one map-only assignment fused with one k·d-group aggregation."""
+    vectors = _load_vectors(spark, sf_dir).cache()
+    try:
+        centroids = lloyd_iterate(
+            vectors, _seed_centroids(vectors, K_CENTROIDS), LLOYD_ITERATIONS
+        )
+        final = assign_nearest(vectors, centroids)
+        return (
+            final.groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("n_points"),
+                F.round(F.sum("dist_sq"), 2).alias("inertia"),
+            )
+            .orderBy("cluster_id")
+        )
+    finally:
+        vectors.unpersist(blocking=False)
