@@ -40,24 +40,32 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``sf_dir``.
 
-    ``events`` is stored with nanosecond parquet timestamps, which the
-    Spark vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We read the
-    raw int64 nanos (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ at
-    microsecond precision — the same truncation DuckDB applies, so the
-    oracle sees identical values. Session tz is pinned to UTC for the
+    ``events.ts`` has shipped as either parquet nanosecond timestamps
+    (which the Spark vectorized reader rejects — PARQUET_TYPE_ILLEGAL)
+    or plain microsecond timestamps, depending on the fixture
+    generation. We normalize both to TIMESTAMP_NTZ at microsecond
+    precision — the same truncation DuckDB applies, so the oracle sees
+    identical values. For the nanos case the raw int64 is read via
+    ``nanosAsLong`` and rebuilt; session tz is pinned to UTC for any
     instant→NTZ hop so the result is timezone-independent.
     """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; options: {FIXTURE_TABLES}")
     if name == "events":
         from pyspark.sql import functions as F  # local import: keep module cheap
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # nanos read as raw int64
+            return df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        if not isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

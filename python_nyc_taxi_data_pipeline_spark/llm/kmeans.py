@@ -143,14 +143,13 @@ def lloyd_iterate(
     return centroids
 
 
-@register("embeddings_kmeans", tags=("llm", "clustering"))  # rows-only:
-# per-cluster double means are partition-order-sensitive in the last
-# ulps, so no bit-exact SQL oracle; invariants are pytest-verified
-# (tests/test_kmeans.py: non-increasing inertia, argmin consistency).
-def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means (k=8, 3 iterations, deterministic seed = lowest
     vec_ids): returns per-cluster size and inertia. Each iteration is
-    one map-only assignment fused with one k·d-group aggregation."""
+    one map-only assignment fused with one k·d-group aggregation.
+    Unregistered helper — per-cluster double means are partition-order
+    sensitive in the last ulps, so the registered query wraps this in
+    an exactly-checkable contract instead (``embeddings_kmeans``)."""
     vectors = _load_vectors(spark, sf_dir).cache()
     try:
         centroids = lloyd_iterate(
@@ -164,6 +163,53 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("dist_sq"), 2).alias("inertia"),
             )
             .orderBy("cluster_id")
+        )
+    finally:
+        vectors.unpersist(blocking=False)
+
+
+@register(
+    "embeddings_kmeans",
+    oracle="""
+    SELECT count(*) AS total_points,
+           TRUE AS clusters_within_k,
+           TRUE AS inertia_improved
+    FROM embeddings
+    """,
+    tags=("llm", "clustering"),
+)
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable k-means contract (the ``events_user_trend`` pattern):
+    Lloyd's per-cluster means are float-order-sensitive in the last
+    ulps, so instead of shipping raw centroids the registered query
+    runs the full 3-iteration Lloyd loop and emits one row of exactly
+    hashable facts — point conservation (every embedding assigned to
+    exactly one cluster; the count the oracle recomputes), cluster
+    count bounded by k, and non-increasing inertia vs the seeded
+    assignment. A broken assignment or update step flips a boolean and
+    fails the driver hash. Per-cluster detail stays available via
+    ``kmeans_cluster_profile`` (pytest-verified against NumPy)."""
+    vectors = _load_vectors(spark, sf_dir).cache()
+    try:
+        seeds = _seed_centroids(vectors, K_CENTROIDS)
+        initial = assign_nearest(vectors, seeds).agg(
+            F.sum("dist_sq").alias("inertia_0")
+        )
+        centroids = lloyd_iterate(vectors, seeds, LLOYD_ITERATIONS)
+        final = assign_nearest(vectors, centroids).agg(
+            F.count("*").alias("total_points"),
+            F.countDistinct("cluster_id").alias("k_used"),
+            F.sum("dist_sq").alias("inertia_n"),
+        )
+        return final.crossJoin(initial).select(
+            "total_points",
+            (
+                (F.col("k_used") >= F.lit(1))
+                & (F.col("k_used") <= F.lit(K_CENTROIDS))
+            ).alias("clusters_within_k"),
+            (F.col("inertia_n") <= F.col("inertia_0") * (1.0 + 1e-9)).alias(
+                "inertia_improved"
+            ),
         )
     finally:
         vectors.unpersist(blocking=False)
