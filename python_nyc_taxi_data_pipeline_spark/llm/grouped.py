@@ -73,7 +73,10 @@ def user_value_trend_batched(events: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        pdf = pd.concat(list(batches), ignore_index=True)
+        frames = list(batches)
+        if not frames:  # hash partitions can be empty at tiny SF
+            return
+        pdf = pd.concat(frames, ignore_index=True)
         if pdf.empty:
             return
         pdf["t"] = pdf["ts"].astype("int64") / 3.6e12  # ns → hours

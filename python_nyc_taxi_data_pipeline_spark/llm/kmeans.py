@@ -40,29 +40,31 @@ def assign_nearest(vectors: DataFrame, centroids: list[Centroid]) -> DataFrame:
     """(vec_id, evec) → (vec_id, evec, cluster_id, dist_sq) as a pure
     map stage: the k distances form an array of (dist, cid) structs and
     ``array_min`` picks the lexicographic minimum — deterministic
-    tie-break on the lowest cid, no shuffle, no window. The whole
-    argmin is ONE sql expression string (k·d literals through a single
-    parse, not k·d Py4J ``lit`` round-trips — the latter dominated
-    wall-time when rebuilt every Lloyd iteration)."""
-    def vec_lit(cvec: list[float]) -> str:
-        return "array(" + ",".join(
-            f"CAST('{float(x)!r}' AS DOUBLE)" for x in cvec
-        ) + ")"
+    tie-break on the lowest cid, no shuffle, no window.
 
-    cmat = "array(" + ",".join(
-        f"named_struct('c', CAST({int(cid)} AS BIGINT), 'v', {vec_lit(cvec)})"
-        for cid, cvec in centroids
-    ) + ")"
-    # The centroid matrix constant-folds to ONE literal before codegen,
-    # so the generated code is a compact runtime loop over k — not a
-    # k·d-term expression recompiled every Lloyd iteration.
+    The k×d centroid matrix reaches executors as a BROADCAST one-row
+    DataFrame (BroadcastNestedLoopJoin against one row = a free
+    map-side attach), not as a k·d-term literal expression: the literal
+    variant spent ~5s/iteration in parse+analyze+codegen of a
+    512-constant tree, re-paid every Lloyd round, dwarfing the actual
+    scan. The argmin expression itself is constant-size in k and d."""
+    spark = vectors.sparkSession
+    cmat_df = spark.createDataFrame(
+        [(
+            [
+                {"c": int(cid), "v": [float(x) for x in cvec]}
+                for cid, cvec in centroids
+            ],
+        )],
+        "cents array<struct<c:bigint,v:array<double>>>",
+    )
     best = F.expr(
-        f"""array_min(transform({cmat}, s -> named_struct(
+        """array_min(transform(cents, s -> named_struct(
               'd', aggregate(zip_with(evec, s.v, (a, b) -> (a-b)*(a-b)),
                              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
               'c', s.c)))"""
     )
-    return vectors.select(
+    return vectors.crossJoin(F.broadcast(cmat_df)).select(
         "vec_id",
         "evec",
         best["c"].alias("cluster_id"),
@@ -118,17 +120,34 @@ def embeddings_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lloyd_iterate(
-    vectors: DataFrame, centroids: list[Centroid], iterations: int
-) -> list[Centroid]:
+    vectors: DataFrame,
+    centroids: list[Centroid],
+    iterations: int,
+    *,
+    return_inertia: bool = False,
+) -> list[Centroid] | tuple[list[Centroid], list[float]]:
     """Run ``iterations`` Lloyd rounds; returns the final centroids.
     One k·d-group aggregation shuffle per round; the per-row assignment
-    is fused into the same stage (no join back to the corpus)."""
+    is fused into the same stage (no join back to the corpus).
+
+    Each round's inertia (Σ dist_sq vs that round's INPUT centroids)
+    rides along in the same shuffle for free: after posexplode every
+    row contributes its dist_sq to exactly d (cluster, dim) groups, so
+    Σ_groups sum(dist_sq) = d·inertia — no separate corpus pass. With
+    ``return_inertia`` the per-round list is returned too."""
+    inertias: list[float] = []
     for _ in range(iterations):
         sums = (
             assign_nearest(vectors, centroids)
-            .select("cluster_id", F.posexplode("evec").alias("dim", "v"))
+            .select(
+                "cluster_id", "dist_sq", F.posexplode("evec").alias("dim", "v")
+            )
             .groupBy("cluster_id", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum("v").alias("s"),
+                F.count("*").alias("n"),
+                F.sum("dist_sq").alias("dsum"),
+            )
             .collect()  # k·d rows — metadata-sized by construction
         )
         by_cid: dict[int, dict[int, float]] = {}
@@ -136,10 +155,14 @@ def lloyd_iterate(
             by_cid.setdefault(int(row["cluster_id"]), {})[int(row["dim"])] = (
                 row["s"] / row["n"]
             )
+        n_dims = max(len(d) for d in by_cid.values())
+        inertias.append(sum(row["dsum"] for row in sums) / n_dims)
         centroids = [
             (cid, [dims[i] for i in range(len(dims))])
             for cid, dims in sorted(by_cid.items())
         ]
+    if return_inertia:
+        return centroids, inertias
     return centroids
 
 
@@ -192,22 +215,23 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = _load_vectors(spark, sf_dir).cache()
     try:
         seeds = _seed_centroids(vectors, K_CENTROIDS)
-        initial = assign_nearest(vectors, seeds).agg(
-            F.sum("dist_sq").alias("inertia_0")
+        # inertia_0 (vs the seeds) rides along in the first Lloyd
+        # shuffle — no separate seed-assignment pass over the corpus.
+        centroids, inertias = lloyd_iterate(
+            vectors, seeds, LLOYD_ITERATIONS, return_inertia=True
         )
-        centroids = lloyd_iterate(vectors, seeds, LLOYD_ITERATIONS)
         final = assign_nearest(vectors, centroids).agg(
             F.count("*").alias("total_points"),
             F.countDistinct("cluster_id").alias("k_used"),
             F.sum("dist_sq").alias("inertia_n"),
         )
-        return final.crossJoin(initial).select(
+        return final.select(
             "total_points",
             (
                 (F.col("k_used") >= F.lit(1))
                 & (F.col("k_used") <= F.lit(K_CENTROIDS))
             ).alias("clusters_within_k"),
-            (F.col("inertia_n") <= F.col("inertia_0") * (1.0 + 1e-9)).alias(
+            (F.col("inertia_n") <= F.lit(inertias[0]) * (1.0 + 1e-9)).alias(
                 "inertia_improved"
             ),
         )
