@@ -7,9 +7,9 @@ shape for its partitioned ANN path).
 
 Scale design (100 TB of embeddings, k clusters, d dims):
 - Centroids are k×d doubles — metadata-sized. They live on the driver
-  between iterations and reach executors as LITERAL expressions inside
-  whole-stage codegen (the same broadcast-centroid-matrix design as
-  Spark MLlib's KMeans); the corpus is never collected.
+  between iterations and reach executors as a broadcast one-row
+  DataFrame (the same broadcast-centroid-matrix design as Spark
+  MLlib's KMeans); the corpus is never collected.
 - Assignment is a pure map: per row, argmin over k literal-centroid
   distances via JVM array lambdas — ZERO shuffle, zero Python.
 - The Lloyd update is the only shuffle, once per iteration:
@@ -237,3 +237,94 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         vectors.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ building block)
+
+PQ_M = 4  # subspaces
+PQ_K = 4  # codes per subspace (codebook = sub-vectors of the PQ_K lowest vec_ids)
+
+
+@register(
+    "embeddings_pq_codes",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS code, v FROM e WHERE vec_id < {PQ_K}
+    ),
+    sub AS (
+      SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+    ),
+    dims AS (
+      SELECT len(v) // {PQ_M} AS sd FROM e LIMIT 1
+    ),
+    pairs AS (
+      SELECT e.vec_id, sub.m, s.code,
+             list_reduce(
+               [ (e.v[sub.m * sd + i] - s.v[sub.m * sd + i])
+                 * (e.v[sub.m * sd + i] - s.v[sub.m * sd + i])
+                 for i in generate_series(1, sd) ],
+               (a, b) -> a + b) AS dist_sq
+      FROM e CROSS JOIN sub CROSS JOIN seeds s CROSS JOIN dims
+    )
+    SELECT vec_id, CAST(m AS BIGINT) AS subspace,
+           CAST(code AS BIGINT) AS code,
+           round(dist_sq, 4) AS dist_sq
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY dist_sq, code) = 1
+    """,
+    tags=("llm", "embedding", "quantization"),
+)
+def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment: split each d-dim embedding into
+    ``PQ_M`` contiguous subspaces and code each against a deterministic
+    per-subspace codebook (the sub-vectors of the ``PQ_K`` lowest
+    vec_ids), exact L2 argmin with tie-break on the lowest code. One
+    row per (vec_id, subspace) — the code table an IVF-PQ index stores
+    instead of raw floats (d×4 bytes → M×1 byte per vector).
+
+    Scale: the codebook is M×K×(d/M) doubles = metadata, broadcast as a
+    one-row DataFrame (see ``assign_nearest``); assignment is a single
+    shuffle-free codegen pass with an explode to M rows per vector. At
+    100 TB nothing is collected and the scan parallelism is the input's.
+    """
+    vectors = _load_vectors(spark, sf_dir)
+    seeds = _seed_centroids(vectors, PQ_K)
+    cmat_df = spark.createDataFrame(
+        [(
+            [
+                {"c": int(cid), "v": [float(x) for x in cvec]}
+                for cid, cvec in seeds
+            ],
+        )],
+        "cents array<struct<c:bigint,v:array<double>>>",
+    )
+    sub_dim = len(seeds[0][1]) // PQ_M
+    best = F.expr(
+        f"""array_min(transform(cents, s -> named_struct(
+              'd', aggregate(
+                     zip_with(slice(evec, m * {sub_dim} + 1, {sub_dim}),
+                              slice(s.v,  m * {sub_dim} + 1, {sub_dim}),
+                              (a, b) -> (a-b)*(a-b)),
+                     CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
+              'c', s.c)))"""
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cmat_df))
+        .select(
+            "vec_id",
+            "evec",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        )
+        .select(
+            "vec_id",
+            F.col("m").cast("long").alias("subspace"),
+            best["c"].alias("code"),
+            F.round(best["d"], 4).alias("dist_sq"),
+        )
+    )

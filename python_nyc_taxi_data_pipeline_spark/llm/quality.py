@@ -122,11 +122,14 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_ngrams(text: Column, n: int = DUP_NGRAM_N) -> Column:
-    """Distinct word n-grams of ``text`` as 64-bit hashes (xxhash64 of
-    the space-joined gram). Hashing BEFORE the explode keeps the
-    shuffled gram key at 8 bytes regardless of gram text length."""
-    words = F.split(text, " ")
+def doc_ngram_hashes(words: Column, n: int = DUP_NGRAM_N) -> Column:
+    """Distinct word n-grams as 64-bit hashes (xxhash64 of the
+    space-joined gram) from a MATERIALIZED word-array column. Hashing
+    BEFORE the explode keeps the shuffled gram key at 8 bytes
+    regardless of gram text length. ``words`` must be materialized
+    behind a barrier (see ``dedup.hashed_shingle_table``): lambda
+    bodies are exempt from common-subexpression elimination, so an
+    inline ``split()`` re-tokenizes the document per element."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
@@ -136,6 +139,13 @@ def doc_ngrams(text: Column, n: int = DUP_NGRAM_N) -> Column:
     return F.when(
         F.size(words) >= n, F.array_distinct(grams)
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def doc_ngrams(text: Column, n: int = DUP_NGRAM_N) -> Column:
+    """Distinct word n-gram hashes straight from a text column —
+    convenience form for single-pass consumers; hot paths should split
+    once behind a barrier and use ``doc_ngram_hashes``."""
+    return doc_ngram_hashes(F.split(text, " "), n)
 
 
 def _dup_ngram_oracle() -> str:
@@ -181,11 +191,20 @@ def docs_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle side).
     """
     d = load(spark, sf_dir, "documents")
-    grams = (
-        d.select("doc_id", F.explode(doc_ngrams(F.col("text"))).alias("gram"))
+    spark_par = spark.sparkContext.defaultParallelism
+    # Split once behind a barrier (projection collapse would otherwise
+    # re-inline split() into the gram lambda → re-tokenize per element),
+    # then materialize the per-doc gram arrays so BOTH consumers (the
+    # document-frequency count and the join-back) reuse one computation.
+    w = (
+        d.repartition(spark_par)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .localCheckpoint(eager=True)
     )
-    # Distinct grams per doc are exploded once and reused for both the
-    # document-frequency count and the per-doc rollup.
+    gram_arrays = w.select(
+        "doc_id", doc_ngram_hashes(F.col("w")).alias("grams")
+    ).localCheckpoint(eager=True)
+    grams = gram_arrays.select("doc_id", F.explode("grams").alias("gram"))
     docfreq = grams.groupBy("gram").agg(F.count("*").alias("ndocs"))
     return (
         grams.join(docfreq, "gram")
