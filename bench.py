@@ -1,11 +1,18 @@
 """Benchmark harness — runs the registered queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints JSON lines:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with a noop-format write (full column
 materialization — .count() alone would let Catalyst prune the work).
+
+Output protocol: the full per-query line (~3.5 KB at 100+ queries) is
+printed first and persisted to BENCH_local.json; the LAST stdout line
+is a compact summary (headline metric + the slowest queries) that fits
+inside the round driver's 2000-char stdout tail — BENCH_r01/r02 show
+the driver keeps only that tail and recorded ``parsed: null`` when the
+full line was its last line and got beheaded.
 """
 
 from __future__ import annotations
@@ -112,14 +119,32 @@ def main() -> int:
             "medallion_rows_per_sec": round(med_rows / med_sec, 1),
         }
     )
-    # The driver's stdout capture can truncate a long line — persist the
-    # full result to a file too so every query's timing survives.
+    # The driver's stdout capture keeps only a 2000-char tail — persist
+    # the full result to a file, print it for humans, then end stdout
+    # with a compact line guaranteed to survive (and parse from) the tail.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
         "w",
     ) as f:
         f.write(line + "\n")
     print(line)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
+    compact = json.dumps(
+        {
+            "metric": "query_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "n_queries": len(timings),
+            "queries_detail": "BENCH_local.json",
+            "sf": sf_of(sf_dir),
+            "medallion_rows": med_rows,
+            "medallion_rows_per_sec": round(med_rows / med_sec, 1),
+        }
+    )
+    print(compact)
     spark.stop()
     return 0
 
