@@ -392,3 +392,161 @@ def docs_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") >= 0.5)
         .withColumn("pr", F.round("pr", 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: the composed pipeline a training run consumes.
+
+def _stopword_ratio_sql() -> str:
+    from ..llm.text import STOPWORDS
+
+    return (
+        "round(CAST(len(list_filter(string_split(text, ' '), "
+        f"w -> w IN {STOPWORDS!r})) AS DOUBLE)"
+        " / len(string_split(text, ' ')), 4)"
+    )
+
+
+def _curation_e2e_oracle() -> str:
+    return f"""
+    WITH g AS (
+{GRAMS_CTE_SQL}
+    ),
+    pairs AS (
+{JACCARD_PAIRS_SQL}
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT p.doc_a AS doc_id
+        FROM pairs p JOIN s sa ON p.doc_a = sa.doc_id
+                     JOIN s sb ON p.doc_b = sb.doc_id
+        WHERE sa.split = 'train' AND sb.split <> 'train'
+        UNION
+        SELECT p.doc_b AS doc_id
+        FROM pairs p JOIN s sa ON p.doc_a = sa.doc_id
+                     JOIN s sb ON p.doc_b = sb.doc_id
+        WHERE sb.split = 'train' AND sa.split <> 'train'
+      )
+    ),
+    q AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(string_split(text, ' ')) >= 50
+        AND {_stopword_ratio_sql()} BETWEEN 0.01 AND 0.6
+    ),
+    dd AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    train AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM dd d JOIN s ON d.doc_id = s.doc_id
+      WHERE s.split = 'train'
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS offset_tokens
+      FROM train
+    )
+    SELECT doc_id, n_tokens,
+           CAST(offset_tokens // {PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM c
+    """
+
+
+@register(
+    "corpus_curation_e2e",
+    oracle=_curation_e2e_oracle(),
+    tags=("llm", "curation", "e2e"),
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline — what a pretraining data run
+    actually executes, end to end: quality gate → exact dedup
+    (keep-first) → train-split selection with near-dup decontamination
+    → deterministic sequence packing. Returns the packed training
+    corpus (doc_id, n_tokens, pack_id); the oracle chains the same
+    four stages as DuckDB CTEs, so the driver hash checks the whole
+    composition, not just the parts.
+
+    Stage shapes at 100 TB:
+    - quality gate: pure map, fused into the scan (no shuffle);
+    - exact dedup: ROW_NUMBER over md5(text) — one hash shuffle on a
+      16-byte key;
+    - decontamination: the inverted-index Jaccard pair plan (cost
+      Σ df(gram)², never all-pairs) + one broadcast of the
+      contaminated-id set (bounded by pair count, not corpus size)
+      feeding a LEFT ANTI join;
+    - packing: the distributed prefix sum of ``pack_by_budget`` (no
+      global single-task window)."""
+    from ..llm.text import STOPWORDS, _words
+
+    d = load(spark, sf_dir, "documents")
+
+    # Stage 1 — quality gate (same predicate as docs_quality_score).
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    stop_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
+        / n_words,
+        4,
+    )
+    gated = d.filter((n_words >= 50) & stop_ratio.between(0.01, 0.6))
+
+    # Stage 2 — exact dedup, keep lowest doc_id per text hash.
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    deduped = (
+        gated.select("doc_id", "text", rn.alias("__rn"))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # Stage 3 — train split minus decontaminated ids.
+    hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(hh < "cd", "train").when(hh < "e6", "val").otherwise("test")
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    sp = d.select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    labeled = pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    contaminated = (
+        labeled.filter(
+            (F.col("split_a") == "train") & (F.col("split_b") != "train")
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .union(
+            labeled.filter(
+                (F.col("split_b") == "train") & (F.col("split_a") != "train")
+            ).select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+    )
+    train = (
+        deduped.withColumn("__split", split)
+        .filter(F.col("__split") == "train")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+    # Stage 4 — deterministic packing.
+    return pack_by_budget(train, "doc_id", "n_tokens", PACK_BUDGET).select(
+        "doc_id", "n_tokens", "pack_id"
+    )
