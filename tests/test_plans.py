@@ -125,3 +125,26 @@ def test_q21_single_orderkey_shuffle_no_self_joins(spark):
     # two extra lineitem self-joins: exactly ONE lineitem scan
     assert p.count("lineitem.parquet") == 1
     assert "TakeOrderedAndProject" in p
+
+
+def test_salted_agg_is_two_stage_no_join(spark):
+    p = plan_of(E.queries()["events_type_value_salted"](spark, SF_DIR))
+    # two groupBys → two shuffle exchanges (salted partial + merge), no join
+    assert "Join" not in p
+    assert p.count("Exchange") >= 2
+
+
+def test_dup_span_fraction_uses_window_not_join_for_df(spark):
+    p = plan_of(E.queries()["docs_corpus_dup_span_fraction"](spark, SF_DIR))
+    # document frequency is a count window over the span hash — exactly
+    # one join remains (the LEFT join back to the full corpus)
+    assert "Window" in p
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_pq_codes_broadcast_codebook_single_pass(spark):
+    p = plan_of(E.queries()["embeddings_pq_codes"](spark, SF_DIR))
+    # the codebook attaches via a broadcast NLJ against one row; the
+    # corpus itself never shuffles (no Exchange hashpartitioning on it)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
