@@ -148,3 +148,26 @@ def test_pq_codes_broadcast_codebook_single_pass(spark):
     # corpus itself never shuffles (no Exchange hashpartitioning on it)
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_no_plan_antipatterns_across_all_queries(spark):
+    """Fleet-wide net: NO registered query may contain a cartesian
+    product, a row-at-a-time Python UDF (BatchEvalPython — Arrow paths
+    show as ArrowEvalPython/MapInPandas), or a single-partition
+    exchange (the global-window/global-sort scale killer). Broadcast
+    one-row attaches plan as BroadcastNestedLoopJoin, not
+    CartesianProduct, so they pass. Audited green on all 103 queries
+    when introduced; any future query that regresses fails by name."""
+    from python_nyc_taxi_data_pipeline_spark import registry
+
+    flagged = {}
+    for name, q in registry.all_queries().items():
+        p = plan_of(q.fn(spark, SF_DIR))
+        hits = [
+            pat
+            for pat in ("CartesianProduct", "BatchEvalPython", "Exchange SinglePartition")
+            if pat in p
+        ]
+        if hits:
+            flagged[name] = hits
+    assert flagged == {}
