@@ -47,17 +47,50 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def _evidence() -> dict[str, int]:
-    """Per-query newest driver-green round, from ``evidence.json``
-    (regenerated each round by ``tools/update_evidence.py``)."""
+    """Per-query newest driver-green round. Reads ``evidence.json``
+    (written by ``tools/update_evidence.py``) and SELF-HEALS by also
+    scanning any ``CORRECTNESS_r*.json`` at the repo root that is newer
+    than the snapshot — so a round that lands new driver rows reorders
+    the window even if nobody re-ran the tool."""
+    import glob
     import json
     import os
+    import re
 
     path = os.path.join(os.path.dirname(__file__), "evidence.json")
     try:
         with open(path) as f:
-            return {k: int(v) for k, v in json.load(f).items()}
+            ev = {k: int(v) for k, v in json.load(f).items()}
     except (OSError, ValueError):
-        return {}
+        ev = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cpath in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", cpath)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(cpath) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = not row.get("err") and (
+                row.get("spark_rows") is not None
+                if row.get("rows_match") is None
+                else bool(
+                    row.get("rows_match")
+                    and row.get("schema_match") is not False
+                    and row.get("hash_match") is not False
+                )
+            )
+            if ok:
+                ev[name] = max(ev.get(name, 0), rnd)
+            else:
+                ev.setdefault(name, 0)  # checked, never green
+    return ev
 
 
 def all_queries() -> dict[str, RegisteredQuery]:
