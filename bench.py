@@ -51,12 +51,14 @@ def bench_medallion(spark, sf_dir: str) -> tuple[float, int]:
     )
     from datetime import datetime
 
-    # copies=50 scales the months-1..5 slice to ~500k rows at sf0.1 so
+    # copies=100 scales the months-1..5 slice to ~930k rows at sf0.1 so
     # fixed per-job overhead amortizes the way the reference's 16.8M-row
-    # dataset does (BASELINE.md measures steady-state throughput). The
-    # source frame is cached — the reference's timed loop also starts
-    # from an in-memory (pandas) batch, not from re-deriving per action.
-    taxi = orders_as_taxi(spark, sf_dir, copies=50).cache()
+    # dataset does (BASELINE.md measures steady-state throughput; at
+    # copies=50 the 5-batch pipeline is overhead-dominated — doubling
+    # the rows left wall-time flat and doubled rows/s). The source frame
+    # is cached — the reference's timed loop also starts from an
+    # in-memory (pandas) batch, not from re-deriving per action.
+    taxi = orders_as_taxi(spark, sf_dir, copies=100).cache()
     taxi.count()
     batches = []
     for m in range(1, 6):
