@@ -328,3 +328,222 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(best["d"], 4).alias("dist_sq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ search: coarse-cell pruning + asymmetric distance computation (ADC)
+
+
+def _pq_codes_with_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, m, code): every vector's per-subspace PQ code,
+    carrying the coarse cell (``label``) for IVF pruning."""
+    vectors = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("evec")
+    )
+    seeds = _seed_centroids(
+        vectors.select("vec_id", "evec"), PQ_K
+    )
+    cmat_df = spark.createDataFrame(
+        [(
+            [
+                {"c": int(cid), "v": [float(x) for x in cvec]}
+                for cid, cvec in seeds
+            ],
+        )],
+        "cents array<struct<c:bigint,v:array<double>>>",
+    )
+    sub_dim = len(seeds[0][1]) // PQ_M
+    best = F.expr(
+        f"""array_min(transform(cents, s -> named_struct(
+              'd', aggregate(
+                     zip_with(slice(evec, m * {sub_dim} + 1, {sub_dim}),
+                              slice(s.v,  m * {sub_dim} + 1, {sub_dim}),
+                              (a, b) -> (a-b)*(a-b)),
+                     CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
+              'c', s.c)))"""
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cmat_df))
+        .select(
+            "vec_id",
+            "label",
+            "evec",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        )
+        .select("vec_id", "label", "evec", "m", best["c"].alias("code"))
+    )
+
+
+def _adc_oracle() -> str:
+    from .similarity import QUERY_MOD, TOP_K
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS code, v FROM e WHERE vec_id < {PQ_K}
+    ),
+    sub AS (
+      SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+    ),
+    dims AS (
+      SELECT len(v) // {PQ_M} AS sd FROM e LIMIT 1
+    ),
+    cand_dist AS (
+      SELECT e.vec_id, e.label, sub.m, s.code,
+             list_reduce(
+               [ (e.v[sub.m * sd + i] - s.v[sub.m * sd + i])
+                 * (e.v[sub.m * sd + i] - s.v[sub.m * sd + i])
+                 for i in generate_series(1, sd) ],
+               (a, b) -> a + b) AS dist_sq
+      FROM e CROSS JOIN sub CROSS JOIN seeds s CROSS JOIN dims
+    ),
+    codes AS (
+      SELECT vec_id, label, m, code FROM cand_dist
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dist_sq, code) = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.label, sub.m, s.code,
+             list_reduce(
+               [ (q.v[sub.m * sd + i] - s.v[sub.m * sd + i])
+                 * (q.v[sub.m * sd + i] - s.v[sub.m * sd + i])
+                 for i in generate_series(1, sd) ],
+               (a, b) -> a + b) AS pd
+      FROM e q CROSS JOIN sub CROSS JOIN seeds s CROSS JOIN dims
+      WHERE q.vec_id % {QUERY_MOD} = 0
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(list(l.pd ORDER BY l.m), (a, b) -> a + b), 6)
+               AS adc_dist
+      FROM codes c JOIN lut l
+        ON c.m = l.m AND c.code = l.code AND c.label = l.label
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+      HAVING count(*) = {PQ_M}
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+           ) AS INT) AS rank
+    FROM adc
+    QUALIFY rank <= {TOP_K}
+    """
+
+
+@register("knn_pq_adc", oracle=_adc_oracle(), tags=("llm", "similarity", "pq"))
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors, the way a 100 TB vector
+    index actually serves queries: candidates are pruned to the query's
+    coarse cell (``label``, standing in for a trained coarse quantizer
+    as in ``knn_cosine_partitioned``), then scored by ASYMMETRIC
+    DISTANCE — the exact query sub-vector against each candidate's PQ
+    centroid, a (subspace, code) table lookup instead of a d-dim float
+    scan. Top-5 per query by ADC distance, ties on neighbor_id.
+
+    Scale shape: the LUT is |queries|×M×K rows (metadata-sized, built
+    distributively — no collect — and broadcast to the scoring join);
+    candidates carry only their M codes, so the scoring join moves
+    |cell|×M tiny rows per query before the (query, neighbor) roll-up.
+    The per-pair distance folds over the SORTED (m, pd) array — both
+    engines add in subspace order, so the float result is bit-identical
+    and the oracle checks exact values, not tolerances. The
+    ``nm = M`` filter pins the lookup join's completeness."""
+    from pyspark.sql.window import Window
+
+    from .similarity import QUERY_MOD, TOP_K
+
+    codes = _pq_codes_with_label(spark, sf_dir)
+    seeds = _seed_centroids(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("evec")
+        ),
+        PQ_K,
+    )
+    sub_dim = len(seeds[0][1]) // PQ_M
+    cmat_df = spark.createDataFrame(
+        [(
+            [
+                {"c": int(cid), "v": [float(x) for x in cvec]}
+                for cid, cvec in seeds
+            ],
+        )],
+        "cents array<struct<c:bigint,v:array<double>>>",
+    )
+    # LUT: per (query, subspace, code) partial distance — exact query
+    # vector vs codebook centroid. One generator per select (Spark
+    # allows a single explode per projection): subspaces first, then
+    # codebook entries.
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            _as_double(F.col("embedding")).alias("qvec"),
+        )
+    )
+    lut = (
+        queries.crossJoin(F.broadcast(cmat_df))
+        .select(
+            "query_id",
+            "qlabel",
+            "qvec",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("qm"),
+        )
+        .select(
+            "query_id",
+            "qlabel",
+            "qvec",
+            "qm",
+            F.explode("cents").alias("cent"),
+        )
+        .select(
+            "query_id",
+            "qlabel",
+            "qm",
+            F.col("cent.c").alias("qcode"),
+            F.expr(
+                f"""aggregate(
+                      zip_with(slice(qvec, qm * {sub_dim} + 1, {sub_dim}),
+                               slice(cent.v, qm * {sub_dim} + 1, {sub_dim}),
+                               (a, b) -> (a-b)*(a-b)),
+                      CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""
+            ).alias("pd"),
+        )
+    )
+    scored = codes.select("vec_id", "label", "m", "code").join(
+        F.broadcast(lut),
+        (F.col("m") == F.col("qm"))
+        & (F.col("code") == F.col("qcode"))
+        & (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    folded = (
+        scored.groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("m", "pd"))).alias("pds"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+        .filter(F.col("nm") == PQ_M)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    "aggregate(transform(pds, p -> p.pd),"
+                    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

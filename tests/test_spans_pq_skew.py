@@ -117,3 +117,52 @@ def test_salted_agg_equals_plain_groupby(spark):
         assert salted[k]["n_events"] == plain[k]["n_events"]
         assert salted[k]["total_value"] == plain[k]["total_value"]
         assert salted[k]["n_users"] == plain[k]["n_users"]
+
+
+def test_knn_pq_adc_matches_numpy(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.kmeans import knn_pq_adc
+    from python_nyc_taxi_data_pipeline_spark.llm.similarity import (
+        QUERY_MOD,
+        TOP_K,
+    )
+
+    vectors = _load_vectors(spark, SF_DIR)
+    seeds = _seed_centroids(vectors, PQ_K)
+    d = len(seeds[0][1])
+    sub = d // PQ_M
+    cmat = np.array([v for _, v in seeds])
+    cids = [cid for cid, _ in seeds]
+    rows = load(spark, SF_DIR, "embeddings").collect()
+    vecs = {r["vec_id"]: (np.array([float(x) for x in r["embedding"]]), r["label"]) for r in rows}
+
+    def pq_codes(v):
+        out = []
+        for m in range(PQ_M):
+            sl = slice(m * sub, (m + 1) * sub)
+            dists = ((v[sl] - cmat[:, sl]) ** 2).sum(axis=1)
+            out.append(cids[int(np.argmin(dists))])
+        return out
+
+    codes = {vid: pq_codes(v) for vid, (v, _) in vecs.items()}
+    got = {}
+    for r in knn_pq_adc(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["adc_dist"])
+        )
+    assert got, "no query rows"
+    for qid, ranked in got.items():
+        qv, qlabel = vecs[qid]
+        # numpy oracle: ADC against every same-cell candidate
+        cand = []
+        for vid, (v, label) in vecs.items():
+            if vid == qid or label != qlabel:
+                continue
+            dist = 0.0
+            for m in range(PQ_M):
+                sl = slice(m * sub, (m + 1) * sub)
+                code = codes[vid][m]
+                dist += float(((qv[sl] - cmat[cids.index(code), sl]) ** 2).sum())
+            cand.append((round(dist, 6), vid))
+        cand.sort()
+        expected = [(i + 1, vid, dist) for i, (dist, vid) in enumerate(cand[:TOP_K])]
+        assert sorted(ranked) == expected, f"query {qid}"
