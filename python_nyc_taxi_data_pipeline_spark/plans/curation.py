@@ -558,3 +558,62 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_budget(train, "doc_id", "n_tokens", PACK_BUDGET).select(
         "doc_id", "n_tokens", "pack_id"
     )
+
+
+@register(
+    "docs_pack_payloads",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, text, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS offset_tokens
+      FROM t
+    )
+    SELECT CAST(offset_tokens // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(text, chr(30) ORDER BY doc_id)) AS payload_md5
+    FROM c
+    GROUP BY pack_id
+    """,
+    tags=("llm", "packing", "curation"),
+)
+def docs_pack_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed TRAINING PAYLOADS: concatenate each
+    pack's documents (doc_id order, RS-separator) — the row a training
+    loader actually reads. The result ships the payload's md5 rather
+    than the multi-KB string so the driver compare stays cheap; the
+    hash pins byte-exact assembly (separator, ordering, membership).
+
+    Scale: reuses ``pack_by_budget``'s distributed prefix sum, then ONE
+    shuffle on pack_id; per-group assembly is a sorted struct array
+    fold (deterministic — no collect_list order dependence)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_by_budget(t, "doc_id", "n_tokens", PACK_BUDGET)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\x1e",
+                )
+            ).alias("payload_md5"),
+        )
+    )
