@@ -94,6 +94,21 @@ def main() -> int:
     warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and the window + broadcast-join + checkpoint machinery, which
+    # otherwise bills its one-time codegen/setup to whichever query runs
+    # first (measured ~5s extra on a composed pipeline in first position).
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w2 = warm.select(
+        "r_regionkey",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy("r_regionkey"))
+        .alias("rn"),
+    ).localCheckpoint(eager=True)
+    w2.join(F.broadcast(warm), "r_regionkey").write.format("noop").mode(
+        "overwrite"
+    ).save()
     for name, q in all_queries().items():
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -104,7 +119,10 @@ def main() -> int:
     # medallion run warm: one untimed pass JITs the write/agg paths
     # (its fresh temp warehouse is destroyed), then the timed pass.
     # Cold-vs-warm on this VM swings the e2e number by up to 2×, which
-    # would drown any real regression signal.
+    # would drown any real regression signal. Drop the query suite's
+    # cached/checkpointed blocks first so the timed pass isn't paying
+    # 100+ queries' worth of memory pressure.
+    spark.catalog.clearCache()
     bench_medallion(spark, sf_dir)
     med_sec, med_rows = bench_medallion(spark, sf_dir)
     timings["medallion_e2e"] = round(med_sec, 3)
