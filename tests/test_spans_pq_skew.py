@@ -166,3 +166,29 @@ def test_knn_pq_adc_matches_numpy(spark):
         cand.sort()
         expected = [(i + 1, vid, dist) for i, (dist, vid) in enumerate(cand[:TOP_K])]
         assert sorted(ranked) == expected, f"query {qid}"
+
+
+def test_bm25_hand_case(spark, tmp_path):
+    from python_nyc_taxi_data_pipeline_spark.llm.retrieval import (
+        BM25_QUERIES,
+        docs_bm25_topk,
+    )
+
+    # doc 1 repeats the first query's terms; doc 2 mentions one term
+    # once; doc 3 has none. Same lengths → pure tf/df effects.
+    q0 = BM25_QUERIES[0].split(" ")  # e.g. ["spark", "table", "scan"]
+    d1 = " ".join(q0 * 3 + ["filler"] * 3)
+    d2 = " ".join([q0[0]] + ["filler"] * (len(q0) * 3 + 2))
+    d3 = " ".join(["filler"] * (len(q0) * 3 + 3))
+    spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = docs_bm25_topk(spark, str(tmp_path)).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    top = {r["rank"]: r for r in by_q[0]}
+    assert top[1]["doc_id"] == 1 and top[1]["n_terms_hit"] == 3
+    assert top[2]["doc_id"] == 2 and top[2]["n_terms_hit"] == 1
+    assert top[1]["score"] > top[2]["score"] > 0
+    assert all(r["doc_id"] != 3 for r in rows)  # no-hit docs never rank
