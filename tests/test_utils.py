@@ -105,3 +105,39 @@ def test_read_parquet_with_schema_casts_and_fills(spark):
     assert [f.name for f in BRONZE_TAXI_SCHEMA.fields] == df.columns
     row = df.limit(1).collect()[0]
     assert row["vendorid"] is None  # absent in source → NULL of declared type
+
+def test_catalog_load_events_handles_nanos_and_micros(spark, tmp_path):
+    """The driver's events fixture has shipped both ways across rounds:
+    parquet NANOSECOND timestamps (r2 — Spark's vectorized reader
+    rejects them without the nanosAsLong shim) and plain micros (r3).
+    catalog.load must normalize either to TIMESTAMP_NTZ with identical
+    values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+
+    base = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1704067200_000_000, 1704070800_123_456], pa.timestamp("us")),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    for unit in ("us", "ns"):
+        d = tmp_path / unit
+        d.mkdir()
+        t = base.set_column(
+            1, "ts", base.column("ts").cast(pa.timestamp(unit))
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        out = load(spark, str(d), "events")
+        assert out.schema["ts"].dataType.typeName() == "timestamp_ntz", unit
+        got = sorted(r["ts"].isoformat() for r in out.select("ts").collect())
+        assert got == [
+            "2024-01-01T00:00:00",
+            "2024-01-01T01:00:00.123456",
+        ], unit
