@@ -534,3 +534,87 @@ def range_join_5min_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+APPROX_PCT_ACCURACY = 1000  # rank error ≤ n / accuracy (Greenwald-Khanna)
+APPROX_QUANTILES = (0.25, 0.5, 0.75)
+
+
+@register(
+    "percentile_approx_contract",
+    oracle=f"""
+    SELECT q.q,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS rank_within_bound,
+           TRUE AS value_is_element
+    FROM orders
+    CROSS JOIN (SELECT unnest(ARRAY{list(APPROX_QUANTILES)}) AS q) q
+    GROUP BY q.q
+    """,
+    tags=("agg", "approx", "percentile"),
+)
+def percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-percentile sketch with a *checkable* contract (the
+    ``agg_approx_distinct`` pattern): ``approx_percentile``'s value is
+    engine-specific, so the query verifies the sketch's two defining
+    guarantees on data the oracle recomputes — each estimate's RANK is
+    within n/accuracy of the target rank (the Greenwald-Khanna bound),
+    and each estimate is an ACTUAL element of the column (GK returns
+    observed values, not interpolations). A broken sketch flips a
+    boolean and fails the driver hash.
+
+    Scale: one sketch aggregation (mergeable partials — no sort, no
+    global shuffle of values) + one conditional-count pass to measure
+    the ranks; both all-JVM."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    qs = list(APPROX_QUANTILES)
+    ap = o.agg(
+        F.percentile_approx(
+            "o_totalprice", qs, APPROX_PCT_ACCURACY
+        ).alias("ap")
+    )
+    # One pass over orders, cross-joined with the 1-row sketch result:
+    # per quantile, the estimate's rank (# values ≤ estimate), whether
+    # the estimate is an observed element, and the total count.
+    checks = o.crossJoin(F.broadcast(ap)).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.element_at("ap", i + 1), 1)
+                .otherwise(0)
+            ).alias(f"rank_{i}")
+            for i in range(len(qs))
+        ],
+        *[
+            F.max(
+                F.when(
+                    F.col("o_totalprice") == F.element_at("ap", i + 1), 1
+                ).otherwise(0)
+            ).alias(f"seen_{i}")
+            for i in range(len(qs))
+        ],
+    )
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                (
+                    F.abs(
+                        F.col(f"rank_{i}") - F.lit(q) * F.col("n")
+                    )
+                    <= F.col("n") / APPROX_PCT_ACCURACY + 1
+                ).alias("rank_within_bound"),
+                (F.col(f"seen_{i}") == 1).alias("value_is_element"),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return (
+        checks.select(F.col("n").alias("n_rows"), F.explode(per_q).alias("s"))
+        .select(
+            F.col("s.q").alias("q"),
+            "n_rows",
+            F.col("s.rank_within_bound").alias("rank_within_bound"),
+            F.col("s.value_is_element").alias("value_is_element"),
+        )
+    )
