@@ -372,3 +372,82 @@ def extract_features_arrow(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInArrow(run, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Driver-checked binary-column contract
+
+
+def _binary_features_oracle() -> str:
+    return """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           lower(substring(hex(encode(text)), 1, 8)) AS header_hex,
+           octet_length(encode(text)) = length(text) AS is_ascii
+    FROM documents
+    """
+
+
+def register_binary_features() -> None:
+    """Registered from ``registry._ensure_loaded`` (kept in a function
+    so importing this module for its UDF helpers never needs Spark)."""
+    from ..catalog import load
+    from ..registry import register
+
+    @register(
+        "docs_binary_features",
+        oracle=_binary_features_oracle(),
+        tags=("llm", "multimodal", "udf"),
+    )
+    def docs_binary_features(spark, sf_dir: str) -> DataFrame:
+        """The multimodal BINARY-column path, driver-checked end to end:
+        documents re-encoded as opaque payload bytes (the layout an
+        image/audio table uses — ``documents_as_binary``), then a real
+        Arrow-batched mapInPandas stage computes per-payload byte
+        features (size, md5, magic-bytes header, ascii-ness) that the
+        DuckDB oracle recomputes from the string side — so the Python
+        worker plumbing (closure pickling, Arrow batch shape, binary
+        round-trip) is hash-verified, not just unit-tested.
+
+        Scale: pure map — no shuffle; Arrow batches bound worker
+        memory; the closure is self-contained (stdlib only), so it
+        pickles by value and needs no repo sys.path on executors."""
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_bytes", T.LongType()),
+                T.StructField("payload_md5", T.StringType()),
+                T.StructField("header_hex", T.StringType()),
+                T.StructField("is_ascii", T.BooleanType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import binascii
+            import hashlib
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                payloads = pdf["payload"]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": payloads.map(len).astype("int64"),
+                        "payload_md5": payloads.map(
+                            lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        ),
+                        "header_hex": payloads.map(
+                            lambda b: binascii.hexlify(bytes(b)[:4]).decode()
+                        ),
+                        "is_ascii": payloads.map(
+                            lambda b: all(x < 128 for x in bytes(b))
+                        ),
+                    }
+                )
+
+        d = load(spark, sf_dir, "documents")
+        return documents_as_binary(d).select("doc_id", "payload").mapInPandas(
+            run, out_schema
+        )

@@ -125,6 +125,9 @@ def _ensure_loaded() -> None:
     # re-orders by evidence.json (never-green first, stalest-green next),
     # so weak evidence always lands inside the checked window.
     from .llm import clusters, dedup, grouped, kmeans, quality, retrieval, similarity, spans, text  # noqa: F401
+    from .llm import multimodal  # noqa: F401
+
+    multimodal.register_binary_features()
     from .plans import tpch_ext  # noqa: F401
     from .streaming import windows  # noqa: F401
     from .plans import curation, skew, sqlport, textstats  # noqa: F401
