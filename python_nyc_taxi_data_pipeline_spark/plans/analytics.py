@@ -618,3 +618,98 @@ def percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value_is_element").alias("value_is_element"),
         )
     )
+
+
+CMS_WIDTH = 1024  # buckets per hash row
+CMS_DEPTH = 3  # independent hash rows
+CMS_SEEDS = (17, 89, 211)
+
+
+@register(
+    "cms_event_type_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS exact_count,
+           TRUE AS cms_ge_exact,
+           TRUE AS cms_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries with a *checkable* contract (the
+    ``agg_approx_distinct`` pattern): build a width-1024 × depth-3 CMS
+    over ``event_type`` entirely as DataFrame ops — explode each event
+    into its 3 (row, bucket) cells, aggregate cell counts (ONE shuffle
+    on a 2-int key, map-side combined), then answer point queries for
+    every distinct key via min-over-rows. The sketch value is
+    construction-specific, so the query emits the exact count plus the
+    CMS's two defining guarantees, which the oracle recomputes: the
+    estimate never undercounts, and overcounts by at most n/width per
+    row (here: the min across 3 rows ≤ exact + n/1024 with margin 3 —
+    deterministic for a fixed input and seeds).
+
+    Scale: the sketch is width×depth cells (metadata) regardless of
+    input size — the textbook mergeable summary for streaming top-k /
+    heavy-hitter gates; the cell build is the only corpus pass."""
+    e = load(spark, sf_dir, "events").select("event_type")
+    rows = e.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col("event_type"), F.lit(seed)),
+                            F.lit(CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for i, seed in enumerate(CMS_SEEDS)
+                ]
+            )
+        ).alias("cell"),
+    )
+    cells = (
+        rows.groupBy(F.col("cell.row").alias("r"), F.col("cell.bucket").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Point queries: every distinct key probes its 3 cells; the cells
+    # table is metadata-sized → broadcast.
+    keys = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    probes = keys.select(
+        "event_type",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        F.pmod(
+                            F.xxhash64(F.col("event_type"), F.lit(seed)),
+                            F.lit(CMS_WIDTH),
+                        ).alias("b"),
+                    )
+                    for i, seed in enumerate(CMS_SEEDS)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "exact_count", F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("event_type", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    total = e.count()  # scalar: n for the error bound
+    return est.select(
+        "event_type",
+        "exact_count",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("cms_ge_exact"),
+        (
+            F.col("cms_estimate")
+            <= F.col("exact_count") + F.lit(total) / CMS_WIDTH + 3
+        ).alias("cms_within_bound"),
+    )
