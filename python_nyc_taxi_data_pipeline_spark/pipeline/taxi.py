@@ -151,10 +151,16 @@ def run_pipeline(
     spark: SparkSession,
     warehouse: str,
     monthly_batches: list[tuple[DataFrame, "MonthWindow"]],
+    local_fastpaths: bool = True,
 ) -> MedallionPipeline:
     """End-to-end: ingest each month incrementally, then silver full
-    refresh, then gold views (`etl_pipeline_run.py:9-24`)."""
-    pipe = taxi_pipeline(spark, warehouse)
+    refresh, then gold views (`etl_pipeline_run.py:9-24`).
+
+    ``local_fastpaths=False`` forces the distributed (s3://-equivalent)
+    code paths for watermark reads and metadata appends — what a real
+    cluster runs; benched separately so the headline number doesn't ride
+    driver-side pyarrow shortcuts."""
+    pipe = taxi_pipeline(spark, warehouse, local_fastpaths=local_fastpaths)
     for batch, window in monthly_batches:
         pipe.ingest_batch(batch, window)
     pipe.silver_refresh(silver_transform, partition_col="pickup_month")

@@ -417,8 +417,10 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     Layout: one shuffle on user_id serves all three stages (each stage
     is a groupBy(user_id) over the already-partitioned events, and the
     stage joins are user_id-to-user_id so Spark reuses the
-    partitioning). Stage outputs shrink monotonically → later joins
-    broadcast."""
+    partitioning). Stage outputs shrink monotonically, but they are
+    still per-user tables (SF-scaled), so no forced broadcast — AQE
+    converts the later joins to broadcast at runtime while the
+    surviving-user sets fit the threshold."""
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     s1 = (
         e.filter(F.col("event_type") == "view")
@@ -427,14 +429,14 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))

@@ -4,9 +4,10 @@ tables (see FIXTURES.md §2 for the role mapping).
 
 Reference parity (file:line cites are into /root/reference):
 - flagship_supplier_metrics ↔ gold.vendor_metrics
-  (`src/sql/gold_aggregate_layer.sql:3-12`): fact LEFT JOIN tiny dim →
-  count/sum/avg → sort. The dim side is broadcast — at 100 TB the fact
-  never shuffles for this join.
+  (`src/sql/gold_aggregate_layer.sql:3-12`): fact LEFT JOIN dim →
+  count/sum/avg → sort. The dim side is SF-scaled here, so it carries
+  no forced broadcast hint — AQE broadcasts it while it fits the
+  threshold, which keeps the fact shuffle-free exactly when that's safe.
 - monthly_metrics ↔ gold.monthly_metrics (`gold_aggregate_layer.sql:15-23`).
 - segment_metrics ↔ gold.payment_metrics (`gold_aggregate_layer.sql:29-38`).
 - watermark_* ↔ bronze.incremental_load
@@ -63,11 +64,15 @@ def _ts(lit: str):
     tags=("gold", "join", "agg", "sort"),
 )
 def flagship_supplier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gold.vendor_metrics analog: fact LEFT JOIN broadcast dim → agg → sort."""
+    """gold.vendor_metrics analog: fact LEFT JOIN dim → agg → sort.
+
+    supplier is SF-scaled (unlike the reference's 3-row vendor dim), so
+    no forced broadcast hint — planner stats/AQE broadcast it while it
+    fits and shuffle when it doesn't."""
     li = load(spark, sf_dir, "lineitem")
     sup = load(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left")
+        li.join(sup, li.l_suppkey == sup.s_suppkey, "left")
         .groupBy("s_name")
         .agg(
             F.count(F.lit(1)).alias("total_trips"),
@@ -124,11 +129,12 @@ def monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gold.payment_metrics analog: fact LEFT JOIN dim on differently-named
-    keys (`gold_aggregate_layer.sql:35-36`) → agg → sort."""
+    keys (`gold_aggregate_layer.sql:35-36`) → agg → sort. customer is
+    SF-scaled → no broadcast hint; AQE decides from runtime size."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("total_orders"),

@@ -179,8 +179,8 @@ def docs_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     """Benchmark decontamination: near-duplicate pairs that CROSS the
     deterministic md5 train/val/test split — each one is evaluation
     leakage (the test doc has a near-copy in training). Composes the
-    shared Jaccard pair plan with two broadcast lookups of the split
-    label (the split is derived, not stored — zero extra state)."""
+    shared Jaccard pair plan with two lookups of the per-doc split
+    label (SF-scaled, so unhinted — AQE broadcasts while they fit) (the split is derived, not stored — zero extra state)."""
     pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
     hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
@@ -189,8 +189,8 @@ def docs_train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     sa = s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
     )
@@ -528,8 +528,8 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
     sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
     labeled = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .localCheckpoint(eager=True)
     )
     contaminated = (
@@ -547,7 +547,7 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = (
         deduped.withColumn("__split", split)
         .filter(F.col("__split") == "train")
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .select(
             "doc_id",
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),

@@ -99,7 +99,8 @@ def docs_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency (doc-frequency ascending then term as tie-breaks — all
     integer/string comparisons, engine-stable), with the float tf-idf
     carried as a rounded score column that never decides order. The
-    document-frequency side is a small broadcastable table; the rank
+    document-frequency side scales with the vocabulary, so it carries no
+    forced broadcast hint (AQE broadcasts it while it fits); the rank
     window is bounded per doc."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -110,7 +111,7 @@ def docs_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("tf"), F.asc("doc_freq"), F.asc("token")
     )
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .withColumn("kw_rank", F.row_number().over(w))
         .filter(F.col("kw_rank") <= KEYWORDS_PER_DOC)
         .select(

@@ -6,7 +6,13 @@ the same operator set (scan→filter→join→agg→sort) to multi-join shapes
 so the engine's join planning is exercised and benchmarked.
 
 Scale notes per plan are in the docstrings; the common rules:
-- dims (region/nation/supplier/customer at TPC-H ratios) broadcast;
+- only BOUNDED dims (region: 5 rows, nation: 25 rows) carry explicit
+  broadcast hints. SF-scaled tables (customer/supplier/part/orders/
+  lineitem and anything derived from them by filter or group-by) never
+  do — the planner broadcasts them from file-size stats and AQE from
+  runtime stats while they fit `autoBroadcastJoinThreshold`, and falls
+  back to shuffle when they don't. A forced hint would pin a plan that
+  dies at 100× SF;
 - fact-fact joins (orders⋈lineitem) shuffle on the join key once, and
   AQE picks sort-merge vs shuffled-hash at runtime;
 - date filters sit directly on the scan so parquet row-group min/max
@@ -109,8 +115,13 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "topk"),
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → broadcast to the orders fact
-    → one shuffle join to lineitem → agg → top-k (no global sort)."""
+    """TPC-H Q3 shape: selective dim filter joined to the orders fact
+    → one shuffle join to lineitem → agg → top-k (no global sort).
+
+    customer is SF-scaled, so no forced broadcast hint: the planner
+    (file-size stats) / AQE (runtime stats) picks broadcast while the
+    filtered side fits the threshold and falls back to shuffle when it
+    doesn't — the 100 TB-safe default."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
@@ -119,7 +130,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_revenue_col("revenue"))
@@ -142,11 +153,13 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — FK integrity as a validation anti-join (the reference
     declares FKs, `db_setup.py:185,191,195`; Spark validates instead of
-    enforcing). Dim side broadcasts; empty result = clean data."""
+    enforcing). Empty result = clean data. customer is SF-scaled, so the
+    anti-join carries no broadcast hint — AQE broadcasts while the key
+    column fits, shuffles when it doesn't."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey")
     return o.select("o_orderkey", "o_custkey").join(
-        F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+        c, o.o_custkey == c.c_custkey, "left_anti"
     )
 
 
@@ -175,7 +188,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -206,7 +219,15 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: GROUP BY + HAVING feeding a semi-join, then the
-    3-way join and top-k. The HAVING set is small → broadcast semi-join."""
+    3-way join and top-k.
+
+    No forced broadcast hints: the HAVING set and customer both scale
+    with SF, so AQE decides from runtime sizes. The join ORDER is the
+    scale lever — the semi-join prunes orders first, so the surviving
+    (tiny, data-dependent) orders side is what joins customer and then
+    lineitem; AQE broadcasts that side at runtime and lineitem never
+    shuffles. Forcing broadcast(customer) here (the r3 plan) would blow
+    the driver at 100× SF."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -217,8 +238,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate")
         .agg(
@@ -250,10 +271,12 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join", "agg"),
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join. region/nation/supplier/customer all
-    broadcast (they stay tiny relative to the facts at any SF); only
-    orders⋈lineitem shuffles. The c_nationkey = s_nationkey residual is a
-    non-equi conjunct Catalyst evaluates post-join."""
+    """TPC-H Q5 shape: 6-way join. nation/region are bounded (25/5 rows)
+    and keep explicit broadcast hints; supplier/customer are SF-scaled,
+    so their joins carry no hint and the planner/AQE picks broadcast
+    only while they actually fit. orders⋈lineitem shuffles once. The
+    c_nationkey = s_nationkey residual is a non-equi conjunct Catalyst
+    evaluates post-join."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -264,9 +287,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

@@ -77,15 +77,23 @@ def _evidence() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            ok = not row.get("err") and (
-                row.get("spark_rows") is not None
-                if row.get("rows_match") is None
-                else bool(
+            # Only an affirmative oracle comparison (rows + hash matched)
+            # counts as green evidence. A rows-only run (rows_match null,
+            # spark_rows present) proves the query *ran*, not that it was
+            # verified — counting it would rotate a never-compared query
+            # out of the checked window ahead of real hash-green evidence.
+            # Exception: queries registered WITHOUT an oracle can never do
+            # better than rows-only, so for them a clean run is promoted.
+            if row.get("rows_match") is None:
+                reg = _REGISTRY.get(name)
+                oracle_free = reg is not None and reg.oracle is None
+                ok = oracle_free and not row.get("err") and row.get("spark_rows") is not None
+            else:
+                ok = not row.get("err") and bool(
                     row.get("rows_match")
                     and row.get("schema_match") is not False
                     and row.get("hash_match") is not False
                 )
-            )
             if ok:
                 ev[name] = max(ev.get(name, 0), rnd)
             else:

@@ -443,3 +443,54 @@ def test_quality_median_filter_keeps_top_half_per_lang(spark):
             assert min(r.n_chars for r in ks) >= max(d.n_chars for d in dropped) or any(
                 d.n_chars == min(r.n_chars for r in ks) for d in dropped
             )
+
+
+def test_df_ceiling_drops_hot_shingle_but_keeps_clean_pairs(spark):
+    """The DF_CEILING cap must (a) drop pairs whose ONLY overlap is a
+    boilerplate shingle hotter than the ceiling, and (b) leave pairs
+    with genuine (cool-shingle) overlap untouched. Built on a synthetic
+    corpus: one hot trigram shared by MANY docs plus two true near-dups
+    sharing cool trigrams."""
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import (
+        _jaccard_pairs_from,
+    )
+
+    hot = "copyright footer text"  # one trigram, shared by every doc
+    rows = [(i, f"unique{i} filler{i} words{i} " + hot, "en") for i in range(12)]
+    # true near-dups: identical 12-word text → jaccard 1.0 on cool grams
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows += [(100, dup, "en"), (101, dup, "en")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    capped = _jaccard_pairs_from(spark, d, df_ceiling=8)
+    exact = _jaccard_pairs_from(spark, d, None)
+
+    capped_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    exact_pairs = {(r.doc_a, r.doc_b) for r in exact.collect()}
+    # the true near-dup pair survives the cap
+    assert (100, 101) in capped_pairs
+    # the hot shingle (df=14 > ceiling 8) contributes no pairs when
+    # capped; uncapped it may create none either (jaccard too low), so
+    # assert the cap never ADDS pairs and the work was really dropped
+    assert capped_pairs <= exact_pairs
+    # with a sub-threshold but emit-heavy hot gram, the uncapped plan
+    # materializes candidate intersections for all 12*11/2 = 66 hot
+    # combos; the capped plan's grouped posting lists exclude it.
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import (
+        hashed_shingle_table,
+    )
+
+    g = hashed_shingle_table(spark, d, extra_cols=("lang",))
+    posts = g.select("lang", F.explode("grams").alias("gram"), "doc_id")
+    grouped = posts.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    assert grouped.filter(F.col("df") > 8).count() >= 1  # hot gram exists
+
+
+def test_df_ceiling_contract_row_is_selfconsistent(spark):
+    row = E.queries()["docs_jaccard_df_ceiling_contract"](spark, SF_DIR).first()
+    assert row.ceiling == 64
+    assert row.max_df <= row.ceiling  # fixture headroom holds
+    assert row.n_hot_grams == 0
+    assert row.n_pairs_capped == row.n_pairs_exact  # recall unchanged

@@ -26,11 +26,14 @@ OUT = os.path.join(
 )
 
 
-def green(row: dict) -> bool:
+def green(name, row: dict) -> bool:
     if row.get("err"):
         return False
-    if row.get("rows_match") is None:  # rows-only check (no oracle)
-        return row.get("spark_rows") is not None
+    if row.get("rows_match") is None:
+        # Rows-only run: only green for queries that genuinely have no
+        # oracle (a rows-only row for an oracle-backed query means no
+        # comparison happened — "checked, never green", round 0).
+        return name in oracle_free and row.get("spark_rows") is not None
     return bool(
         row.get("rows_match")
         and (row.get("schema_match") is not False)
@@ -38,7 +41,21 @@ def green(row: dict) -> bool:
     )
 
 
+def _oracle_free_queries() -> set[str]:
+    import sys
+
+    sys.path.insert(0, ROOT)
+    from python_nyc_taxi_data_pipeline_spark.registry import all_queries
+
+    return {n for n, q in all_queries().items() if q.oracle is None}
+
+
+oracle_free: set[str] = set()
+
+
 def main() -> None:
+    global oracle_free
+    oracle_free = _oracle_free_queries()
     last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -48,7 +65,7 @@ def main() -> None:
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            if green(row):
+            if green(name, row):
                 last_green[name] = max(last_green.get(name, 0), rnd)
             else:
                 last_green.setdefault(name, 0)  # checked, never green
