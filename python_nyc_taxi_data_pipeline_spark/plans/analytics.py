@@ -557,11 +557,14 @@ def percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-percentile sketch with a *checkable* contract (the
     ``agg_approx_distinct`` pattern): ``approx_percentile``'s value is
     engine-specific, so the query verifies the sketch's two defining
-    guarantees on data the oracle recomputes — each estimate's RANK is
-    within n/accuracy of the target rank (the Greenwald-Khanna bound),
-    and each estimate is an ACTUAL element of the column (GK returns
-    observed values, not interpolations). A broken sketch flips a
-    boolean and fails the driver hash.
+    guarantees on data the oracle recomputes — each estimate's rank
+    satisfies the DUPLICATE-SAFE Greenwald-Khanna interval
+    (count(< est) ≤ qn + n/acc and count(≤ est) ≥ qn − n/acc; a
+    one-sided |count(≤ est) − qn| check breaks under heavy ties at the
+    boundary even for correct estimates), and each estimate is an
+    ACTUAL element of the column (GK returns observed values, not
+    interpolations). A broken sketch flips a boolean and fails the
+    driver hash.
 
     Scale: one sketch aggregation (mergeable partials — no sort, no
     global shuffle of values) + one conditional-count pass to measure
@@ -580,9 +583,16 @@ def percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum(
+                F.when(F.col("o_totalprice") < F.element_at("ap", i + 1), 1)
+                .otherwise(0)
+            ).alias(f"rank_lt_{i}")
+            for i in range(len(qs))
+        ],
+        *[
+            F.sum(
                 F.when(F.col("o_totalprice") <= F.element_at("ap", i + 1), 1)
                 .otherwise(0)
-            ).alias(f"rank_{i}")
+            ).alias(f"rank_le_{i}")
             for i in range(len(qs))
         ],
         *[
@@ -594,15 +604,30 @@ def percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(qs))
         ],
     )
+    # Duplicate-safe GK interval: with heavy ties at a quantile
+    # boundary, count(<= estimate) can exceed the target rank by far
+    # more than n/accuracy even for a CORRECT estimate (every duplicate
+    # of the answer inflates it), so the one-sided |rank_le - qn| form
+    # is wrong. The guarantee that actually holds for an observed-value
+    # sketch is the interval: count(< est) ≤ qn + n/acc (the estimate
+    # isn't too high) AND count(≤ est) ≥ qn − n/acc (nor too low).
     per_q = F.array(
         *[
             F.struct(
                 F.lit(float(q)).alias("q"),
                 (
-                    F.abs(
-                        F.col(f"rank_{i}") - F.lit(q) * F.col("n")
+                    (
+                        F.col(f"rank_lt_{i}")
+                        <= F.lit(q) * F.col("n")
+                        + F.col("n") / APPROX_PCT_ACCURACY
+                        + 1
                     )
-                    <= F.col("n") / APPROX_PCT_ACCURACY + 1
+                    & (
+                        F.col(f"rank_le_{i}")
+                        >= F.lit(q) * F.col("n")
+                        - F.col("n") / APPROX_PCT_ACCURACY
+                        - 1
+                    )
                 ).alias("rank_within_bound"),
                 (F.col(f"seen_{i}") == 1).alias("value_is_element"),
             )
@@ -646,9 +671,16 @@ def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     every distinct key via min-over-rows. The sketch value is
     construction-specific, so the query emits the exact count plus the
     CMS's two defining guarantees, which the oracle recomputes: the
-    estimate never undercounts, and overcounts by at most n/width per
-    row (here: the min across 3 rows ≤ exact + n/1024 with margin 3 —
-    deterministic for a fixed input and seeds).
+    estimate never undercounts (deterministic — min over rows of
+    counters that each include every true occurrence), and the
+    overcount stays within the classical e·n/width bound (Cormode &
+    Muthukrishnan: P[over > e·n/width] ≤ e^-depth ≈ 5% per key at
+    depth 3). n/width alone is only the EXPECTED collision mass — a
+    single bucket can deterministically absorb more, so asserting it
+    as a hard bound against a TRUE-valued oracle would redden on a
+    legitimately unlucky fixture; e·n/width is the standard
+    high-probability bound and is fixture-calibrated (verified to hold
+    with ~2.7× margin at all three SFs).
 
     Scale: the sketch is width×depth cells (metadata) regardless of
     input size — the textbook mergeable summary for streaming top-k /
@@ -710,6 +742,8 @@ def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_estimate") >= F.col("exact_count")).alias("cms_ge_exact"),
         (
             F.col("cms_estimate")
-            <= F.col("exact_count") + F.lit(total) / CMS_WIDTH + 3
+            <= F.col("exact_count")
+            + F.lit(2.718281828459045) * F.lit(total) / CMS_WIDTH
+            + 3
         ).alias("cms_within_bound"),
     )
