@@ -234,20 +234,38 @@ def main() -> int:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:15]
     )
-    compact = json.dumps(
-        {
-            "metric": "query_suite_total",
-            "value": total,
-            "unit": "sec",
-            "queries": slowest,
-            "n_queries": len(timings),
-            "queries_detail": "BENCH_local.json",
-            "sf": sf_of(sf_dir),
-            "medallion_rows": med_rows,
-            "medallion_rows_per_sec": round(med_rows / med_sec, 1),
-            "medallion_nofastpath_rows_per_sec": round(dist_rows / dist_sec, 1),
-        }
+    compact_payload = {
+        "metric": "query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_detail": "BENCH_local.json",
+        "sf": sf_of(sf_dir),
+        "medallion_rows": med_rows,
+        "medallion_rows_per_sec": round(med_rows / med_sec, 1),
+        "medallion_nofastpath_rows_per_sec": round(dist_rows / dist_sec, 1),
+    }
+    # Fold in the latest near-dup scale-stress verdict (tools/
+    # scale_stress.py) when present: per-query worst shuffle-growth
+    # exponent across 1×/2×/4× corpus inflation.
+    stress_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "STRESS_local.json"
     )
+    if os.path.exists(stress_path):
+        try:
+            with open(stress_path) as f:
+                stress = json.load(f)
+            compact_payload["neardup_stress"] = {
+                "ok": stress.get("ok"),
+                "worst_exponents": {
+                    n: r.get("worst_exponent")
+                    for n, r in stress.get("queries", {}).items()
+                },
+            }
+        except (OSError, ValueError):
+            pass
+    compact = json.dumps(compact_payload)
     print(compact)
     spark.stop()
     return 0

@@ -429,12 +429,16 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # Verify step: join the shingle sets back for candidate pairs only.
-    # The candidate list is the small side (LSH prunes to near-dups) —
-    # broadcast it so the gram arrays never shuffle.
+    # The candidate set is usually the small side (LSH prunes to
+    # near-dups) but it is DATA-DEPENDENT — a high-duplication corpus
+    # (common at web scale) makes it enormous, and pairs_with_a
+    # additionally carries the gram arrays. No forced broadcast:
+    # AQE broadcasts from the materialized runtime size while the set
+    # fits and falls back to a doc_id shuffle join when it doesn't.
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-    pairs_with_a = ga.join(F.broadcast(candidates), "doc_a")
-    verified = F.broadcast(pairs_with_a).join(gb, "doc_b")
+    pairs_with_a = ga.join(candidates, "doc_a")
+    verified = pairs_with_a.join(gb, "doc_b")
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size("grams_a") + F.size("grams_b") - inter
     jac = F.round(inter.cast("double") / union, 6)
@@ -461,14 +465,15 @@ def simhash_table(
     with no words keep fingerprint 0 via the left join.
 
     ``only_docs`` (a one-column ``doc_id`` frame) restricts the
-    computation to its members via a broadcast semi-join BEFORE the
-    explode — callers that only need fingerprints for a known small
-    doc set (e.g. candidate-pair participants) skip hashing the rest
-    of the corpus entirely.
+    computation to its members via a semi-join BEFORE the explode —
+    callers that only need fingerprints for a known small doc set
+    (e.g. candidate-pair participants) skip hashing the rest of the
+    corpus entirely. The doc set is data-dependent, so no forced
+    broadcast — AQE broadcasts it while it fits.
     """
     d = load(spark, sf_dir, "documents")
     if only_docs is not None:
-        d = d.join(F.broadcast(only_docs.select("doc_id")), "doc_id", "semi")
+        d = d.join(only_docs.select("doc_id"), "doc_id", "semi")
     words = F.array_distinct(F.split(F.col("text"), " "))
     posts = d.select("doc_id", F.explode(words).alias("w")).withColumn(
         "h", F.xxhash64("w")

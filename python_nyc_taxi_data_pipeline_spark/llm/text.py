@@ -293,7 +293,7 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     d = load(spark, sf_dir, "documents").join(
-        F.broadcast(pair_ids), "doc_id", "left_semi"
+        pair_ids, "doc_id", "left_semi"
     )
     fps = fingerprint_sets_of(d)
     bounds_ok = (F.col("n_fingerprints") >= 1) & (

@@ -1,0 +1,218 @@
+"""Scale-stress the near-dup family: does shuffle volume grow linearly?
+
+Inflates the sf0.1 documents/embeddings fixtures k× (k = 1, 2, 4) and
+runs the three production near-dup queries at each size in a fresh
+session with event logging on, then sums per-task shuffle write bytes
+from the event log. The check is the growth EXPONENT between sizes
+(log bytes-ratio / log size-ratio):
+
+- ``docs_minhash_lsh_pairs`` and ``docs_dup_clusters`` must stay
+  ~linear (exponent ≤ 1.35): banded LSH emits O(n·bands) bucket rows
+  and label propagation touches each edge a bounded number of rounds.
+- ``embeddings_dedup_apply`` rides the DELIBERATELY exact all-pairs
+  GEMM (`llm/similarity.py` documents the trade); its shuffle may grow
+  up to quadratically (exponent ≤ 2.3 asserted) — the linear-scale
+  alternative is the LSH/IVF kNN family.
+
+Inflation preserves semantics-per-copy:
+- documents: copy c prefixes every word with ``c{c}x`` — a bijection
+  on shingles, so each copy reproduces the original near-dup pair set
+  exactly and copies share NO shingles (pair count scales ×k, never
+  ×k²).
+- embeddings: copy c uses fresh unit Gaussians from ``rng(c)`` —
+  near-orthogonal to everything, so planted cluster structure stays
+  constant while corpus size scales (random-pair cosine still crosses
+  the 0.42 fixture threshold at its background rate, which is why the
+  exact path's pair count is intrinsically quadratic-rate there).
+
+Usage:  python tools/scale_stress.py [base_sf_dir]
+Writes STRESS_local.json at the repo root; bench.py folds the summary
+into its compact line when the file exists.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+QUERIES = (
+    "docs_minhash_lsh_pairs",
+    "docs_dup_clusters",
+    "embeddings_dedup_apply",
+)
+SCALES = (1, 2, 4)
+MAX_EXPONENT = {
+    "docs_minhash_lsh_pairs": 1.35,
+    "docs_dup_clusters": 1.35,
+    "embeddings_dedup_apply": 2.3,
+}
+EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
+
+
+def build_inflated(base_sf_dir: str, k: int, outdir: str) -> None:
+    """Materialize a k×-inflated fixture dir (documents + embeddings
+    rewritten, every other table symlinked from the base dir)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(outdir, exist_ok=True)
+    docs = pq.read_table(os.path.join(base_sf_dir, "documents.parquet"))
+    d = docs.to_pandas()
+    parts = []
+    for c in range(k):
+        p = d.copy()
+        p["doc_id"] = p["doc_id"] + c * 10_000_000
+        if c > 0:
+            prefix = f"c{c}x"
+            p["text"] = p["text"].map(
+                lambda t: " ".join(prefix + w for w in t.split(" "))
+            )
+        parts.append(p)
+    import pandas as pd
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
+        os.path.join(outdir, "documents.parquet"),
+    )
+
+    emb = pq.read_table(os.path.join(base_sf_dir, "embeddings.parquet")).to_pandas()
+    dim = len(emb["embedding"].iloc[0])
+    eparts = [emb]
+    for c in range(1, k):
+        rng = np.random.default_rng(c)
+        vecs = rng.normal(size=(len(emb), dim))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        p = emb.copy()
+        p["vec_id"] = p["vec_id"] + c * 10_000_000
+        p["embedding"] = [row.astype(np.float32).tolist() for row in vecs]
+        eparts.append(p)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(eparts, ignore_index=True), preserve_index=False),
+        os.path.join(outdir, "embeddings.parquet"),
+    )
+
+    for f in glob.glob(os.path.join(base_sf_dir, "*.parquet")):
+        name = os.path.basename(f)
+        if name in ("documents.parquet", "embeddings.parquet"):
+            continue
+        dst = os.path.join(outdir, name)
+        if not os.path.exists(dst):
+            os.symlink(f, dst)
+
+
+def shuffle_bytes_from_eventlog(log_dir: str, app_id: str) -> int:
+    """Sum Shuffle Bytes Written across all SparkListenerTaskEnd events.
+    Handles both single-file and rolling (eventlog_v2_<appid>/events_*)
+    layouts; compression is disabled in the session config."""
+    candidates = []
+    for path in glob.glob(os.path.join(log_dir, f"*{app_id}*")):
+        if os.path.isdir(path):
+            candidates.extend(glob.glob(os.path.join(path, "events_*")))
+        else:
+            candidates.append(path)
+    total = 0
+    for path in candidates:
+        with open(path, errors="replace") as f:
+            for line in f:
+                if '"Event":"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                sw = (ev.get("Task Metrics") or {}).get("Shuffle Write Metrics") or {}
+                total += int(sw.get("Shuffle Bytes Written", 0))
+    return total
+
+
+def run_query(name: str, sf_dir: str) -> dict:
+    """One query in a fresh session with event logging; returns metrics."""
+    from python_nyc_taxi_data_pipeline_spark.registry import all_queries
+    from python_nyc_taxi_data_pipeline_spark.session import get_session
+
+    os.makedirs(EVENTLOG_DIR, exist_ok=True)
+    spark = get_session(
+        f"stress-{name}",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
+            "spark.eventLog.compress": "false",
+        },
+    )
+    app_id = spark.sparkContext.applicationId
+    t0 = time.perf_counter()
+    df = all_queries()[name].fn(spark, sf_dir)
+    rows = df.count()
+    sec = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    time.sleep(1)  # let the event log flush/close
+    return {
+        "sec": sec,
+        "rows": rows,
+        "shuffle_write_bytes": shuffle_bytes_from_eventlog(EVENTLOG_DIR, app_id),
+    }
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dirs = {}
+    for k in SCALES:
+        outdir = f"/tmp/stress_x{k}"
+        if os.path.exists(outdir):
+            shutil.rmtree(outdir)
+        build_inflated(base, k, outdir)
+        dirs[k] = outdir
+        print(f"# built {outdir}", file=sys.stderr)
+
+    results: dict[str, dict] = {}
+    failures = []
+    for name in QUERIES:
+        per_scale = {}
+        for k in SCALES:
+            m = run_query(name, dirs[k])
+            per_scale[str(k)] = m
+            print(f"# {name} x{k}: {m}", file=sys.stderr)
+        exps = []
+        for lo, hi in zip(SCALES, SCALES[1:]):
+            b_lo = per_scale[str(lo)]["shuffle_write_bytes"]
+            b_hi = per_scale[str(hi)]["shuffle_write_bytes"]
+            if b_lo > 0 and b_hi > 0:
+                exps.append(
+                    round(math.log(b_hi / b_lo) / math.log(hi / lo), 3)
+                )
+        worst = max(exps) if exps else None
+        ok = worst is not None and worst <= MAX_EXPONENT[name]
+        if not ok:
+            failures.append(name)
+        results[name] = {
+            "scales": per_scale,
+            "shuffle_growth_exponents": exps,
+            "worst_exponent": worst,
+            "max_allowed": MAX_EXPONENT[name],
+            "ok": ok,
+        }
+
+    out = {
+        "metric": "neardup_scale_stress",
+        "base_sf_dir": base,
+        "scales": list(SCALES),
+        "queries": results,
+        "ok": not failures,
+    }
+    with open(os.path.join(ROOT, "STRESS_local.json"), "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
