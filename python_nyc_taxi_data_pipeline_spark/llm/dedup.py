@@ -289,36 +289,84 @@ def docs_jaccard_df_ceiling_contract(spark: SparkSession, sf_dir: str) -> DataFr
     caps) hash-mismatches the oracle — a red row, not a silent recall
     loss. max_df/n_hot_grams expose how much headroom remains."""
     d = load(spark, sf_dir, "documents")
+    return _jaccard_contract_counts(spark, d, DF_CEILING)
+
+
+def _jaccard_contract_counts(
+    spark: SparkSession, d: DataFrame, ceiling: int
+) -> DataFrame:
+    """Fused capped-vs-exact pair census over a documents frame.
+    Equivalence to the production capped plan is pinned by
+    ``test_df_ceiling_contract_matches_production_capped_plan``."""
+    # ONE shingle pass and ONE pair-emit pass serve both variants: each
+    # posting list is tagged hot (df > ceiling) at emit time, and the
+    # per-pair aggregation counts shared grams twice — all grams
+    # (exact semantics) and cool-only grams (capped semantics: a pair
+    # whose overlap rides only hot grams gets inter_capped = 0 and
+    # drops below threshold, exactly like the production plan that
+    # never emits it). The diagnostic deliberately DOES emit hot
+    # combos (it must, to compute the exact side) — fine at fixture
+    # scale; the production query never does.
     g = hashed_shingle_table(spark, d, extra_cols=("lang",))
-    dfs = (
-        g.select("doc_id", "lang", F.explode("grams").alias("gram"))
-        .groupBy("lang", "gram")
-        .agg(F.count(F.lit(1)).alias("df"))
+    sizes = g.select("doc_id", F.size("grams").alias("n_grams"))
+    posts = g.select("doc_id", "lang", F.explode("grams").alias("gram"))
+    ids = F.sort_array(F.collect_list("doc_id"))
+    grouped = (
+        posts.groupBy("lang", "gram")
+        .agg(ids.alias("ids"))
+        .withColumn("hot", F.size("ids") > ceiling)
     )
-    stats = dfs.agg(
-        F.max("df").cast("long").alias("max_df"),
-        F.sum((F.col("df") > DF_CEILING).cast("long"))
-        .cast("long")
-        .alias("n_hot_grams"),
+    stats = grouped.agg(
+        F.max(F.size("ids")).cast("long").alias("max_df"),
+        F.sum(F.col("hot").cast("long")).cast("long").alias("n_hot_grams"),
     )
-    capped = (
-        _jaccard_pairs_from(spark, d, DF_CEILING)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs_capped"))
-    )
-    exact = (
-        _jaccard_pairs_from(spark, d, None)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs_exact"))
-    )
-    return (
-        stats.crossJoin(capped)
-        .crossJoin(exact)
-        .select(
-            F.lit(DF_CEILING).cast("long").alias("ceiling"),
-            "max_df",
-            "n_hot_grams",
-            "n_pairs_capped",
-            "n_pairs_exact",
+    multi = grouped.filter(F.size("ids") >= 2)
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i.cast("int") + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    inter = (
+        multi.select("hot", F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter_all"),
+            F.sum((~F.col("hot")).cast("long")).alias("inter_cool"),
+        )
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    # Denominators differ: the production capped plan computes
+    # inter = cool-only, so its union is n_a + n_b - inter_cool.
+    size_sum = F.col("sa.n_grams") + F.col("sb.n_grams")
+    jac_exact = F.round(
+        F.col("inter_all").cast("double") / (size_sum - F.col("inter_all")), 6
+    )
+    jac_capped = F.round(
+        F.col("inter_cool").cast("double") / (size_sum - F.col("inter_cool")), 6
+    )
+    counts = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .agg(
+            F.sum((jac_capped >= JACCARD_THRESHOLD).cast("long"))
+            .cast("long")
+            .alias("n_pairs_capped"),
+            F.sum((jac_exact >= JACCARD_THRESHOLD).cast("long"))
+            .cast("long")
+            .alias("n_pairs_exact"),
+        )
+    )
+    return stats.crossJoin(counts).select(
+        F.lit(ceiling).cast("long").alias("ceiling"),
+        "max_df",
+        "n_hot_grams",
+        "n_pairs_capped",
+        "n_pairs_exact",
     )
 
 

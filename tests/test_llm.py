@@ -494,3 +494,33 @@ def test_df_ceiling_contract_row_is_selfconsistent(spark):
     assert row.max_df <= row.ceiling  # fixture headroom holds
     assert row.n_hot_grams == 0
     assert row.n_pairs_capped == row.n_pairs_exact  # recall unchanged
+
+
+def test_df_ceiling_contract_matches_production_capped_plan(spark):
+    """The contract's FUSED capped census (one emit pass, hot-tagged
+    grams) must agree with the production capped plan on a corpus where
+    the cap is actually binding — both the capped and exact counts."""
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        _jaccard_contract_counts,
+        _jaccard_pairs_from,
+    )
+
+    hot = "shared boilerplate footer"
+    rows = [(i, f"u{i} v{i} w{i} x{i} " + hot, "en") for i in range(12)]
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows += [(100, dup, "en"), (101, dup, "en")]
+    # a pair whose overlap is ONLY the hot trigram plus short uniques —
+    # rides the cap boundary differently in capped vs exact
+    rows += [(200, "p q r " + hot, "en"), (201, "s t u " + hot, "en")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    row = _jaccard_contract_counts(spark, d, ceiling=8).first()
+    capped_true = _jaccard_pairs_from(spark, d, 8).count()
+    exact_true = _jaccard_pairs_from(spark, d, None).count()
+    assert row.n_pairs_capped == capped_true
+    assert row.n_pairs_exact == exact_true
+    assert row.n_hot_grams >= 1  # the cap was binding in this corpus
+    assert row.max_df > 8
+    # and the jaccard threshold really separates the two counts here
+    assert exact_true >= capped_true
