@@ -524,3 +524,42 @@ def test_df_ceiling_contract_matches_production_capped_plan(spark):
     assert row.max_df > 8
     # and the jaccard threshold really separates the two counts here
     assert exact_true >= capped_true
+
+
+def test_token_weighted_sample_overselects_long_docs(spark):
+    """A-ES with weight = token count must overrepresent long docs:
+    the sample's mean length exceeds the corpus mean, and the sample is
+    exactly the deterministic top-k (re-running gives identical rows)."""
+    qs = E.queries()
+    s1 = qs["docs_token_weighted_sample"](spark, SF_DIR).collect()
+    s2 = qs["docs_token_weighted_sample"](spark, SF_DIR).collect()
+    assert s1 == s2  # deterministic
+    d = load(spark, SF_DIR, "documents")
+    corpus_mean = d.select(
+        F.avg(F.size(F.split("text", " "))).alias("m")
+    ).first().m
+    sample_mean = sum(r.n_words for r in s1) / len(s1)
+    assert sample_mean > corpus_mean
+    # keys are valid A-ES draws: in (0, 1], sorted desc
+    keys = [r.sample_key for r in s1]
+    assert keys == sorted(keys, reverse=True)
+    assert all(0 < k <= 1 for k in keys)
+
+
+def test_quality_topp_per_lang_fraction_and_ordering(spark):
+    """Per language, the filter keeps ~TOP_P of documents (within
+    integer-rank granularity) and every kept doc quality-dominates
+    every dropped doc under the integer ordering."""
+    from python_nyc_taxi_data_pipeline_spark.plans.sampling import TOP_P
+
+    kept = E.queries()["docs_quality_topp_per_lang"](spark, SF_DIR)
+    d = load(spark, SF_DIR, "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_counts = {
+        r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, total in totals.items():
+        k = kept_counts.get(lang, 0)
+        # percent_rank <= p keeps floor(p*(n-1))+1 rows
+        expected = int(TOP_P * (total - 1)) + 1
+        assert abs(k - expected) <= 1, (lang, k, expected, total)

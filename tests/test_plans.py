@@ -310,6 +310,26 @@ def test_no_broadcast_hint_on_sf_scaled_relations(spark):
     assert flagged == {}
 
 
+def test_aqe_broadcasts_dehinted_joins_at_runtime(spark):
+    """The r4 hint sweep removed forced broadcasts from SF-scaled dims
+    (supplier/customer/part). This pins the OTHER half of the bargain:
+    at fixture scale the planner/AQE must still choose broadcast-hash
+    for those joins from size stats alone — i.e. removing the hints
+    cost nothing where broadcasting is right. Checks the EXECUTED
+    (adaptive) plan after an action, not the static explain."""
+    for name in (
+        "flagship_supplier_metrics",
+        "segment_metrics",
+        "tpch_q18_large_orders",
+        "tpch_q17_small_quantity_revenue",
+    ):
+        df = E.queries()[name](spark, SF_DIR)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in executed, name
+        assert "SortMergeJoin" not in executed, name
+
+
 def test_no_plan_antipatterns_across_all_queries(spark):
     """Fleet-wide net: NO registered query may contain a cartesian
     product, a row-at-a-time Python UDF (BatchEvalPython — Arrow paths
