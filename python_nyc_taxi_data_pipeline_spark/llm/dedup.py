@@ -393,6 +393,33 @@ def minhash_signature(grams: Column, num_perms: int = MINHASH_PERMS) -> Column:
     return F.array(*sigs)
 
 
+def minhash_band_index(g: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH index rows for a shingle
+    table. This is the artifact a production deployment PERSISTS
+    (parquet, bucketed/partitioned by (band_idx, band_hash)) so that
+    incremental batches join it directly instead of re-hashing the
+    corpus — see ``docs_minhash_incremental_pairs``. Band hashes are
+    pure per-document functions (no corpus statistics), which is what
+    makes the index append-only under ingestion."""
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    sig = g.select("doc_id", minhash_signature(F.col("grams")).alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda band: F.struct(
+                    band.alias("band_idx"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band),
+                        band,
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
 @register(
     "docs_minhash_lsh_pairs",
     oracle=f"""
@@ -430,25 +457,9 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingles are 64-bit fingerprints, so each of the 16 permutation
     # hashes reads 8 bytes instead of re-hashing a ~100-char string.
     g = hashed_shingle_table(spark, d)
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-    sig = g.select("doc_id", minhash_signature(F.col("grams")).alias("sig"))
     # Candidate generation shuffles only (doc_id, band_hash) — 16 bytes a
     # row — never the shingle arrays.
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda band: F.struct(
-                    band.alias("band_idx"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band),
-                        band,
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    banded = minhash_band_index(g)
 
     # Bucket-then-combine: group each LSH bucket's (sorted) member list
     # and emit (a < b) combinations JVM-side — one shuffle of the tiny
@@ -476,17 +487,21 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Verify step: join the shingle sets back for candidate pairs only.
-    # The candidate set is usually the small side (LSH prunes to
-    # near-dups) but it is DATA-DEPENDENT — a high-duplication corpus
-    # (common at web scale) makes it enormous, and pairs_with_a
-    # additionally carries the gram arrays. No forced broadcast:
-    # AQE broadcasts from the materialized runtime size while the set
-    # fits and falls back to a doc_id shuffle join when it doesn't.
+    return _verify_jaccard(g, candidates)
+
+
+def _verify_jaccard(g: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against a (doc_id, grams) shingle table; keeps pairs ≥ threshold.
+    The candidate set is usually the small side (LSH prunes to
+    near-dups) but it is DATA-DEPENDENT — a high-duplication corpus
+    (common at web scale) makes it enormous, and the joined frame
+    additionally carries the gram arrays. No forced broadcast: AQE
+    broadcasts from the materialized runtime size while the set fits
+    and falls back to a doc_id shuffle join when it doesn't."""
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-    pairs_with_a = ga.join(candidates, "doc_a")
-    verified = pairs_with_a.join(gb, "doc_b")
+    verified = ga.join(candidates, "doc_a").join(gb, "doc_b")
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size("grams_a") + F.size("grams_b") - inter
     jac = F.round(inter.cast("double") / union, 6)
@@ -494,6 +509,93 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+_INCR_BATCH_MOD = 10  # doc_id % 10 == 0 → the "newly ingested" batch
+
+
+@register(
+    "docs_minhash_incremental_pairs",
+    oracle=f"""
+    WITH g AS (
+{GRAMS_CTE_SQL}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id % {_INCR_BATCH_MOD} = 0 OR b.doc_id % {_INCR_BATCH_MOD} = 0)
+      AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                6) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "lsh", "incremental"),
+)
+def docs_minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the operation a 100 TB corpus
+    actually runs on every ingest: find all near-dup pairs touching a
+    NEW batch (batch↔corpus and batch↔batch) by joining the batch's
+    band rows against the persisted corpus band index, WITHOUT
+    re-hashing or re-pairing the existing corpus.
+
+    Here the batch is ``doc_id % {_INCR_BATCH_MOD} == 0`` and the corpus
+    index is built inline from the complement (in production it is the
+    parquet artifact of ``minhash_band_index``, bucketed by
+    (band_idx, band_hash), appended on every ingest — band hashes are
+    per-document, so the index is append-only). Cost per ingest:
+    O(|batch|·bands) index probes + verification of the candidates —
+    independent of corpus size except for the bucket-join fan-out.
+
+    The oracle is the batch-touching subset of the brute-force exact
+    pair set: on the fixtures banding recovers every qualifying pair
+    (same recall argument as ``docs_minhash_lsh_pairs``), so the
+    incremental path must reproduce it exactly."""
+    d = load(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % _INCR_BATCH_MOD) == 0
+    corpus_g = hashed_shingle_table(spark, d.filter(~is_batch))
+    batch_g = hashed_shingle_table(spark, d.filter(is_batch))
+    index = minhash_band_index(corpus_g)  # persisted in production
+    batch_bands = minhash_band_index(batch_g)
+
+    # batch ↔ corpus: probe the index buckets with the batch bands.
+    cross = (
+        batch_bands.select(
+            F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
+        )
+        .join(
+            index.select(F.col("doc_id").alias("c_id"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select(
+            F.least("b_id", "c_id").alias("doc_a"),
+            F.greatest("b_id", "c_id").alias("doc_b"),
+        )
+    )
+    # batch ↔ batch: bucket-then-combine within the batch bands only.
+    ids = F.sort_array(F.collect_list("doc_id"))
+    buckets = (
+        batch_bands.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i.cast("int") + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    internal = buckets.select(F.explode(combos).alias("p")).select(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+    )
+    candidates = cross.union(internal).dropDuplicates(["doc_a", "doc_b"])
+    g_all = corpus_g.select("doc_id", "grams").union(
+        batch_g.select("doc_id", "grams")
+    )
+    return _verify_jaccard(g_all, candidates)
 
 
 def simhash_table(

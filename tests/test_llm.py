@@ -563,3 +563,21 @@ def test_quality_topp_per_lang_fraction_and_ordering(spark):
         # percent_rank <= p keeps floor(p*(n-1))+1 rows
         expected = int(TOP_P * (total - 1)) + 1
         assert abs(k - expected) <= 1, (lang, k, expected, total)
+
+
+def test_incremental_minhash_equals_batch_touching_subset(spark):
+    """The incremental path (batch bands probing the corpus band index)
+    must reproduce exactly the batch-touching subset of the full-run
+    LSH pair set — same pairs, same jaccard values."""
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import _INCR_BATCH_MOD
+
+    qs = E.queries()
+    full = qs["docs_minhash_lsh_pairs"](spark, SF_DIR).collect()
+    incr = qs["docs_minhash_incremental_pairs"](spark, SF_DIR).collect()
+    touching = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in full
+        if r.doc_a % _INCR_BATCH_MOD == 0 or r.doc_b % _INCR_BATCH_MOD == 0
+    }
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in incr}
+    assert got == touching
