@@ -1,0 +1,163 @@
+"""Semantic deduplication (SemDeDup shape: Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication"): cluster the embedding space, then drop all but one
+representative of every within-cluster ε-ball.
+
+The clustering here is nearest-of-k-fixed-seeds (the k lowest vec_ids)
+rather than iterated Lloyd: assignments become a pure deterministic
+expression over (vector, seed) cosines, which makes the WHOLE operator
+— assignment, within-cluster pair scan, greedy pruning — exactly
+reproducible by the DuckDB oracle. The iterated-kmeans variant of the
+same pipeline is available by composing ``llm.kmeans`` +
+``llm.similarity`` (`embeddings_dedup_apply`), which carries
+bound-contract oracles instead.
+
+Scale notes (100 TB):
+- seeds are k·d values — a legal broadcast at any corpus size
+  (k is a config, not data-dependent);
+- assignment is map-side (one cosine per seed per vector, no shuffle);
+- the pair scan shuffles once on cluster_id and is O(Σ cluster²) —
+  SemDeDup's intrinsic cost; in production k grows with the corpus
+  (k ≈ n / target_cluster_size) precisely to keep per-cluster
+  quadratic work bounded;
+- greedy keep-lowest-id pruning is one aggregation over the pair list,
+  not an iterative loop (a doc is dropped iff ANY lower-id same-cluster
+  doc sits within the ε-ball — no chaining).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+from .similarity import _as_double, _dot, _norm
+
+SEMDEDUP_K = 8  # fixed seed clusters (config; scales with corpus size)
+SEMDEDUP_COSINE = 0.42  # ε-ball threshold (fixture p99.9+, cf. NEARDUP_COSINE)
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (acc, x) -> acc + x)) AS nrm
+      FROM v
+    ), seeds AS (
+      SELECT vec_id AS seed_id, v AS sv, nrm AS snrm
+      FROM n ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ), scored AS (
+      SELECT a.vec_id, s.seed_id,
+             round(list_reduce(list_transform(list_zip(a.v, s.sv),
+                                              p -> p[1] * p[2]),
+                               (acc, x) -> acc + x)
+                   / (a.nrm * s.snrm), 6) AS cos
+      FROM n a CROSS JOIN seeds s
+    ), assign AS (
+      SELECT vec_id, seed_id AS cluster_id
+      FROM scored
+      QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, seed_id
+      ) = 1
+    ), dropped AS (
+      SELECT DISTINCT y.vec_id
+      FROM assign x
+      JOIN assign y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      JOIN n na ON na.vec_id = x.vec_id
+      JOIN n nb ON nb.vec_id = y.vec_id
+      WHERE round(list_reduce(list_transform(list_zip(na.v, nb.v),
+                                             p -> p[1] * p[2]),
+                              (acc, x) -> acc + x)
+                  / (na.nrm * nb.nrm), 6) >= {SEMDEDUP_COSINE}
+    )
+    SELECT a.vec_id, a.cluster_id,
+           (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """
+
+
+@register(
+    "embeddings_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("llm", "dedup", "similarity", "clustering"),
+)
+def embeddings_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: assign every vector to its
+    nearest of {SEMDEDUP_K} fixed seed vectors (by rounded cosine,
+    seed_id tie-break), scan within-cluster pairs, and drop any vector
+    with a lower-id cluster-mate at cosine ≥ {SEMDEDUP_COSINE}. Returns
+    (vec_id, cluster_id, kept) for the full corpus — the kept=TRUE rows
+    are the semantically-deduplicated training subset."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    k_seeds = (
+        n.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("v").alias("sv"),
+            F.col("nrm").alias("snrm"),
+        )
+    )
+    cos_seed = F.round(
+        _dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("snrm")), 6
+    )
+    # argmin via struct-min: lexicographic (−cos, seed_id) — exactly the
+    # oracle's ORDER BY cos DESC, seed_id tie-break, without a window.
+    assign = (
+        n.crossJoin(F.broadcast(k_seeds))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.struct((-cos_seed).alias("neg_cos"), F.col("seed_id")).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+            F.min("sc").getField("seed_id").alias("cluster_id"),
+        )
+        # three consumers below (both pair sides + the final projection)
+        # — pin the assignment once instead of recomputing the
+        # k-seed scoring per branch
+        .localCheckpoint(eager=True)
+    )
+    a = assign.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster_id").alias("c"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster_id").alias("c"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    pair_cos = F.round(
+        _dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm")), 6
+    )
+    dropped = (
+        a.join(b, "c")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(pair_cos >= SEMDEDUP_COSINE)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assign.select("vec_id", "cluster_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

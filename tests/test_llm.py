@@ -581,3 +581,42 @@ def test_incremental_minhash_equals_batch_touching_subset(spark):
     }
     got = {(r.doc_a, r.doc_b): r.jaccard for r in incr}
     assert got == touching
+
+
+def test_semdedup_keeps_cluster_minima_and_prunes_correctly(spark):
+    """Greedy pruning invariants: the lowest vec_id of every cluster is
+    always kept, and every dropped vector has a LOWER-id cluster-mate
+    within the epsilon-ball (recomputed exactly here)."""
+    import math
+
+    from python_nyc_taxi_data_pipeline_spark.llm.semdedup import (
+        SEMDEDUP_COSINE,
+    )
+
+    rows = E.queries()["embeddings_semdedup"](spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        lowest = min(m.vec_id for m in members)
+        assert next(m for m in members if m.vec_id == lowest).kept
+    emb = {
+        r.vec_id: r.embedding
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    for members in by_cluster.values():
+        for m in members:
+            if m.kept:
+                continue
+            mates = [o for o in members if o.vec_id < m.vec_id]
+            assert any(
+                cos(emb[m.vec_id], emb[o.vec_id]) >= SEMDEDUP_COSINE
+                for o in mates
+            ), m.vec_id
