@@ -248,6 +248,94 @@ def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Content-defined chunking: a word is a cut point when its md5 starts
+# with this nibble → P(boundary) = 1/16, mean chunk ≈ 16 words. The
+# boundary depends only on the WORD, so an insertion/deletion shifts
+# only its own chunk (and at most merges/splits at the nearest cut) —
+# the CDC robustness property fixed-stride chunking lacks, and the
+# reason storage/dataset dedup (LBFS/FastCDC lineage) uses it.
+CDC_BOUNDARY_NIBBLE = "0"
+
+
+@register(
+    "docs_cdc_chunks",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS word
+      FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+    ), flagged AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN substr(md5(word), 1, 1) = '{CDC_BOUNDARY_NIBBLE}'
+                  THEN 1 ELSE 0 END AS is_b
+      FROM tok
+    ), cut AS (
+      SELECT doc_id, pos, word,
+             CAST(coalesce(SUM(is_b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS chunk_id
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+      FROM cut GROUP BY doc_id, chunk_id
+    ), counts AS (
+      SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT doc_id, chunk_id, n_words, chunk_hash, n_docs_sharing
+    FROM chunks JOIN counts USING (chunk_hash)
+    """,
+    tags=("llm", "text", "chunking", "dedup"),
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-document chunk dedup signal:
+    cut each document where a word's md5 starts with
+    '{CDC_BOUNDARY_NIBBLE}' (content-derived boundaries — robust to
+    insertions, unlike fixed stride), hash each chunk, and report how
+    many documents share each chunk hash. Shared chunks are the
+    sub-document duplication (boilerplate/quotation) signal that
+    document-level near-dup misses and span-level n-grams pay more to
+    find.
+
+    Plan: explode → per-doc prefix-sum window (bounded by document
+    length, never a global window) → one (doc, chunk) aggregation with
+    an order-pinned string fold → one hash-keyed count join. All
+    shuffle keys are 16-byte hashes or (doc_id, chunk_id) ints."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    is_b = (
+        F.substring(F.md5("word"), 1, 1) == CDC_BOUNDARY_NIBBLE
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cut = tok.withColumn(
+        "chunk_id", F.coalesce(F.sum(is_b).over(w), F.lit(0)).cast("long")
+    )
+    ordered_words = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "word"))),
+        lambda s: s.getField("word"),
+    )
+    chunks = cut.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", ordered_words)).alias("chunk_hash"),
+    )
+    counts = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs_sharing")
+    )
+    return chunks.join(counts, "chunk_hash").select(
+        "doc_id", "chunk_id", "n_words", "chunk_hash", "n_docs_sharing"
+    )
+
+
 @register(
     "events_gaps_islands",
     oracle="""

@@ -620,3 +620,43 @@ def test_semdedup_keeps_cluster_minima_and_prunes_correctly(spark):
                 cos(emb[m.vec_id], emb[o.vec_id]) >= SEMDEDUP_COSINE
                 for o in mates
             ), m.vec_id
+
+
+def test_cdc_chunks_are_insertion_robust(spark):
+    """The CDC property: inserting one word into a long document
+    changes only the chunk containing the insertion (or merges/splits
+    at its nearest cut) — the other chunk hashes survive verbatim.
+    Fixed-stride chunking would shift every downstream chunk."""
+    from python_nyc_taxi_data_pipeline_spark.plans.analytics2 import (
+        CDC_BOUNDARY_NIBBLE,
+    )
+    from pyspark.sql import Window
+
+    base_words = [f"w{i}" for i in range(400)]
+    mutated = base_words[:200] + ["INSERTED"] + base_words[200:]
+    d = spark.createDataFrame(
+        [(1, " ".join(base_words)), (2, " ".join(mutated))],
+        "doc_id long, text string",
+    )
+
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    is_b = (F.substring(F.md5("word"), 1, 1) == CDC_BOUNDARY_NIBBLE).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cut = tok.withColumn("chunk_id", F.coalesce(F.sum(is_b).over(w), F.lit(0)))
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "word"))),
+        lambda s: s.getField("word"),
+    )
+    chunks = cut.groupBy("doc_id", "chunk_id").agg(
+        F.md5(F.concat_ws(" ", ordered)).alias("h")
+    )
+    h1 = {r.h for r in chunks.filter("doc_id = 1").collect()}
+    h2 = {r.h for r in chunks.filter("doc_id = 2").collect()}
+    shared = h1 & h2
+    # all but the insertion-bearing chunk survive: >= 80% overlap
+    assert len(shared) >= 0.8 * len(h1), (len(shared), len(h1), len(h2))
+    assert h1 != h2  # and the insertion IS visible
