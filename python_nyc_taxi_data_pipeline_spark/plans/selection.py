@@ -1,0 +1,317 @@
+"""Data-selection operators for training-corpus construction: DSIR
+importance weighting, deterministic global shuffle/sharding, and a
+cross-source vocabulary-overlap matrix.
+
+These extend the curation suite (``plans.curation``, ``plans.sampling``)
+with the *selection* stage of a large-scale pretraining pipeline:
+
+- **DSIR importance weights** (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): score every raw document
+  by the log-likelihood ratio of its hashed-n-gram features under a
+  target distribution vs the raw distribution, then keep the top
+  scorers. The entire method is two aggregations and one broadcast
+  join — no model, no Python.
+- **Deterministic global shuffle → shard manifest**: the "shuffle the
+  corpus before training" step, done as a *pure function of the data*
+  (md5 permutation key) so any engine, any cluster size, any retry
+  produces byte-identical shards. The manifest carries a
+  permutation-sensitive checksum so the oracle verifies the ORDER, not
+  just membership.
+- **Source overlap matrix**: pairwise Jaccard similarity of source
+  vocabularies (hashed bigrams) — the standard diagnostic before
+  choosing mixture weights (near-duplicate sources shouldn't both get
+  full weight).
+
+Determinism contract: every fractional quantity that decides ordering
+or is emitted is either (a) an integer (micro-units via
+``round(x*1e6)``), or (b) a single IEEE double op (one division)
+rounded to 6 dp — bit-identical across Spark and DuckDB. Log-ratio
+scores are quantized to integer micro-nats BEFORE the per-doc sum, so
+the sum is exact integer arithmetic and order-independent.
+
+Scale notes (100 TB):
+- DSIR: token explode → ONE map-side-combined aggregation into B=64
+  feature buckets (the feature table is O(B), broadcast back); the
+  per-doc score join touches each doc's distinct buckets only. No
+  global sort — top-k is TakeOrderedAndProject.
+- Shuffle shards: at cluster scale the window-per-shard becomes
+  ``repartitionByRange(key)`` + per-partition running counts (the same
+  distributed prefix-sum machinery as ``plans.curation`` packing); the
+  window form here is what the oracle can verify exactly.
+- Source overlap: the inverted-index self-join's posting lists are
+  bounded by the number of SOURCES per bigram (≤ |sources|, by
+  ``distinct``), not document frequency — the pair fan-out is
+  O(vocab · |sources|²) with |sources| small and known.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_K = 100
+N_SHARDS = 16
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    """doc_id, lang, tok — lower-cased whitespace tokens."""
+    return (
+        d.select("doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+def _bucket(col):
+    """First 32 bits of md5 → bucket id in [0, DSIR_BUCKETS)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % DSIR_BUCKETS
+    )
+
+
+@register(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, tok
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ), bucketed AS (
+      SELECT doc_id, lang,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                  % {DSIR_BUCKETS} AS BIGINT) AS bucket
+      FROM toks
+    ), feat AS (
+      SELECT bucket,
+             count(*) AS cnt_raw,
+             count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS cnt_tgt
+      FROM bucketed GROUP BY bucket
+    ), feat_lr AS (
+      SELECT bucket,
+             CAST(round(ln(
+               ((cnt_tgt + 1.0) * (sum(cnt_raw) OVER () + {DSIR_BUCKETS}))
+               / ((cnt_raw + 1.0) * (sum(cnt_tgt) OVER () + {DSIR_BUCKETS}))
+             ) * 1000000.0, 0) AS BIGINT) AS lr_micro
+      FROM feat
+    ), doc_buckets AS (
+      SELECT doc_id, bucket, count(*) AS n
+      FROM bucketed GROUP BY doc_id, bucket
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.n) AS BIGINT) AS n_tokens,
+           CAST(sum(d.n * f.lr_micro) AS BIGINT) AS score_micro
+    FROM doc_buckets d JOIN feat_lr f USING (bucket)
+    GROUP BY d.doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {DSIR_TOP_K}
+    """,
+    tags=("llm", "selection", "curation"),
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed-unigram importance weights.
+
+    Features are md5-hashed token buckets (B={DSIR_BUCKETS}); the target
+    distribution is the '{DSIR_TARGET_LANG}' slice, the raw distribution
+    is the whole corpus. Each doc's score is the add-one-smoothed
+    log-likelihood ratio of its bucket counts, in integer micro-nats
+    (quantized per-bucket, so the per-doc sum is exact and
+    order-independent). Top-{DSIR_TOP_K} docs by score.
+
+    Plan shape: one explode → one agg (map-side combined) to the B-row
+    feature table → window-free smoothing (tiny table) → broadcast join
+    back → per-doc sum → TakeOrderedAndProject.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucketed = _tokens(d).select("doc_id", "lang", _bucket(F.col("tok")).alias("bucket"))
+    feat = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("cnt_tgt"),
+    )
+    # Global token totals as a scalar aggregate broadcast back onto the
+    # B-row feature table (partial-agg-then-merge; no global window).
+    totals = feat.agg(
+        F.sum("cnt_raw").alias("tot_raw"), F.sum("cnt_tgt").alias("tot_tgt")
+    )
+    lr = F.log(
+        ((F.col("cnt_tgt") + 1.0) * (F.col("tot_raw") + DSIR_BUCKETS))
+        / ((F.col("cnt_raw") + 1.0) * (F.col("tot_tgt") + DSIR_BUCKETS))
+    )
+    feat_lr = feat.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.round(lr * 1000000.0, 0).cast("bigint").alias("lr_micro")
+    )
+    doc_buckets = bucketed.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        doc_buckets.join(F.broadcast(feat_lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lr_micro")).cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+    )
+
+
+@register(
+    "docs_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS k,
+             CAST(CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS UBIGINT) % {N_SHARDS} AS INT) AS shard_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ordered AS (
+      SELECT shard_id, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(sum(rn * doc_id) AS BIGINT) AS perm_checksum
+    FROM ordered
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+    tags=("llm", "selection", "sharding"),
+)
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard manifest.
+
+    Every doc gets a permutation key md5('shuffle:'||doc_id); the first
+    16 bits route it to one of {N_SHARDS} shards and the full key orders
+    it within the shard. The manifest emits per-shard doc/token counts
+    plus ``perm_checksum = Σ rank·doc_id`` — a position-sensitive
+    checksum, so the oracle match proves the exact within-shard ORDER,
+    not merely shard membership.
+
+    At 100 TB the same key drives ``repartitionByRange(k)`` with
+    per-partition running counts (the curation prefix-sum machinery);
+    here one window per shard-partition is the oracle-verifiable form —
+    it shuffles each row once, same as the range repartition would.
+    """
+    d = load(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        k.alias("k"),
+        (F.conv(F.substring(k, 1, 4), 16, 10).cast("bigint") % N_SHARDS)
+        .cast("int")
+        .alias("shard_id"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("k", "doc_id")
+    ordered = keyed.withColumn("rn", F.row_number().over(w))
+    return (
+        ordered.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.sum(F.col("rn") * F.col("doc_id")).cast("bigint").alias("perm_checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "docs_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS t
+      FROM documents
+    ), bigrams AS (
+      SELECT DISTINCT source, bg
+      FROM (SELECT source,
+                   unnest(list_transform(
+                     list_zip(t[1:len(t) - 1], t[2:len(t)]),
+                     p -> p[1] || ' ' || p[2])) AS bg
+            FROM toks)
+    ), per_source AS (
+      SELECT source, count(*) AS n_terms FROM bigrams GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared_terms
+      FROM bigrams a JOIN bigrams b
+        ON a.bg = b.bg AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(shared_terms AS BIGINT) AS shared_terms,
+           CAST(pa.n_terms AS BIGINT) AS terms_a,
+           CAST(pb.n_terms AS BIGINT) AS terms_b,
+           round(CAST(shared_terms AS DOUBLE)
+                 / (pa.n_terms + pb.n_terms - shared_terms), 6) AS jaccard
+    FROM shared
+    JOIN per_source pa ON pa.source = source_a
+    JOIN per_source pb ON pb.source = source_b
+    ORDER BY jaccard DESC, source_a, source_b
+    """,
+    tags=("llm", "selection", "dedup"),
+)
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap (bigram Jaccard) between sources —
+    the pre-mixture diagnostic for redundant corpora.
+
+    Inverted-index pair emit: distinct (source, bigram) rows self-join
+    on the bigram. Posting lists are bounded by |sources| (distinct-by
+    construction), so the fan-out is O(vocab·|sources|²) — NOT document
+    frequency — and |sources| is small and known; no df-ceiling needed.
+    Per-source term counts (|sources| rows) broadcast onto the pair
+    aggregate. Jaccard is one IEEE division rounded to 6 dp —
+    bit-identical cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    bigrams = (
+        d.select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+    )
+    per_source = bigrams.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = bigrams.select(F.col("source").alias("source_a"), "bg")
+    b = bigrams.select(F.col("source").alias("source_b"), "bg")
+    shared = (
+        a.join(b, "bg")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_terms"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_terms").alias("terms_a")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_terms").alias("terms_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_terms").cast("bigint").alias("shared_terms"),
+            F.col("terms_a").cast("bigint").alias("terms_a"),
+            F.col("terms_b").cast("bigint").alias("terms_b"),
+            F.round(
+                F.col("shared_terms").cast("double")
+                / (F.col("terms_a") + F.col("terms_b") - F.col("shared_terms")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "source_a", "source_b")
+    )

@@ -660,3 +660,73 @@ def test_cdc_chunks_are_insertion_robust(spark):
     # all but the insertion-bearing chunk survive: >= 80% overlap
     assert len(shared) >= 0.8 * len(h1), (len(shared), len(h1), len(h2))
     assert h1 != h2  # and the insertion IS visible
+
+
+def test_dsir_weights_favor_target_lang(spark):
+    """DSIR scores docs by log-likelihood ratio vs the 'en' target
+    distribution, so the top-k must overrepresent 'en' relative to the
+    corpus; scores are deterministic integers (micro-nats)."""
+    qs = E.queries()
+    top = qs["docs_dsir_weights"](spark, SF_DIR).collect()
+    assert top == qs["docs_dsir_weights"](spark, SF_DIR).collect()
+    d = load(spark, SF_DIR, "documents")
+    n = d.count()
+    en = d.filter(F.col("lang") == "en").count()
+    top_ids = [r.doc_id for r in top]
+    en_top = (
+        d.filter(F.col("doc_id").isin(top_ids) & (F.col("lang") == "en")).count()
+    )
+    assert en_top / len(top) > en / n, (en_top, len(top), en, n)
+    # scores sorted desc, all integers
+    scores = [r.score_micro for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(isinstance(s, int) for s in scores)
+
+
+def test_shuffle_shards_match_independent_recompute(spark):
+    """The shard manifest (counts AND the position-sensitive
+    perm_checksum) must equal an independent hashlib-based recompute of
+    the md5 permutation — this pins the exact within-shard order, not
+    just membership."""
+    import hashlib
+    from collections import defaultdict
+
+    from python_nyc_taxi_data_pipeline_spark.plans.selection import N_SHARDS
+
+    rows = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("nt"))
+        .collect()
+    )
+    shards = defaultdict(list)
+    for r in rows:
+        k = hashlib.md5(f"shuffle:{r.doc_id}".encode()).hexdigest()
+        shards[int(k[:4], 16) % N_SHARDS].append((k, r.doc_id, r.nt))
+    expected = {}
+    for sid, docs in shards.items():
+        docs.sort()
+        expected[sid] = (
+            len(docs),
+            sum(nt for _, _, nt in docs),
+            sum((i + 1) * d for i, (_, d, _) in enumerate(docs)),
+        )
+    got = {
+        r.shard_id: (r.n_docs, r.shard_tokens, r.perm_checksum)
+        for r in E.queries()["docs_shuffle_shards"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_source_overlap_internally_consistent(spark):
+    """All C(|sources|,2) pairs present; jaccard recomputes from its own
+    components and respects set bounds (shared <= min(|A|,|B|))."""
+    rows = E.queries()["docs_source_overlap"](spark, SF_DIR).collect()
+    n_sources = (
+        load(spark, SF_DIR, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.shared_terms <= min(r.terms_a, r.terms_b)
+        union = r.terms_a + r.terms_b - r.shared_terms
+        assert abs(r.jaccard - round(r.shared_terms / union, 6)) < 1e-9
+        assert 0.0 <= r.jaccard <= 1.0
