@@ -730,3 +730,40 @@ def test_source_overlap_internally_consistent(spark):
         union = r.terms_a + r.terms_b - r.shared_terms
         assert abs(r.jaccard - round(r.shared_terms / union, 6)) < 1e-9
         assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_matryoshka_rerank_consistency_and_recall_above_chance(spark):
+    """The reranked top-k must (a) be internally consistent — every
+    returned row's full-dim cosine really ranks in the top-k of its
+    query's shortlist — and (b) beat random-shortlist recall against
+    the exact brute-force top-k by a wide margin (random C-of-N
+    shortlisting would land ~C/N ≈ 1%% of true neighbors; require 5x
+    that). Random fixture vectors cap absolute recall — see the
+    operator docstring."""
+    from python_nyc_taxi_data_pipeline_spark.llm.similarity import (
+        MRL_CANDIDATES,
+        TOP_K,
+    )
+
+    qs = E.queries()
+    mr = qs["knn_matryoshka_rerank"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in mr:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert len(rows) == TOP_K
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, TOP_K + 1))
+        assert all(1 <= r.prefix_rank <= MRL_CANDIDATES for r in rows)
+        # rank order follows (cosine desc, neighbor_id asc)
+        srt = sorted(rows, key=lambda r: (-r.cosine_sim, r.neighbor_id))
+        assert [r.rank for r in srt] == list(range(1, TOP_K + 1))
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["knn_cosine_bruteforce"](spark, SF_DIR).collect()
+    }
+    hit = {(r.query_id, r.neighbor_id) for r in mr}
+    n_corpus = load(spark, SF_DIR, "embeddings").count()
+    recall = len(hit & bf) / len(bf)
+    chance = MRL_CANDIDATES / (n_corpus - 1)
+    assert recall >= 5 * chance, (recall, chance)
