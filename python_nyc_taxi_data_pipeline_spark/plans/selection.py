@@ -315,3 +315,72 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), "source_a", "source_b")
     )
+
+
+MIX_TEMPERATURE = 0.3  # alpha of p^alpha sampling (XLM-R / mT5 convention)
+
+
+@register(
+    "docs_lang_temperature_mixture",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+             sum(pow(n_tokens / CAST((SELECT sum(n_tokens) FROM per_lang) AS DOUBLE),
+                     {MIX_TEMPERATURE})) AS z
+      FROM per_lang
+    )
+    SELECT p.lang, p.n_tokens,
+           round(p.n_tokens / t.total, 6) AS actual_frac,
+           round(pow(p.n_tokens / t.total, {MIX_TEMPERATURE}) / t.z, 6) AS temp_frac,
+           round((pow(p.n_tokens / t.total, {MIX_TEMPERATURE}) / t.z)
+                 / (p.n_tokens / t.total), 6) AS sample_weight
+    FROM per_lang p, tot t
+    ORDER BY p.lang
+    """,
+    tags=("llm", "selection", "sampling"),
+)
+def docs_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (q_l ∝ p_l^α, α={MIX_TEMPERATURE})
+    — the standard multilingual-pretraining rebalance (XLM-R, mT5):
+    α < 1 upsamples low-resource languages without flattening to
+    uniform. Complements ``docs_mixture_weights`` (uniform target,
+    doc-based): this one is TOKEN-based and temperature-parameterized.
+
+    Plan: per-lang token totals (one scan, map-side combined), a 1-row
+    scalar aggregate for the normalizer, broadcast back — no window, no
+    second scan. pow/÷ are double ops rounded at 6 dp; the normalizer
+    sums |langs| ≈ 5 doubles whose order-sensitivity is ~1e-16
+    relative — far below the rounding grain (same precedent as the ln
+    quantization in ``docs_dsir_weights``)."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = (
+        d.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"))
+        .localCheckpoint(eager=True)  # tiny; reused by normalizer + projection
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("double").alias("total"))
+    with_frac = per_lang.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_tokens") / F.col("total")
+    )
+    z = with_frac.agg(
+        F.sum(F.pow(F.col("p"), MIX_TEMPERATURE)).alias("z")
+    )
+    return (
+        with_frac.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(F.col("p"), 6).alias("actual_frac"),
+            F.round(F.pow(F.col("p"), MIX_TEMPERATURE) / F.col("z"), 6).alias(
+                "temp_frac"
+            ),
+            F.round(
+                (F.pow(F.col("p"), MIX_TEMPERATURE) / F.col("z")) / F.col("p"), 6
+            ).alias("sample_weight"),
+        )
+        .orderBy("lang")
+    )

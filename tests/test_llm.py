@@ -767,3 +767,23 @@ def test_matryoshka_rerank_consistency_and_recall_above_chance(spark):
     recall = len(hit & bf) / len(bf)
     chance = MRL_CANDIDATES / (n_corpus - 1)
     assert recall >= 5 * chance, (recall, chance)
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """q ∝ p^α with α<1 must (a) sum to 1, (b) upsample every
+    below-average language (sample_weight > 1) and downsample every
+    above-average one, and (c) be strictly flatter than the raw
+    mixture (max/min ratio shrinks)."""
+    rows = E.queries()["docs_lang_temperature_mixture"](spark, SF_DIR).collect()
+    assert abs(sum(r.temp_frac for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.actual_frac for r in rows) - 1.0) < 1e-4
+    mean = 1.0 / len(rows)
+    for r in rows:
+        if r.actual_frac < mean:
+            assert r.sample_weight > 1.0, r
+        elif r.actual_frac > mean:
+            assert r.sample_weight < 1.0, r
+    spread = lambda xs: max(xs) / min(xs)
+    assert spread([r.temp_frac for r in rows]) < spread(
+        [r.actual_frac for r in rows]
+    )

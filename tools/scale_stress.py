@@ -1,7 +1,8 @@
-"""Scale-stress the near-dup family: does shuffle volume grow linearly?
+"""Scale-stress heavy operator families: does shuffle volume grow linearly?
 
 Inflates the sf0.1 documents/embeddings fixtures k× (k = 1, 2, 4) and
-runs the three production near-dup queries at each size in a fresh
+runs the production near-dup queries — plus BM25 retrieval, k-means,
+DSIR selection, and the composed curation pipeline — at each size in a fresh
 session with event logging on, then sums per-task shuffle write bytes
 from the event log. The check is the growth EXPONENT between sizes
 (log bytes-ratio / log size-ratio):
@@ -47,12 +48,25 @@ QUERIES = (
     "docs_minhash_lsh_pairs",
     "docs_dup_clusters",
     "embeddings_dedup_apply",
+    "docs_bm25_topk",
+    "embeddings_kmeans",
+    "docs_dsir_weights",
+    "corpus_curation_e2e",
 )
 SCALES = (1, 2, 4)
 MAX_EXPONENT = {
+    # Near-dup family (r4): banded LSH / label propagation are linear;
+    # embeddings_dedup_apply rides the documented exact all-pairs GEMM.
     "docs_minhash_lsh_pairs": 1.35,
     "docs_dup_clusters": 1.35,
     "embeddings_dedup_apply": 2.3,
+    # Retrieval / clustering / selection / composed curation: all are
+    # claimed linear-shuffle designs (broadcast stats or k·d-bounded
+    # aggregation states) — hold them to the same ~linear bar.
+    "docs_bm25_topk": 1.35,
+    "embeddings_kmeans": 1.35,
+    "docs_dsir_weights": 1.35,
+    "corpus_curation_e2e": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
