@@ -196,3 +196,42 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         (r.l_event_id, r.r_event_id) for r in batch.collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_streaming_neardup_candidates_cover_batch_lsh_pairs(spark, tmp_path):
+    """Replaying the documents corpus through the stateful streaming
+    LSH (micro-batched file source) must emit a candidate SUPERSET of
+    the batch docs_minhash_lsh_pairs set — every batch pair collides in
+    >=1 band, and banding expressions are shared verbatim. Estimated
+    jaccard (16-perm matching fraction) must be higher on true pairs
+    than the random-pair background."""
+    import __spark_entry__ as E
+    from python_nyc_taxi_data_pipeline_spark.streaming.neardup_stream import (
+        neardup_candidates,
+        read_document_stream,
+    )
+
+    src = str(tmp_path / "docs_src")
+    load(spark, SF_DIR, "documents").repartition(4).write.parquet(src)
+    stream = read_document_stream(spark, src, max_files_per_trigger=1)
+    run_to_memory_sink(
+        neardup_candidates(stream), "stream_neardup", output_mode="append"
+    )
+    cand = spark.sql(
+        "SELECT DISTINCT doc_a, doc_b FROM stream_neardup"
+    ).collect()
+    cand_pairs = {(r.doc_a, r.doc_b) for r in cand}
+    batch = E.queries()["docs_minhash_lsh_pairs"](spark, SF_DIR).collect()
+    batch_pairs = {(r.doc_a, r.doc_b) for r in batch}
+    missing = batch_pairs - cand_pairs
+    assert not missing, f"batch LSH pairs absent from stream: {missing}"
+    # est_jaccard sanity: true pairs' mean estimate dominates 0.5 —
+    # fixture near-dups share most shingles; random collisions don't.
+    ests = spark.sql(
+        "SELECT doc_a, doc_b, max(est_jaccard) AS est FROM stream_neardup "
+        "GROUP BY doc_a, doc_b"
+    ).collect()
+    true_ests = [
+        r.est for r in ests if (r.doc_a, r.doc_b) in batch_pairs
+    ]
+    assert true_ests and sum(true_ests) / len(true_ests) > 0.5
