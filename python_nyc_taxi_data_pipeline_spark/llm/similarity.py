@@ -731,3 +731,76 @@ def knn_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         reranked.withColumn("rank", F.row_number().over(w2).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def _lsh_eval_oracle() -> str:
+    """Recall@k / top-1 agreement of the LSH ranking vs exact brute
+    force — both sides are the exact SQL twins of the corresponding
+    registered queries, so the metric itself is hash-checkable."""
+    return f"""
+    WITH exact AS (
+      {KNN_EXACT_TOPK_SQL}
+    ), lsh AS (
+      SELECT * FROM ({_lsh_oracle()})
+    )
+    SELECT e.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(l.neighbor_id) / CAST({TOP_K} AS DOUBLE), 6)
+             AS recall_at_k,
+           CAST(max(CASE WHEN e.rank = 1 AND l.rank = 1 THEN 1 ELSE 0 END)
+                AS INT) AS top1_hit
+    FROM exact e
+    LEFT JOIN lsh l
+      ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "knn_lsh_recall_eval",
+    oracle=_lsh_eval_oracle(),
+    tags=("llm", "similarity", "evaluation"),
+)
+def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation as a first-class operator: per-query
+    recall@{TOP_K} and top-1 agreement of the hyperplane-LSH ranking
+    against the exact brute-force top-k — the measurement loop every
+    ANN deployment runs before trading exactness for scale (tune
+    N_PLANES / probes against this curve).
+
+    Composes the two registered rankings and reduces them with one
+    LEFT join + groupBy on (query_id, neighbor_id) — both sides are
+    top-k-bounded, so the join input is |queries|·k rows at ANY corpus
+    size; the expensive part is the rankings themselves, which reuse
+    their registered (and independently verified) plans."""
+    exact = knn_cosine_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+    )
+    lsh = knn_cosine_lsh(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("lsh_neighbor"),
+        F.col("rank").alias("lsh_rank"),
+    )
+    joined = exact.join(
+        lsh,
+        (exact["query_id"] == lsh["query_id"])
+        & (exact["neighbor_id"] == lsh["lsh_neighbor"]),
+        "left",
+    ).select(
+        exact["query_id"],
+        "neighbor_id",
+        "exact_rank",
+        "lsh_neighbor",
+        "lsh_rank",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("lsh_neighbor").cast("bigint").alias("n_overlap"),
+        F.round(F.count("lsh_neighbor") / float(TOP_K), 6).alias("recall_at_k"),
+        F.max(
+            F.when(
+                (F.col("exact_rank") == 1) & (F.col("lsh_rank") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("top1_hit"),
+    )

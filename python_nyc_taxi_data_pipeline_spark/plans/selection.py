@@ -384,3 +384,91 @@ def docs_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_health_report",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, lang, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM per_doc
+    ), lang_probs AS (
+      SELECT lang, count(*) AS n FROM per_doc GROUP BY lang
+    ), ent AS (
+      SELECT sum(
+               -(n / CAST((SELECT n_docs FROM base) AS DOUBLE))
+               * ln(n / CAST((SELECT n_docs FROM base) AS DOUBLE))
+             ) AS lang_entropy_raw
+      FROM lang_probs
+    )
+    SELECT b.n_docs, b.total_tokens, b.n_langs,
+           round(CAST(b.n_docs - b.n_distinct_texts AS DOUBLE) / b.n_docs, 6)
+             AS exact_dup_frac,
+           round(CAST(b.total_tokens AS DOUBLE) / b.n_docs, 6)
+             AS mean_doc_tokens,
+           round(e.lang_entropy_raw, 6) AS lang_entropy_nats
+    FROM base b, ent e
+    """,
+    tags=("llm", "selection", "observability"),
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard: doc/token volume, exact-dup
+    fraction (1 − distinct text hashes / docs), mean doc length, and
+    the Shannon entropy of the language mixture (nats) — the
+    at-a-glance numbers a curation run is judged by before and after
+    each stage.
+
+    Plan: a single documents scan feeds two map-side-combined
+    aggregates (global counts incl. approx-free exact distinct on the
+    16-byte md5, and per-lang counts) joined by broadcast — no window,
+    no second scan. The entropy sums |langs| ≈ 5 ln terms — the only
+    order-sensitive float; ~1e-16 relative, far below the 6-dp round
+    (same precedent as ``docs_dsir_weights``)."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    base = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct_texts"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    lang_probs = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ent = (
+        lang_probs.crossJoin(F.broadcast(base.select("n_docs")))
+        .select(
+            (
+                -(F.col("n") / F.col("n_docs").cast("double"))
+                * F.log(F.col("n") / F.col("n_docs").cast("double"))
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("lang_entropy_raw"))
+    )
+    return (
+        base.crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "n_langs",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("exact_dup_frac"),
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_doc_tokens"),
+            F.round(F.col("lang_entropy_raw"), 6).alias("lang_entropy_nats"),
+        )
+    )

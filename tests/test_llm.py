@@ -787,3 +787,36 @@ def test_temperature_mixture_flattens_toward_uniform(spark):
     assert spread([r.temp_frac for r in rows]) < spread(
         [r.actual_frac for r in rows]
     )
+
+
+def test_corpus_health_report_consistency(spark):
+    """The one-row health report must recompute from first principles:
+    doc/token counts, dup fraction from distinct text hashes, and lang
+    entropy bounded by ln(n_langs) (uniform max)."""
+    import math
+
+    row = E.queries()["corpus_health_report"](spark, SF_DIR).first()
+    d = load(spark, SF_DIR, "documents")
+    assert row.n_docs == d.count()
+    n_distinct = d.select("text").distinct().count()
+    assert abs(
+        row.exact_dup_frac - round((row.n_docs - n_distinct) / row.n_docs, 6)
+    ) < 1e-9
+    assert 0.0 <= row.lang_entropy_nats <= math.log(row.n_langs) + 1e-9
+
+
+def test_lsh_recall_eval_matches_direct_comparison(spark):
+    """Per-query recall@k must equal the overlap computed directly from
+    the two registered rankings."""
+    qs = E.queries()
+    ev = {r.query_id: r for r in qs["knn_lsh_recall_eval"](spark, SF_DIR).collect()}
+    exact = {}
+    for r in qs["knn_cosine_bruteforce"](spark, SF_DIR).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh = {}
+    for r in qs["knn_cosine_lsh"](spark, SF_DIR).collect():
+        lsh.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ev) == set(exact)
+    for qid, row in ev.items():
+        assert row.n_overlap == len(exact[qid] & lsh.get(qid, set())), qid
+        assert row.top1_hit in (0, 1)
