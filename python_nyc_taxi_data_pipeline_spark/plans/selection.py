@@ -472,3 +472,97 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("lang_entropy_raw"), 6).alias("lang_entropy_nats"),
         )
     )
+
+
+@register(
+    "docs_source_drift_psi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, tok
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ), bucketed AS (
+      SELECT source,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)
+                  % {DSIR_BUCKETS} AS BIGINT) AS bucket
+      FROM toks
+    ), sb AS (
+      SELECT source, bucket, count(*) AS n FROM bucketed GROUP BY 1, 2
+    ), per_source AS (
+      SELECT source, sum(n) AS tot_s FROM sb GROUP BY source
+    ), per_bucket AS (
+      SELECT bucket, sum(n) AS n_all FROM sb GROUP BY bucket
+    ), tot AS (
+      SELECT sum(n) AS total FROM sb
+    ), grid AS (
+      SELECT s.source, s.tot_s, b.bucket, b.n_all, t.total,
+             coalesce(c.n, 0) AS n
+      FROM per_source s
+      CROSS JOIN per_bucket b
+      CROSS JOIN tot t
+      LEFT JOIN sb c ON c.source = s.source AND c.bucket = b.bucket
+    ), terms AS (
+      SELECT source, tot_s,
+             CAST(round(
+               (((n + 1.0) / (tot_s + {DSIR_BUCKETS}))
+                - ((n_all + 1.0) / (total + {DSIR_BUCKETS})))
+               * ln(((n + 1.0) / (tot_s + {DSIR_BUCKETS}))
+                    / ((n_all + 1.0) / (total + {DSIR_BUCKETS})))
+               * 1000000.0, 0) AS BIGINT) AS term_micro
+      FROM grid
+    )
+    SELECT source,
+           CAST(max(tot_s) AS BIGINT) AS n_tokens,
+           CAST(sum(term_micro) AS BIGINT) AS psi_micro
+    FROM terms
+    GROUP BY source
+    ORDER BY psi_micro DESC, source
+    """,
+    tags=("llm", "selection", "observability"),
+)
+def docs_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: Population Stability Index of
+    each source's hashed-token bucket distribution against the whole
+    corpus — the monitoring metric that flags a source whose content
+    shifted (crawler drift, encoding regressions, injected boilerplate)
+    before it pollutes a training mix.
+
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), add-one smoothed on both sides,
+    with each bucket term quantized to integer micro-units BEFORE the
+    per-source sum (exact, order-free — the ``docs_dsir_weights``
+    convention). Plan: one explode → one (source, bucket) agg; the
+    |sources|×B dense grid is built from two broadcast-sized side
+    aggregates, never from the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    sb = (
+        toks.select("source", _bucket(F.col("tok")).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # tiny (|sources|×B); feeds 3 aggs
+    )
+    per_source = sb.groupBy("source").agg(F.sum("n").alias("tot_s"))
+    per_bucket = sb.groupBy("bucket").agg(F.sum("n").alias("n_all"))
+    tot = sb.agg(F.sum("n").alias("total"))
+    grid = (
+        per_source.crossJoin(F.broadcast(per_bucket))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sb), ["source", "bucket"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    p = (F.col("n") + 1.0) / (F.col("tot_s") + DSIR_BUCKETS)
+    q = (F.col("n_all") + 1.0) / (F.col("total") + DSIR_BUCKETS)
+    term_micro = F.round((p - q) * F.log(p / q) * 1000000.0, 0).cast("bigint")
+    return (
+        grid.select("source", "tot_s", term_micro.alias("term_micro"))
+        .groupBy("source")
+        .agg(
+            F.max("tot_s").cast("bigint").alias("n_tokens"),
+            F.sum("term_micro").cast("bigint").alias("psi_micro"),
+        )
+        .orderBy(F.desc("psi_micro"), "source")
+    )

@@ -820,3 +820,39 @@ def test_lsh_recall_eval_matches_direct_comparison(spark):
     for qid, row in ev.items():
         assert row.n_overlap == len(exact[qid] & lsh.get(qid, set())), qid
         assert row.top1_hit in (0, 1)
+
+
+def test_source_drift_psi_detects_planted_shift(spark):
+    """PSI must be ~0 for a source drawn from the corpus distribution
+    and strictly larger for a synthetically shifted source. Builds a
+    two-source frame: 'same' = real corpus text, 'shifted' = the same
+    text with every word prefixed (disjoint token space), and checks
+    the shifted source dominates every real source's PSI."""
+    from python_nyc_taxi_data_pipeline_spark.plans.selection import (
+        docs_source_drift_psi,
+    )
+
+    real = E.queries()["docs_source_drift_psi"](spark, SF_DIR).collect()
+    assert len(real) == 20
+    assert all(r.psi_micro >= 0 for r in real)  # PSI is non-negative
+    d = load(spark, SF_DIR, "documents")
+    shifted = d.limit(50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.regexp_replace(F.concat(F.lit(" "), F.col("text")), " ", " zz")
+        .substr(F.lit(2), F.lit(1_000_000))
+        .alias("text"),
+        "lang",
+        F.lit("shifted_src").alias("source"),
+        "n_chars",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.unionByName(shifted).write.mode("overwrite").parquet(
+            f"{tmp}/documents.parquet"
+        )
+        rows = docs_source_drift_psi(spark, tmp).collect()
+    by_src = {r.source: r.psi_micro for r in rows}
+    assert max(v for s, v in by_src.items() if s != "shifted_src") < by_src[
+        "shifted_src"
+    ]
