@@ -601,3 +601,76 @@ def events_user_slope_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select("user_id", "n", F.round(slope, 6).alias("value_slope_per_hour"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH buckets AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(n_events) AS BIGINT) AS s1,
+             CAST(sum(n_events * n_events) AS BIGINT) AS s2
+      FROM buckets GROUP BY event_type
+    )
+    SELECT b.event_type, b.hour, b.n_events,
+           round((b.n_events - CAST(s.s1 AS DOUBLE) / s.n_buckets)
+                 / sqrt(CAST(s.s2 AS DOUBLE) / s.n_buckets
+                        - (CAST(s.s1 AS DOUBLE) / s.n_buckets)
+                          * (CAST(s.s1 AS DOUBLE) / s.n_buckets)), 6)
+             AS z_score,
+           CAST(abs((b.n_events - CAST(s.s1 AS DOUBLE) / s.n_buckets)
+                    / sqrt(CAST(s.s2 AS DOUBLE) / s.n_buckets
+                           - (CAST(s.s1 AS DOUBLE) / s.n_buckets)
+                             * (CAST(s.s1 AS DOUBLE) / s.n_buckets))) >= 2.0
+                AS BOOLEAN) AS is_anomaly
+    FROM buckets b
+    JOIN stats s ON s.event_type = b.event_type
+    WHERE s.s2 * s.n_buckets > s.s1 * s.s1
+    ORDER BY b.event_type, b.hour
+    """,
+    tags=("agg", "time-series", "observability"),
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: z-score of each (event_type, hour)
+    bucket's event count against that type's own hourly distribution —
+    the standard ops alarm for traffic spikes/outages.
+
+    Statistics come from EXACT integer moments (Σc, Σc² over buckets
+    as BIGINT — partitioning-independent, same convention as
+    ``orders_stats_moments``); only the final mean/σ/z are doubles,
+    with identical expression structure in both engines so the 6-dp
+    round is bit-stable. Plan: one groupBy to hourly buckets, one
+    per-type agg over the (types × hours)-sized bucket table, broadcast
+    join back — the corpus is scanned once. Zero-variance types are
+    excluded by the exact integer inequality s2·n > s1² (never a float
+    comparison)."""
+    e = load(spark, sf_dir, "events")
+    buckets = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    stats = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("n_events").cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_buckets")
+    var = F.col("s2").cast("double") / F.col("n_buckets") - mean * mean
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        buckets.join(F.broadcast(stats), "event_type")
+        .filter(F.col("s2") * F.col("n_buckets") > F.col("s1") * F.col("s1"))
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )

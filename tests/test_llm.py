@@ -856,3 +856,20 @@ def test_source_drift_psi_detects_planted_shift(spark):
     assert max(v for s, v in by_src.items() if s != "shifted_src") < by_src[
         "shifted_src"
     ]
+
+
+def test_hourly_anomaly_zscores_are_standardized(spark):
+    """Per event_type, the z-scores over hourly buckets must average
+    ~0 with unit variance (they are standardized by construction), and
+    the is_anomaly flag must equal |z| >= 2 row-wise."""
+    rows = E.queries()["events_hourly_anomaly"](spark, SF_DIR).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert r.is_anomaly == (abs(r.z_score) >= 2.0)
+        by_type.setdefault(r.event_type, []).append(r.z_score)
+    for t, zs in by_type.items():
+        m = sum(zs) / len(zs)
+        v = sum(z * z for z in zs) / len(zs) - m * m
+        assert abs(m) < 1e-3, (t, m)
+        assert abs(v - 1.0) < 1e-2, (t, v)
