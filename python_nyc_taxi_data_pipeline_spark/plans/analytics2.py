@@ -662,8 +662,11 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("s1").cast("double") / F.col("n_buckets")
     var = F.col("s2").cast("double") / F.col("n_buckets") - mean * mean
     z = (F.col("n_events") - mean) / F.sqrt(var)
+    # No broadcast hint: stats is grouped by event_type (a derivative
+    # of an SF-scaled table, not provably bounded) — AQE broadcasts it
+    # from size stats, per the r4 hint-hygiene rule.
     return (
-        buckets.join(F.broadcast(stats), "event_type")
+        buckets.join(stats, "event_type")
         .filter(F.col("s2") * F.col("n_buckets") > F.col("s1") * F.col("s1"))
         .select(
             "event_type",

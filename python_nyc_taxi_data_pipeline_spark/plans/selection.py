@@ -264,9 +264,10 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the bigram. Posting lists are bounded by |sources| (distinct-by
     construction), so the fan-out is O(vocab·|sources|²) — NOT document
     frequency — and |sources| is small and known; no df-ceiling needed.
-    Per-source term counts (|sources| rows) broadcast onto the pair
-    aggregate. Jaccard is one IEEE division rounded to 6 dp —
-    bit-identical cross-engine.
+    Per-source term counts (|sources| rows) join onto the pair
+    aggregate (AQE broadcasts them from size stats — no forced hint on
+    a data-dependent-cardinality aggregate). Jaccard is one IEEE
+    division rounded to 6 dp — bit-identical cross-engine.
     """
     d = load(spark, sf_dir, "documents")
     t = F.split(F.lower("text"), " ")
@@ -298,9 +299,11 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = per_source.select(
         F.col("source").alias("source_b"), F.col("n_terms").alias("terms_b")
     )
+    # No broadcast hints: per-source counts are grouped by source
+    # (data-dependent cardinality) — AQE picks broadcast from stats.
     return (
-        shared.join(F.broadcast(pa), "source_a")
-        .join(F.broadcast(pb), "source_b")
+        shared.join(pa, "source_a")
+        .join(pb, "source_b")
         .select(
             "source_a",
             "source_b",
@@ -548,10 +551,13 @@ def docs_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = sb.groupBy("source").agg(F.sum("n").alias("tot_s"))
     per_bucket = sb.groupBy("bucket").agg(F.sum("n").alias("n_all"))
     tot = sb.agg(F.sum("n").alias("total"))
+    # per_bucket (≤ B rows by construction) and tot (scalar) keep their
+    # hints; sb is grouped by (source, bucket) — source cardinality is
+    # data-dependent, so AQE decides that join from stats.
     grid = (
         per_source.crossJoin(F.broadcast(per_bucket))
         .crossJoin(F.broadcast(tot))
-        .join(F.broadcast(sb), ["source", "bucket"], "left")
+        .join(sb, ["source", "bucket"], "left")
         .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
     )
     p = (F.col("n") + 1.0) / (F.col("tot_s") + DSIR_BUCKETS)

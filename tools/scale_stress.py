@@ -52,6 +52,8 @@ QUERIES = (
     "embeddings_kmeans",
     "docs_dsir_weights",
     "corpus_curation_e2e",
+    "docs_minhash_incremental_pairs",
+    "embeddings_semdedup",
 )
 SCALES = (1, 2, 4)
 MAX_EXPONENT = {
@@ -67,6 +69,11 @@ MAX_EXPONENT = {
     "embeddings_kmeans": 1.35,
     "docs_dsir_weights": 1.35,
     "corpus_curation_e2e": 1.35,
+    # Incremental minhash probes the persisted band index with the new
+    # batch only; SemDeDup is nearest-of-k-seed clustering + within-
+    # cluster pruning — both claimed linear.
+    "docs_minhash_incremental_pairs": 1.35,
+    "embeddings_semdedup": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
