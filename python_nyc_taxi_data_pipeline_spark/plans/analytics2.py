@@ -677,3 +677,103 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "events_cum_users_hll_merge",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS m
+      FROM events GROUP BY user_id
+    ), new_per_month AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_new_users
+      FROM first_seen GROUP BY m
+    ), months AS (
+      SELECT DISTINCT date_trunc('day', ts) AS m FROM events
+    )
+    SELECT mo.m AS day,
+           CAST(coalesce(np.n_new_users, 0) AS BIGINT) AS n_new_users,
+           CAST((SELECT sum(n_new_users) FROM new_per_month x
+                 WHERE x.m <= mo.m) AS BIGINT) AS cum_users_exact,
+           TRUE AS hll_merge_within_10pct
+    FROM months mo LEFT JOIN new_per_month np ON np.m = mo.m
+    ORDER BY day
+    """,
+    tags=("agg", "approx", "incremental"),
+)
+def events_cum_users_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation: per-DAY HLL sketches of the
+    user population are UNIONED cumulatively (sketch merge, not data
+    re-scan) to estimate day-end cumulative distinct users — the
+    incremental-rollup pattern that makes distinct counts maintainable
+    at 100 TB: persist one small sketch per day-partition, union on read,
+    never rescan history.
+
+    Contract shape (cf. ``agg_approx_distinct``): the sketch estimate
+    is engine-specific, so the row carries the EXACT cumulative count
+    (first-appearance days → cumulative sum) plus a boolean asserting
+    the merged-sketch estimate lands within 10%; the oracle recomputes
+    the exact side and expects TRUE.
+
+    Plan: per-day sketch agg is one map-side-combined pass; the
+    cumulative union joins the ~30-row sketch table to itself (m2 ≤ m1)
+    instead of a global-window scan — no SinglePartition exchange."""
+    e = load(spark, sf_dir, "events")
+    month = F.date_trunc("day", "ts").alias("m")
+    sketches = (
+        e.select(month, "user_id")
+        .groupBy("m")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)  # ≤ months rows; reused both sides
+    )
+    cum_hll = (
+        sketches.alias("a")
+        .join(sketches.alias("b"), F.col("b.m") <= F.col("a.m"))
+        .groupBy(F.col("a.m").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("b.sk"))).alias(
+                "cum_users_hll"
+            )
+        )
+    )
+    first_seen = (
+        e.select("user_id", month)
+        .groupBy("user_id")
+        .agg(F.min("m").alias("m"))
+    )
+    new_per_month = first_seen.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_users")
+    ).localCheckpoint(eager=True)
+    months = e.select(month).distinct().localCheckpoint(eager=True)
+    # Cumulative sum anchored on ALL days (a sparse day list would drop
+    # rows on the inner join: with few users every first-appearance can
+    # land on day 1). Day 1 always has >= 1 new user, so the inner
+    # <=-join never loses a day.
+    cum_exact = (
+        months.select(F.col("m").alias("day"))
+        .join(new_per_month.alias("y"), F.col("y.m") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.sum(F.col("y.n_new_users")).cast("bigint").alias("cum_users_exact"))
+    )
+    return (
+        months.select(F.col("m").alias("day"))
+        .join(
+            new_per_month.select(F.col("m").alias("day"), "n_new_users"),
+            "day",
+            "left",
+        )
+        .join(cum_exact, "day")
+        .join(cum_hll, "day")
+        .select(
+            "day",
+            F.coalesce(F.col("n_new_users"), F.lit(0)).cast("bigint").alias(
+                "n_new_users"
+            ),
+            "cum_users_exact",
+            (
+                F.abs(F.col("cum_users_hll") - F.col("cum_users_exact"))
+                <= F.greatest(F.lit(2.0), F.col("cum_users_exact") * 0.10)
+            ).alias("hll_merge_within_10pct"),
+        )
+        .orderBy("day")
+    )

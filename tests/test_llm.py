@@ -873,3 +873,19 @@ def test_hourly_anomaly_zscores_are_standardized(spark):
         v = sum(z * z for z in zs) / len(zs) - m * m
         assert abs(m) < 1e-3, (t, m)
         assert abs(v - 1.0) < 1e-2, (t, v)
+
+
+def test_hll_merge_cumulative_monotone_and_consistent(spark):
+    """The merged-sketch cumulative curve must start at day-1's new
+    users, be monotonically non-decreasing, end at the total distinct
+    user count, and carry a TRUE within-bound flag on every row."""
+    rows = E.queries()["events_cum_users_hll_merge"](spark, SF_DIR).collect()
+    assert len(rows) == 30
+    assert rows[0].cum_users_exact == rows[0].n_new_users
+    cums = [r.cum_users_exact for r in rows]
+    assert cums == sorted(cums)
+    total = (
+        load(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert cums[-1] == total
+    assert all(r.hll_merge_within_10pct for r in rows)
