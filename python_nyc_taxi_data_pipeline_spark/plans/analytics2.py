@@ -777,3 +777,75 @@ def events_cum_users_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+                  AS INT) AS age_days,
+             e.user_id
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    ), cohort_sizes AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first_seen GROUP BY cohort_day
+    )
+    SELECT a.cohort_day, a.age_days,
+           CAST(count(*) AS BIGINT) AS n_retained,
+           s.cohort_size,
+           round(count(*) / CAST(s.cohort_size AS DOUBLE), 6)
+             AS retention_rate
+    FROM activity a JOIN cohort_sizes s ON s.cohort_day = a.cohort_day
+    GROUP BY a.cohort_day, a.age_days, s.cohort_size
+    ORDER BY a.cohort_day, a.age_days
+    """,
+    tags=("agg", "time-series"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, each
+    later active day counted as (cohort, age) retention — THE product
+    analytics workload, and a shape the rest of the battery lacks (an
+    aggregate keyed on a dimension derived from the fact table itself).
+
+    Plan: first-seen is one user-keyed agg; the fact re-join shuffles
+    on user_id (same key — no extra exchange under co-partitioning);
+    the distinct collapses each user to one row per (cohort, age)
+    before the count, bounding the final agg at users × active-days.
+    retention_rate is one IEEE division rounded 6 dp."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    first_seen = (
+        e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).cast("int").alias("age_days"),
+            "user_id",
+        )
+        .distinct()
+    )
+    cohort_sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_day", "age_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_retained"))
+        .join(cohort_sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            "n_retained",
+            "cohort_size",
+            F.round(
+                F.col("n_retained") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_day", "age_days")
+    )

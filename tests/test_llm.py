@@ -889,3 +889,19 @@ def test_hll_merge_cumulative_monotone_and_consistent(spark):
     )
     assert cums[-1] == total
     assert all(r.hll_merge_within_10pct for r in rows)
+
+
+def test_retention_cohorts_structure(spark):
+    """Every cohort must have an age-0 row with 100% retention, rates
+    in (0, 1], and per-cohort retained counts never exceed the cohort
+    size."""
+    rows = E.queries()["events_retention_cohorts"](spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert 0 < r.retention_rate <= 1.0
+        assert r.n_retained <= r.cohort_size
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    for day, rs in by_cohort.items():
+        age0 = [r for r in rs if r.age_days == 0]
+        assert len(age0) == 1 and age0[0].retention_rate == 1.0, day
