@@ -235,3 +235,57 @@ def test_streaming_neardup_candidates_cover_batch_lsh_pairs(spark, tmp_path):
         r.est for r in ests if (r.doc_a, r.doc_b) in batch_pairs
     ]
     assert true_ests and sum(true_ests) / len(true_ests) > 0.5
+
+
+def test_streaming_neardup_checkpoint_restart_incremental(spark, tmp_path):
+    """Checkpointed restart semantics for the stateful LSH: run the
+    stream over half the corpus, stop, add the rest, restart on the
+    SAME checkpoint — the second run must (a) not re-emit any pair of
+    the first run and (b) bring the union up to a superset of the batch
+    LSH pair set (state survived the restart; only new docs paired)."""
+    from python_nyc_taxi_data_pipeline_spark.streaming.neardup_stream import (
+        neardup_candidates,
+        read_document_stream,
+    )
+    import __spark_entry__ as E
+
+    docs = load(spark, SF_DIR, "documents")
+    half = docs.count() // 2
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") < half).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+
+    from python_nyc_taxi_data_pipeline_spark.streaming.jobs import (
+        run_to_parquet_sink,
+    )
+
+    run_to_parquet_sink(
+        neardup_candidates(read_document_stream(spark, src)), out, ckpt
+    )
+    run1_rows = spark.read.parquet(out).select("doc_a", "doc_b").collect()
+    first = {(r.doc_a, r.doc_b) for r in run1_rows}
+    # first run saw only the low half
+    assert all(a < half and b < half for a, b in first)
+
+    docs.filter(F.col("doc_id") >= half).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    run_to_parquet_sink(
+        neardup_candidates(read_document_stream(spark, src)), out, ckpt
+    )
+    rows2 = spark.read.parquet(out).select("doc_a", "doc_b").collect()
+    all_pairs = {(r.doc_a, r.doc_b) for r in rows2}
+    # EXACT no-replay: every run-2 emission involves a new (high) doc
+    # — the checkpoint skips old files and the bucket state skips known
+    # ids — so the low-low row multiset after run 2 is exactly run 1's.
+    low_rows_2 = [r for r in rows2 if r.doc_a < half and r.doc_b < half]
+    assert len(low_rows_2) == len(run1_rows)
+    assert {(r.doc_a, r.doc_b) for r in low_rows_2} == first
+    batch_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in E.queries()["docs_minhash_lsh_pairs"](spark, SF_DIR).collect()
+    }
+    assert batch_pairs - all_pairs == set()
