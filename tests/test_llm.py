@@ -905,3 +905,38 @@ def test_retention_cohorts_structure(spark):
     for day, rs in by_cohort.items():
         age0 = [r for r in rs if r.age_days == 0]
         assert len(age0) == 1 and age0[0].retention_rate == 1.0, day
+
+
+def test_segment_dedup_apply_invariants(spark):
+    """First-writer-wins segment dedup: every surviving segment text is
+    globally unique across the cleaned corpus, kept <= total, and an
+    exact duplicate doc collapses to its earlier copy's leftovers."""
+    from python_nyc_taxi_data_pipeline_spark.llm.segdedup import SEG_WORDS
+
+    qs = E.queries()
+    out = qs["docs_segment_dedup_apply"](spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF_DIR, "documents").collect()}
+    assert set(rows) == set(docs)
+
+    def segments(text):
+        ws = text.split(" ")
+        return [
+            " ".join(ws[i : i + SEG_WORDS]) for i in range(0, len(ws), SEG_WORDS)
+        ]
+
+    # Replay the keep-first contract in pure Python and compare exactly.
+    keeper = {}
+    for doc_id in sorted(docs):
+        for idx, seg in enumerate(segments(docs[doc_id])):
+            keeper.setdefault(seg, (doc_id, idx))
+    for doc_id in sorted(docs):
+        segs = segments(docs[doc_id])
+        kept = [s for i, s in enumerate(segs) if keeper[s] == (doc_id, i)]
+        r = rows[doc_id]
+        assert r["total_segments"] == len(segs)
+        assert r["kept_segments"] == len(kept)
+        assert r["clean_text"] == " ".join(kept)
+
+    # Dedup must fire on the fixture (it contains exact-dup docs).
+    assert any(r["kept_segments"] < r["total_segments"] for r in rows.values())
