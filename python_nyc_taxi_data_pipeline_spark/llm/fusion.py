@@ -1,0 +1,145 @@
+"""Hybrid lexical + dense retrieval with reciprocal-rank fusion (RRF).
+
+Production retrieval for training-data curation rarely runs one ranker:
+a lexical pass (BM25) and a dense pass (embedding cosine) surface
+different documents, and the standard way to combine them without score
+calibration is reciprocal-rank fusion —
+``score(d) = Σ_lists 1 / (RRF_K + rank_list(d))`` (Cormack et al.,
+SIGIR'09; the default fusion in Elasticsearch/OpenSearch hybrid
+search).
+
+The fixture corpus has no text→embedding model, so the dense query
+vector comes from pseudo-relevance feedback (Rocchio-style, one doc):
+for each query in the fixed BM25 battery, the BM25 rank-1 document's
+embedding (``embeddings.vec_id == doc_id``; the fixture tables are
+row-aligned) anchors the dense pass. That keeps every stage exactly
+reproducible — and therefore hash-checkable against a DuckDB twin that
+composes the BM25 oracle SQL verbatim.
+
+Scale design (100 TB corpus, q queries):
+- the BM25 stage is the registered ``docs_bm25_topk`` plan (exploded
+  corpus pre-filtered to query vocabulary, broadcast stats, bounded
+  top-k window) — reused as a function, so the fused plan inherits its
+  shuffle discipline;
+- the anchor set is q rows → broadcast; the dense pass streams the
+  corpus once against the broadcast anchors (same shape as
+  ``knn_cosine_bruteforce``; at real scale the IVF/PQ or LSH variants
+  drop in — the fusion stage only consumes (query_id, doc_id, rank));
+- fusion is a FULL OUTER join of two ≤ q·k row rank lists — metadata
+  sized, broadcast both ways by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import register
+from .retrieval import _bm25_oracle, docs_bm25_topk
+from .similarity import _as_double, _dot, _norm
+
+RRF_K = 60  # Cormack et al.'s constant; dampens rank-1 dominance
+DENSE_TOP_K = 5
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH bm AS (
+      SELECT * FROM ({_bm25_oracle()})
+    ), anchors AS (
+      SELECT query_id, doc_id AS anchor_id FROM bm WHERE rank = 1
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM v
+    ), dense AS (
+      SELECT a.query_id, c.vec_id AS doc_id,
+             round(list_reduce(list_transform(list_zip(q.v, c.v),
+                                              p -> p[1] * p[2]),
+                               (acc, x) -> acc + x)
+                   / (q.nrm * c.nrm), 6) AS cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY a.query_id
+               ORDER BY round(list_reduce(list_transform(list_zip(q.v, c.v),
+                                                         p -> p[1] * p[2]),
+                                          (acc, x) -> acc + x)
+                              / (q.nrm * c.nrm), 6) DESC, c.vec_id
+             ) AS INT) AS rank
+      FROM anchors a
+      JOIN n q ON q.vec_id = a.anchor_id
+      JOIN n c ON c.vec_id <> a.anchor_id
+      QUALIFY rank <= {DENSE_TOP_K}
+    ), fused AS (
+      SELECT coalesce(b.query_id, d.query_id) AS query_id,
+             coalesce(b.doc_id, d.doc_id) AS doc_id,
+             round(coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + b.rank), 0.0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.rank), 0.0),
+                   6) AS rrf_score,
+             b.rank IS NOT NULL AS in_bm25,
+             d.rank IS NOT NULL AS in_dense
+      FROM bm b FULL OUTER JOIN dense d
+        ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, in_bm25, in_dense,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS INT) AS fused_rank
+    FROM fused
+    """
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=_rrf_oracle(),
+    tags=("llm", "retrieval", "fusion"),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the BM25 top-5 list and the dense cosine top-5
+    anchored at each query's BM25 rank-1 document (see module doc)."""
+    bm = docs_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    anchors = bm.filter(F.col("rank") == 1).select(
+        "query_id", F.col("doc_id").alias("anchor_id")
+    )
+    n = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    )
+    q = F.broadcast(
+        anchors.join(n, anchors.anchor_id == n.vec_id).select(
+            "query_id",
+            "anchor_id",
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    dw = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+    dense = (
+        n.join(q, n.vec_id != q.anchor_id)
+        .select("query_id", F.col("vec_id").alias("doc_id"), sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(dw))
+        .filter(F.col("rank") <= DENSE_TOP_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    b = bm.select("query_id", "doc_id", F.col("rank").alias("b_rank"))
+    d = dense.select("query_id", "doc_id", F.col("rank").alias("d_rank"))
+    fused = b.join(d, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("b_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("d_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.col("b_rank").isNotNull().alias("in_bm25"),
+        F.col("d_rank").isNotNull().alias("in_dense"),
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.withColumn("fused_rank", F.row_number().over(fw))

@@ -940,3 +940,37 @@ def test_segment_dedup_apply_invariants(spark):
 
     # Dedup must fire on the fixture (it contains exact-dup docs).
     assert any(r["kept_segments"] < r["total_segments"] for r in rows.values())
+
+
+def test_hybrid_rrf_fuses_both_rank_lists(spark):
+    """RRF output must reproduce 1/(K+rank) sums from the two source
+    lists, include every candidate of either list exactly once, and
+    rank the anchor-adjacent overlap (if any) above single-list hits
+    with equal ranks."""
+    from python_nyc_taxi_data_pipeline_spark.llm.fusion import RRF_K
+
+    qs = E.queries()
+    fused = {
+        (r["query_id"], r["doc_id"]): r
+        for r in qs["retrieval_hybrid_rrf"](spark, SF_DIR).collect()
+    }
+    bm = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in qs["docs_bm25_topk"](spark, SF_DIR).collect()
+    }
+    assert set(bm) <= set(fused)
+    for key, row in fused.items():
+        assert row["in_bm25"] == (key in bm)
+        assert row["in_bm25"] or row["in_dense"]
+        if row["in_bm25"] and not row["in_dense"]:
+            assert abs(row["rrf_score"] - 1.0 / (RRF_K + bm[key])) < 1e-6
+        if row["in_bm25"] and row["in_dense"]:
+            assert row["rrf_score"] > 1.0 / (RRF_K + bm[key])
+    # fused_rank is a dense contiguous 1..n per query
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for (qid, _), r in fused.items():
+        per_q[qid].append(r["fused_rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
