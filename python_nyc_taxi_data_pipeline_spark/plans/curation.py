@@ -617,3 +617,60 @@ def docs_pack_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload_md5"),
         )
     )
+
+
+@register(
+    "docs_dedup_apply_best",
+    oracle=f"""
+    WITH clusters AS (
+{_clusters_oracle()}
+    ), m AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+             c.cluster_rep AS cluster_id
+      FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    ), r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY cluster_id ORDER BY n_words DESC, doc_id
+             ) AS rn,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS INT)
+               AS cluster_size
+      FROM m
+    )
+    SELECT doc_id, lang, n_chars, n_words, cluster_id, cluster_size
+    FROM r WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def docs_dedup_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy dedup: like ``docs_dedup_apply`` but the kept
+    representative is the cluster's BEST member — longest document
+    (max n_words), doc_id tie-break — rather than the smallest id.
+    This is the convention real curation pipelines use (keep the most
+    complete copy of a boilerplate-trimmed page), and it exercises
+    deterministic per-group arg-max selection.
+
+    Scale: one corpus shuffle on cluster_id for the row_number /
+    count window pair (both share the partitioning, one exchange).
+    Near-dup cluster sizes are bounded in practice (they are transitive
+    closures of above-threshold Jaccard pairs, not topical groups), so
+    the per-partition window state stays small; a
+    pathological mega-cluster would already have been capped upstream
+    by the df-ceiling on the pair generator."""
+    d = load(spark, sf_dir, "documents")
+    comp = docs_dup_clusters(spark, sf_dir)
+    m = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("int").alias("n_words"),
+    ).join(comp.select("doc_id", F.col("cluster_rep").alias("cluster_id")), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    wo = w.orderBy(F.desc("n_words"), F.asc("doc_id"))
+    return (
+        m.withColumn("rn", F.row_number().over(wo))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("int"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars", "n_words", "cluster_id", "cluster_size")
+    )

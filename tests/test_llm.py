@@ -974,3 +974,26 @@ def test_hybrid_rrf_fuses_both_rank_lists(spark):
         per_q[qid].append(r["fused_rank"])
     for qid, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_dedup_apply_best_picks_longest_member(spark):
+    """Canonical-copy dedup keeps exactly one row per cluster, the
+    longest member (doc_id tie-break), and agrees with the min-id
+    variant on WHICH clusters exist."""
+    qs = E.queries()
+    best = qs["docs_dedup_apply_best"](spark, SF_DIR).collect()
+    minid = {r["doc_id"] for r in qs["docs_dedup_apply"](spark, SF_DIR).collect()}
+    clusters = {}
+    for r in qs["docs_dup_clusters"](spark, SF_DIR).collect():
+        clusters.setdefault(r["cluster_rep"], []).append(r["doc_id"])
+    docs = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in load(spark, SF_DIR, "documents").collect()
+    }
+    assert len(best) == len(clusters) == len(minid)
+    for r in best:
+        members = clusters[r["cluster_id"]]
+        assert r["cluster_size"] == len(members)
+        expect = min(members, key=lambda d: (-docs[d], d))
+        assert r["doc_id"] == expect
+        assert r["n_words"] == docs[expect]
