@@ -24,8 +24,14 @@ Scale design (100 TB corpus):
   codegen); the word array is built once per row inside one
   ``transform`` lambda, so the doc is tokenized once;
 - keeper election is a hash aggregate on the 16-byte md5 of the
-  segment — the shuffle carries (hash, doc_id, seg_idx), never the
-  segment text, and map-side partial ``min`` combines before exchange;
+  segment — the shuffle carries (hash, packed_key), never the segment
+  text. The lexicographic (doc_id, seg_idx) priority is packed into
+  ONE primitive long (``doc_id << 20 | seg_idx``) because ``min`` over
+  a struct falls back to SortAggregate (sorts every segment within
+  partitions) while a primitive-long ``min`` stays a HashAggregate
+  with map-side partial combine. The 2^20 segments/doc packing bound
+  (an 8.4M-word document) is enforced with ``raise_error``, not
+  assumed;
 - the keep join is a LEFT SEMI on (doc_id, seg_idx) — compact integer
   keys, and the keeper set is ≤ the segment count (it never expands);
 - reassembly is one groupBy(doc_id) with an in-group sort of
@@ -48,6 +54,7 @@ from ..catalog import load
 from ..registry import register
 
 SEG_WORDS = 8
+SEG_IDX_BITS = 20  # packed-keeper bound: ≤ 2^20 segments/doc (8.4M words)
 
 _SEGDEDUP_ORACLE = f"""
     WITH w AS (
@@ -115,10 +122,20 @@ def docs_segment_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("segs").cast("int").alias("total_segments"),
         F.posexplode("segs").alias("seg_idx", "seg_text"),
     )
+    packed = F.expr(
+        f"if(seg_idx < {1 << SEG_IDX_BITS},"
+        f"   shiftleft(doc_id, {SEG_IDX_BITS}) + seg_idx,"
+        "    raise_error('docs_segment_dedup_apply: > 2^20 segments in"
+        " one document; raise SEG_IDX_BITS'))"
+    )
     keepers = (
-        segs.groupBy(F.md5("seg_text").alias("h"))
-        .agg(F.min(F.struct("doc_id", "seg_idx")).alias("k"))
-        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.seg_idx").alias("seg_idx"))
+        segs.select(F.md5("seg_text").alias("h"), packed.alias("pk"))
+        .groupBy("h")
+        .agg(F.min("pk").alias("pk"))
+        .select(
+            F.shiftright("pk", SEG_IDX_BITS).alias("doc_id"),
+            F.expr(f"cast(pk & {(1 << SEG_IDX_BITS) - 1} as int)").alias("seg_idx"),
+        )
     )
     kept = segs.join(keepers, ["doc_id", "seg_idx"], "left_semi")
     agg = kept.groupBy("doc_id").agg(
