@@ -10,9 +10,10 @@ search).
 
 The fixture corpus has no text→embedding model, so the dense query
 vector comes from pseudo-relevance feedback (Rocchio-style, one doc):
-for each query in the fixed BM25 battery, the BM25 rank-1 document's
-embedding (``embeddings.vec_id == doc_id``; the fixture tables are
-row-aligned) anchors the dense pass. That keeps every stage exactly
+for each query in the fixed BM25 battery, the best-ranked BM25
+candidate that has an embedding (``embeddings.vec_id == doc_id``;
+the embeddings table covers a subset of doc_ids at some SFs) anchors
+the dense pass. That keeps every stage exactly
 reproducible — and therefore hash-checkable against a DuckDB twin that
 composes the BM25 oracle SQL verbatim.
 
@@ -49,7 +50,17 @@ def _rrf_oracle() -> str:
     WITH bm AS (
       SELECT * FROM ({_bm25_oracle()})
     ), anchors AS (
-      SELECT query_id, doc_id AS anchor_id FROM bm WHERE rank = 1
+      -- best-ranked BM25 candidate that HAS an embedding: the fixture
+      -- embeddings table covers a subset of doc_ids at some SFs, and a
+      -- strict rank-1 anchor would silently empty the dense list there
+      SELECT query_id, doc_id AS anchor_id
+      FROM (
+        SELECT b.query_id, b.doc_id,
+               row_number() OVER (
+                 PARTITION BY b.query_id ORDER BY b.rank
+               ) AS arn
+        FROM bm b JOIN embeddings e ON e.vec_id = b.doc_id
+      ) WHERE arn = 1
     ), v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -101,15 +112,34 @@ def _rrf_oracle() -> str:
 )
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF fusion of the BM25 top-5 list and the dense cosine top-5
-    anchored at each query's BM25 rank-1 document (see module doc)."""
-    bm = docs_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
-    anchors = bm.filter(F.col("rank") == 1).select(
-        "query_id", F.col("doc_id").alias("anchor_id")
+    anchored at each query's best embedded BM25 candidate (see module
+    doc)."""
+    # The q·k-row BM25 list is consumed three times (anchor election,
+    # the broadcast dense-query block, and the fusion join); without a
+    # lineage barrier Spark re-executes the whole BM25 plan per
+    # consumer (measured 3x the query's cost in-suite). 15 rows —
+    # checkpoint is free.
+    bm = (
+        docs_bm25_topk(spark, sf_dir)
+        .select("query_id", "doc_id", "rank")
+        .localCheckpoint(eager=True)
     )
     n = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    )
+    # Anchor = the best-ranked BM25 candidate that HAS an embedding
+    # (the embeddings table covers a subset of doc_ids at some SFs; a
+    # strict rank-1 anchor would silently empty the dense list there).
+    aw = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    anchors = (
+        bm.join(
+            n.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("query_id", F.col("doc_id").alias("anchor_id"))
     )
     q = F.broadcast(
         anchors.join(n, anchors.anchor_id == n.vec_id).select(

@@ -353,3 +353,34 @@ def test_no_plan_antipatterns_across_all_queries(spark):
         if hits:
             flagged[name] = hits
     assert flagged == {}
+
+
+def test_segment_dedup_keeper_is_primitive_hash_aggregate(spark):
+    """Keeper election must stay a primitive-long HashAggregate (min of
+    the packed key) — a struct min would silently fall back to
+    SortAggregate and sort every segment within partitions."""
+    p = plan_of(E.queries()["docs_segment_dedup_apply"](spark, SF_DIR))
+    assert "partial_min(pk" in p
+    assert "SortAggregate" not in p
+
+
+def test_hybrid_rrf_dense_stage_broadcasts_anchor_block(spark):
+    """The dense pass must stream the corpus once against a broadcast
+    anchor block — never shuffle the embeddings for a q-row join. The
+    only sort-merge join allowed is the full-outer fusion of the two
+    bounded q*k rank lists (Spark cannot broadcast a full outer).
+    The BM25 sub-plan itself is behind the localCheckpoint barrier
+    (its scan-level vocabulary pushdown is pinned by the BM25 plan
+    audit, not here)."""
+    import re
+
+    p = plan_of(E.queries()["retrieval_hybrid_rrf"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin Inner" in p  # corpus vs broadcast anchors
+    # exactly ONE sort-merge join node (formatted explain prints each
+    # node twice — tree and detail — so count detail headers), and it
+    # is the full-outer fusion of the two bounded q*k rank lists
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1
+    assert "SortMergeJoin FullOuter" in p
+    # the corpus is scanned exactly 3 times by construction (dense
+    # candidates, anchor semi-probe, anchor vector fetch) — never more
+    assert p.count("embeddings.parquet") <= 3

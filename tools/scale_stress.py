@@ -54,6 +54,8 @@ QUERIES = (
     "corpus_curation_e2e",
     "docs_minhash_incremental_pairs",
     "embeddings_semdedup",
+    "docs_segment_dedup_apply",
+    "retrieval_hybrid_rrf",
 )
 SCALES = (1, 2, 4)
 MAX_EXPONENT = {
@@ -74,6 +76,12 @@ MAX_EXPONENT = {
     # cluster pruning — both claimed linear.
     "docs_minhash_incremental_pairs": 1.35,
     "embeddings_semdedup": 1.35,
+    # Segment dedup shuffles one packed-long row per segment (the
+    # inflation's word-prefix bijection means copies share no segments
+    # — keeper groups scale *k); hybrid RRF is BM25's scan-linear plan
+    # plus bounded anchor/fusion joins.
+    "docs_segment_dedup_apply": 1.35,
+    "retrieval_hybrid_rrf": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
