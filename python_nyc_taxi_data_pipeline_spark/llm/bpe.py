@@ -1,0 +1,170 @@
+"""Distributed BPE merge training (byte-pair encoding, word-level).
+
+The tokenizer-training step of an LLM data pipeline: learn the first
+``N_MERGES`` BPE merge rules from the corpus. Classic algorithm
+(Sennrich et al. '16): split every word into characters plus an
+end-of-word marker, then repeatedly merge the most frequent adjacent
+symbol pair. The trained artifact is the ordered merge table.
+
+Scale design (100 TB corpus):
+- The corpus compresses to the DISTINCT-WORD frequency table first
+  (one groupBy) — Zipf makes this orders of magnitude smaller than the
+  corpus, and it is the only state the iteration touches. It is
+  re-derived per round from a checkpointed base (symbol arrays stay
+  distributed; nothing corpus-sized ever reaches the driver).
+- Each round is: explode adjacent symbol pairs weighted by word freq
+  (projection), ONE groupBy(a, b) sum shuffle, and a 1-ROW ordered
+  ``take`` (argmax with a deterministic ``count DESC, a, b``
+  tie-break — a metadata-sized collect, not a corpus collect).
+- The chosen rule is applied with a codegen ``aggregate`` lambda (a
+  left fold over the symbol array that coalesces adjacent (a, b) into
+  ab) — pure JVM expression, no Python, no shuffle.
+- Lineage is truncated every round with ``localCheckpoint`` so the
+  plan does not grow O(rounds) (the same pattern as
+  ``llm.clusters.connected_components``).
+
+Cross-engine exactness: the DuckDB oracle REPLAYS the whole training
+run as chained CTEs — same char split (``regexp_extract_all(word,
+'.')`` in both engines), same fold (DuckDB ``list_reduce`` over
+singleton lists), same argmax tie-break — so the merge table is
+hash-checkable, not just shape-checked. Pair counts are exact integer
+sums (order-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+N_MERGES = 6
+EOW = "▁"  # end-of-word marker (SentencePiece-style block char)
+
+
+def _merge_expr(left: str, right: str) -> str:
+    """Spark SQL fold coalescing adjacent (left, right) symbols into
+    one. Literals are embedded; symbols derive from [a-z0-9] words plus
+    the EOW marker, so no quoting hazards."""
+    return (
+        "aggregate(syms, array(cast(null as string)), (acc, x) ->"
+        f" if(element_at(acc, -1) <=> '{left}' and x = '{right}',"
+        f"    concat(slice(acc, 1, size(acc) - 1), array('{left}{right}')),"
+        "     concat(acc, array(x))),"
+        " acc -> slice(acc, 2, size(acc) - 1))"
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
+    """Run the distributed training loop; returns the ordered merge
+    list ``[(round, left, right, pair_count)]``."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.regexp_extract_all("word", F.lit("."), 0),
+                F.array(F.lit(EOW)),
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                # size < 2 guard: sequence(1, 0) would generate a
+                # DESCENDING [1, 0] in Spark, not an empty array
+                F.expr(
+                    "case when size(syms) < 2 then"
+                    " array() else transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] as a, syms[i] as b)) end"
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .take(1)
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
+        merges.append((rnd, a, b, cnt))
+        words = words.select(
+            "freq", F.expr(_merge_expr(a, b)).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def _duck_merge() -> str:
+    """DuckDB fold equivalent of ``_merge_expr``: reduce over singleton
+    lists so the accumulator type matches the element type. The merge
+    pair arrives as row columns ``bl``/``br`` (cross-joined from the
+    round's 1-row best CTE — lambdas capture row columns, but not
+    scalar subqueries). ``acc[:-2]`` drops the last element: DuckDB
+    slice bounds are INCLUSIVE, so ``[:-1]`` would keep it."""
+    return (
+        "list_reduce(list_transform(syms, s -> [s]), (acc, x) ->"
+        " CASE WHEN acc[-1] = bl AND x[1] = br"
+        "      THEN acc[:-2] || [acc[-1] || x[1]]"
+        "      ELSE acc || x END)"
+    )
+
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    ctes = [
+        f"""r0_words AS (
+      SELECT CAST(count(*) AS BIGINT) AS freq,
+             regexp_extract_all(word, '.') || ['{EOW}'] AS syms
+      FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      )
+      GROUP BY word
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"r{r - 1}_words"
+        ctes.append(
+            f"""r{r}_pairs AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM {prev}, unnest(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""r{r}_best AS (
+      SELECT a, b, pair_count FROM r{r}_pairs
+      ORDER BY pair_count DESC, a, b LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""r{r}_words AS (
+      SELECT freq, {_duck_merge()} AS syms
+      FROM {prev}, (SELECT a AS bl, b AS br FROM r{r}_best)
+    )"""
+        )
+    finals = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym, pair_count"
+        f" FROM r{r}_best"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {finals}"
+
+
+@register("docs_bpe_merges", oracle=_bpe_oracle(), tags=("llm", "tokenizer", "iterative"))
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {N_MERGES} BPE merge rules learned from the corpus: one
+    row per round with the merged pair and its exact weighted count
+    (see module docstring for the distributed loop)."""
+    merges = bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r, a, b, c) for r, a, b, c in merges],
+        "round int, left_sym string, right_sym string, pair_count long",
+    )

@@ -997,3 +997,38 @@ def test_dedup_apply_best_picks_longest_member(spark):
         expect = min(members, key=lambda d: (-docs[d], d))
         assert r["doc_id"] == expect
         assert r["n_words"] == docs[expect]
+
+
+def test_bpe_merges_match_pure_python_replay(spark):
+    """Distributed BPE trainer ≡ a reference-textbook in-memory BPE on
+    the same corpus (greedy left-to-right merge, count-desc/lex
+    tie-break)."""
+    from collections import Counter
+
+    from python_nyc_taxi_data_pipeline_spark.llm.bpe import EOW, N_MERGES, bpe_train
+
+    texts = [r["text"] for r in load(spark, SF_DIR, "documents").collect()]
+    vocab = Counter(w for t in texts for w in t.split(" "))
+    words = {w: (list(w) + [EOW], c) for w, c in vocab.items()}
+
+    expected = []
+    for rnd in range(1, N_MERGES + 1):
+        counts = Counter()
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rnd, a, b, cnt))
+        for w, (syms, c) in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[w] = (out, c)
+
+    got = bpe_train(spark, SF_DIR)
+    assert got == expected
