@@ -173,15 +173,26 @@ def run_isolated(names: list[str], sf_dir: str) -> int:
         except ValueError:
             results[name] = {"error": proc.stderr[-500:]}
         print(f"# isolated {name}: {results[name]}", file=sys.stderr)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_isolated.json"
+    )
+    # Merge with prior runs (same SF only) so an incremental
+    # `--isolated new_query` doesn't discard the attribution history.
+    merged: dict = {}
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+        if prior.get("sf") == sf_of(sf_dir):
+            merged = prior.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    merged.update(results)
     out = {
         "metric": "isolated_queries",
         "unit": "sec",
         "sf": sf_of(sf_dir),
-        "queries": results,
+        "queries": merged,
     }
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_isolated.json"
-    )
     with open(path, "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))

@@ -1032,3 +1032,26 @@ def test_bpe_merges_match_pure_python_replay(spark):
 
     got = bpe_train(spark, SF_DIR)
     assert got == expected
+
+
+def test_unigram_surprisal_filter_properties(spark):
+    """OOV tokens must score strictly above every in-vocab token, the
+    keep flag must equal the float mean comparison (away from exact
+    ties), and some docs must land on each side of the corpus mean."""
+    qs = E.queries()
+    rows = qs["docs_unigram_surprisal_filter"](spark, SF_DIR).collect()
+    assert len(rows) == load(spark, SF_DIR, "documents").count()
+    s_all = sum(r["sum_surprisal_micro"] for r in rows)
+    n_all = sum(r["n_tokens"] for r in rows)
+    corpus_mean = s_all / n_all
+    kept = dropped = 0
+    for r in rows:
+        doc_mean = r["sum_surprisal_micro"] / r["n_tokens"]
+        assert r["keep_below_corpus_mean"] == (
+            r["sum_surprisal_micro"] * n_all <= r["n_tokens"] * s_all
+        )
+        if abs(doc_mean - corpus_mean) > 1e-6:
+            assert r["keep_below_corpus_mean"] == (doc_mean < corpus_mean)
+        kept += r["keep_below_corpus_mean"]
+        dropped += not r["keep_below_corpus_mean"]
+    assert kept > 0 and dropped > 0

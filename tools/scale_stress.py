@@ -108,9 +108,17 @@ def build_inflated(base_sf_dir: str, k: int, outdir: str) -> None:
         parts.append(p)
     import pandas as pd
 
+    docs_all = pd.concat(parts, ignore_index=True)
+    # Small row groups: a single-row-group file reads as ONE Spark
+    # partition, and a 1-partition plan satisfies every distribution
+    # trivially — AQE then ELIDES all exchanges and the harness would
+    # measure 0 shuffle bytes (observed: docs_segment_dedup_apply
+    # reported 59 bytes). 16 row groups per file keeps the stress run
+    # representative of a multi-executor scan.
     pq.write_table(
-        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
+        pa.Table.from_pandas(docs_all, preserve_index=False),
         os.path.join(outdir, "documents.parquet"),
+        row_group_size=max(1, len(docs_all) // 16),
     )
 
     emb = pq.read_table(os.path.join(base_sf_dir, "embeddings.parquet")).to_pandas()
@@ -124,9 +132,11 @@ def build_inflated(base_sf_dir: str, k: int, outdir: str) -> None:
         p["vec_id"] = p["vec_id"] + c * 10_000_000
         p["embedding"] = [row.astype(np.float32).tolist() for row in vecs]
         eparts.append(p)
+    emb_all = pd.concat(eparts, ignore_index=True)
     pq.write_table(
-        pa.Table.from_pandas(pd.concat(eparts, ignore_index=True), preserve_index=False),
+        pa.Table.from_pandas(emb_all, preserve_index=False),
         os.path.join(outdir, "embeddings.parquet"),
+        row_group_size=max(1, len(emb_all) // 16),
     )
 
     for f in glob.glob(os.path.join(base_sf_dir, "*.parquet")):
@@ -175,6 +185,10 @@ def run_query(name: str, sf_dir: str) -> dict:
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
             "spark.eventLog.compress": "false",
+            # split the small fixture files across input partitions so
+            # the measured plans shuffle like a real multi-executor scan
+            "spark.sql.files.maxPartitionBytes": "262144",
+            "spark.sql.files.openCostInBytes": "0",
         },
     )
     app_id = spark.sparkContext.applicationId
