@@ -194,7 +194,20 @@ def run_query(name: str, sf_dir: str) -> dict:
     app_id = spark.sparkContext.applicationId
     t0 = time.perf_counter()
     df = all_queries()[name].fn(spark, sf_dir)
-    rows = df.count()
+    # Force FULL evaluation via an observed noop write. A bare
+    # df.count() lets Catalyst eliminate the query: e.g. a left outer
+    # join back to the corpus on a groupBy key is provably unique on
+    # the build side, so count(*) collapses to a naked file scan and
+    # the harness measures 0 shuffle (observed: segment dedup reported
+    # 59 bytes while really shuffling megabytes).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    rows = int(obs.get["rows"])
     sec = round(time.perf_counter() - t0, 3)
     spark.stop()
     time.sleep(1)  # let the event log flush/close
