@@ -58,13 +58,17 @@ def _merge_expr(left: str, right: str) -> str:
 
 def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
     """Run the distributed training loop; returns the ordered merge
-    list ``[(round, left, right, pair_count)]``."""
+    list ``[(round, left, right, pair_count)]`` plus the final
+    distinct-word segmentation frame ``(word, freq, syms)`` — the
+    trained tokenizer's vocabulary mapping, consumed by
+    ``docs_bpe_encode``."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             "freq",
             F.concat(
                 F.regexp_extract_all("word", F.lit("."), 0),
@@ -98,9 +102,9 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
         merges.append((rnd, a, b, cnt))
         words = words.select(
-            "freq", F.expr(_merge_expr(a, b)).alias("syms")
+            "word", "freq", F.expr(_merge_expr(a, b)).alias("syms")
         ).localCheckpoint(eager=True)
-    return merges
+    return merges, words
 
 
 def _duck_merge() -> str:
@@ -121,7 +125,7 @@ def _duck_merge() -> str:
 def _bpe_oracle(n_merges: int = N_MERGES) -> str:
     ctes = [
         f"""r0_words AS (
-      SELECT CAST(count(*) AS BIGINT) AS freq,
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
              regexp_extract_all(word, '.') || ['{EOW}'] AS syms
       FROM (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
@@ -146,25 +150,82 @@ def _bpe_oracle(n_merges: int = N_MERGES) -> str:
         )
         ctes.append(
             f"""r{r}_words AS (
-      SELECT freq, {_duck_merge()} AS syms
+      SELECT word, freq, {_duck_merge()} AS syms
       FROM {prev}, (SELECT a AS bl, b AS br FROM r{r}_best)
     )"""
         )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_merges_oracle(n_merges: int = N_MERGES) -> str:
     finals = "\n      UNION ALL\n      ".join(
         f"SELECT {r} AS round, a AS left_sym, b AS right_sym, pair_count"
         f" FROM r{r}_best"
         for r in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + f"\n    {finals}"
+    return _bpe_oracle(n_merges) + f"\n    {finals}"
 
 
-@register("docs_bpe_merges", oracle=_bpe_oracle(), tags=("llm", "tokenizer", "iterative"))
+@register(
+    "docs_bpe_merges", oracle=_bpe_merges_oracle(), tags=("llm", "tokenizer", "iterative")
+)
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First {N_MERGES} BPE merge rules learned from the corpus: one
     row per round with the merged pair and its exact weighted count
     (see module docstring for the distributed loop)."""
-    merges = bpe_train(spark, sf_dir)
+    merges, _ = bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         [(r, a, b, c) for r, a, b, c in merges],
         "round int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = N_MERGES) -> str:
+    return (
+        _bpe_oracle(n_merges)
+        + f"""
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(len(v.syms)) AS DOUBLE) / count(*), 4)
+             AS bpe_per_word
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ) t JOIN r{n_merges}_words v USING (word)
+    GROUP BY t.doc_id
+    """
+    )
+
+
+@register("docs_bpe_encode", oracle=_bpe_encode_oracle(), tags=("llm", "tokenizer"))
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained tokenizer: per-doc BPE token counts under the
+    learned merge table. The corpus is encoded by joining its exploded
+    words against the DISTINCT-WORD segmentation the training loop
+    already materialized — tokenize-once-per-distinct-word, then a
+    corpus join on the word key (the standard vocabulary-join shape; at
+    100 TB the join shuffles (doc_id, word) pairs against a
+    vocab-sized table, never re-running the merge fold per occurrence).
+    One groupBy(doc_id) rollup; counts are exact integers, the only
+    float is one division rounded to 4 dp."""
+    _, vocab = bpe_train(spark, sf_dir)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        toks.join(vocab.select("word", F.size("syms").alias("n_sym")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("bpe_per_word"),
+        )
     )

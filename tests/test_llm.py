@@ -1030,8 +1030,11 @@ def test_bpe_merges_match_pure_python_replay(spark):
                     out.append(s)
             words[w] = (out, c)
 
-    got = bpe_train(spark, SF_DIR)
+    got, vocab = bpe_train(spark, SF_DIR)
     assert got == expected
+    # the returned vocabulary mapping matches the replay's final state
+    final = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert final == {w: syms for w, (syms, _) in words.items()}
 
 
 def test_unigram_surprisal_filter_properties(spark):
