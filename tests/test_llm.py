@@ -1058,3 +1058,35 @@ def test_unigram_surprisal_filter_properties(spark):
         kept += r["keep_below_corpus_mean"]
         dropped += not r["keep_below_corpus_mean"]
     assert kept > 0 and dropped > 0
+
+
+def test_collocations_scores_match_brute_force(spark):
+    """Phrase scores must equal a pure-Python count-and-score replay,
+    including ranks and the discount."""
+    from python_nyc_taxi_data_pipeline_spark.llm.collocations import (
+        MIN_PAIR_COUNT,
+        PHRASE_DELTA,
+        TOP_PHRASES,
+    )
+    from collections import Counter
+
+    texts = [r["text"] for r in load(spark, SF_DIR, "documents").collect()]
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ws = t.split(" ")
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    total = sum(uni.values())
+    scored = [
+        (a, b, c, uni[a], uni[b], round((c - PHRASE_DELTA) * total / (uni[a] * uni[b]), 6))
+        for (a, b), c in bi.items()
+        if c >= MIN_PAIR_COUNT
+    ]
+    scored.sort(key=lambda r: (-r[5], r[0], r[1]))
+    expected = [r + (i + 1,) for i, r in enumerate(scored[:TOP_PHRASES])]
+
+    got = [
+        tuple(r)
+        for r in E.queries()["docs_collocations_pmi"](spark, SF_DIR).collect()
+    ]
+    assert got == expected
