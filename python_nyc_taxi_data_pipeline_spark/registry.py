@@ -139,6 +139,7 @@ def _ensure_loaded() -> None:
     from .plans import tpch_ext  # noqa: F401
     from .streaming import windows  # noqa: F401
     from .plans import curation, sampling, selection, skew, sqlport, textstats  # noqa: F401
+    from .operators import merge_into  # noqa: F401
     from .plans import analytics, analytics2, core, tpch  # noqa: F401
 
     _LOADED = True

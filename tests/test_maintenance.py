@@ -79,3 +79,54 @@ def test_write_audit_publish_success_and_rollback(spark, tmp_path):
     ok3 = write_audit_publish(bad, final, audit=lambda df: True)
     assert ok3
     assert spark.read.parquet(final).count() == 3
+
+
+def test_merge_into_semantics_and_snapshot_commit(spark, tmp_path):
+    """MERGE INTO: updates replace, deletes vanish, inserts appear,
+    everything else passes through — and committing the merge to a
+    SnapshotTable preserves the pre-merge version (time travel)."""
+    from python_nyc_taxi_data_pipeline_spark.operators.merge_into import (
+        INSERT_KEY_SHIFT,
+        merge_into_orders,
+        orders_change_feed,
+    )
+    from python_nyc_taxi_data_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+    )
+
+    target = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    before = {r["o_orderkey"]: r for r in target.collect()}
+    merged = {r["o_orderkey"]: r for r in merge_into_orders(spark, SF_DIR).collect()}
+
+    feed_ops = {
+        r["o_orderkey"]: r["op"]
+        for r in orders_change_feed(spark, SF_DIR).collect()
+    }
+    n_deleted = n_updated = n_inserted = 0
+    for k, row in before.items():
+        op = feed_ops.get(k)
+        if op == "D":
+            assert k not in merged
+            n_deleted += 1
+        elif op == "U":
+            assert merged[k]["o_orderstatus"] == "M"
+            assert abs(merged[k]["o_totalprice"] - round(row["o_totalprice"] + 1.0, 2)) < 1e-9
+            n_updated += 1
+        else:
+            assert merged[k]["o_orderstatus"] == row["o_orderstatus"]
+    for k, op in feed_ops.items():
+        if op == "I":
+            assert k >= INSERT_KEY_SHIFT and k in merged
+            assert merged[k]["o_orderstatus"] == "N"
+            n_inserted += 1
+    assert n_deleted > 0 and n_updated > 0 and n_inserted > 0
+    assert len(merged) == len(before) - n_deleted + n_inserted
+
+    # copy-on-write commit: both versions remain queryable
+    tbl = SnapshotTable(spark, str(tmp_path / "orders_snap"))
+    v0 = tbl.commit(target)
+    v1 = tbl.commit(merge_into_orders(spark, SF_DIR))
+    assert tbl.read_version(v0).count() == len(before)
+    assert tbl.read_version(v1).count() == len(merged)
