@@ -173,17 +173,21 @@ def run_isolated(names: list[str], sf_dir: str) -> int:
         except ValueError:
             results[name] = {"error": proc.stderr[-500:]}
         print(f"# isolated {name}: {results[name]}", file=sys.stderr)
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_isolated.json"
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(repo, "BENCH_isolated.json")
     # Merge with prior runs (same SF only) so an incremental
     # `--isolated new_query` doesn't discard the attribution history.
+    # Prior keys no longer in the registry are dropped — renamed or
+    # deregistered queries must not leave stale attribution rows.
     merged: dict = {}
     try:
         with open(path) as f:
             prior = json.load(f)
         if prior.get("sf") == sf_of(sf_dir):
-            merged = prior.get("queries", {})
+            live = set(all_queries().keys())
+            merged = {
+                k: v for k, v in prior.get("queries", {}).items() if k in live
+            }
     except (OSError, ValueError):
         pass
     merged.update(results)
@@ -195,8 +199,44 @@ def run_isolated(names: list[str], sf_dir: str) -> int:
     }
     with open(path, "w") as f:
         f.write(json.dumps(out) + "\n")
+    # Per-round snapshot of THIS run only (not the merged history), so
+    # round-over-round per-query deltas stay attributable forever. The
+    # round number is inferred as newest recorded driver round + 1.
+    rnd = current_round(repo)
+    snap = {
+        "metric": "isolated_queries",
+        "unit": "sec",
+        "sf": sf_of(sf_dir),
+        "round": rnd,
+        "queries": results,
+    }
+    snap_path = os.path.join(repo, f"BENCH_isolated_r{rnd:02d}.json")
+    prior_snap: dict = {}
+    try:
+        with open(snap_path) as f:
+            prior_snap = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    snap["queries"] = {**prior_snap, **results}
+    with open(snap_path, "w") as f:
+        f.write(json.dumps(snap) + "\n")
     print(json.dumps(out))
     return 0
+
+
+def current_round(repo: str) -> int:
+    """The in-flight round number: newest BENCH_r/CORRECTNESS_r file +1
+    (those are written by the driver at round END, so while a round is
+    running the newest recorded file belongs to the previous round)."""
+    import glob
+    import re
+
+    newest = 0
+    for p in glob.glob(os.path.join(repo, "*_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m and "isolated" not in os.path.basename(p):
+            newest = max(newest, int(m.group(1)))
+    return newest + 1
 
 
 def main() -> int:

@@ -122,11 +122,17 @@ def docs_segment_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("segs").cast("int").alias("total_segments"),
         F.posexplode("segs").alias("seg_idx", "seg_text"),
     )
+    # doc_id must fit the remaining 63-SEG_IDX_BITS bits and be
+    # non-negative: a doc_id >= 2^43 (or < 0) would overflow the bigint
+    # shift and silently corrupt min() keeper election, so it fails
+    # loudly alongside the seg_idx width check.
     packed = F.expr(
-        f"if(seg_idx < {1 << SEG_IDX_BITS},"
+        f"if(seg_idx < {1 << SEG_IDX_BITS}"
+        f"   and doc_id >= 0 and doc_id < {1 << (63 - SEG_IDX_BITS)},"
         f"   shiftleft(doc_id, {SEG_IDX_BITS}) + seg_idx,"
-        "    raise_error('docs_segment_dedup_apply: > 2^20 segments in"
-        " one document; raise SEG_IDX_BITS'))"
+        "    raise_error('docs_segment_dedup_apply: doc_id outside"
+        f" [0, 2^{63 - SEG_IDX_BITS}) or > 2^{SEG_IDX_BITS} segments in"
+        " one document; repack keeper key'))"
     )
     keepers = (
         segs.select(F.md5("seg_text").alias("h"), packed.alias("pk"))

@@ -146,7 +146,20 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE the deterministic orders change feed into orders and
     return the copy-on-write result (see module docstring)."""
     target = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        # Insert keys are target keys shifted by INSERT_KEY_SHIFT; if the
+        # target ever holds a key >= the shift (TPC-H max orderkey crosses
+        # 10M around SF 0.42) an insert would silently collide into a
+        # passthrough. Guard per row (same pattern as the segdedup
+        # packing guard) instead of failing quietly at larger SFs.
+        F.expr(
+            f"if(o_orderkey < {INSERT_KEY_SHIFT}, o_orderkey,"
+            " raise_error('merge_into_orders: o_orderkey >="
+            " INSERT_KEY_SHIFT; shifted insert keys would collide —"
+            " raise INSERT_KEY_SHIFT'))"
+        ).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
     )
     merged = merge_into(target, orders_change_feed(spark, sf_dir), "o_orderkey")
     return merged.select(

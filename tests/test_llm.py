@@ -1037,6 +1037,25 @@ def test_bpe_merges_match_pure_python_replay(spark):
     assert final == {w: syms for w, (syms, _) in words.items()}
 
 
+def test_bpe_merge_fold_survives_quote_and_backslash_symbols(spark):
+    """The merge fold takes learned symbols as bound literals, so
+    symbols containing SQL-hostile characters (quotes, backslashes)
+    must fold correctly instead of breaking expression generation."""
+    from python_nyc_taxi_data_pipeline_spark.llm.bpe import _merge_col
+
+    rows = [("w1", 1, ["a'b", "\\c", "x"]), ("w2", 1, ["a'b", "y", "\\c"])]
+    df = spark.createDataFrame(
+        rows, "word string, freq long, syms array<string>"
+    )
+    out = {
+        r["word"]: r["syms"]
+        for r in df.select(
+            "word", _merge_col("a'b", "\\c").alias("syms")
+        ).collect()
+    }
+    assert out == {"w1": ["a'b\\c", "x"], "w2": ["a'b", "y", "\\c"]}
+
+
 def test_unigram_surprisal_filter_properties(spark):
     """OOV tokens must score strictly above every in-vocab token, the
     keep flag must equal the float mean comparison (away from exact
