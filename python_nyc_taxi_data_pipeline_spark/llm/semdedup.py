@@ -27,6 +27,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,8 +36,12 @@ from ..catalog import load
 from ..registry import register
 from .similarity import _as_double, _dot, _norm
 
-SEMDEDUP_K = 8  # fixed seed clusters (config; scales with corpus size)
+SEMDEDUP_K = 8  # fixture pin for the registered query (oracle stability)
 SEMDEDUP_COSINE = 0.42  # ε-ball threshold (fixture p99.9+, cf. NEARDUP_COSINE)
+# Production default: k grows with the corpus, k = ceil(n / target
+# cluster size), which bounds the within-cluster quadratic pair scan at
+# O(n · target_cluster_size) regardless of corpus scale.
+SEMDEDUP_TARGET_CLUSTER_SIZE = 64
 
 
 def _semdedup_oracle() -> str:
@@ -80,25 +86,33 @@ def _semdedup_oracle() -> str:
     """
 
 
-@register(
-    "embeddings_semdedup",
-    oracle=_semdedup_oracle(),
-    tags=("llm", "dedup", "similarity", "clustering"),
-)
-def embeddings_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: assign every vector to its
-    nearest of {SEMDEDUP_K} fixed seed vectors (by rounded cosine,
-    seed_id tie-break), scan within-cluster pairs, and drop any vector
-    with a lower-id cluster-mate at cosine ≥ {SEMDEDUP_COSINE}. Returns
-    (vec_id, cluster_id, kept) for the full corpus — the kept=TRUE rows
-    are the semantically-deduplicated training subset."""
+def semdedup(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """SemDeDup with a configurable (default DATA-DERIVED) cluster
+    count: ``k=None`` derives k = ceil(n / SEMDEDUP_TARGET_CLUSTER_SIZE)
+    from the corpus size — the production scaling that keeps expected
+    cluster size (and therefore the within-cluster quadratic pair scan)
+    constant as the corpus grows; the derivation costs one count()
+    (parquet-footer metadata, not a scan). Pass an explicit ``k`` to pin
+    it (the registered fixture query pins {SEMDEDUP_K}).
+
+    Scale ceiling: seeds are broadcast (k·d doubles), so data-derived k
+    holds to roughly k·d ≲ 10^8 (corpus ~10^9 docs at d=64). Past the
+    broadcast ceiling, the same SemDeDup pipeline should ride iterated
+    k-means + IVF assignment instead (``llm.kmeans`` composed as in
+    ``embeddings_dedup_apply``) — assignment compute is n·k cosines
+    either way; this fixed-seed variant exists for exact oracle
+    reproducibility."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
+    if k is None:
+        k = max(1, math.ceil(e.count() / SEMDEDUP_TARGET_CLUSTER_SIZE))
     n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
     k_seeds = (
         n.orderBy("vec_id")
-        .limit(SEMDEDUP_K)
+        .limit(k)
         .select(
             F.col("vec_id").alias("seed_id"),
             F.col("v").alias("sv"),
@@ -161,3 +175,21 @@ def embeddings_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+@register(
+    "embeddings_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("llm", "dedup", "similarity", "clustering"),
+)
+def embeddings_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: assign every vector to its
+    nearest of {SEMDEDUP_K} fixed seed vectors (by rounded cosine,
+    seed_id tie-break), scan within-cluster pairs, and drop any vector
+    with a lower-id cluster-mate at cosine ≥ {SEMDEDUP_COSINE}. Returns
+    (vec_id, cluster_id, kept) for the full corpus — the kept=TRUE rows
+    are the semantically-deduplicated training subset. k is pinned to
+    the fixture constant here so the oracle stays exact; ``semdedup``
+    (k=None) is the production data-derived-k path, covered by the
+    k-scaling scale-stress entry."""
+    return semdedup(spark, sf_dir, k=SEMDEDUP_K)

@@ -54,10 +54,24 @@ QUERIES = (
     "corpus_curation_e2e",
     "docs_minhash_incremental_pairs",
     "embeddings_semdedup",
+    "embeddings_semdedup_scaledk",
     "docs_segment_dedup_apply",
     "retrieval_hybrid_rrf",
 )
 SCALES = (1, 2, 4)
+
+
+def _semdedup_scaledk(spark, sf_dir):
+    """Production SemDeDup path: k data-derived (∝ corpus size), so
+    expected cluster size — and with it the within-cluster quadratic
+    pair scan — stays constant under inflation."""
+    from python_nyc_taxi_data_pipeline_spark.llm.semdedup import semdedup
+
+    return semdedup(spark, sf_dir, k=None)
+
+
+# Non-registered callables stressed alongside the registry queries.
+EXTRA_FNS = {"embeddings_semdedup_scaledk": _semdedup_scaledk}
 MAX_EXPONENT = {
     # Near-dup family (r4): banded LSH / label propagation are linear;
     # embeddings_dedup_apply rides the documented exact all-pairs GEMM.
@@ -82,6 +96,9 @@ MAX_EXPONENT = {
     # plus bounded anchor/fusion joins.
     "docs_segment_dedup_apply": 1.35,
     "retrieval_hybrid_rrf": 1.35,
+    # Data-derived k (k ∝ n): cluster sizes stay constant under
+    # inflation, so the pair-scan shuffle must stay ~linear too.
+    "embeddings_semdedup_scaledk": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
@@ -193,7 +210,8 @@ def run_query(name: str, sf_dir: str) -> dict:
     )
     app_id = spark.sparkContext.applicationId
     t0 = time.perf_counter()
-    df = all_queries()[name].fn(spark, sf_dir)
+    fn = EXTRA_FNS.get(name) or all_queries()[name].fn
+    df = fn(spark, sf_dir)
     # Force FULL evaluation via an observed noop write. A bare
     # df.count() lets Catalyst eliminate the query: e.g. a left outer
     # join back to the corpus on a groupBy key is provably unique on
