@@ -29,15 +29,23 @@ def download_url_template(year: int, month: int) -> str:
 
 
 def fetch_month(
-    year: int, month: int, staging_dir: str, timeout: float = 60.0
+    year: int,
+    month: int,
+    staging_dir: str,
+    timeout: float = 60.0,
+    url_template: str | None = None,
 ) -> str:
     """Download one monthly file into ``staging_dir`` (idempotent: skips
-    when the file already exists). Returns the local path."""
+    when the file already exists). Returns the local path.
+
+    ``url_template`` overrides the cloudfront template — any scheme
+    urllib can open works (``file://`` lets integration tests exercise
+    the full download→ingest seam without network)."""
     os.makedirs(staging_dir, exist_ok=True)
     dest = os.path.join(staging_dir, f"yellow_tripdata_{year}-{month:02d}.parquet")
     if os.path.exists(dest):
         return dest
-    url = download_url_template(year, month)
+    url = (url_template or URL_TEMPLATE).format(year=year, month=month)
     with urllib.request.urlopen(url, timeout=timeout) as resp, open(
         dest + ".part", "wb"
     ) as out:

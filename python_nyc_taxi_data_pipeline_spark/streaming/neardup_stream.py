@@ -127,6 +127,14 @@ def neardup_candidates(docs: DataFrame) -> DataFrame:
     sorted, then paired against state members then earlier arrivals in
     the same micro-batch), so a replay with the same micro-batch
     boundaries is deterministic.
+
+    Bounded-recall contract under cap pressure: once a bucket holds
+    ``BAND_STATE_CAP`` members it stops growing — later arrivals to
+    that bucket emit NO pairs in it and are not remembered by it, so
+    the batch-superset recall guarantee holds only for buckets below
+    the cap (boilerplate-band overflow is an explicit, observable loss:
+    ``bucket_size`` plateaus at the cap). A doc dropped from one hot
+    bucket still pairs through its other, non-hot bands.
     """
     perms = MINHASH_PERMS
     cap = BAND_STATE_CAP

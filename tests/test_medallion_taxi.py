@@ -112,6 +112,78 @@ def test_full_medallion_run(spark, taxi_df, tmp_path, local_fastpaths):
     assert {r["month"] for r in mm} == {"January", "February"}
 
 
+def test_fetch_month_to_bronze_offline(spark, taxi_df, tmp_path):
+    """S1 seam end-to-end WITHOUT network: a real parquet month served
+    over ``file://`` through ``fetch_month`` → schema-enforced read →
+    bronze ingest → watermark advance — the full
+    ``incremental_ingestion.py:25-60`` flow of the reference (format
+    URL → fetch → stage → incremental load), idempotent on re-run."""
+    import pyarrow.parquet as pq
+
+    from python_nyc_taxi_data_pipeline_spark.sources.http import (
+        fetch_month,
+        read_parquet_with_schema,
+    )
+    from python_nyc_taxi_data_pipeline_spark.sources.schemas import (
+        BRONZE_TAXI_SCHEMA,
+    )
+
+    # "Publish" month 1 the way the upstream does: one parquet file per
+    # month, numeric columns numeric (the reference's text
+    # passenger_count/ratecodeid are a BRONZE choice, not the file's).
+    server = tmp_path / "server"
+    server.mkdir()
+    jan = month_batch(taxi_df, 1).toPandas()
+    jan["passenger_count"] = jan["passenger_count"].astype(float)
+    jan["ratecodeid"] = jan["ratecodeid"].astype(float)
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(jan, preserve_index=False),
+        str(server / "yellow_tripdata_2024-01.parquet"),
+        # upstream publishes micro-precision timestamps; pandas defaults
+        # to nanos, which Spark's parquet reader rejects outright
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    template = f"file://{server}/yellow_tripdata_{{year}}-{{month:02d}}.parquet"
+
+    staging = str(tmp_path / "staging")
+    dest = fetch_month(2024, 1, staging, url_template=template)
+    assert dest.endswith("yellow_tripdata_2024-01.parquet")
+    import os
+
+    mtime = os.path.getmtime(dest)
+    assert fetch_month(2024, 1, staging, url_template=template) == dest
+    assert os.path.getmtime(dest) == mtime  # idempotent: no re-download
+
+    batch = read_parquet_with_schema(spark, dest, BRONZE_TAXI_SCHEMA)
+    assert [f.name for f in batch.schema.fields] == [
+        f.name for f in BRONZE_TAXI_SCHEMA.fields
+    ]
+    # bronze quirk preserved: numeric upstream → text in bronze
+    r = batch.filter(F.col("ratecodeid").isNotNull()).limit(1).collect()[0]
+    assert isinstance(r["ratecodeid"], str) and r["ratecodeid"].endswith(".0")
+
+    pipe = taxi_pipeline(spark, str(tmp_path / "wh"))
+    res = pipe.ingest_batch(batch, win(1))
+    expected = batch.filter(
+        F.col("tpep_pickup_datetime") > F.lit(datetime(2024, 1, 1))
+    ).count()
+    assert res.loaded == expected > 0
+    assert res.watermark.month == 1
+    meta = pipe.meta().collect()
+    assert len(meta) == 1 and meta[0]["status"] == "success"
+
+    # re-run the WHOLE flow (fetch → read → ingest): watermark filters
+    # everything, matching the reference's idempotent re-run property
+    batch2 = read_parquet_with_schema(
+        spark, fetch_month(2024, 1, staging, url_template=template), BRONZE_TAXI_SCHEMA
+    )
+    res2 = pipe.ingest_batch(batch2, win(1))
+    assert res2.loaded == 0 and res2.watermark == res.watermark
+
+
 def test_failure_appends_failed_meta_row(spark, taxi_df, tmp_path):
     pipe = taxi_pipeline(spark, str(tmp_path / "wh2"))
     # the ts column is missing → the split inside ingest_batch raises

@@ -289,3 +289,43 @@ def test_streaming_neardup_checkpoint_restart_incremental(spark, tmp_path):
         for r in E.queries()["docs_minhash_lsh_pairs"](spark, SF_DIR).collect()
     }
     assert batch_pairs - all_pairs == set()
+
+
+def test_streaming_neardup_hot_bucket_cap_contract(spark, tmp_path, monkeypatch):
+    """Pin the bounded-recall contract under cap pressure
+    (`neardup_stream.neardup_candidates` docstring): drive one bucket
+    past BAND_STATE_CAP with identical documents — (a) the first `cap`
+    arrivals still pair completely (all C(cap,2) pairs), (b) overflow
+    docs (in-batch AND late-batch) emit no pairs and are not added to
+    state, (c) bucket_size plateaus at the cap."""
+    from python_nyc_taxi_data_pipeline_spark.streaming import neardup_stream as ns
+
+    cap = 8
+    monkeypatch.setattr(ns, "BAND_STATE_CAP", cap)
+    text = "the same boilerplate sentence repeated across every document here"
+    n_first = cap + 4  # overflow within the first micro-batch
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, text) for i in range(n_first)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_to_parquet_sink(
+        ns.neardup_candidates(ns.read_document_stream(spark, src)), out, ckpt
+    )
+    rows1 = spark.read.parquet(out).collect()
+    got_pairs = {(r.doc_a, r.doc_b) for r in rows1}
+    expected = {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+    assert got_pairs == expected  # first cap members pair completely
+    assert max(r.bucket_size for r in rows1) == cap  # plateau observable
+
+    # late arrival to the (now hot) bucket: no new pairs, not in state
+    spark.createDataFrame(
+        [(1000, text)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_to_parquet_sink(
+        ns.neardup_candidates(ns.read_document_stream(spark, src)), out, ckpt
+    )
+    rows2 = spark.read.parquet(out).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows2} == expected
+    assert not any(r.doc_a == 1000 or r.doc_b == 1000 for r in rows2)
