@@ -344,6 +344,8 @@ def main() -> int:
                     for n, r in stress.get("queries", {}).items()
                 },
             }
+            if stress.get("bpe_200_merges"):
+                compact_payload["bpe_200_merges"] = stress["bpe_200_merges"]
         except (OSError, ValueError):
             pass
     compact = json.dumps(compact_payload)

@@ -22,6 +22,14 @@ Scale design (100 TB corpus):
 - Lineage is truncated every round with ``localCheckpoint`` so the
   plan does not grow O(rounds) (the same pattern as
   ``llm.clusters.connected_components``).
+- Measured at realistic merge counts (``tools/scale_stress.py
+  --bpe-only``: 200-merge request on sf0.1 → ~0.35 s/round, fully
+  fixed-overhead-dominated once the distinct-word table is small), the
+  serial driver loop costs ~35 s per 100 merges. That is fine for
+  10²-merge vocabularies; a 30k-merge production tokenizer would want
+  top-m NON-OVERLAPPING merges applied per round (the standard fast-BPE
+  approximation) to amortize the per-round job overhead — a semantics
+  trade this exact-oracle implementation deliberately does not take.
 
 Cross-engine exactness: the DuckDB oracle REPLAYS the whole training
 run as chained CTEs — same char split (``regexp_extract_all(word,

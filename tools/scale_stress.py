@@ -236,8 +236,43 @@ def run_query(name: str, sf_dir: str) -> dict:
     }
 
 
+def bpe_mode(base: str) -> int:
+    print(json.dumps(bpe_merge_cost(base)))
+    return 0
+
+
+def bpe_merge_cost(base: str, n_merges: int = 200) -> dict:
+    """BPE training at a realistic merge count (stress-only; the oracle
+    query proves the mechanism at N_MERGES=6). Measures the serial
+    driver-loop cost: each round is one pair-count shuffle + a 1-row
+    take, so per-round wall time ≈ fixed job-scheduling overhead once
+    the distinct-word table is small — this quantifies whether batching
+    top-m non-overlapping merges per round is worth the approximation."""
+    from python_nyc_taxi_data_pipeline_spark.llm import bpe
+    from python_nyc_taxi_data_pipeline_spark.session import get_session
+
+    spark = get_session("stress-bpe200")
+    # bypass the merge cache: a cached (sf_dir, 6) entry must not serve
+    # a 200-merge request, and this run must not poison real queries
+    bpe._MERGES_CACHE.pop((os.path.abspath(base), n_merges), None)
+    t0 = time.perf_counter()
+    merges, words = bpe.bpe_train(spark, base, n_merges=n_merges)
+    words.write.format("noop").mode("overwrite").save()
+    total = round(time.perf_counter() - t0, 3)
+    bpe._MERGES_CACHE.pop((os.path.abspath(base), n_merges), None)
+    spark.stop()
+    return {
+        "n_merges_requested": n_merges,
+        "n_merges_learned": len(merges),
+        "total_sec": total,
+        "sec_per_round": round(total / max(1, len(merges)), 3),
+    }
+
+
 def main() -> int:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if len(sys.argv) > 2 and sys.argv[2] == "--bpe-only":
+        return bpe_mode(base)
     dirs = {}
     for k in SCALES:
         outdir = f"/tmp/stress_x{k}"
@@ -281,6 +316,7 @@ def main() -> int:
         "scales": list(SCALES),
         "queries": results,
         "ok": not failures,
+        "bpe_200_merges": bpe_merge_cost(base),
     }
     with open(os.path.join(ROOT, "STRESS_local.json"), "w") as f:
         f.write(json.dumps(out) + "\n")
