@@ -39,10 +39,11 @@ from pyspark.sql.window import Window
 from ..catalog import load
 from ..registry import register
 from .retrieval import _bm25_oracle, docs_bm25_topk
-from .similarity import _as_double, _dot, _norm
+from .similarity import MRL_CANDIDATES, MRL_PREFIX_DIM, _as_double, _dot, _norm
 
 RRF_K = 60  # Cormack et al.'s constant; dampens rank-1 dominance
 DENSE_TOP_K = 5
+RRF_EVAL_TOP = 5  # fused-list depth compared by the ANN recall contract
 
 
 def _rrf_oracle() -> str:
@@ -105,15 +106,108 @@ def _rrf_oracle() -> str:
     """
 
 
-@register(
-    "retrieval_hybrid_rrf",
-    oracle=_rrf_oracle(),
-    tags=("llm", "retrieval", "fusion"),
-)
-def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RRF fusion of the BM25 top-5 list and the dense cosine top-5
-    anchored at each query's best embedded BM25 candidate (see module
-    doc)."""
+def _rrf_ann_oracle() -> str:
+    """DuckDB twin of the ANN-dense hybrid: same BM25/anchor/fusion
+    CTEs as ``_rrf_oracle``, dense stage = prefix-cosine shortlist of
+    {MRL_CANDIDATES} then full-vector rerank (deterministic, so the
+    ANN variant is hash-checkable, not just bound-checked)."""
+    return f"""
+    WITH bm AS (
+      SELECT * FROM ({_bm25_oracle()})
+    ), anchors AS (
+      SELECT query_id, doc_id AS anchor_id
+      FROM (
+        SELECT b.query_id, b.doc_id,
+               row_number() OVER (
+                 PARTITION BY b.query_id ORDER BY b.rank
+               ) AS arn
+        FROM bm b JOIN embeddings e ON e.vec_id = b.doc_id
+      ) WHERE arn = 1
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, v[1:{MRL_PREFIX_DIM}] AS p,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (acc, x) -> acc + x)) AS nrm,
+             sqrt(list_reduce(list_transform(v[1:{MRL_PREFIX_DIM}],
+                                             x -> x * x),
+                              (acc, x) -> acc + x)) AS pnrm
+      FROM v
+    ), shortlist AS (
+      SELECT a.query_id, c.vec_id AS doc_id
+      FROM anchors a
+      JOIN n q ON q.vec_id = a.anchor_id
+      JOIN n c ON c.vec_id <> a.anchor_id
+      QUALIFY row_number() OVER (
+        PARTITION BY a.query_id
+        ORDER BY round(list_reduce(list_transform(list_zip(q.p, c.p),
+                                                  pr -> pr[1] * pr[2]),
+                                   (acc, x) -> acc + x)
+                       / (q.pnrm * c.pnrm), 6) DESC, c.vec_id
+      ) <= {MRL_CANDIDATES}
+    ), dense AS (
+      SELECT s.query_id, s.doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY round(list_reduce(list_transform(list_zip(q.v, c.v),
+                                                         pr -> pr[1] * pr[2]),
+                                          (acc, x) -> acc + x)
+                              / (q.nrm * c.nrm), 6) DESC, s.doc_id
+             ) AS INT) AS rank
+      FROM shortlist s
+      JOIN anchors a ON a.query_id = s.query_id
+      JOIN n q ON q.vec_id = a.anchor_id
+      JOIN n c ON c.vec_id = s.doc_id
+      QUALIFY rank <= {DENSE_TOP_K}
+    ), fused AS (
+      SELECT coalesce(b.query_id, d.query_id) AS query_id,
+             coalesce(b.doc_id, d.doc_id) AS doc_id,
+             round(coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + b.rank), 0.0)
+                   + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.rank), 0.0),
+                   6) AS rrf_score,
+             b.rank IS NOT NULL AS in_bm25,
+             d.rank IS NOT NULL AS in_dense
+      FROM bm b FULL OUTER JOIN dense d
+        ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, in_bm25, in_dense,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS INT) AS fused_rank
+    FROM fused
+    """
+
+
+def _rrf_ann_eval_oracle() -> str:
+    """Recall@{RRF_EVAL_TOP} / top-1 agreement of the ANN hybrid vs the
+    exact hybrid — both sides are the full variant oracles inline, so
+    the metric itself is hash-checkable."""
+    return f"""
+    WITH exact AS (
+      SELECT query_id, doc_id, fused_rank AS exact_rank
+      FROM ({_rrf_oracle()}) WHERE fused_rank <= {RRF_EVAL_TOP}
+    ), annq AS (
+      SELECT query_id, doc_id AS ann_doc, fused_rank AS ann_rank
+      FROM ({_rrf_ann_oracle()}) WHERE fused_rank <= {RRF_EVAL_TOP}
+    )
+    SELECT e.query_id,
+           CAST(count(a.ann_doc) AS BIGINT) AS n_overlap,
+           round(count(a.ann_doc) / CAST(count(*) AS DOUBLE), 6)
+             AS recall_at_k,
+           CAST(max(CASE WHEN e.exact_rank = 1 AND a.ann_rank = 1
+                         THEN 1 ELSE 0 END) AS INT) AS top1_hit
+    FROM exact e
+    LEFT JOIN annq a
+      ON e.query_id = a.query_id AND e.doc_id = a.ann_doc
+    GROUP BY e.query_id
+    """
+
+
+def _bm_anchors(spark: SparkSession, sf_dir: str):
+    """Shared first stages of both hybrid variants: the checkpointed
+    BM25 rank list, the normalized embedding frame, and the per-query
+    anchor election."""
     # The q·k-row BM25 list is consumed three times (anchor election,
     # the broadcast dense-query block, and the fusion join); without a
     # lineage barrier Spark re-executes the whole BM25 plan per
@@ -141,6 +235,12 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") == 1)
         .select("query_id", F.col("doc_id").alias("anchor_id"))
     )
+    return bm, n, anchors
+
+
+def _dense_exact(n: DataFrame, anchors: DataFrame) -> DataFrame:
+    """Exact dense stage: one full-corpus cosine stream against the
+    broadcast anchor block (knn_cosine_bruteforce shape)."""
     q = F.broadcast(
         anchors.join(n, anchors.anchor_id == n.vec_id).select(
             "query_id",
@@ -151,13 +251,71 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
     dw = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
-    dense = (
+    return (
         n.join(q, n.vec_id != q.anchor_id)
         .select("query_id", F.col("vec_id").alias("doc_id"), sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(dw))
         .filter(F.col("rank") <= DENSE_TOP_K)
         .select("query_id", "doc_id", "rank")
     )
+
+
+def _dense_ann(n: DataFrame, anchors: DataFrame) -> DataFrame:
+    """ANN dense stage (the production path at corpus scale): shortlist
+    top-{MRL_CANDIDATES} per query by PREFIX-{MRL_PREFIX_DIM} cosine —
+    the corpus stream touches a 4x narrower representation — then
+    rerank only the bounded shortlist with full vectors. Same
+    (query_id, doc_id, rank) contract as ``_dense_exact``, so the
+    fusion stage is oblivious to which dense engine ran."""
+    p = n.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.slice("v", 1, MRL_PREFIX_DIM).alias("p"),
+    ).withColumn("pnrm", _norm(F.col("p")))
+    qp = F.broadcast(
+        anchors.join(p, anchors.anchor_id == p.vec_id).select(
+            "query_id",
+            "anchor_id",
+            F.col("p").alias("qp"),
+            F.col("pnrm").alias("qpnrm"),
+        )
+    )
+    psim = F.round(
+        _dot(F.col("qp"), F.col("p")) / (F.col("qpnrm") * F.col("pnrm")), 6
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("prefix_sim"), F.asc("doc_id")
+    )
+    shortlist = (
+        p.select("vec_id", "p", "pnrm")
+        .join(qp, F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("doc_id"), psim.alias("prefix_sim")
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= MRL_CANDIDATES)
+        .select("query_id", "doc_id")
+    )
+    qfull = F.broadcast(
+        anchors.join(n, anchors.anchor_id == n.vec_id).select(
+            "query_id", F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+        )
+    )
+    full = n.select(F.col("vec_id").alias("doc_id"), "v", "nrm")
+    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    dw = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+    return (
+        full.join(F.broadcast(shortlist), "doc_id")
+        .join(qfull, "query_id")
+        .select("query_id", "doc_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(dw))
+        .filter(F.col("rank") <= DENSE_TOP_K)
+        .select("query_id", "doc_id", "rank")
+    )
+
+
+def _fuse(bm: DataFrame, dense: DataFrame) -> DataFrame:
     b = bm.select("query_id", "doc_id", F.col("rank").alias("b_rank"))
     d = dense.select("query_id", "doc_id", F.col("rank").alias("d_rank"))
     fused = b.join(d, ["query_id", "doc_id"], "full_outer").select(
@@ -173,3 +331,80 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fw = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return fused.withColumn("fused_rank", F.row_number().over(fw))
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=_rrf_oracle(),
+    tags=("llm", "retrieval", "fusion"),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the BM25 top-5 list and the dense cosine top-5
+    anchored at each query's best embedded BM25 candidate (see module
+    doc)."""
+    bm, n, anchors = _bm_anchors(spark, sf_dir)
+    return _fuse(bm, _dense_exact(n, anchors))
+
+
+@register(
+    "retrieval_hybrid_rrf_ann",
+    oracle=_rrf_ann_oracle(),
+    tags=("llm", "retrieval", "fusion", "ann"),
+)
+def retrieval_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the ANN dense stage: identical BM25 list and
+    fusion, but the dense ranking comes from the Matryoshka
+    prefix-shortlist + full-vector rerank instead of the exact
+    full-corpus cosine stream. At 100 TB the exact dense pass streams
+    every full vector per query batch; this variant streams only the
+    {MRL_PREFIX_DIM}-dim prefix and fetches full vectors for a bounded
+    |queries|x{MRL_CANDIDATES} shortlist — the production path.
+    ``retrieval_hybrid_ann_recall_eval`` measures what that trade
+    costs against the exact variant."""
+    bm, n, anchors = _bm_anchors(spark, sf_dir)
+    return _fuse(bm, _dense_ann(n, anchors))
+
+
+@register(
+    "retrieval_hybrid_ann_recall_eval",
+    oracle=_rrf_ann_eval_oracle(),
+    tags=("llm", "retrieval", "evaluation"),
+)
+def retrieval_hybrid_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the ANN hybrid (knn_lsh_recall_eval
+    pattern): per query, how much of the EXACT hybrid's fused
+    top-{RRF_EVAL_TOP} the ANN variant recovers, plus top-1 agreement.
+    Both fused lists are |queries|·k rows, so the comparison join is
+    metadata-sized at any corpus scale; the expensive parts reuse the
+    two registered (independently hash-verified) plans."""
+    exact = (
+        retrieval_hybrid_rrf(spark, sf_dir)
+        .filter(F.col("fused_rank") <= RRF_EVAL_TOP)
+        .select("query_id", "doc_id", F.col("fused_rank").alias("exact_rank"))
+    )
+    ann = (
+        retrieval_hybrid_rrf_ann(spark, sf_dir)
+        .filter(F.col("fused_rank") <= RRF_EVAL_TOP)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("ann_doc"),
+            F.col("fused_rank").alias("ann_rank"),
+        )
+    )
+    joined = exact.join(
+        ann,
+        (exact["query_id"] == ann["query_id"])
+        & (exact["doc_id"] == ann["ann_doc"]),
+        "left",
+    ).select(exact["query_id"], "doc_id", "exact_rank", "ann_doc", "ann_rank")
+    return joined.groupBy("query_id").agg(
+        F.count("ann_doc").cast("bigint").alias("n_overlap"),
+        F.round(F.count("ann_doc") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+        F.max(
+            F.when(
+                (F.col("exact_rank") == 1) & (F.col("ann_rank") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("top1_hit"),
+    )

@@ -976,6 +976,33 @@ def test_hybrid_rrf_fuses_both_rank_lists(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_hybrid_ann_variant_shares_bm25_side_and_reports_recall(spark):
+    """The ANN hybrid must carry the SAME BM25 side as the exact
+    variant (only the dense engine differs), its dense list must be a
+    subset of the prefix shortlist universe (trivially: <= DENSE_TOP_K
+    docs per query), and the recall contract must emit one row per
+    query with recall in [0, 1] and n_overlap consistent."""
+    from python_nyc_taxi_data_pipeline_spark.llm.fusion import RRF_EVAL_TOP
+
+    qs = E.queries()
+    exact = qs["retrieval_hybrid_rrf"](spark, SF_DIR).collect()
+    ann = qs["retrieval_hybrid_rrf_ann"](spark, SF_DIR).collect()
+    bm_exact = {(r["query_id"], r["doc_id"]) for r in exact if r["in_bm25"]}
+    bm_ann = {(r["query_id"], r["doc_id"]) for r in ann if r["in_bm25"]}
+    assert bm_exact == bm_ann and bm_ann
+    from collections import Counter
+
+    dense_per_q = Counter(r["query_id"] for r in ann if r["in_dense"])
+    assert dense_per_q and all(v <= 5 for v in dense_per_q.values())
+
+    ev = qs["retrieval_hybrid_ann_recall_eval"](spark, SF_DIR).collect()
+    assert {r["query_id"] for r in ev} == {r["query_id"] for r in exact}
+    for r in ev:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_overlap"] <= RRF_EVAL_TOP
+        assert r["top1_hit"] in (0, 1)
+
+
 def test_dedup_apply_best_picks_longest_member(spark):
     """Canonical-copy dedup keeps exactly one row per cluster, the
     longest member (doc_id tie-break), and agrees with the min-id
