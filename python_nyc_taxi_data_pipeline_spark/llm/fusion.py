@@ -376,14 +376,18 @@ def retrieval_hybrid_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFr
     top-{RRF_EVAL_TOP} the ANN variant recovers, plus top-1 agreement.
     Both fused lists are |queries|·k rows, so the comparison join is
     metadata-sized at any corpus scale; the expensive parts reuse the
-    two registered (independently hash-verified) plans."""
+    two registered (independently hash-verified) plans — with the
+    shared BM25/anchor stages computed ONCE (the checkpointed BM25
+    list and anchor election feed both variants, so the eval costs one
+    BM25 pass + two dense passes, not two of everything)."""
+    bm, n, anchors = _bm_anchors(spark, sf_dir)
     exact = (
-        retrieval_hybrid_rrf(spark, sf_dir)
+        _fuse(bm, _dense_exact(n, anchors))
         .filter(F.col("fused_rank") <= RRF_EVAL_TOP)
         .select("query_id", "doc_id", F.col("fused_rank").alias("exact_rank"))
     )
     ann = (
-        retrieval_hybrid_rrf_ann(spark, sf_dir)
+        _fuse(bm, _dense_ann(n, anchors))
         .filter(F.col("fused_rank") <= RRF_EVAL_TOP)
         .select(
             "query_id",
