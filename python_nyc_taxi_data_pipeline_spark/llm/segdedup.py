@@ -99,10 +99,17 @@ _SEGDEDUP_ORACLE = f"""
     tags=("llm", "dedup", "segments"),
 )
 def docs_segment_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aligned 8-word-segment dedup applied corpus-wide, keeper =
-    min (doc_id, seg_idx) per distinct segment text, documents
-    reassembled from survivors (see module docstring for the plan)."""
-    d = load(spark, sf_dir, "documents")
+    """Aligned 8-word-segment dedup applied corpus-wide over the
+    fixture documents table (see ``segment_dedup_apply``)."""
+    return segment_dedup_apply(load(spark, sf_dir, "documents"))
+
+
+def segment_dedup_apply(d: DataFrame) -> DataFrame:
+    """Aligned {SEG_WORDS}-word-segment dedup applied to a
+    (doc_id, text) frame, keeper = min (doc_id, seg_idx) per distinct
+    segment text, documents reassembled from survivors (see module
+    docstring for the plan). Frame-in/frame-out so property tests can
+    drive it with arbitrary corpora."""
     # One projection builds all segments for a row. Lambda bodies are
     # exempt from CSE (the spans.py hazard: an inlined split() would be
     # re-tokenized per segment), so the word array is bound ONCE as a

@@ -104,3 +104,136 @@ def test_pack_by_budget_matches_naive_prefix_sum(spark):
             offset += t
 
     run()
+
+
+def test_merge_into_matches_python_reference(spark):
+    """Property: generic MERGE (update/delete/insert + SQL-standard
+    edge semantics: unmatched U/D ignored, matched I ignored) equals a
+    pure-Python reference merge on random targets and change feeds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_nyc_taxi_data_pipeline_spark.operators.merge_into import (
+        merge_into,
+    )
+
+    keys = st.integers(0, 12)
+
+    @given(
+        st.dictionaries(keys, st.integers(0, 100), min_size=0, max_size=10),
+        st.lists(
+            st.tuples(keys, st.sampled_from("UDI"), st.integers(0, 100)),
+            max_size=10,
+            unique_by=lambda t: t[0],  # one op per key, like a CDC batch
+        ),
+    )
+    @settings(max_examples=8, deadline=None)
+    def run(target, feed):
+        tgt_df = spark.createDataFrame(
+            [(k, v) for k, v in target.items()] or [(None, None)],
+            "k long, val long",
+        ).filter("k IS NOT NULL")
+        src_df = spark.createDataFrame(
+            [(k, op, v) for k, op, v in feed] or [(None, None, None)],
+            "k long, op string, val long",
+        ).filter("k IS NOT NULL")
+        got = {
+            r.k: r.val for r in merge_into(tgt_df, src_df, "k").collect()
+        }
+        expected = dict(target)
+        for k, op, v in feed:
+            if op == "U" and k in target:
+                expected[k] = v
+            elif op == "D" and k in target:
+                del expected[k]
+            elif op == "I" and k not in target:
+                expected[k] = v
+        assert got == expected
+
+    run()
+
+
+def test_bpe_merge_fold_matches_python_fold(spark):
+    """Property: the JVM aggregate() merge fold equals the textbook
+    left-to-right Python fold on arbitrary symbol sequences, including
+    overlapping runs (aaa with merge (a,a) -> [aa, a]) and SQL-hostile
+    symbols."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_nyc_taxi_data_pipeline_spark.llm.bpe import _merge_col
+
+    sym = st.sampled_from(["a", "b", "ab", "a'b", "\\", "'", "x y"])
+
+    @given(
+        st.lists(st.lists(sym, min_size=1, max_size=8), min_size=1, max_size=6),
+        sym,
+        sym,
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(seqs, left, right):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)],
+            "word long, syms array<string>",
+        )
+        got = {
+            r.word: r.syms
+            for r in df.select(
+                "word", _merge_col(left, right).alias("syms")
+            ).collect()
+        }
+        for i, syms in enumerate(seqs):
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            assert got[i] == out, (syms, left, right, got[i], out)
+
+    run()
+
+
+def test_segment_dedup_apply_matches_python_reference(spark):
+    """Property: segment dedup + reassembly equals a brute-force
+    first-writer-wins Python implementation on random word corpora
+    (including within-doc repeats and exact aligned duplicates)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_nyc_taxi_data_pipeline_spark.llm.segdedup import (
+        SEG_WORDS,
+        segment_dedup_apply,
+    )
+
+    word = st.sampled_from(["w0", "w1", "w2"])
+
+    @given(
+        st.lists(
+            st.lists(word, min_size=1, max_size=3 * SEG_WORDS),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def run(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in segment_dedup_apply(df).collect()}
+        seen: set[str] = set()
+        for i, ws in enumerate(docs):
+            segs = [
+                " ".join(ws[j : j + SEG_WORDS])
+                for j in range(0, len(ws), SEG_WORDS)
+            ]
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            r = got[i]
+            assert r.total_segments == len(segs)
+            assert r.kept_segments == len(kept)
+            assert r.clean_text == " ".join(kept)
+
+    run()
