@@ -492,6 +492,23 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
       feeding a LEFT ANTI join;
     - packing: the distributed prefix sum of ``pack_by_budget`` (no
       global single-task window)."""
+    *_, train_final = _curation_stages(spark, sf_dir)
+    train = train_final.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+    # Stage 4 — deterministic packing.
+    return pack_by_budget(train, "doc_id", "n_tokens", PACK_BUDGET).select(
+        "doc_id", "n_tokens", "pack_id"
+    )
+
+
+def _curation_stages(spark: SparkSession, sf_dir: str):
+    """The shared curation stage frames, in funnel order: raw corpus,
+    quality-gated, exact-deduped, train-split, decontaminated. Both the
+    composed e2e query and the funnel report derive from these, so the
+    two can never drift."""
     from ..llm.text import STOPWORDS, _words
 
     d = load(spark, sf_dir, "documents")
@@ -544,20 +561,111 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    train = (
+    train_pre = (
         deduped.withColumn("__split", split)
         .filter(F.col("__split") == "train")
-        .join(contaminated, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        )
+        .select("doc_id", "text")
     )
+    train_final = train_pre.join(contaminated, "doc_id", "left_anti")
+    return d, gated, deduped, train_pre, train_final
 
-    # Stage 4 — deterministic packing.
-    return pack_by_budget(train, "doc_id", "n_tokens", PACK_BUDGET).select(
-        "doc_id", "n_tokens", "pack_id"
+
+def _funnel_oracle() -> str:
+    count_row = (
+        "SELECT '{name}' AS stage, CAST({idx} AS INT) AS stage_idx,"
+        " CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)"
+        " AS n_tokens FROM {src}"
     )
+    return f"""
+    WITH g AS (
+{GRAMS_CTE_SQL}
+    ),
+    pairs AS (
+{JACCARD_PAIRS_SQL}
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT p.doc_a AS doc_id
+        FROM pairs p JOIN s sa ON p.doc_a = sa.doc_id
+                     JOIN s sb ON p.doc_b = sb.doc_id
+        WHERE sa.split = 'train' AND sb.split <> 'train'
+        UNION
+        SELECT p.doc_b AS doc_id
+        FROM pairs p JOIN s sa ON p.doc_a = sa.doc_id
+                     JOIN s sb ON p.doc_b = sb.doc_id
+        WHERE sb.split = 'train' AND sa.split <> 'train'
+      )
+    ),
+    q AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(string_split(text, ' ')) >= 50
+        AND {_stopword_ratio_sql()} BETWEEN 0.01 AND 0.6
+    ),
+    dd AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    tp AS (
+      SELECT d.doc_id, d.text FROM dd d JOIN s ON d.doc_id = s.doc_id
+      WHERE s.split = 'train'
+    ),
+    tf AS (
+      SELECT doc_id, text FROM tp
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    {count_row.format(name="raw", idx=1, src="documents")}
+    UNION ALL {count_row.format(name="quality_gate", idx=2, src="q")}
+    UNION ALL {count_row.format(name="exact_dedup", idx=3, src="dd")}
+    UNION ALL {count_row.format(name="train_split", idx=4, src="tp")}
+    UNION ALL {count_row.format(name="decontaminated", idx=5, src="tf")}
+    """
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=_funnel_oracle(),
+    tags=("llm", "curation", "report"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition report for the curation pipeline — the ops
+    dashboard every large filtering run ships with: one row per stage
+    (raw → quality gate → exact dedup → train split → decontaminated)
+    with surviving doc and token counts. Derives from the SAME stage
+    frames as ``corpus_curation_e2e`` (``_curation_stages``), so the
+    report can never disagree with the pipeline it describes. Each row
+    is a scalar aggregate (benign Keys:[] SinglePartition); at 100 TB
+    the stage scans share the quality/dedup lineage and the
+    decontamination pair plan is the same bounded inverted-index cost
+    the e2e query already pays."""
+    stage_frames = _curation_stages(spark, sf_dir)
+    names = [
+        "raw", "quality_gate", "exact_dedup", "train_split", "decontaminated",
+    ]
+    out = None
+    for idx, (name, frame) in enumerate(zip(names, stage_frames), 1):
+        row = frame.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.size(F.split("text", " ")).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 @register(
