@@ -171,3 +171,41 @@ def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup, 6).alias("dup_fraction"),
         (dup <= DUP_LINE_FRACTION_MAX).alias("keep"),
     )
+
+
+@register(
+    "docs_length_histogram",
+    oracle="""
+    SELECT CAST(floor(log2(len(string_split(text, ' ')))) AS INT)
+             AS length_bucket_log2,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_words,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_words,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "text", "report"),
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram with per-bucket token
+    mass — the capacity-planning profile every packing/sharding step
+    consults (sequence-length budget, truncation loss, shard sizing).
+    One scan, one groupBy on a small integer key (≤ ~30 buckets at any
+    corpus size) with map-side combine; all columns are exact
+    integers. floor(log2(n)) is integer-safe in both engines for the
+    fixture's n >= 1 word counts."""
+    n = F.size(F.split("text", " "))
+    return (
+        load(spark, sf_dir, "documents")
+        .select(n.alias("n_words"))
+        .groupBy(
+            F.floor(F.log2("n_words")).cast("int").alias("length_bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_words").cast("long").alias("min_words"),
+            F.max("n_words").cast("long").alias("max_words"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        )
+    )
