@@ -209,3 +209,45 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "docs_source_quality_report",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gate,
+           round(CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 50
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS pass_rate,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "text", "report"),
+)
+def docs_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation health report: doc/token mass, the fraction
+    passing the length gate (the corpus_curation_e2e stage-1 floor),
+    and language spread — the table a mixture/quota decision reads
+    before setting per-source sampling weights. One scan, one groupBy
+    on the low-cardinality source key; the only float is one rounded
+    ratio of exact integers."""
+    n = F.size(F.split("text", " "))
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n.cast("long")).cast("long").alias("n_tokens"),
+            F.sum((n >= 50).cast("long")).cast("long").alias("n_pass_gate"),
+            F.round(
+                F.sum((n >= 50).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pass_rate"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
