@@ -536,6 +536,22 @@ def _curation_stages(spark: SparkSession, sf_dir: str):
     # Stage 3 — train split minus decontaminated ids.
     hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     split = F.when(hh < "cd", "train").when(hh < "e6", "val").otherwise("test")
+    contaminated = _contaminated_ids(spark, sf_dir)
+    train_pre = (
+        deduped.withColumn("__split", split)
+        .filter(F.col("__split") == "train")
+        .select("doc_id", "text")
+    )
+    train_final = train_pre.join(contaminated, "doc_id", "left_anti")
+    return d, gated, deduped, train_pre, train_final
+
+
+def _contaminated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-side members of any train↔holdout near-dup pair (the
+    decontamination drop set), one ``doc_id`` column."""
+    d = load(spark, sf_dir, "documents")
+    hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(hh < "cd", "train").when(hh < "e6", "val").otherwise("test")
     # Pin the (tiny) pair set once: `labeled` is consumed twice below
     # (both union branches), and without a barrier each consumer
     # re-runs the whole inverted-index pair plan — measured 10.5s → ~6s
@@ -549,7 +565,7 @@ def _curation_stages(spark: SparkSession, sf_dir: str):
         .join(sb, "doc_b")
         .localCheckpoint(eager=True)
     )
-    contaminated = (
+    return (
         labeled.filter(
             (F.col("split_a") == "train") & (F.col("split_b") != "train")
         )
@@ -561,13 +577,6 @@ def _curation_stages(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
-    train_pre = (
-        deduped.withColumn("__split", split)
-        .filter(F.col("__split") == "train")
-        .select("doc_id", "text")
-    )
-    train_final = train_pre.join(contaminated, "doc_id", "left_anti")
-    return d, gated, deduped, train_pre, train_final
 
 
 def _funnel_oracle() -> str:
@@ -641,31 +650,92 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage attrition report for the curation pipeline — the ops
     dashboard every large filtering run ships with: one row per stage
     (raw → quality gate → exact dedup → train split → decontaminated)
-    with surviving doc and token counts. Derives from the SAME stage
-    frames as ``corpus_curation_e2e`` (``_curation_stages``), so the
-    report can never disagree with the pipeline it describes. Each row
-    is a scalar aggregate (benign Keys:[] SinglePartition); at 100 TB
-    the stage scans share the quality/dedup lineage and the
-    decontamination pair plan is the same bounded inverted-index cost
-    the e2e query already pays."""
-    stage_frames = _curation_stages(spark, sf_dir)
-    names = [
-        "raw", "quality_gate", "exact_dedup", "train_split", "decontaminated",
-    ]
-    out = None
-    for idx, (name, frame) in enumerate(zip(names, stage_frames), 1):
-        row = frame.agg(
-            F.lit(name).alias("stage"),
-            F.lit(idx).cast("int").alias("stage_idx"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(
-                F.sum(F.size(F.split("text", " ")).cast("long")), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_tokens"),
+    with surviving doc and token counts.
+
+    SINGLE-PASS design: naively aggregating each of the five stage
+    frames replays the filter/dedup lineage once per stage — five
+    corpus scans at 100 TB. Instead, one labeled frame carries per-doc
+    survival flags (gate, dedup-keeper, train split, decontaminated)
+    and ONE conditional aggregation
+    produces every stage's counts; the raw row is a separate bare scan.
+    The flags use the same expressions as ``_curation_stages`` and a
+    referee test pins the funnel equal to stage-frame counts, so the
+    report cannot drift from the pipeline it describes. All columns are
+    exact integers; the stage rows come from exploding the aggregated
+    struct array (no union of five scalar-agg branches)."""
+    d = load(spark, sf_dir, "documents")
+    n_words_all = F.size(F.split("text", " ")).cast("long")
+    raw = d.agg(
+        F.count(F.lit(1)).cast("long").alias("raw_docs"),
+        F.coalesce(F.sum(n_words_all), F.lit(0)).cast("long").alias("raw_toks"),
+    )
+    _, gated, _, _, _ = _curation_stages(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    flags = (
+        gated.select("doc_id", "text", rn.alias("__rn"))
+        .select(
+            "doc_id",
+            n_words_all.alias("n_words"),
+            (F.col("__rn") == 1).alias("kept"),
+            (hh < "cd").alias("train"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .join(
+            _contaminated_ids(spark, sf_dir).withColumn("__cont", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "n_words",
+            "kept",
+            "train",
+            F.coalesce("__cont", F.lit(False)).alias("cont"),
+        )
+    )
+
+    def stage_agg(cond, name):
+        return [
+            F.sum(cond.cast("long")).cast("long").alias(f"{name}_docs"),
+            F.coalesce(F.sum(F.when(cond, F.col("n_words"))), F.lit(0))
+            .cast("long")
+            .alias(f"{name}_toks"),
+        ]
+
+    kept, train, cont = F.col("kept"), F.col("train"), F.col("cont")
+    staged = flags.agg(
+        *stage_agg(F.lit(True), "gate"),
+        *stage_agg(kept, "dd"),
+        *stage_agg(kept & train, "tp"),
+        *stage_agg(kept & train & ~cont, "tf"),
+    )
+    rows = [
+        ("raw", 1, "raw_docs", "raw_toks"),
+        ("quality_gate", 2, "gate_docs", "gate_toks"),
+        ("exact_dedup", 3, "dd_docs", "dd_toks"),
+        ("train_split", 4, "tp_docs", "tp_toks"),
+        ("decontaminated", 5, "tf_docs", "tf_toks"),
+    ]
+    return (
+        raw.crossJoin(staged)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("stage"),
+                            F.lit(idx).cast("int").alias("stage_idx"),
+                            F.col(dc).alias("n_docs"),
+                            F.col(tc).alias("n_tokens"),
+                        )
+                        for name, idx, dc, tc in rows
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.stage", "r.stage_idx", "r.n_docs", "r.n_tokens")
+    )
 
 
 @register(

@@ -1136,3 +1136,32 @@ def test_collocations_scores_match_brute_force(spark):
         for r in E.queries()["docs_collocations_pmi"](spark, SF_DIR).collect()
     ]
     assert got == expected
+
+
+def test_curation_funnel_matches_stage_frames(spark):
+    """Referee: the single-pass funnel's per-stage counts must equal
+    counts computed directly from the shared _curation_stages frames
+    (the five-scan naive form) — pins the conditional-aggregation
+    rewrite to the pipeline it reports on."""
+    from pyspark.sql import functions as F
+
+    from python_nyc_taxi_data_pipeline_spark.plans.curation import (
+        _curation_stages,
+        corpus_curation_funnel,
+    )
+
+    got = {
+        r.stage: (r.stage_idx, r.n_docs, r.n_tokens)
+        for r in corpus_curation_funnel(spark, SF_DIR).collect()
+    }
+    names = ["raw", "quality_gate", "exact_dedup", "train_split", "decontaminated"]
+    for idx, (name, frame) in enumerate(
+        zip(names, _curation_stages(spark, SF_DIR)), 1
+    ):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("d"),
+            F.coalesce(
+                F.sum(F.size(F.split("text", " ")).cast("long")), F.lit(0)
+            ).alias("t"),
+        ).collect()[0]
+        assert got[name] == (idx, row.d, row.t), name
