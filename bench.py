@@ -160,13 +160,19 @@ def run_isolated(names: list[str], sf_dir: str) -> int:
 
     results = {}
     for name in names:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            # one hung query must not discard the whole sweep's results
+            results[name] = {"error": "timeout after 900s"}
+            print(f"# isolated {name}: TIMEOUT", file=sys.stderr)
+            continue
         last = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
         try:
             results[name] = json.loads(last)
@@ -214,7 +220,11 @@ def run_isolated(names: list[str], sf_dir: str) -> int:
     prior_snap: dict = {}
     try:
         with open(snap_path) as f:
-            prior_snap = json.load(f).get("queries", {})
+            prior_file = json.load(f)
+        # same-SF guard, like the history merge: never mix timings from
+        # different scale factors inside one round snapshot
+        if prior_file.get("sf") == sf_of(sf_dir):
+            prior_snap = prior_file.get("queries", {})
     except (OSError, ValueError):
         pass
     snap["queries"] = {**prior_snap, **results}

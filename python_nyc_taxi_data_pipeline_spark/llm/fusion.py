@@ -39,7 +39,14 @@ from pyspark.sql.window import Window
 from ..catalog import load
 from ..registry import register
 from .retrieval import _bm25_oracle, docs_bm25_topk
-from .similarity import MRL_CANDIDATES, MRL_PREFIX_DIM, _as_double, _dot, _norm
+from .similarity import (
+    MRL_CANDIDATES,
+    MRL_PREFIX_DIM,
+    MRL_VN_CTES,
+    _as_double,
+    _dot,
+    _norm,
+)
 
 RRF_K = 60  # Cormack et al.'s constant; dampens rank-1 dominance
 DENSE_TOP_K = 5
@@ -123,18 +130,7 @@ def _rrf_ann_oracle() -> str:
                ) AS arn
         FROM bm b JOIN embeddings e ON e.vec_id = b.doc_id
       ) WHERE arn = 1
-    ), v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ), n AS (
-      SELECT vec_id, v, v[1:{MRL_PREFIX_DIM}] AS p,
-             sqrt(list_reduce(list_transform(v, x -> x * x),
-                              (acc, x) -> acc + x)) AS nrm,
-             sqrt(list_reduce(list_transform(v[1:{MRL_PREFIX_DIM}],
-                                             x -> x * x),
-                              (acc, x) -> acc + x)) AS pnrm
-      FROM v
-    ), shortlist AS (
+    ), {MRL_VN_CTES}, shortlist AS (
       SELECT a.query_id, c.vec_id AS doc_id
       FROM anchors a
       JOIN n q ON q.vec_id = a.anchor_id

@@ -610,11 +610,11 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MRL_PREFIX_DIM = 16
 MRL_CANDIDATES = 20
 
-
-@register(
-    "knn_matryoshka_rerank",
-    oracle=f"""
-    WITH v AS (
+# Shared DuckDB CTE block: normalized full vectors + prefix slices with
+# both norms. ONE definition consumed by the matryoshka oracle here and
+# the ANN-hybrid oracle in ``llm.fusion`` — the prefix slice / norm
+# expressions must stay byte-identical between them.
+MRL_VN_CTES = f"""v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), n AS (
@@ -624,7 +624,13 @@ MRL_CANDIDATES = 20
              sqrt(list_reduce(list_transform(v[1:{MRL_PREFIX_DIM}], x -> x * x),
                               (acc, x) -> acc + x)) AS pnrm
       FROM v
-    ), cand AS (
+    )"""
+
+
+@register(
+    "knn_matryoshka_rerank",
+    oracle=f"""
+    WITH {MRL_VN_CTES}, cand AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round(list_reduce(list_transform(list_zip(q.p, c.p),
                                               pr -> pr[1] * pr[2]),

@@ -534,11 +534,9 @@ def _curation_stages(spark: SparkSession, sf_dir: str):
     )
 
     # Stage 3 — train split minus decontaminated ids.
-    hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = F.when(hh < "cd", "train").when(hh < "e6", "val").otherwise("test")
     contaminated = _contaminated_ids(spark, sf_dir)
     train_pre = (
-        deduped.withColumn("__split", split)
+        deduped.withColumn("__split", _split_col())
         .filter(F.col("__split") == "train")
         .select("doc_id", "text")
     )
@@ -546,12 +544,19 @@ def _curation_stages(spark: SparkSession, sf_dir: str):
     return d, gated, deduped, train_pre, train_final
 
 
+def _split_col():
+    """The deterministic md5 train/val/test split expression — ONE
+    definition shared by the stage builder and the decontamination set
+    (the 'cd'/'e6' thresholds must stay byte-identical between them)."""
+    hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return F.when(hh < "cd", "train").when(hh < "e6", "val").otherwise("test")
+
+
 def _contaminated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-side members of any train↔holdout near-dup pair (the
     decontamination drop set), one ``doc_id`` column."""
     d = load(spark, sf_dir, "documents")
-    hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = F.when(hh < "cd", "train").when(hh < "e6", "val").otherwise("test")
+    split = _split_col()
     # Pin the (tiny) pair set once: `labeled` is consumed twice below
     # (both union branches), and without a barrier each consumer
     # re-runs the whole inverted-index pair plan — measured 10.5s → ~6s

@@ -45,7 +45,11 @@ def fetch_month(
     dest = os.path.join(staging_dir, f"yellow_tripdata_{year}-{month:02d}.parquet")
     if os.path.exists(dest):
         return dest
-    url = (url_template or URL_TEMPLATE).format(year=year, month=month)
+    url = (
+        url_template.format(year=year, month=month)
+        if url_template
+        else download_url_template(year, month)
+    )
     with urllib.request.urlopen(url, timeout=timeout) as resp, open(
         dest + ".part", "wb"
     ) as out:

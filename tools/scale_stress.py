@@ -270,8 +270,13 @@ def bpe_merge_cost(base: str, n_merges: int = 200) -> dict:
 
 
 def main() -> int:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    if len(sys.argv) > 2 and sys.argv[2] == "--bpe-only":
+    # --bpe-only is positional-agnostic: `scale_stress.py --bpe-only`
+    # must not be misread as base='--bpe-only' (which would rmtree the
+    # stress dirs and crash on a nonexistent fixture path).
+    args = [a for a in sys.argv[1:] if a != "--bpe-only"]
+    bpe_only = "--bpe-only" in sys.argv[1:]
+    base = args[0] if args else "/root/testdata/sf0.1"
+    if bpe_only:
         return bpe_mode(base)
     dirs = {}
     for k in SCALES:
