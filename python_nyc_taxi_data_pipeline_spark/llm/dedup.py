@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -128,6 +128,90 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("doc_id", "text_hash", "n_copies")
+    )
+
+
+_INCR_BATCH_MOD = 10  # doc_id % 10 == 0 → the "newly ingested" batch
+_REPLAY_SHIFT = 10_000_000  # re-keyed ids of the replayed (re-delivered) slice
+
+
+@register(
+    "docs_incremental_exact_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT md5(text) AS text_hash FROM documents
+      WHERE doc_id % {_INCR_BATCH_MOD} <> 0
+    ), batch AS (
+      SELECT doc_id, md5(text) AS text_hash FROM documents
+      WHERE doc_id % {_INCR_BATCH_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {_REPLAY_SHIFT}, md5(text) FROM documents
+      WHERE doc_id % {_INCR_BATCH_MOD} = 1
+    ), keep AS (
+      SELECT doc_id, text_hash,
+             row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+      FROM batch
+      WHERE text_hash NOT IN (SELECT text_hash FROM corpus)
+    )
+    SELECT b.doc_id, b.text_hash,
+           (k.doc_id IS NOT NULL) AS accepted
+    FROM batch b LEFT JOIN (SELECT doc_id FROM keep WHERE rn = 1) k
+      ON b.doc_id = k.doc_id
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def docs_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup — the production daily-ingest shape: an
+    arriving batch is admitted only where its content hash is absent
+    from the existing corpus AND it is the first occurrence within the
+    batch. The batch is the fresh slice (doc_id % {_INCR_BATCH_MOD}
+    == 0, the incremental-minhash convention) PLUS a REPLAYED slice
+    (the % == 1 docs re-keyed by +{_REPLAY_SHIFT}) — a re-delivered
+    file whose contents already live in the corpus, the failure mode
+    this operator exists to absorb; every replayed row must come back
+    ``accepted = false``, so the reject path is exercised (and
+    hash-checked) at every SF. Returns every batch row with its
+    verdict.
+
+    This is the ``insert_if_absent`` anti-join (SURVEY §2.7 U1,
+    reference ``bronze_incremental_load.sql:61-62``) lifted to content
+    hashes: at 100 TB the corpus side is read as its (16-byte)
+    hash column only — in production a persisted hash index, exactly
+    like the persisted band index of
+    ``docs_minhash_incremental_pairs`` — the anti semi-join shuffles
+    hashes (never documents), and the within-batch keep-first is a
+    window over the batch alone, not the corpus."""
+    d = load(spark, sf_dir, "documents")
+    corpus_hashes = d.filter(F.col("doc_id") % _INCR_BATCH_MOD != 0).select(
+        F.md5("text").alias("text_hash")
+    )
+    batch = (
+        d.filter(F.col("doc_id") % _INCR_BATCH_MOD == 0)
+        .select("doc_id", F.md5("text").alias("text_hash"))
+        .unionByName(
+            d.filter(F.col("doc_id") % _INCR_BATCH_MOD == 1).select(
+                (F.col("doc_id") + _REPLAY_SHIFT).alias("doc_id"),
+                F.md5("text").alias("text_hash"),
+            )
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("text_hash").orderBy("doc_id")
+    )
+    keep = (
+        batch.join(corpus_hashes, "text_hash", "left_anti")
+        .withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select("doc_id")
+        .withColumn("__keep", F.lit(True))
+    )
+    return (
+        batch.join(keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_hash",
+            F.coalesce("__keep", F.lit(False)).alias("accepted"),
+        )
     )
 
 
@@ -511,7 +595,6 @@ def _verify_jaccard(g: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
-_INCR_BATCH_MOD = 10  # doc_id % 10 == 0 → the "newly ingested" batch
 
 
 @register(
