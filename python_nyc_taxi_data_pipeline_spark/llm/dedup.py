@@ -147,16 +147,14 @@ _REPLAY_SHIFT = 10_000_000  # re-keyed ids of the replayed (re-delivered) slice
       UNION ALL
       SELECT doc_id + {_REPLAY_SHIFT}, md5(text) FROM documents
       WHERE doc_id % {_INCR_BATCH_MOD} = 1
-    ), keep AS (
-      SELECT doc_id, text_hash,
-             row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
-      FROM batch
-      WHERE text_hash NOT IN (SELECT text_hash FROM corpus)
     )
-    SELECT b.doc_id, b.text_hash,
-           (k.doc_id IS NOT NULL) AS accepted
-    FROM batch b LEFT JOIN (SELECT doc_id FROM keep WHERE rn = 1) k
-      ON b.doc_id = k.doc_id
+    SELECT doc_id, text_hash,
+           (NOT EXISTS (SELECT 1 FROM corpus c
+                        WHERE c.text_hash = b.text_hash)
+            AND row_number() OVER (
+                  PARTITION BY text_hash ORDER BY doc_id
+                ) = 1) AS accepted
+    FROM batch b
     """,
     tags=("llm", "dedup", "incremental"),
 )
@@ -175,15 +173,22 @@ def docs_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the ``insert_if_absent`` anti-join (SURVEY §2.7 U1,
     reference ``bronze_incremental_load.sql:61-62``) lifted to content
-    hashes: at 100 TB the corpus side is read as its (16-byte)
-    hash column only — in production a persisted hash index, exactly
-    like the persisted band index of
-    ``docs_minhash_incremental_pairs`` — the anti semi-join shuffles
-    hashes (never documents), and the within-batch keep-first is a
-    window over the batch alone, not the corpus."""
+    hashes, in ONE batch lineage: left-join the distinct corpus hash
+    set (in production a persisted hash index, like the persisted band
+    index of ``docs_minhash_incremental_pairs`` — then the corpus side
+    reads 16-byte hashes, not documents), and fold membership + the
+    within-batch keep-first window into the verdict expression. No
+    anti-join-then-join-back: the earlier two-branch form re-derived
+    the whole batch lineage per consumer (six document scans in the
+    plan); this one scans each batch slice once. NULL semantics are
+    pinned equi-join-style on BOTH engines (oracle uses NOT EXISTS,
+    not NOT IN, so a NULL hash can never poison the corpus test)."""
     d = load(spark, sf_dir, "documents")
-    corpus_hashes = d.filter(F.col("doc_id") % _INCR_BATCH_MOD != 0).select(
-        F.md5("text").alias("text_hash")
+    corpus_hashes = (
+        d.filter(F.col("doc_id") % _INCR_BATCH_MOD != 0)
+        .select(F.md5("text").alias("text_hash"))
+        .dropDuplicates(["text_hash"])
+        .withColumn("__in_corpus", F.lit(True))
     )
     batch = (
         d.filter(F.col("doc_id") % _INCR_BATCH_MOD == 0)
@@ -198,20 +203,17 @@ def docs_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("text_hash").orderBy("doc_id")
     )
-    keep = (
-        batch.join(corpus_hashes, "text_hash", "left_anti")
-        .withColumn("__rn", rn)
-        .filter(F.col("__rn") == 1)
-        .select("doc_id")
-        .withColumn("__keep", F.lit(True))
-    )
     return (
-        batch.join(keep, "doc_id", "left")
+        batch.join(corpus_hashes, "text_hash", "left")
         .select(
             "doc_id",
             "text_hash",
-            F.coalesce("__keep", F.lit(False)).alias("accepted"),
+            (F.coalesce("__in_corpus", F.lit(False)) == F.lit(False)).alias(
+                "__absent"
+            ),
         )
+        .withColumn("accepted", F.col("__absent") & (rn == 1))
+        .select("doc_id", "text_hash", "accepted")
     )
 
 
@@ -593,8 +595,6 @@ def _verify_jaccard(g: DataFrame, candidates: DataFrame) -> DataFrame:
         verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-
-
 
 
 @register(

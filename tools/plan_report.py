@@ -99,17 +99,20 @@ HEADLINERS = [
     (
         "corpus_curation_funnel",
         "Per-stage attrition report (r5): a union of five scalar "
-        "aggregates over the shared stage frames — ReuseExchange "
-        "dedupes the common filter/dedup lineage across branches and "
-        "each branch partial-aggregates below the union (measured "
-        "faster than a single-pass flag-join rewrite).",
+        "aggregates over the shared stage frames. The static plan "
+        "shows each branch's lineage independently; exchange reuse "
+        "happens at runtime (AQE), and each branch's count/sum "
+        "partial-aggregates below the union — measured faster than a "
+        "single-pass flag-join rewrite (2.4s vs 3.6s warm at sf0.1).",
     ),
     (
         "docs_incremental_exact_dedup",
-        "Incremental exact dedup (r5): corpus side scans only the "
-        "16-byte md5 column, admission is a left-anti semi-join on the "
-        "hash plus a batch-only keep-first window — hashes shuffle, "
-        "documents never do.",
+        "Incremental exact dedup (r5): ONE batch lineage — each batch "
+        "slice scanned once, membership via a left join against the "
+        "distinct corpus hash set folded with the keep-first window "
+        "into the verdict expression. The fixture computes md5 from "
+        "text at scan time; in production the corpus side is a "
+        "persisted 16-byte hash index, so only hashes shuffle.",
     ),
 ]
 
