@@ -1165,3 +1165,16 @@ def test_curation_funnel_matches_stage_frames(spark):
             ).alias("t"),
         ).collect()[0]
         assert got[name] == (idx, row.d, row.t), name
+
+
+def test_incremental_exact_dedup_rejects_replayed_slice(spark):
+    """The replayed (re-delivered) slice must be rejected wholesale —
+    its content already lives in the corpus — while the fresh slice is
+    admitted with within-batch keep-first semantics."""
+    rows = E.queries()["docs_incremental_exact_dedup"](spark, SF_DIR).collect()
+    replayed = [r for r in rows if r.doc_id >= 10_000_000]
+    fresh = [r for r in rows if r.doc_id < 10_000_000]
+    assert replayed and all(not r.accepted for r in replayed)
+    assert fresh and any(r.accepted for r in fresh)
+    # every batch row gets exactly one verdict row
+    assert len({r.doc_id for r in rows}) == len(rows)
