@@ -190,12 +190,23 @@ def docs_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["text_hash"])
         .withColumn("__in_corpus", F.lit(True))
     )
+    # Tests and consumers classify replayed-vs-fresh by doc_id >=
+    # _REPLAY_SHIFT; a corpus whose ids reach the shift would silently
+    # alias the two populations. Guard per row (same pattern as
+    # merge_into_orders' INSERT_KEY_SHIFT guard) rather than fail
+    # quietly at larger SFs.
+    guarded_id = F.expr(
+        f"if(doc_id < {_REPLAY_SHIFT}, doc_id,"
+        " raise_error('docs_incremental_exact_dedup: doc_id >="
+        " _REPLAY_SHIFT; replayed ids would alias fresh ids —"
+        " raise _REPLAY_SHIFT'))"
+    )
     batch = (
         d.filter(F.col("doc_id") % _INCR_BATCH_MOD == 0)
-        .select("doc_id", F.md5("text").alias("text_hash"))
+        .select(guarded_id.alias("doc_id"), F.md5("text").alias("text_hash"))
         .unionByName(
             d.filter(F.col("doc_id") % _INCR_BATCH_MOD == 1).select(
-                (F.col("doc_id") + _REPLAY_SHIFT).alias("doc_id"),
+                (guarded_id + _REPLAY_SHIFT).alias("doc_id"),
                 F.md5("text").alias("text_hash"),
             )
         )

@@ -1178,3 +1178,25 @@ def test_incremental_exact_dedup_rejects_replayed_slice(spark):
     assert fresh and any(r.accepted for r in fresh)
     # every batch row gets exactly one verdict row
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_incremental_exact_dedup_replay_shift_guard(spark, tmp_path):
+    """A corpus whose doc_ids reach _REPLAY_SHIFT must raise, not
+    silently alias replayed ids onto fresh ones (consumers classify by
+    doc_id >= _REPLAY_SHIFT) — same contract as merge_into_orders'
+    INSERT_KEY_SHIFT guard."""
+    import pytest
+
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import _REPLAY_SHIFT
+
+    fixture = tmp_path / "sfguard"
+    fixture.mkdir()
+    spark.createDataFrame(
+        [
+            (10, "alpha text", "en", "web", 10),
+            (_REPLAY_SHIFT + 1, "beta text", "en", "web", 9),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(fixture / "documents.parquet"))
+    with pytest.raises(Exception, match="_REPLAY_SHIFT"):
+        E.queries()["docs_incremental_exact_dedup"](spark, str(fixture)).collect()
