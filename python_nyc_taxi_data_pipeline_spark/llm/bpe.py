@@ -72,14 +72,35 @@ def _merge_col(left: str, right: str) -> Column:
     )
 
 
-# Learned merge tables keyed on (fixture dir, n_merges). The fixture
-# parquet is immutable for the life of the process, and the merge list
-# is plain driver data (no session/RDD handles), so a cache hit is safe
-# across sessions — it skips the per-round pair-count shuffle + argmax
-# entirely; only the cheap fold-chain replay reruns (`_apply_merges`).
-# This halves the bench cost: docs_bpe_merges trains, docs_bpe_encode
-# replays.
-_MERGES_CACHE: dict[tuple[str, int], list[tuple[int, str, str, int]]] = {}
+# Learned merge tables keyed on (fixture dir, fixture fingerprint,
+# n_merges). The merge list is plain driver data (no session/RDD
+# handles), so a cache hit is safe across sessions — it skips the
+# per-round pair-count shuffle + argmax entirely; only the cheap
+# fold-chain replay reruns (`_apply_merges`). This halves the bench
+# cost: docs_bpe_merges trains, docs_bpe_encode replays. The
+# fingerprint (documents.parquet file sizes + mtimes) invalidates the
+# entry when a fixture dir is REGENERATED in-process under the same
+# path — e.g. the /tmp/stress_x* dirs tools/scale_stress.py rebuilds
+# per run — which would otherwise replay stale merges over new data.
+_MERGES_CACHE: dict[tuple[str, str, int], list[tuple[int, str, str, int]]] = {}
+
+
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the documents fixture: sorted
+    (relpath, size, mtime_ns) of every file under documents.parquet
+    (plain file or parquet directory). Pure os.stat — no data read."""
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts: list[tuple[str, int, int]] = []
+    if os.path.isdir(root):
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                parts.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    return repr(sorted(parts))
 
 
 def _base_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,10 +142,15 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
     trained tokenizer's vocabulary mapping, consumed by
     ``docs_bpe_encode``. The merge table is cached per
     (sf_dir, n_merges); on a hit only the fold-chain replay runs."""
-    key = (os.path.abspath(sf_dir), n_merges)
+    key = (os.path.abspath(sf_dir), _fixture_fingerprint(sf_dir), n_merges)
     cached = _MERGES_CACHE.get(key)
     if cached is not None:
-        return list(cached), _apply_merges(_base_words(spark, sf_dir), cached)
+        # Lazy checkpoint: multi-consumer callers materialize the
+        # replayed fold chain once instead of re-executing it per
+        # action; a merges-only caller pays nothing.
+        return list(cached), _apply_merges(
+            _base_words(spark, sf_dir), cached
+        ).localCheckpoint(eager=False)
     words = _base_words(spark, sf_dir).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
@@ -154,6 +180,66 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
             "word", "freq", _merge_col(a, b).alias("syms")
         ).localCheckpoint(eager=True)
     _MERGES_CACHE[key] = list(merges)
+    return merges, words
+
+
+def bpe_train_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    batch: int = 8,
+):
+    """Batched BPE: per ROUND, take the top-``batch`` pairs by count
+    that are mutually NON-OVERLAPPING (no symbol appears in two
+    selected pairs), apply them as one fold-projection chain, recount.
+    This is the standard fast-BPE approximation (amortizes the
+    per-round shuffle + argmax job overhead ~batch×); the recorded
+    count for every pair in a batch is the PRE-batch count, which for
+    pairs after the first can be stale by the earlier merges' effect —
+    the non-overlap filter guarantees the merged OCCURRENCES never
+    interact, but a merge can still create brand-new pairs that
+    out-count a later pick. ``batch=1`` reproduces exact ``bpe_train``
+    merge-for-merge (property-tested). Stress-only — the registered
+    queries stay on the exact-oracle serial trainer."""
+    words = _base_words(spark, sf_dir).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    rnd = 0
+    while len(merges) < n_merges:
+        rnd += 1
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "case when size(syms) < 2 then"
+                    " array() else transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] as a, syms[i] as b)) end"
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        # over-fetch so the greedy non-overlap filter can still fill the
+        # batch after skipping conflicting pairs
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .take(batch * 4)
+        )
+        if not top:
+            break
+        used: set[str] = set()
+        picked: list[tuple[str, str, int]] = []
+        for row in top:
+            a, b = row["a"], row["b"]
+            if a in used or b in used:
+                continue
+            picked.append((a, b, int(row["pair_count"])))
+            used.update((a, b, a + b))
+            if len(picked) >= min(batch, n_merges - len(merges)):
+                break
+        for a, b, cnt in picked:
+            merges.append((len(merges) + 1, a, b, cnt))
+            words = words.select("word", "freq", _merge_col(a, b).alias("syms"))
+        words = words.localCheckpoint(eager=True)
     return merges, words
 
 

@@ -132,7 +132,11 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _INCR_BATCH_MOD = 10  # doc_id % 10 == 0 → the "newly ingested" batch
-_REPLAY_SHIFT = 10_000_000  # re-keyed ids of the replayed (re-delivered) slice
+# Re-keyed ids of the replayed (re-delivered) slice. 1e9 keeps clear of
+# the 10M-per-copy doc_id shift tools/scale_stress.py uses for inflated
+# fixtures (x4 tops out under 40M); the per-row guard below still
+# catches any corpus that reaches it.
+_REPLAY_SHIFT = 1_000_000_000
 
 
 @register(

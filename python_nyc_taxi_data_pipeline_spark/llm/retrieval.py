@@ -42,10 +42,32 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 5
 # Fixture vocabulary is synthetic-English word soup; these terms hit.
+# 20 queries (2-4 terms, all from the fixture vocabulary): three fused
+# lists is an anecdote, not a recall measurement — the ANN-hybrid eval
+# (`llm/fusion.py`) needs statistical teeth, and every stage downstream
+# is designed to stay q·k-bounded so battery width is metadata, not
+# corpus, cost.
 BM25_QUERIES = (
     "spark table scan",
     "hash join merge",
     "window sort key",
+    "batch stream data",
+    "column filter query",
+    "group agg value",
+    "fast scan big table",
+    "slow query order",
+    "merge sort row",
+    "vector data line",
+    "key value part",
+    "customer order line",
+    "dup row filter",
+    "small batch agg",
+    "stream window value",
+    "part key hash",
+    "big data spark",
+    "query filter sort scan",
+    "table row column",
+    "join group window",
 )
 
 

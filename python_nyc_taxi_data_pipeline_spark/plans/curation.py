@@ -693,6 +693,79 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def corpus_curation_funnel_singlepass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The single-pass rewrite of ``corpus_curation_funnel``: per-doc
+    survival flags computed in ONE lineage (gate predicate → first-
+    gated-per-hash window → split → contaminated left join), then one
+    conditional aggregation unpivoted to the same 5-row report.
+
+    NOT registered — ``corpus_curation_funnel``'s union-of-aggregates
+    form measured FASTER at sf0.1 (see its docstring); this form exists
+    so tools/scale_stress.py can probe for the crossover the funnel
+    docstring predicts at inflated scale (the union form re-scans the
+    corpus per branch; this one scans it once but drags every doc
+    through the window + contamination join). Semantics are pinned
+    equal to the staged form by a referee test."""
+    from ..llm.text import STOPWORDS, _words
+
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    stop_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
+        / n_words,
+        4,
+    )
+    gated = (n_words >= 50) & stop_ratio.between(0.01, 0.6)
+    flags = d.select("doc_id", "text", gated.alias("g"))
+    # keep-first among GATED docs per content hash (same semantics as
+    # the staged form's row_number over the gated frame)
+    min_gated = F.min(F.when(F.col("g"), F.col("doc_id"))).over(
+        Window.partitionBy(F.md5("text"))
+    )
+    flags = flags.withColumn("dd", F.col("g") & (F.col("doc_id") == min_gated))
+    flags = flags.withColumn("tp", F.col("dd") & (_split_col() == "train"))
+    contaminated = _contaminated_ids(spark, sf_dir).withColumn(
+        "__contam", F.lit(True)
+    )
+    flags = flags.join(contaminated, "doc_id", "left").withColumn(
+        "tf", F.col("tp") & F.col("__contam").isNull()
+    )
+    tok = F.size(F.split("text", " ")).cast("long")
+
+    def _pair(flag, label):
+        return [
+            F.count(F.when(flag, 1)).cast("long").alias(f"{label}_d"),
+            F.coalesce(F.sum(F.when(flag, tok)), F.lit(0))
+            .cast("long")
+            .alias(f"{label}_t"),
+        ]
+
+    row = flags.agg(
+        *_pair(F.lit(True), "raw"),
+        *_pair(F.col("g"), "q"),
+        *_pair(F.col("dd"), "dd"),
+        *_pair(F.col("tp"), "tp"),
+        *_pair(F.col("tf"), "tf"),
+    )
+    return row.selectExpr(
+        "stack(5,"
+        " 'raw', 1, raw_d, raw_t,"
+        " 'quality_gate', 2, q_d, q_t,"
+        " 'exact_dedup', 3, dd_d, dd_t,"
+        " 'train_split', 4, tp_d, tp_t,"
+        " 'decontaminated', 5, tf_d, tf_t"
+        ") as (stage, stage_idx, n_docs, n_tokens)"
+    ).select(
+        "stage",
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "n_docs",
+        "n_tokens",
+    )
+
+
 @register(
     "docs_pack_payloads",
     oracle=f"""

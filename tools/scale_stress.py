@@ -57,6 +57,9 @@ QUERIES = (
     "embeddings_semdedup_scaledk",
     "docs_segment_dedup_apply",
     "retrieval_hybrid_rrf",
+    "docs_incremental_exact_dedup",
+    "docs_incremental_exact_dedup_shufflejoin",
+    "embeddings_semdedup_ivf_scaledk",
 )
 SCALES = (1, 2, 4)
 
@@ -70,8 +73,39 @@ def _semdedup_scaledk(spark, sf_dir):
     return semdedup(spark, sf_dir, k=None)
 
 
+def _semdedup_ivf_scaledk(spark, sf_dir):
+    """Over-broadcast-ceiling SemDeDup: iterated k-means clusterer with
+    data-derived k (k ∝ n keeps cluster sizes — and the within-cluster
+    pair scan — constant under inflation; Lloyd adds `iterations` linear
+    corpus passes, never a superlinear shuffle)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.semdedup import semdedup_ivf
+
+    return semdedup_ivf(spark, sf_dir, k=None)
+
+
+def _incremental_dedup_shufflejoin(spark, sf_dir):
+    """docs_incremental_exact_dedup with broadcast joins disabled — the
+    plan a 100 TB corpus forces once the distinct corpus-hash set
+    outgrows the broadcast threshold (at fixture scale AQE would
+    broadcast it). Disabling autoBroadcastJoinThreshold (plan-time AND
+    AQE's runtime conversion both read it) degrades the membership join
+    to the hash-partitioned shuffle join the production path relies on;
+    the harness then asserts its shuffle grows LINEARLY in corpus
+    size — the reference's bronze_incremental_load.sql:61-62 anti-join
+    contract at scale."""
+    from python_nyc_taxi_data_pipeline_spark.registry import all_queries
+
+    # runtime conf on the per-query fresh session; it dies with it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return all_queries()["docs_incremental_exact_dedup"].fn(spark, sf_dir)
+
+
 # Non-registered callables stressed alongside the registry queries.
-EXTRA_FNS = {"embeddings_semdedup_scaledk": _semdedup_scaledk}
+EXTRA_FNS = {
+    "embeddings_semdedup_scaledk": _semdedup_scaledk,
+    "docs_incremental_exact_dedup_shufflejoin": _incremental_dedup_shufflejoin,
+    "embeddings_semdedup_ivf_scaledk": _semdedup_ivf_scaledk,
+}
 MAX_EXPONENT = {
     # Near-dup family (r4): banded LSH / label propagation are linear;
     # embeddings_dedup_apply rides the documented exact all-pairs GEMM.
@@ -99,6 +133,13 @@ MAX_EXPONENT = {
     # Data-derived k (k ∝ n): cluster sizes stay constant under
     # inflation, so the pair-scan shuffle must stay ~linear too.
     "embeddings_semdedup_scaledk": 1.35,
+    # Incremental exact dedup: batch×corpus-hash membership join + one
+    # keep-first window — hash-keyed shuffles, both sides linear in
+    # corpus size. The _shufflejoin variant pins the SAME bound with
+    # broadcast disabled (the over-threshold 100 TB degradation path).
+    "docs_incremental_exact_dedup": 1.35,
+    "docs_incremental_exact_dedup_shufflejoin": 1.35,
+    "embeddings_semdedup_ivf_scaledk": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
@@ -241,32 +282,149 @@ def bpe_mode(base: str) -> int:
     return 0
 
 
+def build_bpe_vocab_fixture(base: str, outdir: str, n_new_words: int = 600) -> str:
+    """Vocabulary-inflated documents fixture for the 200-merge stress:
+    the base fixture has only ~31 distinct words, so serial training
+    saturates near 107 merges (every word fully fused). Appending words
+    formed by CONCATENATING shuffled base-word pairs (deterministic
+    rng(0)) adds up to ~900 fresh seam contexts — duplicate ROWS would
+    add zero new pairs; fresh concatenations are what un-saturates the
+    merge space. Base docs are kept so the base merges still train."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    if os.path.exists(outdir):
+        shutil.rmtree(outdir)
+    os.makedirs(outdir)
+    docs = pq.read_table(os.path.join(base, "documents.parquet")).to_pandas()
+    vocab = sorted({w for t in docs["text"] for w in t.split(" ") if w})
+    rng = np.random.default_rng(0)
+    new_words: list[str] = []
+    seen = set(vocab)
+    attempts = 0
+    while len(new_words) < n_new_words and attempts < n_new_words * 20:
+        attempts += 1
+        w = vocab[rng.integers(len(vocab))] + vocab[rng.integers(len(vocab))]
+        if w not in seen:
+            seen.add(w)
+            new_words.append(w)
+    next_id = int(docs["doc_id"].max()) + 1
+    extra_rows = []
+    per_doc = 40
+    for i in range(0, len(new_words), per_doc):
+        text = " ".join(new_words[i : i + per_doc])
+        extra_rows.append(
+            {
+                "doc_id": next_id,
+                "text": text,
+                "lang": "en",
+                "source": "bpe_stress",
+                "n_chars": len(text),
+            }
+        )
+        next_id += 1
+    all_docs = pd.concat(
+        [docs, pd.DataFrame(extra_rows)[docs.columns]], ignore_index=True
+    )
+    pq.write_table(
+        pa.Table.from_pandas(all_docs, preserve_index=False),
+        os.path.join(outdir, "documents.parquet"),
+        row_group_size=max(1, len(all_docs) // 16),
+    )
+    for f in glob.glob(os.path.join(base, "*.parquet")):
+        name = os.path.basename(f)
+        if name != "documents.parquet":
+            os.symlink(f, os.path.join(outdir, name))
+    return outdir
+
+
 def bpe_merge_cost(base: str, n_merges: int = 200) -> dict:
     """BPE training at a realistic merge count (stress-only; the oracle
-    query proves the mechanism at N_MERGES=6). Measures the serial
-    driver-loop cost: each round is one pair-count shuffle + a 1-row
-    take, so per-round wall time ≈ fixed job-scheduling overhead once
-    the distinct-word table is small — this quantifies whether batching
-    top-m non-overlapping merges per round is worth the approximation."""
+    query proves the mechanism at N_MERGES=6), on the vocabulary-
+    inflated fixture so the full merge budget is actually learnable.
+    Measures (a) the serial driver-loop cost — each round is one
+    pair-count shuffle + a 1-row take, so per-round wall time ≈ fixed
+    job-scheduling overhead once the distinct-word table is small — and
+    (b) the batched top-m non-overlapping variant (`bpe_train_batched`,
+    batch=8), quantifying what the standard fast-BPE approximation buys
+    back from that overhead."""
     from python_nyc_taxi_data_pipeline_spark.llm import bpe
     from python_nyc_taxi_data_pipeline_spark.session import get_session
 
+    fixture = build_bpe_vocab_fixture(base, "/tmp/stress_bpe_vocab")
     spark = get_session("stress-bpe200")
-    # bypass the merge cache: a cached (sf_dir, 6) entry must not serve
-    # a 200-merge request, and this run must not poison real queries
-    bpe._MERGES_CACHE.pop((os.path.abspath(base), n_merges), None)
+
+    # bypass the merge cache: a cached low-merge entry must not serve a
+    # 200-merge request, and this run must not poison real queries
+    # (cache keys are (abspath, fixture_fingerprint, n_merges))
+    def _evict(path: str) -> None:
+        ap = os.path.abspath(path)
+        for k in [
+            k for k in bpe._MERGES_CACHE if k[0] == ap and k[-1] == n_merges
+        ]:
+            bpe._MERGES_CACHE.pop(k, None)
+
+    _evict(fixture)
     t0 = time.perf_counter()
-    merges, words = bpe.bpe_train(spark, base, n_merges=n_merges)
+    merges, words = bpe.bpe_train(spark, fixture, n_merges=n_merges)
     words.write.format("noop").mode("overwrite").save()
     total = round(time.perf_counter() - t0, 3)
-    bpe._MERGES_CACHE.pop((os.path.abspath(base), n_merges), None)
+    _evict(fixture)
+
+    t0 = time.perf_counter()
+    bmerges, bwords = bpe.bpe_train_batched(
+        spark, fixture, n_merges=n_merges, batch=8
+    )
+    bwords.write.format("noop").mode("overwrite").save()
+    btotal = round(time.perf_counter() - t0, 3)
     spark.stop()
     return {
         "n_merges_requested": n_merges,
         "n_merges_learned": len(merges),
         "total_sec": total,
         "sec_per_round": round(total / max(1, len(merges)), 3),
+        "batched8_n_merges_learned": len(bmerges),
+        "batched8_total_sec": btotal,
+        "batched8_speedup": round(total / btotal, 2) if btotal else None,
     }
+
+
+def funnel_form_compare(dirs: dict) -> dict:
+    """Union-of-aggregates funnel vs the single-pass conditional-
+    aggregation rewrite at each inflation (the funnel docstring records
+    the sf0.1 measurement where union wins; this probes whether the
+    extra corpus scans invert that at larger inputs). Wall time, fresh
+    session per form per scale, min of 2 runs."""
+    from python_nyc_taxi_data_pipeline_spark.plans.curation import (
+        corpus_curation_funnel,
+        corpus_curation_funnel_singlepass,
+    )
+    from python_nyc_taxi_data_pipeline_spark.session import get_session
+
+    out: dict = {}
+    forms = (
+        ("union", corpus_curation_funnel),
+        ("singlepass", corpus_curation_funnel_singlepass),
+    )
+    for k, sf_dir in dirs.items():
+        per: dict = {}
+        for label, fn in forms:
+            spark = get_session(f"stress-funnel-{label}-x{k}")
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            spark.stop()
+            per[label] = {"runs": runs, "min": min(runs)}
+        per["union_over_singlepass"] = round(
+            per["union"]["min"] / per["singlepass"]["min"], 2
+        )
+        out[str(k)] = per
+        print(f"# funnel_form_compare x{k}: {per}", file=sys.stderr)
+    return out
 
 
 def main() -> int:
@@ -315,13 +473,24 @@ def main() -> int:
             "ok": ok,
         }
 
+    # The trailing probes must not be able to discard the sweep that
+    # already completed: record an error entry instead of dying.
+    try:
+        funnel_result = funnel_form_compare(dirs)
+    except Exception as exc:  # noqa: BLE001 — report, don't lose the sweep
+        funnel_result = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+    try:
+        bpe_result = bpe_merge_cost(base)
+    except Exception as exc:  # noqa: BLE001 — report, don't lose the sweep
+        bpe_result = {"error": f"{type(exc).__name__}: {exc}"[:500]}
     out = {
         "metric": "neardup_scale_stress",
         "base_sf_dir": base,
         "scales": list(SCALES),
         "queries": results,
         "ok": not failures,
-        "bpe_200_merges": bpe_merge_cost(base),
+        "funnel_form_compare": funnel_result,
+        "bpe_200_merges": bpe_result,
     }
     with open(os.path.join(ROOT, "STRESS_local.json"), "w") as f:
         f.write(json.dumps(out) + "\n")
