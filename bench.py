@@ -28,6 +28,50 @@ from python_nyc_taxi_data_pipeline_spark.registry import all_queries  # noqa: E4
 from python_nyc_taxi_data_pipeline_spark.session import get_session  # noqa: E402
 
 
+# Curated per-round isolated-bench set: the expensive/regression-prone
+# queries whose in-suite numbers need a contention-free attribution
+# baseline (fresh JVM each, cold + warm runs). `--isolated` with no
+# names (or "curated") runs exactly this list. The two medallion
+# pseudo-queries bench the BASELINE.md-comparable e2e pipeline in both
+# fastpath modes.
+ISOLATED_QUERIES = (
+    "corpus_curation_e2e",
+    "corpus_curation_funnel",
+    "dedup_exact",
+    "docs_bpe_encode",
+    "docs_bpe_merges",
+    "docs_collocations_pmi",
+    "docs_dedup_apply",
+    "docs_dedup_apply_best",
+    "docs_dup_clusters",
+    "docs_dup_ngram_fraction",
+    "docs_fingerprint",
+    "docs_incremental_exact_dedup",
+    "docs_jaccard_df_ceiling_contract",
+    "docs_length_histogram",
+    "docs_ngram_jaccard_pairs",
+    "docs_pack_payloads",
+    "docs_segment_dedup_apply",
+    "docs_simhash",
+    "docs_source_quality_report",
+    "docs_unigram_surprisal_filter",
+    "embeddings_dedup_apply",
+    "embeddings_kmeans",
+    "embeddings_normalize_quantize",
+    "embeddings_semdedup",
+    "embeddings_semdedup_ivf_contract",
+    "merge_into_orders",
+    "retrieval_hybrid_ann_recall_eval",
+    "retrieval_hybrid_rrf",
+    "retrieval_hybrid_rrf_ann",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing_summary",
+    "medallion_e2e",
+    "medallion_e2e_nofastpath",
+)
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -291,8 +335,14 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         return run_one(sys.argv[2], sf_dir)
-    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
-        return run_isolated([n for n in sys.argv[2].split(",") if n], sf_dir)
+    if len(sys.argv) >= 2 and sys.argv[1] == "--isolated":
+        arg = sys.argv[2] if len(sys.argv) >= 3 else "curated"
+        names = (
+            list(ISOLATED_QUERIES)
+            if arg == "curated"
+            else [n for n in arg.split(",") if n]
+        )
+        return run_isolated(names, sf_dir)
     spark = get_session("bench")
     timings: dict[str, float] = {}
     # Warm the JVM/session so the FIRST registered query (the registry

@@ -23,13 +23,16 @@ Scale design (100 TB corpus):
   plan does not grow O(rounds) (the same pattern as
   ``llm.clusters.connected_components``).
 - Measured at realistic merge counts (``tools/scale_stress.py
-  --bpe-only``: 200-merge request on sf0.1 → ~0.35 s/round, fully
-  fixed-overhead-dominated once the distinct-word table is small), the
-  serial driver loop costs ~35 s per 100 merges. That is fine for
-  10²-merge vocabularies; a 30k-merge production tokenizer would want
-  top-m NON-OVERLAPPING merges applied per round (the standard fast-BPE
-  approximation) to amortize the per-round job overhead — a semantics
-  trade this exact-oracle implementation deliberately does not take.
+  --bpe-only``, vocabulary-inflated fixture so the full budget is
+  learnable): 200/200 merges on sf0.1 at ~0.19 s/round serial — fully
+  fixed-overhead-dominated once the distinct-word table is small. A
+  30k-merge production tokenizer wants top-m NON-OVERLAPPING merges
+  applied per round (the standard fast-BPE approximation) to amortize
+  the per-round job overhead: ``bpe_train_batched`` implements it
+  (measured 2.4-3.4× over serial at batch=8; batch=1 reproduces the
+  exact trainer, property-tested). The REGISTERED queries stay on the
+  serial exact-oracle trainer — the batched form's intra-batch counts
+  are intentionally stale, a documented approximation.
 
 Cross-engine exactness: the DuckDB oracle REPLAYS the whole training
 run as chained CTEs — same char split (``regexp_extract_all(word,

@@ -142,7 +142,7 @@ def _bm25_oracle() -> str:
 
 @register("docs_bm25_topk", oracle=_bm25_oracle(), tags=("llm", "retrieval"))
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 documents per query for the fixed 3-query battery under
+    """Top-5 documents per query for the fixed 20-query battery under
     the rational-idf BM25 ranking (see module docstring). Ties break
     on doc_id; ``n_terms_hit`` exposes how many query terms matched.
 

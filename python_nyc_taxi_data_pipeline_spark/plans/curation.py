@@ -669,10 +669,17 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     union branches, and each branch's count/sum partial-aggregates
     below the union, so the branches shuffle one partial-agg row each.
     A single-pass rewrite (per-doc survival flags + one conditional
-    aggregation) was tried and benched SLOWER at sf0.1 (warm 3.6 s vs
-    2.4 s): it drags every gated doc through the contaminated join
-    instead of letting the aggregates push down. Each branch is a
-    benign Keys:[] scalar aggregate."""
+    aggregation) was tried in r5 and benched SLOWER at sf0.1 (warm
+    3.6 s vs 2.4 s); the r6 rewrite (``corpus_curation_funnel_
+    singlepass`` — min-over-gated window instead of a per-stage
+    re-filter) closed that gap, and the scale_stress crossover probe
+    (STRESS_local.json ``funnel_form_compare``) now measures the two
+    forms within noise of each other: union/singlepass warm ratio
+    1.09 at 1×, 1.08 at 2×, 1.01 at 4× corpus inflation. No crossover
+    appeared — the union form's branch reuse amortizes WITH scale
+    rather than against it — so this form stays registered and no
+    input-size gating is warranted; re-probe if the stage list grows.
+    Each branch is a benign Keys:[] scalar aggregate."""
     stage_frames = _curation_stages(spark, sf_dir)
     names = [
         "raw", "quality_gate", "exact_dedup", "train_split", "decontaminated",

@@ -112,7 +112,21 @@ HEADLINERS = [
         "distinct corpus hash set folded with the keep-first window "
         "into the verdict expression. The fixture computes md5 from "
         "text at scan time; in production the corpus side is a "
-        "persisted 16-byte hash index, so only hashes shuffle.",
+        "persisted 16-byte hash index, so only hashes shuffle. r6 adds "
+        "a per-row raise_error range guard on the replay shift (plan "
+        "shows it as a projection expression, no extra exchange) and a "
+        "forced-shuffle-join stress entry proving the over-broadcast-"
+        "threshold degradation stays linear.",
+    ),
+    (
+        "embeddings_semdedup_ivf_contract",
+        "SemDeDup IVF contract (r6): both variants' assignments sit "
+        "above localCheckpoint barriers (Lloyd's centroid matrix "
+        "reaches executors as a broadcast one-row frame; the "
+        "fixed-seed variant broadcasts the k-seed block); the "
+        "within-cluster pair scans shuffle on cluster_id only; the "
+        "final agreement aggregate is one full-outer join of two "
+        "n-row verdict frames into a scalar row.",
     ),
 ]
 
