@@ -558,16 +558,21 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingles are 64-bit fingerprints, so each of the 16 permutation
     # hashes reads 8 bytes instead of re-hashing a ~100-char string.
     g = hashed_shingle_table(spark, d)
-    # Candidate generation shuffles only (doc_id, band_hash) — 16 bytes a
-    # row — never the shingle arrays.
-    banded = minhash_band_index(g)
+    return _verify_jaccard(g, _lsh_candidates(g))
 
-    # Bucket-then-combine: group each LSH bucket's (sorted) member list
-    # and emit (a < b) combinations JVM-side — one shuffle of the tiny
-    # (doc_id, band) rows instead of a two-sided self-join (same
-    # transformation as the inverted-index pair emit in
-    # ``docs_ngram_jaccard_pairs``). Bucket width is the LSH tuning
-    # knob: near-dup buckets stay small by construction.
+
+def _lsh_candidates(g: DataFrame) -> DataFrame:
+    """LSH candidate (doc_a < doc_b) pairs of a shingle table.
+    Candidate generation shuffles only (doc_id, band_hash) — 16 bytes
+    a row — never the shingle arrays.
+
+    Bucket-then-combine: group each LSH bucket's (sorted) member list
+    and emit (a < b) combinations JVM-side — one shuffle of the tiny
+    (doc_id, band) rows instead of a two-sided self-join (same
+    transformation as the inverted-index pair emit in
+    ``docs_ngram_jaccard_pairs``). Bucket width is the LSH tuning
+    knob: near-dup buckets stay small by construction."""
+    banded = minhash_band_index(g)
     ids = F.sort_array(F.collect_list("doc_id"))
     buckets = (
         banded.groupBy("band_idx", "band_hash")
@@ -583,12 +588,11 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    candidates = (
+    return (
         buckets.select(F.explode(combos).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_jaccard(g, candidates)
 
 
 def _verify_jaccard(g: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -608,6 +612,87 @@ def _verify_jaccard(g: DataFrame, candidates: DataFrame) -> DataFrame:
     jac = F.round(inter.cast("double") / union, 6)
     return (
         verified.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# MinHash estimator calibration ceiling: with 16 permutations the
+# per-pair sd of the match-fraction estimator is sqrt(J(1-J)/16) ≤
+# 0.125; measured max |est − exact| over the verified near-dup pairs is
+# 0.097 / 0.088 / 0.201 at sf0.001/0.01/0.1 (mean ≈ 0.03), so 0.25
+# (2 sd of the worst case) holds with margin. Deterministic for fixed
+# hash functions + fixed data, like the LSH recall contract.
+MINHASH_EST_ERR_CEILING = 0.25
+
+
+@register(
+    "docs_minhash_estimate_calibration",
+    oracle=f"""
+    WITH g AS (
+{GRAMS_CTE_SQL}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 6) AS jaccard,
+           TRUE AS est_err_bounded
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                6) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "lsh"),
+)
+def docs_minhash_estimate_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration contract for the MinHash Jaccard ESTIMATOR the LSH
+    pipeline trusts: for every verified near-dup pair (exact Jaccard ≥
+    {JACCARD_THRESHOLD} — the set the dedup pipeline acts on, and the
+    set the brute-force oracle can recompute), compare the
+    signature-estimated Jaccard (fraction of equal components across
+    the {MINHASH_PERMS} permutations) against the exact shingle
+    Jaccard, and pin |est − exact| ≤ {MINHASH_EST_ERR_CEILING} per
+    pair. The estimate is signature-dependent (DuckDB has no xxhash64)
+    so its VALUE can't be oracle-matched — the BOUND boolean can (the
+    ``embeddings_semdedup_ivf_contract`` pattern: Spark computes the
+    real check, the oracle pins the expected verdict), and the exact
+    Jaccard column is fully recomputed by the oracle. A drifted
+    signature implementation (wrong permutation count, broken
+    array-min, reordered hashing) flips booleans and fails the driver
+    hash."""
+    d = load(spark, sf_dir, "documents")
+    g = hashed_shingle_table(spark, d)
+    sig = g.select("doc_id", minhash_signature(F.col("grams")).alias("sig"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    joined = (
+        _lsh_candidates(g)
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    exact = inter.cast("double") / union
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+        ).cast("double")
+        / MINHASH_PERMS
+    )
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(exact, 6).alias("jaccard"),
+            (F.abs(est - exact) <= MINHASH_EST_ERR_CEILING).alias(
+                "est_err_bounded"
+            ),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 

@@ -1276,3 +1276,20 @@ def test_incremental_exact_dedup_replay_shift_guard(spark, tmp_path):
     ).write.parquet(str(fixture / "documents.parquet"))
     with pytest.raises(Exception, match="_REPLAY_SHIFT"):
         E.queries()["docs_incremental_exact_dedup"](spark, str(fixture)).collect()
+
+
+def test_minhash_calibration_covers_verified_pairs_and_bounds_hold(spark):
+    """The calibration contract rows are exactly the verified LSH pair
+    set (same pairs, same exact Jaccard), and every pair's estimator
+    error bound verdict is TRUE — so a signature drift that widens the
+    estimator error past the ceiling fails HERE before it degrades
+    recall in production."""
+    qs = E.queries()
+    cal = qs["docs_minhash_estimate_calibration"](spark, SF_DIR)
+    lsh = qs["docs_minhash_lsh_pairs"](spark, SF_DIR)
+    cal_rows = {(r.doc_a, r.doc_b): (r.jaccard, r.est_err_bounded) for r in cal.collect()}
+    lsh_rows = {(r.doc_a, r.doc_b): r.jaccard for r in lsh.collect()}
+    assert set(cal_rows) == set(lsh_rows)
+    for pair, (jac, bounded) in cal_rows.items():
+        assert jac == lsh_rows[pair]
+        assert bounded is True
