@@ -60,6 +60,7 @@ QUERIES = (
     "docs_incremental_exact_dedup",
     "docs_incremental_exact_dedup_shufflejoin",
     "embeddings_semdedup_ivf_scaledk",
+    "docs_nb_lang_classifier",
 )
 SCALES = (1, 2, 4)
 
@@ -140,6 +141,10 @@ MAX_EXPONENT = {
     "docs_incremental_exact_dedup": 1.35,
     "docs_incremental_exact_dedup_shufflejoin": 1.35,
     "embeddings_semdedup_ivf_scaledk": 1.35,
+    # NB classifier: model build + scoring are map-side-combined aggs
+    # over corpus explodes; the only doc-keyed shuffles are the per-doc
+    # rollups — linear by design.
+    "docs_nb_lang_classifier": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
