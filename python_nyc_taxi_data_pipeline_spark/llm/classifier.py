@@ -212,20 +212,44 @@ def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumnRenamed("lang", "cls")
     )
     # ---- scoring: one more corpus explode -> per-doc distinct-token
-    # counts, broadcast-model joins, one groupBy(doc_id) argmin -------
+    # counts, broadcast-model joins, one groupBy(doc_id) argmin. Two
+    # deliberate scale choices, both measured in the stress harness:
+    # (1) the rollup keys on the token's 64-bit xxhash64 FINGERPRINT,
+    # not the string (the hashed-shingle trick from llm.dedup) — fixed
+    # 8-byte shuffle keys independent of token length (a fingerprint
+    # collision between a vocab and non-vocab token is
+    # ~V·|vocab_corpus|/2^64, < 1e-12 here, and would fail the oracle
+    # loudly, never silently); (2) the exploded tokens repartition on
+    # doc_id ONCE before the per-doc aggregation — hash(doc_id)
+    # satisfies every downstream clustered distribution ((doc_id,
+    # tok_h) agg, (doc_id, cls) agg and join, final groupBy(doc_id)),
+    # so this is the scoring path's ONLY corpus-sized exchange.
+    # Without it, dt rides the (doc_id, tok_h)-hashed layout and each
+    # doc fragments across every partition, so the downstream
+    # (doc_id, cls) PARTIAL aggregates emit one row per (doc,
+    # partition) instead of per doc — measured exponent 1.48 under
+    # fixture inflation (AQE coalesces small scales into few
+    # partitions, hiding the fragmentation there), vs 1.0 with the
+    # doc-aligned layout.
     dt = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
+        .select("doc_id", F.xxhash64("tok").alias("tok_h"))
+        .repartition("doc_id")
+        .groupBy("doc_id", "tok_h")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)  # consumed by iv_cost AND n_oov
     )
+    vocab_h = F.broadcast(vocab.select(F.xxhash64("tok").alias("tok_h")))
+    scores_h = F.broadcast(
+        scores.select(F.xxhash64("tok").alias("tok_h"), "lang", "s_micro")
+    )
     doc_iv = (
-        dt.join(scores, "tok")
+        dt.join(scores_h, "tok_h")
         .groupBy("doc_id", F.col("lang").alias("cls"))
         .agg(F.sum(F.col("cnt") * F.col("s_micro")).alias("iv_cost"))
     )
     doc_oov = (
-        dt.join(vocab, "tok", "left_anti")
+        dt.join(vocab_h, "tok_h", "left_anti")
         .groupBy("doc_id")
         .agg(F.sum("cnt").alias("n_oov"))
     )
