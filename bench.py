@@ -49,6 +49,8 @@ ISOLATED_QUERIES = (
     "docs_incremental_exact_dedup",
     "docs_jaccard_df_ceiling_contract",
     "docs_length_histogram",
+    "docs_minhash_estimate_calibration",
+    "docs_nb_lang_classifier",
     "docs_ngram_jaccard_pairs",
     "docs_pack_payloads",
     "docs_segment_dedup_apply",
@@ -57,6 +59,7 @@ ISOLATED_QUERIES = (
     "docs_unigram_surprisal_filter",
     "embeddings_dedup_apply",
     "embeddings_kmeans",
+    "embeddings_knn_label_probe",
     "embeddings_normalize_quantize",
     "embeddings_semdedup",
     "embeddings_semdedup_ivf_contract",
