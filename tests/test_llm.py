@@ -1293,3 +1293,82 @@ def test_minhash_calibration_covers_verified_pairs_and_bounds_hold(spark):
     for pair, (jac, bounded) in cal_rows.items():
         assert jac == lsh_rows[pair]
         assert bounded is True
+
+
+def test_bigram_backoff_surprisal_matches_python_replay(spark):
+    """Per-doc sums, backoff-level counts, and the keep flag must equal
+    a pure-Python Stupid-Backoff replay (top-B bigram table with the
+    (count DESC, p, t) tie-break, ALPHA-discounted top-V unigram
+    backoff, add-one OOV floor, HALF_UP micro-nat quantization)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from python_nyc_taxi_data_pipeline_spark.llm.lm import ALPHA, TOP_B, TOP_V
+
+    def micro(x: float) -> int:
+        return int(
+            Decimal(repr(x * 1e6)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load(spark, SF_DIR, "documents").collect()
+        if len(r["text"].split(" ")) >= 2
+    }
+    bi, uni = Counter(), Counter()
+    for ws in texts.values():
+        bi.update(zip(ws, ws[1:]))
+        uni.update(ws)
+    ctx = Counter()
+    for (p, _t), c in bi.items():
+        ctx[p] += c
+    topb = {
+        pt: micro(-math.log(bi[pt] / ctx[pt[0]]))
+        for pt in sorted(bi, key=lambda pt: (-bi[pt], pt))[:TOP_B]
+    }
+    total = sum(uni.values())
+    topv = {
+        t: micro(-math.log(ALPHA * (uni[t] / total)))
+        for t in sorted(uni, key=lambda t: (-uni[t], t))[:TOP_V]
+    }
+    oov = micro(-math.log(ALPHA * (1.0 / (total + 1))))
+    expect = {}
+    for doc_id, ws in texts.items():
+        s = hits = backs = oovs = 0
+        for pt in zip(ws, ws[1:]):
+            if pt in topb:
+                s, hits = s + topb[pt], hits + 1
+            elif pt[1] in topv:
+                s, backs = s + topv[pt[1]], backs + 1
+            else:
+                s, oovs = s + oov, oovs + 1
+        expect[doc_id] = (len(ws) - 1, hits, backs, oovs, s)
+    rows = E.queries()["docs_bigram_backoff_surprisal"](spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    s_all = sum(v[4] for v in expect.values())
+    n_all = sum(v[0] for v in expect.values())
+    kept = dropped = 0
+    for r in rows:
+        assert (
+            r["n_bigrams"],
+            r["n_bigram_hits"],
+            r["n_unigram_backoffs"],
+            r["n_oov"],
+            r["sum_surprisal_micro"],
+        ) == expect[r["doc_id"]]
+        assert r["keep_below_corpus_mean"] == (
+            r["sum_surprisal_micro"] * n_all <= r["n_bigrams"] * s_all
+        )
+        kept += r["keep_below_corpus_mean"]
+        dropped += not r["keep_below_corpus_mean"]
+    assert kept > 0 and dropped > 0
+    # the pruning must exercise the bigram and backoff levels; the OOV
+    # floor only fires when the vocabulary outgrows TOP_V (the sf0.001
+    # fixture's ~40-word vocabulary fits entirely, so expect 0 there —
+    # the per-row equality above already pins the OOV logic itself)
+    assert sum(r["n_bigram_hits"] for r in rows) > 0
+    assert sum(r["n_unigram_backoffs"] for r in rows) > 0
+    assert sum(r["n_oov"] for r in rows) == sum(v[3] for v in expect.values())
+    if len(uni) > TOP_V:
+        assert sum(r["n_oov"] for r in rows) > 0
