@@ -887,3 +887,148 @@ def docs_dedup_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars", "n_words", "cluster_id", "cluster_size")
     )
+
+
+BLOOM_M = 1 << 17  # filter bits (16 KiB) — sized for the fixture test set;
+BLOOM_K = 4  # hash functions. Production sizes M ~= n*K/ln(2) the same way.
+
+_BLOOM_DECON_ORACLE = """
+    WITH s AS (
+      SELECT doc_id, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hh
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), g AS (
+      SELECT doc_id, hh,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]
+             )) AS grams
+      FROM s
+    ), test_sh AS (
+      SELECT DISTINCT unnest(grams) AS sh FROM g WHERE hh >= 'e6'
+    ), train AS (
+      SELECT doc_id, grams FROM g WHERE hh < 'cd'
+    ), tr_sh AS (
+      SELECT doc_id, unnest(grams) AS sh FROM train
+    ), m AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_matching_shingles
+      FROM tr_sh t JOIN test_sh x ON x.sh = t.sh
+      GROUP BY t.doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(len(tr.grams) AS BIGINT) AS n_shingles,
+           CAST(coalesce(m.n_matching_shingles, 0) AS BIGINT)
+             AS n_matching_shingles,
+           coalesce(m.n_matching_shingles, 0) > 0 AS exact_contaminated
+    FROM train tr LEFT JOIN m ON m.doc_id = tr.doc_id
+"""
+
+
+@register(
+    "docs_bloom_decontamination",
+    oracle=_BLOOM_DECON_ORACLE,
+    tags=("llm", "decontamination", "curation", "sketch"),
+)
+def docs_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-shingle decontamination (the GPT-3-style audit: a train
+    doc is contaminated if it shares any word-trigram with the test
+    split) computed THROUGH a Bloom-filter prefilter — the production
+    plan at corpus scale. The test split's distinct shingles build a
+    ``BLOOM_M``-bit / ``BLOOM_K``-hash filter as ≤ M/64 (widx, word)
+    rows via one tiny bit_or aggregate; train shingles probe it with a
+    broadcast join, and ONLY bloom-candidate shingles reach the exact
+    equi-join against the test shingle set.
+
+    The oracle recomputes full exact contamination with no bloom, so
+    the driver's hash compare IS the no-false-negative proof: if the
+    prefilter dropped one true match, per-doc counts would differ and
+    the check would fail. False positives cost only wasted exact-join
+    probes, never wrong output (the pytest property test bounds their
+    rate).
+
+    Scale (100 TB): the held-out set is benchmark-sized, so its filter
+    broadcasts at megabytes (size M ~ n*K/ln 2) while the train side
+    — the 10^12-shingle relation — is touched exactly once, and the
+    expensive string equi-join runs only on the ~FPR-sized candidate
+    remnant instead of every train shingle. Filter build is one
+    aggregation over the test shingles; no corpus-sized shuffle keys
+    a string."""
+    from ..llm.dedup import word_trigrams
+
+    d = load(spark, sf_dir, "documents")
+    hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    grams = (
+        d.select("doc_id", hh.alias("hh"), word_trigrams(F.col("text")).alias("grams"))
+        .filter(F.size("grams") >= 1)
+        .localCheckpoint(eager=True)  # consumed by test set, train base, probe
+    )
+    # test-split distinct shingles: benchmark-sized, two consumers
+    # (bloom build + exact join) — checkpoint once
+    test_sh = (
+        grams.filter(F.col("hh") >= "e6")
+        .select(F.explode("grams").alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def positions(sh: F.Column) -> F.Column:
+        return F.array(
+            *[F.pmod(F.xxhash64(sh, F.lit(k)), F.lit(BLOOM_M)) for k in range(BLOOM_K)]
+        )
+
+    bloom = F.broadcast(
+        test_sh.select(F.explode(positions(F.col("sh"))).alias("pos"))
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("widx"),
+            F.expr("CAST(pos % 64 AS INT)").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("word"))
+    )
+    train = grams.filter(F.col("hh") < "cd")
+    tr_sh = train.select("doc_id", F.explode("grams").alias("sh"))
+    # probe: K positions per shingle -> broadcast bloom lookup -> a
+    # shingle is a candidate iff ALL K bits are set
+    cand = (
+        tr_sh.select("doc_id", "sh", F.explode(positions(F.col("sh"))).alias("pos"))
+        .select(
+            "doc_id",
+            "sh",
+            F.expr("CAST(pos DIV 64 AS INT)").alias("widx"),
+            F.expr("CAST(pos % 64 AS INT)").alias("bit"),
+        )
+        .join(bloom, "widx", "left")
+        .groupBy("doc_id", "sh")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("word IS NOT NULL AND (shiftright(word, bit) & 1) = 1"), 1
+                ).otherwise(0)
+            ).alias("k_hits")
+        )
+        .filter(F.col("k_hits") == BLOOM_K)
+        .select("doc_id", "sh")
+    )
+    # exact join on the candidate remnant only — the production path
+    matches = (
+        cand.join(test_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matching_shingles"))
+    )
+    return (
+        train.select("doc_id", F.size("grams").cast("bigint").alias("n_shingles"))
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_matching_shingles", F.lit(0))
+            .cast("bigint")
+            .alias("n_matching_shingles"),
+            (F.coalesce("n_matching_shingles", F.lit(0)) > 0).alias(
+                "exact_contaminated"
+            ),
+        )
+    )

@@ -1372,3 +1372,77 @@ def test_bigram_backoff_surprisal_matches_python_replay(spark):
     assert sum(r["n_oov"] for r in rows) == sum(v[3] for v in expect.values())
     if len(uni) > TOP_V:
         assert sum(r["n_oov"] for r in rows) > 0
+
+
+def test_bloom_decontamination_matches_python_replay(spark):
+    """The query's exact columns must equal a pure-Python full exact
+    recomputation (no bloom), and a Python replay of the bloom itself
+    (bit-for-bit, using Spark's xxhash64 for the K probe positions)
+    must be a superset of the true matches with a bounded
+    false-positive rate — the two halves of the prefilter contract."""
+    import hashlib
+
+    from pyspark.sql import functions as SF
+    from python_nyc_taxi_data_pipeline_spark.plans.curation import (
+        BLOOM_K,
+        BLOOM_M,
+    )
+
+    def trigrams(text: str) -> set[str]:
+        ws = text.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_DIR, "documents").collect()
+        if len(r["text"].split(" ")) >= 3
+    }
+    split = {
+        d: hashlib.md5(str(d).encode()).hexdigest()[:2] for d in docs
+    }
+    train = {d: trigrams(t) for d, t in docs.items() if split[d] < "cd"}
+    test_sh = set().union(
+        *(trigrams(t) for d, t in docs.items() if split[d] >= "e6")
+    )
+    # Spark's xxhash64 for every distinct shingle x seed (the bloom's
+    # hash family) — the replay uses identical bit positions
+    all_sh = sorted(set().union(*train.values()) | test_sh)
+    sh_df = spark.createDataFrame([(s,) for s in all_sh], ["sh"])
+    pos_rows = sh_df.select(
+        "sh",
+        *[
+            SF.pmod(SF.xxhash64("sh", SF.lit(k)), SF.lit(BLOOM_M)).alias(f"p{k}")
+            for k in range(BLOOM_K)
+        ],
+    ).collect()
+    pos = {r["sh"]: [r[f"p{k}"] for k in range(BLOOM_K)] for r in pos_rows}
+    bits = set()
+    for s in test_sh:
+        bits.update(pos[s])
+    fp = tp = neg = 0
+    expect = {}
+    for d, grams in train.items():
+        n_match = 0
+        for s in grams:
+            candidate = all(p in bits for p in pos[s])
+            truly = s in test_sh
+            assert candidate or not truly  # no false negative, ever
+            if truly:
+                n_match += 1
+                tp += 1
+            elif candidate:
+                fp += 1
+            else:
+                neg += 1
+        expect[d] = (len(grams), n_match)
+    # bloom actually prunes: FP rate over true-negative probes is small
+    assert fp / max(fp + neg, 1) < 0.05
+    rows = E.queries()["docs_bloom_decontamination"](spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        n_sh, n_match = expect[r["doc_id"]]
+        assert r["n_shingles"] == n_sh
+        assert r["n_matching_shingles"] == n_match
+        assert r["exact_contaminated"] == (n_match > 0)
+    assert any(r["exact_contaminated"] for r in rows)
+    assert any(not r["exact_contaminated"] for r in rows)
