@@ -889,8 +889,21 @@ def docs_dedup_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BLOOM_M = 1 << 17  # filter bits (16 KiB) — sized for the fixture test set;
-BLOOM_K = 4  # hash functions. Production sizes M ~= n*K/ln(2) the same way.
+BLOOM_K = 4  # hash functions
+BLOOM_BITS_PER_ITEM = 10  # ~1% FPR at K=4
+
+
+def bloom_m_for(n_items: int) -> int:
+    """Data-derived filter size: the next power of two giving
+    ``BLOOM_BITS_PER_ITEM`` bits per test-set shingle (floor 2^14).
+    A FIXED M saturates as the held-out set grows — at 4x the fixture
+    the FPR of a 2^17-bit filter rises from ~2% to ~40%, silently
+    degrading the prefilter to a pass-through (the SemDeDup
+    data-derived-k lesson applied to sketches)."""
+    m = 1 << 14
+    while m < n_items * BLOOM_BITS_PER_ITEM:
+        m <<= 1
+    return m
 
 _BLOOM_DECON_ORACLE = """
     WITH s AS (
@@ -936,11 +949,13 @@ def docs_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-shingle decontamination (the GPT-3-style audit: a train
     doc is contaminated if it shares any word-trigram with the test
     split) computed THROUGH a Bloom-filter prefilter — the production
-    plan at corpus scale. The test split's distinct shingles build a
-    ``BLOOM_M``-bit / ``BLOOM_K``-hash filter as ≤ M/64 (widx, word)
-    rows via one tiny bit_or aggregate; train shingles probe it with a
-    broadcast join, and ONLY bloom-candidate shingles reach the exact
-    equi-join against the test shingle set.
+    plan at corpus scale. The test split's distinct shingles build an
+    M-bit / ``BLOOM_K``-hash filter (M data-derived via
+    ``bloom_m_for`` — ``BLOOM_BITS_PER_ITEM`` bits per shingle, ~1%
+    FPR at ANY held-out-set size) as ≤ M/64 (widx, word) rows via one
+    tiny bit_or aggregate; train shingles probe it with a broadcast
+    join, and ONLY bloom-candidate shingles reach the exact equi-join
+    against the test shingle set.
 
     The oracle recomputes full exact contamination with no bloom, so
     the driver's hash compare IS the no-false-negative proof: if the
@@ -973,10 +988,11 @@ def docs_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    bloom_m = bloom_m_for(test_sh.count())  # scalar on the checkpoint
 
     def positions(sh: F.Column) -> F.Column:
         return F.array(
-            *[F.pmod(F.xxhash64(sh, F.lit(k)), F.lit(BLOOM_M)) for k in range(BLOOM_K)]
+            *[F.pmod(F.xxhash64(sh, F.lit(k)), F.lit(bloom_m)) for k in range(BLOOM_K)]
         )
 
     bloom = F.broadcast(

@@ -1385,7 +1385,7 @@ def test_bloom_decontamination_matches_python_replay(spark):
     from pyspark.sql import functions as SF
     from python_nyc_taxi_data_pipeline_spark.plans.curation import (
         BLOOM_K,
-        BLOOM_M,
+        bloom_m_for,
     )
 
     def trigrams(text: str) -> set[str]:
@@ -1404,6 +1404,7 @@ def test_bloom_decontamination_matches_python_replay(spark):
     test_sh = set().union(
         *(trigrams(t) for d, t in docs.items() if split[d] >= "e6")
     )
+    bloom_m = bloom_m_for(len(test_sh))  # the query derives M the same way
     # Spark's xxhash64 for every distinct shingle x seed (the bloom's
     # hash family) — the replay uses identical bit positions
     all_sh = sorted(set().union(*train.values()) | test_sh)
@@ -1411,7 +1412,7 @@ def test_bloom_decontamination_matches_python_replay(spark):
     pos_rows = sh_df.select(
         "sh",
         *[
-            SF.pmod(SF.xxhash64("sh", SF.lit(k)), SF.lit(BLOOM_M)).alias(f"p{k}")
+            SF.pmod(SF.xxhash64("sh", SF.lit(k)), SF.lit(bloom_m)).alias(f"p{k}")
             for k in range(BLOOM_K)
         ],
     ).collect()

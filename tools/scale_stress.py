@@ -61,6 +61,8 @@ QUERIES = (
     "docs_incremental_exact_dedup_shufflejoin",
     "embeddings_semdedup_ivf_scaledk",
     "docs_nb_lang_classifier",
+    "docs_bigram_backoff_surprisal",
+    "docs_bloom_decontamination",
 )
 SCALES = (1, 2, 4)
 
@@ -145,6 +147,14 @@ MAX_EXPONENT = {
     # over corpus explodes; the only doc-keyed shuffles are the per-doc
     # rollups — linear by design.
     "docs_nb_lang_classifier": 1.35,
+    # Bigram backoff LM: bigram/unigram count aggs (the word-prefix
+    # inflation bijection grows both vocab and bigram types ~k) + one
+    # per-doc rollup; both LM tables prune to constants pre-broadcast.
+    "docs_bigram_backoff_surprisal": 1.35,
+    # Bloom decontamination: filter size is data-derived (bits-per-item
+    # constant), so the probe/build shuffles and the candidate-remnant
+    # exact join must all track corpus size ~linearly.
+    "docs_bloom_decontamination": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
