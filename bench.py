@@ -38,6 +38,8 @@ ISOLATED_QUERIES = (
     "corpus_curation_e2e",
     "corpus_curation_funnel",
     "dedup_exact",
+    "docs_bigram_backoff_surprisal",
+    "docs_bloom_decontamination",
     "docs_bpe_encode",
     "docs_bpe_merges",
     "docs_collocations_pmi",
