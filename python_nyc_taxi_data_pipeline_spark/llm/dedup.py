@@ -41,10 +41,14 @@ LSH_BANDS = 8
 DF_CEILING = 64
 
 
-def word_trigrams(text: Column) -> Column:
-    """Distinct word 3-gram shingles of a single-space-tokenized text.
-    Empty when the text has fewer than 3 words."""
-    words = F.split(text, " ")
+def word_trigrams(words: Column) -> Column:
+    """Distinct word 3-gram shingles as STRINGS from a MATERIALIZED
+    word-array column. Empty when the text has fewer than 3 words.
+    Like ``word_trigram_hashes`` below, ``words`` must not be an
+    inline ``split()`` expression — lambda bodies are exempt from
+    common-subexpression elimination, so an inline split re-tokenizes
+    the document for every element access (measured ~2x slower on the
+    bloom-decontamination plan)."""
     return F.when(
         F.size(words) >= 3,
         F.array_distinct(

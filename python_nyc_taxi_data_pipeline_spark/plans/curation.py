@@ -975,8 +975,13 @@ def docs_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    # materialize the word split BEFORE the trigram lambda (the
+    # hashed_shingle_table split-barrier pattern — see word_trigrams)
+    w = d.select(
+        "doc_id", hh.alias("hh"), F.split("text", " ").alias("w")
+    ).localCheckpoint(eager=True)
     grams = (
-        d.select("doc_id", hh.alias("hh"), word_trigrams(F.col("text")).alias("grams"))
+        w.select("doc_id", "hh", word_trigrams(F.col("w")).alias("grams"))
         .filter(F.size("grams") >= 1)
         .localCheckpoint(eager=True)  # consumed by test set, train base, probe
     )

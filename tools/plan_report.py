@@ -119,6 +119,17 @@ HEADLINERS = [
         "threshold degradation stays linear.",
     ),
     (
+        "docs_bloom_decontamination",
+        "Bloom-prefiltered decontamination (r6): the test split's "
+        "shingles collapse to a <=M/64-row (widx, word) bitmap via one "
+        "bit_or hash-aggregate, the probe side joins it as a "
+        "BroadcastHashJoin (explicit hint), and only the ~1%-FPR "
+        "candidate remnant reaches the exact string equi-join. All "
+        "corpus-sized frames sit above localCheckpoint barriers; the "
+        "one train-shingle shuffle keys (doc_id, sh) for the K-bit "
+        "rollup.",
+    ),
+    (
         "embeddings_semdedup_ivf_contract",
         "SemDeDup IVF contract (r6): both variants' assignments sit "
         "above localCheckpoint barriers (Lloyd's centroid matrix "
