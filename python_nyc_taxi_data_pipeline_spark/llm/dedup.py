@@ -262,31 +262,39 @@ JACCARD_PAIRS_SQL = f"""
 """
 
 
-def _jaccard_pairs_from(
-    spark: SparkSession, d: DataFrame, df_ceiling: int | None
+def posting_pair_emit(
+    posts: DataFrame, block_cols: tuple[str, ...], df_ceiling: int | None
 ) -> DataFrame:
-    """Shared inverted-index Jaccard-pair plan over a documents frame.
-    ``df_ceiling``: drop posting lists longer than this (hot-shingle
-    cap) before the quadratic combination emit; ``None`` = exact."""
-    # The plan uses the shingle table on THREE branches (postings +
-    # two size sides); hashed_shingle_table materializes it once (the
-    # same staging a 100 TB run would do before a self-join).
-    g = hashed_shingle_table(spark, d, extra_cols=("lang",))
-    sizes = g.select("doc_id", F.size("grams").alias("n_grams"))
-    posts = g.select("doc_id", "lang", F.explode("grams").alias("gram"))
+    """Inverted-index pair emit, the shared core of every
+    posting-list dedup plan here (trigram Jaccard / containment /
+    winnowed-fingerprint overlap / SimHash band buckets): group
+    ``(doc_id, *block_cols, gram)`` postings per ``(block, gram)``,
+    then emit every ``doc_a < doc_b`` combination of each sorted
+    posting list — ONE row per shared gram — for the caller to count
+    (intersection size) or distinct (candidate set).
+
+    ``df_ceiling``: drop posting lists longer than this (hot-key cap)
+    before the quadratic combination emit; ``None`` = exact. A gram
+    shared by > df_ceiling documents is boilerplate (template headers,
+    navigation chrome), carries no near-dup signal, and would emit
+    O(df²) pairs — at web scale a df-1e6 shingle alone is 5e11 pairs.
+    Dropping it bounds the emit at df_ceiling²/2 pairs per gram.
+    Trade-off: a TRUE near-dup pair whose entire overlap rides capped
+    grams is missed; ``docs_jaccard_df_ceiling_contract`` proves the
+    cap is engaged yet recall-neutral on the fixtures.
+
+    Grouping the posting list and emitting combinations with a nested
+    ``transform`` shuffles the postings ONCE (groupBy) instead of
+    twice (the a/b sides of a self-join) and skips the join probe
+    entirely — measured ~30% faster than the equi-self-join form at
+    sf0.1 and strictly less shuffle at any scale."""
     ids = F.sort_array(F.collect_list("doc_id"))
     grouped = (
-        posts.groupBy("lang", "gram").agg(ids.alias("ids")).filter(F.size("ids") >= 2)
+        posts.groupBy(*block_cols, "gram")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
     if df_ceiling is not None:
-        # df-ceiling: a gram shared by > df_ceiling documents is
-        # boilerplate (template headers, navigation chrome), carries no
-        # near-dup signal, and would emit O(df²) pairs — at web scale a
-        # df-1e6 shingle alone is 5e11 pairs. Dropping it bounds the
-        # emit at df_ceiling²/2 pairs per gram. Trade-off: a TRUE
-        # near-dup pair whose entire overlap rides capped grams is
-        # missed; the contract query proves the fixture pair set is
-        # unchanged, and the cap sits 4× above the observed max df.
         grouped = grouped.filter(F.size("ids") <= df_ceiling)
     # All (a < b) combinations from the sorted posting list: element i
     # paired with every later element. slice() is 1-based; the two-arg
@@ -300,9 +308,26 @@ def _jaccard_pairs_from(
             ),
         )
     )
+    return grouped.select(F.explode(combos).alias("p")).select(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+    )
+
+
+def _jaccard_pairs_from(
+    spark: SparkSession, d: DataFrame, df_ceiling: int | None
+) -> DataFrame:
+    """Shared inverted-index Jaccard-pair plan over a documents frame.
+    ``df_ceiling``: drop posting lists longer than this (hot-shingle
+    cap) before the quadratic combination emit; ``None`` = exact."""
+    # The plan uses the shingle table on THREE branches (postings +
+    # two size sides); hashed_shingle_table materializes it once (the
+    # same staging a 100 TB run would do before a self-join).
+    g = hashed_shingle_table(spark, d, extra_cols=("lang",))
+    sizes = g.select("doc_id", F.size("grams").alias("n_grams"))
+    posts = g.select("doc_id", "lang", F.explode("grams").alias("gram"))
     inter = (
-        grouped.select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        posting_pair_emit(posts, ("lang",), df_ceiling)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.alias("sa")
