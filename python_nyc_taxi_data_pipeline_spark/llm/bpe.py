@@ -337,6 +337,73 @@ def _bpe_encode_oracle(n_merges: int = N_MERGES) -> str:
     )
 
 
+def _bpe_fertility_oracle(n_merges: int = N_MERGES) -> str:
+    return (
+        _bpe_oracle(n_merges)
+        + f"""
+    SELECT t.source,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(len(v.syms)) AS DOUBLE) / count(*), 4)
+             AS fertility,
+           round(CAST(sum(len(t.word)) AS DOUBLE) / sum(len(v.syms)), 4)
+             AS chars_per_token
+    FROM (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ) t JOIN r{n_merges}_words v USING (word)
+    GROUP BY t.source
+    """
+    )
+
+
+@register(
+    "docs_bpe_fertility_report",
+    oracle=_bpe_fertility_oracle(),
+    tags=("llm", "tokenizer"),
+)
+def docs_bpe_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per SOURCE under the trained merge table —
+    the standard tokenizer-health report a curation pipeline runs
+    before committing a vocabulary: sources whose text fragments into
+    many tokens per word (high fertility) or few characters per token
+    are poorly served by the tokenizer (wrong domain, boilerplate,
+    encoding damage) and inflate training cost per useful character.
+
+    Same vocabulary-join shape as ``docs_bpe_encode`` (corpus words
+    join the tokenize-once-per-distinct-word table), rolled up by
+    source instead of doc: one join + one low-cardinality groupBy with
+    map-side combine. Counts are exact integers; the two ratios are
+    single IEEE divisions rounded to 4 dp — bit-identical cross-engine."""
+    _, vocab = bpe_train(spark, sf_dir)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        toks.join(vocab.select("word", F.size("syms").alias("n_sym")), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 @register("docs_bpe_encode", oracle=_bpe_encode_oracle(), tags=("llm", "tokenizer"))
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the trained tokenizer: per-doc BPE token counts under the

@@ -132,7 +132,7 @@ def _ensure_loaded() -> None:
     # longer determines the driver's 50-query window — `all_queries()`
     # re-orders by evidence.json (never-green first, stalest-green next),
     # so weak evidence always lands inside the checked window.
-    from .llm import bpe, classifier, clusters, collocations, dedup, fusion, grouped, kmeans, lm, quality, retrieval, segdedup, semdedup, similarity, spans, text  # noqa: F401
+    from .llm import bpe, classifier, clusters, collocations, dedup, fusion, grouped, kmeans, lm, overlap, quality, retrieval, segdedup, semdedup, similarity, spans, text  # noqa: F401
     from .llm import multimodal  # noqa: F401
 
     multimodal.register_binary_features()

@@ -63,6 +63,8 @@ QUERIES = (
     "docs_nb_lang_classifier",
     "docs_bigram_backoff_surprisal",
     "docs_bloom_decontamination",
+    "docs_winnowing_fingerprints",
+    "docs_simhash_band_pairs",
 )
 SCALES = (1, 2, 4)
 
@@ -155,6 +157,16 @@ MAX_EXPONENT = {
     # constant), so the probe/build shuffles and the candidate-remnant
     # exact join must all track corpus size ~linearly.
     "docs_bloom_decontamination": 1.35,
+    # Winnowing: per-doc selection is embarrassingly linear; the
+    # shared-fingerprint pair emit rides posting lists whose df the
+    # word-prefix inflation bijection preserves (copies share no
+    # grams), so pairs — and their shuffle — scale ~k.
+    "docs_winnowing_fingerprints": 1.35,
+    # SimHash band search: 60-vote fingerprint agg + 4 band rows per
+    # doc are linear; bijected copies hash to fresh fingerprints, so
+    # band buckets keep constant occupancy profiles under inflation
+    # and the capped quadratic emit stays ~k.
+    "docs_simhash_band_pairs": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
