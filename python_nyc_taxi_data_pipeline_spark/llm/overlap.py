@@ -290,6 +290,13 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.shiftright("selkey", _POS_BITS).alias("gram")
         )
         .distinct()
+        # THREE consumers (pair emit + both count sides): materialize
+        # the winnowed selection once instead of replaying the
+        # sort+window+distinct lineage per branch (the
+        # hashed_shingle_table barrier pattern). The selection is the
+        # COMPRESSED stream — 2/(w+1) of the k-grams — so this is the
+        # cheapest point to cut.
+        .localCheckpoint(eager=True)
     )
     counts = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
     pairs = (
