@@ -130,6 +130,31 @@ HEADLINERS = [
         "rollup.",
     ),
     (
+        "docs_winnowing_fingerprints",
+        "Winnowing / MOSS (r6): positional trigram hashing and the "
+        "(hash, rightmost-pos) window min run per document — the one "
+        "Sort+Window exchange keys doc_id, the natural storage key. "
+        "The packed-long min keeps tie-breaking inside whole-stage "
+        "codegen (no struct ordering). The winnowed selection — "
+        "2/(w+1) of the k-gram stream — is materialized once above a "
+        "localCheckpoint barrier for its three consumers (posting "
+        "pair emit + both per-doc count sides), then the shared "
+        "posting_pair_emit groups fingerprint posting lists and emits "
+        "doc-pair combinations JVM-side with the hot-key ceiling.",
+    ),
+    (
+        "docs_simhash_band_pairs",
+        "SimHash band search (r6): Charikar bit-vote fingerprinting "
+        "is one map-side-combined 60-column conditional-sum aggregate "
+        "over the shingle explode; fingerprints localCheckpoint once "
+        "and feed band explosion (4 rows/doc) AND both verify-join "
+        "sides. Band buckets group through the shared posting emit "
+        "with the hot-bucket cap; candidates are distinct-ed before "
+        "the two broadcast fingerprint joins and the bit_count(xor) "
+        "verify projection. The all-pairs form exists only as the "
+        "DuckDB oracle — the Spark plan never materializes O(n^2).",
+    ),
+    (
         "embeddings_semdedup_ivf_contract",
         "SemDeDup IVF contract (r6): both variants' assignments sit "
         "above localCheckpoint barriers (Lloyd's centroid matrix "
