@@ -56,9 +56,13 @@ ISOLATED_QUERIES = (
     "docs_ngram_jaccard_pairs",
     "docs_pack_payloads",
     "docs_segment_dedup_apply",
+    "docs_shingle_containment_pairs",
     "docs_simhash",
+    "docs_simhash_band_pairs",
     "docs_source_quality_report",
     "docs_unigram_surprisal_filter",
+    "docs_winnowing_fingerprints",
+    "docs_bpe_fertility_report",
     "embeddings_dedup_apply",
     "embeddings_kmeans",
     "embeddings_knn_label_probe",
