@@ -235,3 +235,151 @@ def test_fertility_report_consistency(spark):
         assert r.n_bpe_tokens >= r.n_words
         assert r.fertility == round(r.n_bpe_tokens / r.n_words, 4)
         assert r.chars_per_token > 0
+
+
+# ---------------------------------------------------------------------------
+# Independent pure-Python replays on a randomized corpus
+# ---------------------------------------------------------------------------
+
+def _random_corpus():
+    """Seeded corpus with the structures each op must detect: an exact
+    duplicate pair, a near-dup (small edit), an embedded short doc, a
+    shared-passage pair, plus unrelated noise docs."""
+    import random
+
+    rng = random.Random(420)
+    vocab = [f"v{i}" for i in range(40)]
+
+    def words(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    docs = {}
+    for i in range(12):
+        docs[i] = words(rng.randint(0, 70))
+    base = words(50)
+    docs[20] = base[:]                       # exact dup pair
+    docs[21] = base[:]
+    edited = base[:]
+    edited[10] = "EDIT"
+    docs[22] = edited                        # near-dup of 20/21
+    short = words(12)
+    docs[23] = short
+    docs[24] = short + words(55)             # 23 embedded in 24
+    passage = words(25)
+    docs[25] = words(15) + passage
+    docs[26] = passage + words(18)           # shared passage pair
+    return docs
+
+
+def _h_md5(s: str, n_hex: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:n_hex], 16)
+
+
+def _trigrams(ws):
+    return [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+
+
+def _py_winnow(ws):
+    """Pure-Python winnowing selection (distinct selected 40-bit
+    hashes) mirroring the documented spec, not the Spark code."""
+    grams = _trigrams(ws)
+    m = len(grams)
+    if m < 1:
+        return set()
+    keys = [
+        _h_md5(g, 10) * _POS_CAP + (_POS_CAP - 1 - p)
+        for p, g in enumerate(grams)
+    ]
+    sel = set()
+    for start in range(max(0, m - WINNOW_W) + 1):
+        window = keys[start : start + WINNOW_W]
+        sel.add(min(window) >> _POS_BITS)
+    return sel
+
+
+def test_winnowing_matches_python_replay(spark, tmp_path):
+    docs = _random_corpus()
+    sf = _write_docs(
+        spark, tmp_path, [(i, " ".join(ws)) for i, ws in docs.items()]
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.shared_fps, r.fp_a, r.fp_b, r.overlap)
+        for r in E.queries()["docs_winnowing_fingerprints"](spark, sf).collect()
+    }
+    sel = {i: _py_winnow(ws) for i, ws in docs.items()}
+    want = {}
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = len(sel[a] & sel[b])
+            if shared < 2 or not sel[a] or not sel[b]:
+                continue
+            ov = round(shared / min(len(sel[a]), len(sel[b])), 6)
+            if ov >= 0.2:
+                want[(a, b)] = (shared, len(sel[a]), len(sel[b]), ov)
+    assert got == want
+    assert (20, 21) in want  # the exact-dup pair must surface
+    assert (25, 26) in want  # the shared-passage pair must surface
+
+
+def test_simhash_band_pairs_matches_python_replay(spark, tmp_path):
+    docs = _random_corpus()
+    sf = _write_docs(
+        spark, tmp_path, [(i, " ".join(ws)) for i, ws in docs.items()]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in E.queries()["docs_simhash_band_pairs"](spark, sf).collect()
+    }
+    fps = {}
+    for i, ws in docs.items():
+        grams = set(_trigrams(ws))
+        if not grams:
+            continue
+        votes = [0] * 60
+        for g in grams:
+            h = _h_md5(g, 15)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        fps[i] = sum(1 << b for b in range(60) if votes[b] > 0)
+    want = {}
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham <= SIMHASH_MAX_HAMMING:
+                want[(a, b)] = ham
+    assert got == want
+    assert want.get((20, 21)) == 0  # exact dup at Hamming 0
+
+
+def test_containment_matches_python_replay(spark, tmp_path):
+    docs = _random_corpus()
+    sf = _write_docs(
+        spark, tmp_path, [(i, " ".join(ws)) for i, ws in docs.items()]
+    )
+    got = {
+        (r.doc_sub, r.doc_super): (r.shared_grams, r.n_sub_grams, r.containment)
+        for r in E.queries()["docs_shingle_containment_pairs"](
+            spark, sf
+        ).collect()
+    }
+    sets = {
+        i: set(_trigrams(ws)) for i, ws in docs.items() if len(ws) >= 3
+    }
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            cont = round(inter / len(sets[a]), 6)
+            if cont >= 0.5:
+                want[(a, b)] = (inter, len(sets[a]), cont)
+    assert got == want
+    assert (23, 24) in want  # embedded doc detected
+    assert want[(23, 24)][2] == 1.0
