@@ -675,7 +675,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-filter) closed that gap, and the scale_stress crossover probe
     (STRESS_local.json ``funnel_form_compare``) now measures the two
     forms within noise of each other: union/singlepass warm ratio
-    1.09 at 1×, 1.08 at 2×, 1.01 at 4× corpus inflation. No crossover
+    1.09 at 1×, 1.08 at 2×, 1.01 at 4× corpus inflation on the first
+    recorded sweep and 1.18 / 0.95 / 1.21 on the round-final one —
+    the ratio oscillates around parity with no scale trend, i.e. the
+    forms are equivalent within run noise. No consistent crossover
     appeared — the union form's branch reuse amortizes WITH scale
     rather than against it — so this form stays registered and no
     input-size gating is warranted; re-probe if the stage list grows.

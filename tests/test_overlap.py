@@ -383,3 +383,26 @@ def test_containment_matches_python_replay(spark, tmp_path):
     assert got == want
     assert (23, 24) in want  # embedded doc detected
     assert want[(23, 24)][2] == 1.0
+
+
+def test_simhash_bucket_cap_drops_hot_buckets_explicitly(spark, tmp_path, monkeypatch):
+    """The hot-bucket cap's documented trade-off, pinned: a band
+    bucket larger than SIMHASH_BUCKET_CAP is dropped BEFORE the
+    quadratic emit, losing its pairs (unlike the shingle df-ceiling,
+    these can be true pairs — the loss is explicit and bounded), while
+    buckets at or under the cap still pair completely. Patch the cap
+    tiny and build two exact-dup clusters straddling it."""
+    from python_nyc_taxi_data_pipeline_spark.llm import overlap as O
+
+    hot = " ".join(f"h{i % 11}" for i in range(40))
+    cold = " ".join(f"c{i % 13}" for i in range(40))
+    rows = [(i, hot) for i in range(5)] + [(100, cold), (101, cold)]
+    sf = _write_docs(spark, tmp_path, rows)
+    monkeypatch.setattr(O, "SIMHASH_BUCKET_CAP", 3)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in E.queries()["docs_simhash_band_pairs"](spark, sf).collect()
+    }
+    # the 5-member hot cluster exceeds the cap in every band: all its
+    # pairs are lost; the 2-member cluster pairs normally
+    assert got == {(100, 101)}
