@@ -35,7 +35,7 @@ in tests); N=15 hex chars (60 bits) keeps the value inside a signed
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -223,9 +223,10 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     refuses documents with ≥ 2^{_POS_BITS} k-grams rather than silently
     aliasing positions (the segdedup packing-guard pattern).
 
-    Scale: selection is per-document (window partitioned by doc_id —
-    one shuffle whose key is the natural storage key; at 100 TB this
-    sorts each document's hash stream locally, never cross-doc).
+    Scale: selection is per-document and entirely MAP-SIDE — the
+    packed keys and the w-wide sliding min are array expressions
+    (slice + array_min, O(m·w) arithmetic) inside the scan stage, so
+    no shuffle exists before the pair emit at any corpus size.
     Matching reuses the inverted-index emit on winnowed fingerprints,
     whose stream is (w+1)/2 ≈ {(WINNOW_W + 1) / 2:.1f}× smaller than
     the raw shingle stream the Jaccard path indexes — winnowing IS the
@@ -251,51 +252,53 @@ def docs_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), n_kgrams - 1),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("ws"), i + 1),
-            F.element_at(F.col("ws"), i + 2),
-            F.element_at(F.col("ws"), i + 3),
-        ),
+    # Packed (hash, rightmost-tie) keys as ONE map-side array — the
+    # sliding window min is per-document sequential logic, so it never
+    # needs the posexplode → window-sort-per-doc → distinct round-trip
+    # (two corpus shuffles); with w = {WINNOW_W} the slice/array_min
+    # scan is O(m·w) arithmetic inside the scan stage, and
+    # array_distinct IS the per-doc dedup the global DISTINCT did.
+    keys = F.transform(
+        F.sequence(F.lit(0), guarded_m - 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ws"), i + 1),
+                        F.element_at(F.col("ws"), i + 2),
+                        F.element_at(F.col("ws"), i + 3),
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * _POS_CAP
+        + (F.lit(_POS_CAP - 1) - i),
     )
-    t = w.select(
-        "doc_id",
-        guarded_m.alias("m"),
-        F.posexplode(grams).alias("pos", "gram"),
-    ).select(
-        "doc_id",
-        "m",
-        "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    key = F.col("h") * _POS_CAP + (F.lit(_POS_CAP - 1) - F.col("pos"))
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, WINNOW_W - 1)
+    sel_arr = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.lit(0), F.col("m") - WINNOW_W)
+            ),
+            lambda i: F.shiftright(
+                F.array_min(F.slice(F.col("keys"), i + 1, WINNOW_W)),
+                _POS_BITS,
+            ),
+        )
     )
     sel = (
-        t.select(
-            "doc_id",
-            "pos",
-            "m",
-            F.min(key).over(win).alias("selkey"),
-        )
-        .filter(F.col("pos") <= F.greatest(F.lit(0), F.col("m") - WINNOW_W))
-        .select(
-            "doc_id", F.shiftright("selkey", _POS_BITS).alias("gram")
-        )
-        .distinct()
+        w.select("doc_id", F.col("ws"), guarded_m.alias("m"))
+        .withColumn("keys", keys)
+        .select("doc_id", F.explode(sel_arr).alias("gram"))
         # THREE consumers (pair emit + both count sides): materialize
         # the winnowed selection once instead of replaying the
-        # sort+window+distinct lineage per branch (the
-        # hashed_shingle_table barrier pattern). The selection is the
-        # COMPRESSED stream — 2/(w+1) of the k-grams — so this is the
-        # cheapest point to cut.
+        # scan lineage per branch (the hashed_shingle_table barrier
+        # pattern). The selection is the COMPRESSED stream — 2/(w+1)
+        # of the k-grams — so this is the cheapest point to cut.
         .localCheckpoint(eager=True)
     )
     counts = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))

@@ -301,32 +301,39 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-level near-dup misses and span-level n-grams pay more to
     find.
 
-    Plan: explode → per-doc prefix-sum window (bounded by document
-    length, never a global window) → one (doc, chunk) aggregation with
-    an order-pinned string fold → one hash-keyed count join. All
+    Plan: chunking is a single map-side ``aggregate`` fold over the
+    split array — the boundary scan is per-document SEQUENTIAL logic,
+    so it never needs the explode → per-doc window → collect_list
+    round-trip (two full-corpus shuffles: the window sort and the
+    chunk re-assembly) the naive plan pays; the fold closes a chunk
+    the moment its boundary word arrives, entirely inside the scan
+    stage. The only shuffle left is the hash-keyed count join. All
     shuffle keys are 16-byte hashes or (doc_id, chunk_id) ints."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    # struct(done: closed chunks, cur: open chunk); a boundary word is
+    # the LAST word of its chunk (matches the oracle's 1-PRECEDING
+    # prefix sum); a trailing open chunk is flushed by the finisher,
+    # and a trailing boundary leaves cur empty — no empty chunk.
+    chunk_fold = F.expr(
+        "aggregate("
+        "  split(text, ' '),"
+        "  struct(CAST(array() AS ARRAY<ARRAY<STRING>>) AS done,"
+        "         CAST(array() AS ARRAY<STRING>) AS cur),"
+        f"  (acc, w) -> IF(substr(md5(w), 1, 1) = '{CDC_BOUNDARY_NIBBLE}',"
+        "      struct(array_append(acc.done, array_append(acc.cur, w)) AS done,"
+        "             CAST(array() AS ARRAY<STRING>) AS cur),"
+        "      struct(acc.done AS done,"
+        "             array_append(acc.cur, w) AS cur)),"
+        "  acc -> IF(size(acc.cur) > 0,"
+        "            array_append(acc.done, acc.cur), acc.done))"
     )
-    is_b = (
-        F.substring(F.md5("word"), 1, 1) == CDC_BOUNDARY_NIBBLE
-    ).cast("int")
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cut = tok.withColumn(
-        "chunk_id", F.coalesce(F.sum(is_b).over(w), F.lit(0)).cast("long")
-    )
-    ordered_words = F.transform(
-        F.sort_array(F.collect_list(F.struct("pos", "word"))),
-        lambda s: s.getField("word"),
-    )
-    chunks = cut.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-        F.md5(F.concat_ws(" ", ordered_words)).alias("chunk_hash"),
+    chunks = d.select(
+        "doc_id", F.posexplode(chunk_fold).alias("chunk_id", "cw")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("cw").cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", F.col("cw"))).alias("chunk_hash"),
     )
     counts = chunks.groupBy("chunk_hash").agg(
         F.count_distinct("doc_id").cast("long").alias("n_docs_sharing")

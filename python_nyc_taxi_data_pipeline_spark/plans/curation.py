@@ -1014,28 +1014,39 @@ def docs_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = grams.filter(F.col("hh") < "cd")
     tr_sh = train.select("doc_id", F.explode("grams").alias("sh"))
-    # probe: K positions per shingle -> broadcast bloom lookup -> a
-    # shingle is a candidate iff ALL K bits are set
-    cand = (
-        tr_sh.select("doc_id", "sh", F.explode(positions(F.col("sh"))).alias("pos"))
-        .select(
-            "doc_id",
-            "sh",
-            F.expr("CAST(pos DIV 64 AS INT)").alias("widx"),
-            F.expr("CAST(pos % 64 AS INT)").alias("bit"),
+    # probe: K positions per shingle -> K broadcast bloom lookups -> a
+    # shingle is a candidate iff ALL K bits are set. One broadcast-hash
+    # join PER HASH keeps the probe entirely map-side — the former
+    # positions-explode + groupBy(doc_id, sh) form paid a
+    # corpus-shingle-sized shuffle keyed by the shingle STRING just to
+    # re-merge the K rows each shingle had been split into.
+    cand = tr_sh
+    bit_set = []
+    for k in range(BLOOM_K):
+        pos = F.pmod(F.xxhash64(F.col("sh"), F.lit(k)), F.lit(bloom_m))
+        cand = cand.withColumn(f"widx{k}", (pos / 64).cast("int")).withColumn(
+            f"bit{k}", pos.cast("int") % 64
         )
-        .join(bloom, "widx", "left")
-        .groupBy("doc_id", "sh")
-        .agg(
-            F.sum(
-                F.when(
-                    F.expr("word IS NOT NULL AND (shiftright(word, bit) & 1) = 1"), 1
-                ).otherwise(0)
-            ).alias("k_hits")
+        cand = cand.join(
+            F.broadcast(
+                bloom.select(
+                    F.col("widx").alias(f"widx{k}"),
+                    F.col("word").alias(f"word{k}"),
+                )
+            ),
+            f"widx{k}",
+            "left",
         )
-        .filter(F.col("k_hits") == BLOOM_K)
-        .select("doc_id", "sh")
-    )
+        bit_set.append(
+            F.expr(
+                f"word{k} IS NOT NULL"
+                f" AND (shiftright(word{k}, bit{k}) & 1) = 1"
+            )
+        )
+    all_set = bit_set[0]
+    for c in bit_set[1:]:
+        all_set = all_set & c
+    cand = cand.filter(all_set).select("doc_id", "sh")
     # exact join on the candidate remnant only — the production path
     matches = (
         cand.join(test_sh, "sh")

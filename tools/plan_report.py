@@ -122,18 +122,23 @@ HEADLINERS = [
         "docs_bloom_decontamination",
         "Bloom-prefiltered decontamination (r6): the test split's "
         "shingles collapse to a <=M/64-row (widx, word) bitmap via one "
-        "bit_or hash-aggregate, the probe side joins it as a "
-        "BroadcastHashJoin (explicit hint), and only the ~1%-FPR "
-        "candidate remnant reaches the exact string equi-join. All "
-        "corpus-sized frames sit above localCheckpoint barriers; the "
-        "one train-shingle shuffle keys (doc_id, sh) for the K-bit "
-        "rollup.",
+        "bit_or hash-aggregate, and the probe is K=4 BroadcastHashJoins "
+        "against that bitmap — one per hash function — so membership "
+        "is decided entirely MAP-SIDE (the earlier positions-explode + "
+        "groupBy(doc_id, sh) form paid a corpus-shingle-sized shuffle "
+        "keyed by the shingle string just to re-merge the K rows). "
+        "Only the ~1%-FPR candidate remnant reaches the exact string "
+        "equi-join; corpus-sized frames sit above localCheckpoint "
+        "barriers.",
     ),
     (
         "docs_winnowing_fingerprints",
         "Winnowing / MOSS (r6): positional trigram hashing and the "
-        "(hash, rightmost-pos) window min run per document — the one "
-        "Sort+Window exchange keys doc_id, the natural storage key. "
+        "(hash, rightmost-pos) sliding-window min are ARRAY expressions "
+        "(slice + array_min over the packed-key array, O(m*w) "
+        "arithmetic) inside the scan stage — no exchange exists before "
+        "the pair emit; the earlier posexplode + per-doc window-sort + "
+        "DISTINCT form paid two corpus shuffles for the same selection. "
         "The packed-long min keeps tie-breaking inside whole-stage "
         "codegen (no struct ordering). The winnowed selection — "
         "2/(w+1) of the k-gram stream — is materialized once above a "

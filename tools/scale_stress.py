@@ -65,6 +65,7 @@ QUERIES = (
     "docs_bloom_decontamination",
     "docs_winnowing_fingerprints",
     "docs_simhash_band_pairs",
+    "docs_cdc_chunks",
 )
 SCALES = (1, 2, 4)
 
@@ -167,6 +168,10 @@ MAX_EXPONENT = {
     # band buckets keep constant occupancy profiles under inflation
     # and the capped quadratic emit stays ~k.
     "docs_simhash_band_pairs": 1.35,
+    # CDC chunking: the boundary fold is map-side array logic; the only
+    # shuffles are the (doc_id, chunk)-keyed hash agg and the 16-byte
+    # chunk-hash count join — both linear in corpus size.
+    "docs_cdc_chunks": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
