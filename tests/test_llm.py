@@ -1447,3 +1447,66 @@ def test_bloom_decontamination_matches_python_replay(spark):
         assert r["exact_contaminated"] == (n_match > 0)
     assert any(r["exact_contaminated"] for r in rows)
     assert any(not r["exact_contaminated"] for r in rows)
+
+
+def test_cdc_chunk_fold_matches_python_replay(spark, tmp_path):
+    """Full Python replay of the map-side aggregate() chunk fold,
+    pinning the edge cases the former window form defined: a boundary
+    word is the LAST word of its chunk; a trailing boundary leaves no
+    empty chunk; a doc whose every word is a boundary yields one
+    chunk per word; a boundary-free doc is one chunk."""
+    import hashlib
+
+    from python_nyc_taxi_data_pipeline_spark.plans.analytics2 import (
+        CDC_BOUNDARY_NIBBLE,
+    )
+
+    def is_boundary(w):
+        return hashlib.md5(w.encode()).hexdigest()[0] == CDC_BOUNDARY_NIBBLE
+
+    # mine words of each kind so the fixture hits every edge
+    pool = [f"w{i}" for i in range(4000)]
+    bnd = [w for w in pool if is_boundary(w)]
+    plain = [w for w in pool if not is_boundary(w)]
+    assert len(bnd) >= 4
+
+    def replay(words):
+        chunks, cur = [], []
+        for w in words:
+            cur.append(w)
+            if is_boundary(w):
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        return [
+            (
+                ci,
+                len(cw),
+                hashlib.md5(" ".join(cw).encode()).hexdigest(),
+            )
+            for ci, cw in enumerate(chunks)
+        ]
+
+    docs = {
+        1: plain[:5] + bnd[:1] + plain[5:8] + bnd[1:2],  # trailing boundary
+        2: bnd[:4],  # every word a boundary
+        3: plain[:6],  # no boundary at all
+        4: plain[6:9] + bnd[2:3] + plain[9:12],  # boundary mid-doc
+        5: [bnd[3]],  # single boundary word
+    }
+    fixture = tmp_path / "sfcdc"
+    fixture.mkdir()
+    spark.createDataFrame(
+        [(i, " ".join(ws), "en", "web", 1) for i, ws in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(fixture / "documents.parquet"))
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_words, r.chunk_hash)
+        for r in E.queries()["docs_cdc_chunks"](spark, str(fixture)).collect()
+    }
+    want = {}
+    for doc_id, ws in docs.items():
+        for ci, n, h in replay(ws):
+            want[(doc_id, ci)] = (n, h)
+    assert got == want

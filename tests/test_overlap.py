@@ -406,3 +406,50 @@ def test_simhash_bucket_cap_drops_hot_buckets_explicitly(spark, tmp_path, monkey
     # the 5-member hot cluster exceeds the cap in every band: all its
     # pairs are lost; the 2-member cluster pairs normally
     assert got == {(100, 101)}
+
+
+def test_winnowing_selection_matches_python_replay(spark, tmp_path):
+    """Full Python replay of the array-expression selection (packed
+    keys -> w-wide sliding min -> distinct), including the m < w edge
+    (document shorter than one window selects the single global min).
+    Two identical docs pair with overlap 1.0, so the reported fp
+    counts expose the per-doc selection size for comparison."""
+    import hashlib
+
+    def replay_fps(words):
+        m = len(words) - (WINNOW_K - 1)
+        keys = []
+        for i in range(m):
+            gram = " ".join(words[i : i + WINNOW_K])
+            h = int(hashlib.md5(gram.encode()).hexdigest()[:10], 16)
+            keys.append(h * _POS_CAP + (_POS_CAP - 1 - i))
+        sel = {
+            min(keys[i : i + WINNOW_W]) >> _POS_BITS
+            for i in range(max(0, m - WINNOW_W) + 1)
+        }
+        return sel
+
+    long_words = [f"w{i}" for i in range(30)]
+    short_words = ["p", "q", "r", "s", "t"]  # m = 3 < WINNOW_W
+    cases = [(long_words, (1, 2)), (short_words, (3, 4))]
+    rows = []
+    for words, (ida, idb) in cases:
+        rows += [(ida, " ".join(words)), (idb, " ".join(words))]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in E.queries()["docs_winnowing_fingerprints"](spark, sf).collect()
+    }
+    for words, (ida, idb) in cases:
+        expected = replay_fps(words)
+        if len(expected) < 2:
+            # below WINNOW_MIN_SHARED: identical docs must NOT pair
+            assert (ida, idb) not in got
+            continue
+        r = got[(ida, idb)]
+        assert r.fp_a == r.fp_b == len(expected)
+        assert r.shared_fps == len(expected)
+        assert r.overlap == 1.0
+    # the short pair shares every fingerprint it has; whether it
+    # appears depends only on the floor — pin the m<w selection size
+    assert len(replay_fps(short_words)) == 1
