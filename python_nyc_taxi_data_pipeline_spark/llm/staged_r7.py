@@ -1,0 +1,452 @@
+"""Round-7 registration candidates — implemented, oracle-twinned and
+pytest-verified in round 6, REGISTERED in round 7.
+
+Why staged and not registered: the driver's correctness gate checks the
+FIRST 50 queries in stalest-evidence order each round, and round 6's
+window is exactly the ten r6 additions plus the forty remaining
+r3-evidence queries — the rotation the round-5 verdict prescribed
+(VERDICT.md "Next round #1"). An eleventh no-evidence query would sort
+ahead of an r3 query and evict it from the window, leaving its evidence
+stale for another round. So these stay OUT of ``registry`` until round
+7: flipping ``stage`` to ``registry.register`` (identical signature)
+and importing this module from ``registry._ensure_loaded`` is the whole
+registration step.
+
+The operators (all beyond-reference LLM-pipeline ops; the reference —
+``/root/reference`` — has no analog, its surface is the taxi medallion
+flow):
+
+- ``docs_minhash_oph_pairs``: one-permutation hashing (OPH) MinHash
+  with densification (Li, Owen & Zhang NeurIPS'12; Shrivastava & Li
+  ICML'14) — ONE hash pass over the shingles instead of one pass per
+  permutation. At 100 TB signature computation dominates near-dup cost
+  (it touches every shingle of every document); OPH cuts that stage by
+  ~PERMS× while keeping the banded-LSH candidate layout identical.
+- ``docs_semantic_decontamination``: the embedding-space twin of
+  ``docs_train_test_contamination`` — for every held-out doc, its
+  nearest TRAIN-split neighbor by cosine and a contaminated verdict.
+  Lexical decontamination misses paraphrases; this is the semantic
+  audit run before an eval set is trusted (cf. GPT-3 appx C, but in
+  embedding space).
+- ``corpus_vocab_growth``: Heaps'-law vocabulary-growth report —
+  cumulative distinct vocabulary vs cumulative token mass across ten
+  corpus slices. The report a tokenizer-training run reads to decide
+  whether more data still buys vocabulary (and the sanity check that a
+  dedup pass actually flattened the curve).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import QueryFn
+from .dedup import (
+    GRAMS_CTE_SQL,
+    JACCARD_THRESHOLD,
+    _verify_jaccard,
+    hashed_shingle_table,
+    posting_pair_emit,
+)
+from .similarity import NEARDUP_COSINE, _dot, _norm
+
+
+@dataclass(frozen=True)
+class StagedQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+STAGED: dict[str, StagedQuery] = {}
+
+
+def stage(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Mirror of ``registry.register`` that records into ``STAGED``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query name {name!r}")
+        STAGED[name] = StagedQuery(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# One-permutation hashing (OPH) MinHash
+# --------------------------------------------------------------------
+
+# 16 bins → the same 8 bands × 2 rows banding as the k-permutation
+# family (llm/dedup.py MINHASH_PERMS/LSH_BANDS), so the LSH s-curve
+# midpoint (1/8)^(1/2) ≈ 0.35 sits just above the 0.30 verify
+# threshold. The difference is the signature COST: one xxhash64 per
+# shingle total, vs one per (shingle, permutation) — the 16× hashing
+# reduction is the entire point of OPH at corpus scale.
+OPH_BINS = 16
+_OPH_SALT = 77  # decouples the OPH rank value from the raw shingle bits
+
+
+def oph_hashed(grams: Column) -> Column:
+    """The single hash pass: re-hash each 64-bit shingle fingerprint
+    once with a fixed salt. Bin index (pmod) and rank value (the hash
+    itself) both derive from this ONE value — that is what makes OPH
+    one-permutation. Callers must MATERIALIZE the result (select +
+    localCheckpoint) before feeding ``oph_signature``: lambda bodies
+    are exempt from common-subexpression elimination, so an inline
+    expression would be re-evaluated once per bin, silently restoring
+    the k-pass cost OPH exists to avoid."""
+    return F.transform(grams, lambda g: F.xxhash64(g, F.lit(_OPH_SALT)))
+
+
+def oph_signature(hs: Column, k: int = OPH_BINS) -> Column:
+    """Densified OPH signature from a MATERIALIZED hash-array column.
+
+    Plain OPH: bin j's value is min{h : h mod k = j}. A document with
+    few shingles leaves bins EMPTY, and an empty bin would band-match
+    everything (NULL) or nothing — both wrong. Densification
+    (Shrivastava & Li '14): empty bin j borrows from the nearest
+    non-empty bin to its right (circular), at borrow distance t > 0 the
+    borrowed value is re-hashed with t so different distances stay
+    distinguishable (the re-hash replaces the paper's ``v + t·C``
+    offset — ANSI mode rejects intentional long wraparound, and a
+    collision-free remix is what the offset is for).
+
+    Cost note: the k filter passes below scan the materialized 8-byte
+    hash array with a pmod compare per element — arithmetic, not
+    hashing. The xxhash64 budget stays ONE call per shingle."""
+    bins = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(F.filter(hs, lambda h: F.pmod(h, F.lit(k)) == j)),
+    )
+
+    def densify(bins_col: Column) -> Column:
+        def first_filled(j: Column) -> Column:
+            candidates = F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda t: F.struct(
+                    F.element_at(bins_col, (F.pmod(j + t, F.lit(k)) + 1).cast("int")).alias("v"),
+                    t.alias("t"),
+                ),
+            )
+            hit = F.element_at(F.filter(candidates, lambda s: s["v"].isNotNull()), 1)
+            return F.when(hit["t"] == 0, hit["v"]).otherwise(
+                F.xxhash64(hit["v"], hit["t"])
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), first_filled)
+
+    return densify(bins)
+
+
+def oph_band_index(
+    sig_df: DataFrame, k: int = OPH_BINS, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows from a (doc_id, sig) frame —
+    the same persistable append-only band-index artifact as
+    ``minhash_band_index`` (band hashes are pure per-document
+    functions), just fed by the cheaper signature."""
+    rows_per_band = k // bands
+    return sig_df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band_idx"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band),
+                        band,
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+@stage(
+    "docs_minhash_oph_pairs",
+    # Same brute-force oracle as docs_minhash_lsh_pairs: the verify
+    # step makes precision exact by construction, and on the fixtures
+    # the densified-OPH bands recover every qualifying pair (the
+    # hash compare against the UNBLOCKED exact pair set proves recall
+    # end-to-end, exactly as it does for the k-permutation family).
+    oracle=f"""
+    WITH g AS (
+{GRAMS_CTE_SQL}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                6) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "lsh", "oph"),
+)
+def docs_minhash_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via densified one-permutation MinHash + LSH
+    banding + exact-Jaccard verification at ≥ 0.30.
+
+    Identical candidate LAYOUT to ``docs_minhash_lsh_pairs`` (8 bands
+    × 2 rows, bucket-then-combine emit, shingle arrays never shuffle);
+    the signature stage hashes each shingle ONCE instead of 16 times.
+    At 100 TB the signature pass is the dominant near-dedup cost — it
+    reads every shingle of every document — so this is the variant a
+    production run deploys, with the k-permutation family as the
+    reference implementation it is calibrated against."""
+    d = load(spark, sf_dir, "documents")
+    g = hashed_shingle_table(spark, d)
+    # ONE hash pass, materialized so the per-bin filters scan longs
+    # instead of re-hashing (see oph_hashed docstring).
+    hs = g.select("doc_id", oph_hashed(F.col("grams")).alias("hs")).localCheckpoint(
+        eager=True
+    )
+    sig = hs.select("doc_id", oph_signature(F.col("hs")).alias("sig"))
+    posts = oph_band_index(sig).select(
+        "doc_id", "band_idx", F.col("band_hash").alias("gram")
+    )
+    candidates = (
+        posting_pair_emit(posts, ("band_idx",), None)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _verify_jaccard(g, candidates)
+
+
+# --------------------------------------------------------------------
+# Semantic train/test decontamination
+# --------------------------------------------------------------------
+
+# The deterministic md5 doc split used across the curation suite
+# (plans/curation.py): first two hex chars of md5(doc_id) — < 'cd' is
+# train (~80%), >= 'e6' is test (~10%). Copied as an EXPRESSION (not
+# imported) because curation keeps it inline in its SQL oracles; the
+# cross-engine agreement of the md5 prefix is pinned by
+# tests/test_overlap.py::test_cross_engine_md5_hash_agrees.
+def _split_hh(c: Column) -> Column:
+    return F.substring(F.md5(c.cast("string")), 1, 2)
+
+
+@stage(
+    "docs_semantic_decontamination",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hh
+      FROM documents
+    ), n AS (
+      SELECT s.doc_id, s.hh,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(list_transform(
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                    x -> x * x), (acc, x) -> acc + x)) AS nrm
+      FROM split s JOIN embeddings e ON e.vec_id = s.doc_id
+    ), pairs AS (
+      SELECT t.doc_id AS test_doc_id, c.doc_id AS train_doc_id,
+             round(list_reduce(list_transform(list_zip(t.v, c.v),
+                                              p -> p[1] * p[2]),
+                               (acc, x) -> acc + x)
+                   / (t.nrm * c.nrm), 6) AS cosine_sim
+      FROM n t, n c
+      WHERE t.hh >= 'e6' AND c.hh < 'cd'
+    )
+    SELECT test_doc_id, train_doc_id, cosine_sim,
+           cosine_sim >= {NEARDUP_COSINE} AS contaminated
+    FROM pairs
+    QUALIFY row_number() OVER (
+      PARTITION BY test_doc_id ORDER BY cosine_sim DESC, train_doc_id
+    ) = 1
+    """,
+    tags=("llm", "decontamination", "embedding"),
+)
+def docs_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination audit: for every TEST-split doc,
+    its nearest TRAIN-split doc by cosine and a ``contaminated``
+    verdict at the corpus near-dup threshold (0.42). The lexical
+    auditor (``docs_train_test_contamination``) catches shared
+    n-grams; this catches paraphrase-level leakage those miss — the
+    check run before a held-out set is trusted.
+
+    Scale shape: the held-out split is the SMALL side by construction
+    (a few k docs even at 100 TB), so the test block broadcasts and
+    the train corpus STREAMS — one scan, no corpus shuffle. The
+    per-test argmax is a struct-max aggregate (map-side combinable),
+    not a window over the pair table, so nothing n·q-sized is ever
+    sorted; output is |test| rows. Cosines are rounded to 6 dp before
+    the argmax and tie-broken by min train id, making the winner
+    deterministic and cross-engine stable (same left-fold dot product
+    both engines, cf. the knn family).
+
+    For a held-out set too large to broadcast, the dense stage swaps
+    for the Matryoshka prefix-shortlist path (`llm/similarity.py`) —
+    the same composition the ANN hybrid uses."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _split_hh(F.col("doc_id")).alias("hh")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    n = (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            "doc_id",
+            "hh",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .select("doc_id", "hh", "v", _norm(F.col("v")).alias("nrm"))
+    )
+    test = n.filter(F.col("hh") >= "e6").select(
+        F.col("doc_id").alias("test_doc_id"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tnrm"),
+    )
+    train = n.filter(F.col("hh") < "cd").select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    pairs = train.join(
+        F.broadcast(test), F.col("test_doc_id") != F.col("train_doc_id")
+    )
+    cos = F.round(
+        _dot(F.col("tv"), F.col("cv")) / (F.col("tnrm") * F.col("cnrm")), 6
+    )
+    # argmax as a struct max: (cosine, -train_id) orders by cosine
+    # desc then train_id asc — a partial-aggregable one-row-per-test
+    # reduction instead of sorting the |train|·|test| pair table.
+    best = (
+        pairs.select(
+            "test_doc_id",
+            F.struct(
+                cos.alias("c"), (F.lit(0) - F.col("train_doc_id")).alias("nid")
+            ).alias("sc"),
+        )
+        .groupBy("test_doc_id")
+        .agg(F.max("sc").alias("sc"))
+    )
+    return best.select(
+        "test_doc_id",
+        (F.lit(0) - F.col("sc.nid")).alias("train_doc_id"),
+        F.col("sc.c").alias("cosine_sim"),
+        (F.col("sc.c") >= NEARDUP_COSINE).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------
+# Heaps'-law vocabulary growth
+# --------------------------------------------------------------------
+
+VOCAB_GROWTH_SLICES = 10
+
+
+@stage(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH mx AS (
+      SELECT max(doc_id) + 1 AS mx FROM documents
+    ), docs AS (
+      SELECT doc_id,
+             CAST((doc_id * {VOCAB_GROWTH_SLICES}) // mx.mx AS INT) AS slice_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents, mx
+    ), toks AS (
+      SELECT d.doc_id, w.w AS word
+      FROM documents d, unnest(string_split(d.text, ' ')) AS w(w)
+    ), firsts AS (
+      SELECT word, min(doc_id) AS first_doc FROM toks GROUP BY word
+    ), new_words AS (
+      SELECT CAST((first_doc * {VOCAB_GROWTH_SLICES}) // mx.mx AS INT) AS slice_id,
+             count(*) AS new_words
+      FROM firsts, mx
+      GROUP BY 1
+    ), per_slice AS (
+      SELECT slice_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM docs
+      GROUP BY slice_id
+    )
+    SELECT p.slice_id, p.n_docs, p.n_tokens,
+           CAST(coalesce(nw.new_words, 0) AS BIGINT) AS new_words,
+           CAST(sum(coalesce(nw.new_words, 0))
+                OVER (ORDER BY p.slice_id) AS BIGINT) AS cum_vocab,
+           CAST(sum(p.n_tokens) OVER (ORDER BY p.slice_id) AS BIGINT) AS cum_tokens
+    FROM per_slice p LEFT JOIN new_words nw USING (slice_id)
+    """,
+    tags=("llm", "textstats"),
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth report: the corpus is cut into ten
+    doc_id-range slices and each row reports the slice's doc/token
+    mass, the number of words FIRST seen in it, and the cumulative
+    vocabulary/token curves. Sub-linear cum_vocab growth (Heaps' law,
+    V ≈ K·nᵝ with β ≈ 0.5) is what healthy fresh text looks like; a
+    dedup pass that worked flattens the tail, and a tokenizer-training
+    run reads this to decide whether more corpus still buys
+    vocabulary.
+
+    Scale shape: one corpus scan for per-doc stats (no shuffle), one
+    explode → groupBy(word) for first occurrences — the same
+    map-side-combined word-key shuffle as ``corpus_vocabulary`` — then
+    everything aggregates to ten rows. The cumulative curves come from
+    a triangular self-join of that ten-row frame (the
+    ``events_cum_users_hll_merge`` pattern) — no global window, so the
+    plan carries no single-partition exchange at any scale.
+    All integers, exact at any scale. New-word attribution uses
+    min(doc_id) — ingestion order — so the report is deterministic and
+    incremental-friendly (a new batch can only ADD first-occurrences
+    in its own id range)."""
+    n_slices = VOCAB_GROWTH_SLICES
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("mx"))
+
+    def slice_of(doc_col: Column) -> Column:
+        return F.floor(doc_col * n_slices / F.col("mx")).cast("int")
+
+    docs = d.crossJoin(F.broadcast(mx)).select(
+        slice_of(F.col("doc_id")).alias("slice_id"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    per_slice_docs = docs.groupBy("slice_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    firsts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_words = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(slice_of(F.col("first_doc")).alias("slice_id"))
+        .groupBy("slice_id")
+        .agg(F.count("*").alias("new_words"))
+    )
+    per_slice = (
+        per_slice_docs.join(new_words, "slice_id", "left")
+        .select(
+            "slice_id",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+    )
+    prior = per_slice.select(
+        F.col("slice_id").alias("b_slice"),
+        F.col("new_words").alias("b_new"),
+        F.col("n_tokens").alias("b_tokens"),
+    )
+    return (
+        per_slice.join(F.broadcast(prior), F.col("b_slice") <= F.col("slice_id"))
+        .groupBy("slice_id", "n_docs", "n_tokens", "new_words")
+        .agg(
+            F.sum("b_new").alias("cum_vocab"),
+            F.sum("b_tokens").alias("cum_tokens"),
+        )
+        .select(
+            "slice_id", "n_docs", "n_tokens", "new_words", "cum_vocab", "cum_tokens"
+        )
+    )

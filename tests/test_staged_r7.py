@@ -1,0 +1,245 @@
+"""Tests for llm/staged_r7.py — the round-7 registration candidates.
+
+Besides the fixture-level oracle parity (also swept standalone by
+``tools/staged_check.py`` at all three SFs), these pin the parts an
+oracle hash can't localize when it breaks: the OPH densification
+algorithm against a pure-Python replay, the OPH candidate recall
+against the registered k-permutation family, the decontamination
+argmax against a numpy brute force, and the vocabulary-growth
+arithmetic against a from-scratch pandas replay.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from python_nyc_taxi_data_pipeline_spark.catalog import FIXTURE_TABLES
+from python_nyc_taxi_data_pipeline_spark.llm.dedup import docs_minhash_lsh_pairs
+from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+    OPH_BINS,
+    STAGED,
+    corpus_vocab_growth,
+    docs_minhash_oph_pairs,
+    docs_semantic_decontamination,
+    oph_hashed,
+    oph_signature,
+)
+from tests.conftest import SF_DIR
+
+
+def test_staged_plans_carry_no_antipatterns(spark):
+    """The staged queries must already clear the fleet-wide plan sweep
+    they will join on registration: no cartesian product, no
+    row-at-a-time Python UDF, no non-benign single-partition exchange
+    (same rules as test_plans.py::
+    test_no_plan_antipatterns_across_all_queries)."""
+    from tests.test_plans import (
+        _benign_single_partition,
+        _single_partition_exchange_ids,
+        plan_of,
+    )
+
+    flagged = {}
+    for name, q in STAGED.items():
+        p = plan_of(q.fn(spark, SF_DIR))
+        hits = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+        for nid in _single_partition_exchange_ids(p):
+            if not _benign_single_partition(p, nid):
+                hits.append(f"Exchange SinglePartition (node {nid})")
+        if hits:
+            flagged[name] = hits
+    assert flagged == {}
+
+
+def test_staged_oracle_parity_sf0001(spark):
+    """Every staged query hash-matches its DuckDB oracle at sf0.001 —
+    the exact driver-gate comparison they will face when registered in
+    round 7 (tools/staged_check.py re-runs this at sf0.01 and sf0.1)."""
+    from tools.oracle_check import compare
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    assert len(STAGED) == 3
+    for name, q in STAGED.items():
+        sdf = q.fn(spark, SF_DIR).toPandas()
+        ddf = con.execute(q.oracle).fetchdf()
+        problems = compare(name, sdf, ddf)
+        assert not problems, f"{name}: {problems}"
+        assert len(sdf) > 0, f"{name}: degenerate empty result"
+    con.close()
+
+
+# --------------------------------------------------------------------
+# OPH
+# --------------------------------------------------------------------
+
+
+def _python_densify(bins: list[int | None], hash2: dict[tuple[int, int], int]) -> list[int]:
+    """Pure-Python replay of oph_signature's densification: empty bin j
+    borrows the first filled bin at circular distance t, re-hashed with
+    t (t=0 keeps the value). ``hash2`` supplies xxhash64(v, t)."""
+    k = len(bins)
+    out = []
+    for j in range(k):
+        for t in range(k):
+            v = bins[(j + t) % k]
+            if v is not None:
+                out.append(v if t == 0 else hash2[(v, t)])
+                break
+        else:  # pragma: no cover — a doc with >=1 shingle fills a bin
+            raise AssertionError("all bins empty")
+    return out
+
+
+def test_oph_densification_matches_python_replay(spark):
+    """Feed literal hash arrays through the Spark densification
+    expression and replay the algorithm in Python, with Spark itself
+    supplying the xxhash64(v, t) values so the replay checks the
+    BORROW LOGIC, not the hash function. Covers: no empty bins, a
+    single filled bin (maximum borrowing), wraparound borrows, and
+    negative hash values (pmod correctness)."""
+    cases = [
+        list(range(1, 40)),        # dense: most bins filled
+        [5],                        # one shingle: one filled bin
+        [-17, 23],                  # negative hash → pmod bin index
+        [160, 161],                 # adjacent bins, long wraparound runs
+    ]
+    k = OPH_BINS
+    df = spark.createDataFrame([(hs,) for hs in cases], "hs array<bigint>")
+    got = df.select(oph_signature(F.col("hs"), k).alias("sig")).collect()
+
+    # Spark-supplied xxhash64(v, t) lookup for every (value, distance)
+    pairs = {(v, t) for hs in cases for v in hs for t in range(1, k)}
+    lk = spark.createDataFrame(list(pairs), "v bigint, t int").select(
+        "v", "t", F.xxhash64("v", "t").alias("h")
+    )
+    hash2 = {(r["v"], r["t"]): r["h"] for r in lk.collect()}
+
+    for hs, row in zip(cases, got):
+        bins: list[int | None] = [None] * k
+        for v in hs:
+            b = v % k  # Python % == Spark pmod for positive k
+            if bins[b] is None or v < bins[b]:
+                bins[b] = v
+        assert row["sig"] == _python_densify(bins, hash2), f"case {hs}"
+
+
+def test_oph_pairs_match_kperm_family(spark):
+    """Both MinHash families verify candidates exactly, so equal output
+    means equal RECALL: the one-pass OPH banding recovers the same
+    near-dup pair set as the 16-permutation reference family."""
+    oph = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in docs_minhash_oph_pairs(spark, SF_DIR).collect()
+    }
+    kperm = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in docs_minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    assert oph == kperm
+    assert len(oph) > 0
+
+
+# --------------------------------------------------------------------
+# Semantic decontamination
+# --------------------------------------------------------------------
+
+
+def test_semantic_decon_argmax_matches_numpy(spark):
+    """The struct-max aggregate must pick, per test doc, the train doc
+    with the highest 6-dp cosine (ties → lowest id) — replayed here
+    with numpy float64 over the same md5 split."""
+    import hashlib
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    def hh(doc_id: int) -> str:
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+
+    is_test = np.array([hh(i) >= "e6" for i in ids])
+    is_train = np.array([hh(i) < "cd" for i in ids])
+    sims = m[is_test] @ m[is_train].T
+    test_ids, train_ids = ids[is_test], ids[is_train]
+
+    got = {
+        r["test_doc_id"]: (r["train_doc_id"], r["cosine_sim"], r["contaminated"])
+        for r in docs_semantic_decontamination(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(test_ids.tolist())
+    for qi, tid in enumerate(test_ids):
+        row = np.round(sims[qi], 6)
+        best = row.max()
+        # ties at 6 dp break to the lowest train id
+        want_id = int(train_ids[row == best].min())
+        g_id, g_cos, g_flag = got[int(tid)]
+        assert g_id == want_id, f"test doc {tid}"
+        assert abs(g_cos - best) <= 1e-6, f"test doc {tid}"
+        assert g_flag == (g_cos >= 0.42)
+
+
+def test_semantic_decon_splits_are_disjoint_and_sized(spark):
+    """The report covers exactly the test split (~10%), never a train
+    or val doc — and nearest neighbors come only from train."""
+    import hashlib
+
+    rows = docs_semantic_decontamination(spark, SF_DIR).collect()
+
+    def hh(doc_id: int) -> str:
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+
+    for r in rows:
+        assert hh(r["test_doc_id"]) >= "e6"
+        assert hh(r["train_doc_id"]) < "cd"
+
+
+# --------------------------------------------------------------------
+# Vocabulary growth
+# --------------------------------------------------------------------
+
+
+def test_vocab_growth_matches_pandas_replay(spark):
+    """From-scratch pandas replay of the Heaps report: doc_id-range
+    slices, first-occurrence new-word attribution, exact cumulative
+    curves."""
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    mx = int(docs["doc_id"].max()) + 1
+    first: dict[str, int] = {}
+    slice_stats = {s: [0, 0, 0] for s in range(10)}  # docs, tokens, new
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        s = int(doc_id) * 10 // mx
+        slice_stats[s][0] += 1
+        slice_stats[s][1] += len(words)
+        for w in words:
+            if w not in first or first[w] > int(doc_id):
+                first[w] = int(doc_id)
+    for w, d in first.items():
+        slice_stats[d * 10 // mx][2] += 1
+
+    got = {r["slice_id"]: r for r in corpus_vocab_growth(spark, SF_DIR).collect()}
+    assert set(got) == {s for s, st in slice_stats.items() if st[0] > 0}
+    cum_v = cum_t = 0
+    for s in sorted(got):
+        n_docs, n_tokens, new_words = slice_stats[s]
+        cum_v += new_words
+        cum_t += n_tokens
+        r = got[s]
+        assert (r["n_docs"], r["n_tokens"], r["new_words"]) == (
+            n_docs,
+            n_tokens,
+            new_words,
+        ), f"slice {s}"
+        assert (r["cum_vocab"], r["cum_tokens"]) == (cum_v, cum_t), f"slice {s}"
+    # the Heaps sanity the report exists for: vocabulary keeps growing
+    # but later slices introduce fewer new words than the first
+    slices = sorted(got)
+    assert got[slices[-1]]["new_words"] < got[slices[0]]["new_words"]
