@@ -33,6 +33,14 @@ flow):
   corpus slices. The report a tokenizer-training run reads to decide
   whether more data still buys vocabulary (and the sanity check that a
   dedup pass actually flattened the curve).
+- ``docs_quality_ensemble``: majority vote across the Gopher battery,
+  the repetition gate, and the surprisal filter — the stacked-filter
+  shape production curation actually ships.
+- ``events_markov_transitions``: first-order event-type transition
+  matrix with exact counts and row-normalized probabilities.
+- ``corpus_zipf_report``: top-100 rank-frequency table with the
+  normalized Zipf product — the head-distribution health check
+  complementing ``corpus_vocab_growth``'s tail view.
 """
 
 from __future__ import annotations
@@ -51,6 +59,8 @@ from .dedup import (
     hashed_shingle_table,
     posting_pair_emit,
 )
+from .lm import _LM_ORACLE, docs_unigram_surprisal_filter
+from .quality import docs_gopher_quality
 from .similarity import NEARDUP_COSINE, _dot, _norm
 
 
@@ -449,4 +459,235 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "slice_id", "n_docs", "n_tokens", "new_words", "cum_vocab", "cum_tokens"
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Quality-filter ensemble
+# --------------------------------------------------------------------
+
+
+@stage(
+    "docs_quality_ensemble",
+    oracle=f"""
+    WITH lmq AS ({_LM_ORACLE}
+    ), gq AS (
+      SELECT doc_id,
+             (len(string_split(text, ' ')) BETWEEN 20 AND 1000
+              AND round((CAST(n_chars AS DOUBLE)
+                         - len(string_split(text, ' ')) + 1)
+                        / len(string_split(text, ' ')), 4) BETWEEN 3.0 AND 10.0
+              AND len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a', 'and', 'of', 'to', 'with'))) >= 2
+              AND round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')), 4) >= 0.20) AS keep
+      FROM documents
+    ), rq AS (
+      SELECT doc_id,
+             (1.0 - CAST(len(list_distinct(string_split(text, '. '))) AS DOUBLE)
+                    / len(string_split(text, '. '))) <= 0.30 AS keep
+      FROM documents
+    )
+    SELECT g.doc_id,
+           g.keep AS gopher_keep,
+           r.keep AS repetition_keep,
+           l.keep_below_corpus_mean AS surprisal_keep,
+           (CAST(g.keep AS INT) + CAST(r.keep AS INT)
+            + CAST(l.keep_below_corpus_mean AS INT) >= 2) AS ensemble_keep,
+           (g.keep AND r.keep AND l.keep_below_corpus_mean) AS unanimous_keep
+    FROM gq g
+    JOIN rq r USING (doc_id)
+    JOIN lmq l USING (doc_id)
+    """,
+    tags=("llm", "quality", "ensemble"),
+)
+def docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote quality ensemble: the Gopher structural battery,
+    the intra-doc repetition gate, and the unigram-LM surprisal filter
+    each cast one vote per document; ``ensemble_keep`` is >= 2 of 3 and
+    ``unanimous_keep`` is the conjunction. Production curation stacks
+    filters exactly this way (C4 -> Gopher -> model-based, cf.
+    RefinedWeb/FineWeb ablations) because single heuristics over- and
+    under-kill different slices; the majority vote keeps each rule's
+    false kills from compounding.
+
+    Composes the three REGISTERED filters' own frames (the
+    ``corpus_curation_funnel`` pattern), so a vote here is bit-identical
+    to the standalone query's verdict. Cost is one extra doc_id join
+    per member — each member is one corpus scan, and the LM member's
+    explode/aggregate dominates exactly as it does standalone."""
+    gopher = docs_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    from ..plans.textstats import docs_repetition_filter
+
+    rep = docs_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("repetition_keep")
+    )
+    lm = docs_unigram_surprisal_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep_below_corpus_mean").alias("surprisal_keep")
+    )
+    votes = (
+        F.col("gopher_keep").cast("int")
+        + F.col("repetition_keep").cast("int")
+        + F.col("surprisal_keep").cast("int")
+    )
+    return (
+        gopher.join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            "repetition_keep",
+            "surprisal_keep",
+            (votes >= 2).alias("ensemble_keep"),
+            (
+                F.col("gopher_keep")
+                & F.col("repetition_keep")
+                & F.col("surprisal_keep")
+            ).alias("unanimous_keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Event-type Markov transition matrix
+# --------------------------------------------------------------------
+
+
+@stage(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+      FROM t GROUP BY 1
+    )
+    SELECT t.prev_type, t.next_type, t.n_transitions,
+           round(CAST(t.n_transitions AS DOUBLE) / tot.n_from, 6)
+             AS p_transition
+    FROM t JOIN tot USING (prev_type)
+    """,
+    tags=("events", "analytics"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type), with exact
+    transition counts. The behavioral-analytics building block under
+    next-action prediction, anomaly scoring (improbable transitions),
+    and session-flow dashboards.
+
+    Scale shape: ONE user-key shuffle for the lag window (users are
+    the natural partition; no global ordering anywhere), then the
+    (prev, next) count aggregate map-side combines into at most
+    |event_types|**2 rows, and the row-normalizing totals join is over
+    that same tiny frame (AQE broadcasts it). Ties in ``ts`` break on
+    ``event_id`` so the sequence — and therefore every count — is
+    deterministic in both engines."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = t.groupBy("prev_type").agg(F.sum("n_transitions").alias("n_from"))
+    return t.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("n_from"), 6
+        ).alias("p_transition"),
+    )
+
+
+# --------------------------------------------------------------------
+# Zipf rank-frequency report
+# --------------------------------------------------------------------
+
+ZIPF_TOP = 100
+
+
+@stage(
+    "corpus_zipf_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), cnt AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY word
+    ), top AS (
+      SELECT word, n,
+             CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank
+      FROM cnt
+      QUALIFY rank <= {ZIPF_TOP}
+    ), f1 AS (
+      SELECT max(n) AS f1 FROM top
+    )
+    SELECT rank, word, n,
+           round(CAST(rank * n AS DOUBLE) / f1.f1, 6) AS zipf_ratio
+    FROM top, f1
+    """,
+    tags=("llm", "textstats"),
+)
+def corpus_zipf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency report: the top-{ZIPF_TOP} corpus words with
+    exact frequencies and the normalized rank*frequency product
+    (Zipf's law predicts zipf_ratio ~= 1 at every rank; template spam
+    and boilerplate bend the curve). The companion diagnostic to
+    ``corpus_vocab_growth`` — growth says whether vocabulary is still
+    arriving, this says whether the head distribution looks like
+    natural text.
+
+    Scale shape: one explode -> word-key count (map-side combine), the
+    top-{ZIPF_TOP} selected by TakeOrderedAndProject (no global sort),
+    then rank is derived from a triangular self-join of the
+    materialized {ZIPF_TOP}-row frame — the constant-size-frame rank
+    idiom used across this repo instead of a single-partition window.
+    rank r = count of (n, word) pairs lexicographically at-or-ahead,
+    which equals row_number because the ordering key is unique."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        cnt.orderBy(F.desc("n"), F.asc("word"))
+        .limit(ZIPF_TOP)
+        .localCheckpoint(eager=True)
+    )
+    ahead = top.select(F.col("n").alias("b_n"), F.col("word").alias("b_word"))
+    ranked = (
+        top.join(
+            F.broadcast(ahead),
+            (F.col("b_n") > F.col("n"))
+            | ((F.col("b_n") == F.col("n")) & (F.col("b_word") <= F.col("word"))),
+        )
+        .groupBy("word", "n")
+        .agg(F.count(F.lit(1)).cast("int").alias("rank"))
+    )
+    f1 = top.agg(F.max("n").alias("f1"))
+    return ranked.crossJoin(F.broadcast(f1)).select(
+        "rank",
+        "word",
+        "n",
+        F.round((F.col("rank") * F.col("n")).cast("double") / F.col("f1"), 6).alias(
+            "zipf_ratio"
+        ),
     )

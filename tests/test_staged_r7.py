@@ -65,7 +65,7 @@ def test_staged_oracle_parity_sf0001(spark):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    assert len(STAGED) == 3
+    assert len(STAGED) == 6
     for name, q in STAGED.items():
         sdf = q.fn(spark, SF_DIR).toPandas()
         ddf = con.execute(q.oracle).fetchdf()
@@ -243,3 +243,107 @@ def test_vocab_growth_matches_pandas_replay(spark):
     # but later slices introduce fewer new words than the first
     slices = sorted(got)
     assert got[slices[-1]]["new_words"] < got[slices[0]]["new_words"]
+
+
+# --------------------------------------------------------------------
+# Quality ensemble / Markov transitions / Zipf report
+# --------------------------------------------------------------------
+
+
+def test_quality_ensemble_votes_match_members(spark):
+    """Each member column must be bit-identical to the standalone
+    registered filter's verdict, and the vote arithmetic exact."""
+    from python_nyc_taxi_data_pipeline_spark.llm.lm import (
+        docs_unigram_surprisal_filter,
+    )
+    from python_nyc_taxi_data_pipeline_spark.llm.quality import docs_gopher_quality
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        docs_quality_ensemble,
+    )
+    from python_nyc_taxi_data_pipeline_spark.plans.textstats import (
+        docs_repetition_filter,
+    )
+
+    got = {r["doc_id"]: r for r in docs_quality_ensemble(spark, SF_DIR).collect()}
+    g = {r["doc_id"]: r["keep"] for r in docs_gopher_quality(spark, SF_DIR).collect()}
+    rp = {
+        r["doc_id"]: r["keep"] for r in docs_repetition_filter(spark, SF_DIR).collect()
+    }
+    lm = {
+        r["doc_id"]: r["keep_below_corpus_mean"]
+        for r in docs_unigram_surprisal_filter(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(g)
+    disagreements = 0
+    for doc_id, r in got.items():
+        assert (r["gopher_keep"], r["repetition_keep"], r["surprisal_keep"]) == (
+            g[doc_id],
+            rp[doc_id],
+            lm[doc_id],
+        ), f"doc {doc_id}"
+        votes = int(g[doc_id]) + int(rp[doc_id]) + int(lm[doc_id])
+        assert r["ensemble_keep"] == (votes >= 2)
+        assert r["unanimous_keep"] == (votes == 3)
+        if r["ensemble_keep"] != r["unanimous_keep"]:
+            disagreements += 1
+    # the ensemble must actually arbitrate on the fixture — otherwise
+    # the majority vote is vacuously the conjunction
+    assert disagreements > 0
+
+
+def test_markov_transitions_match_pandas_replay(spark):
+    """From-scratch replay: per-user ts/event_id-ordered sequences,
+    exact bigram counts, row-normalized probabilities."""
+    from collections import Counter
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        events_markov_transitions,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    counts: Counter = Counter()
+    for _, grp in ev.groupby("user_id", sort=False):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] += 1
+    totals: Counter = Counter()
+    for (a, _), n in counts.items():
+        totals[a] += n
+
+    rows = events_markov_transitions(spark, SF_DIR).collect()
+    got = {(r["prev_type"], r["next_type"]): r for r in rows}
+    assert set(got) == set(counts)
+    for key, r in got.items():
+        assert r["n_transitions"] == counts[key], key
+        assert abs(r["p_transition"] - counts[key] / totals[key[0]]) <= 1e-6
+    # probabilities row-normalize exactly (sum over next = 1 per prev)
+    by_prev: Counter = Counter()
+    for (a, _), r in got.items():
+        by_prev[a] += r["n_transitions"]
+    assert by_prev == totals
+
+
+def test_zipf_report_matches_pandas_replay(spark):
+    """Rank via the triangular join must equal the sort-based rank;
+    the rank-1 ratio is exactly 1 by construction."""
+    from collections import Counter
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        ZIPF_TOP,
+        corpus_zipf_report,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    cnt: Counter = Counter()
+    for text in docs["text"]:
+        cnt.update(text.split(" "))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+
+    rows = sorted(corpus_zipf_report(spark, SF_DIR).collect(), key=lambda r: r["rank"])
+    assert [(r["word"], r["n"]) for r in rows] == want
+    assert [r["rank"] for r in rows] == list(range(1, len(want) + 1))
+    f1 = want[0][1]
+    for r in rows:
+        assert abs(r["zipf_ratio"] - round(r["rank"] * r["n"] / f1, 6)) <= 1e-9
+    assert rows[0]["zipf_ratio"] == 1.0
