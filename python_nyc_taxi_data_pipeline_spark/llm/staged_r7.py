@@ -41,6 +41,11 @@ flow):
 - ``corpus_zipf_report``: top-100 rank-frequency table with the
   normalized Zipf product — the head-distribution health check
   complementing ``corpus_vocab_growth``'s tail view.
+- ``lineitem_brand_basket_lift``: market-basket support/lift over
+  order baskets — the collocation-PMI shape lifted to transactions.
+- ``embeddings_margin_mining``: Artetxe & Schwenk ratio-margin pair
+  mining (the LASER/CCMatrix scorer) — hubness-normalized best-match
+  retrieval between the held-out and train splits.
 """
 
 from __future__ import annotations
@@ -690,4 +695,272 @@ def corpus_zipf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("rank") * F.col("n")).cast("double") / F.col("f1"), 6).alias(
             "zipf_ratio"
         ),
+    )
+
+
+# --------------------------------------------------------------------
+# Market-basket brand lift
+# --------------------------------------------------------------------
+
+
+@stage(
+    "lineitem_brand_basket_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n_orders AS (
+      SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM ob
+    ), per_brand AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_orders FROM ob GROUP BY brand
+    ), pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b,
+           pa.n_orders AS n_orders_a, pb.n_orders AS n_orders_b, p.n_both,
+           round(CAST(p.n_both AS DOUBLE) / n_orders.n, 6) AS support,
+           round(CAST(p.n_both * n_orders.n AS DOUBLE)
+                 / (pa.n_orders * pb.n_orders), 6) AS lift
+    FROM pairs p
+    JOIN per_brand pa ON pa.brand = p.brand_a
+    JOIN per_brand pb ON pb.brand = p.brand_b
+    CROSS JOIN n_orders
+    """,
+    tags=("analytics", "basket"),
+)
+def lineitem_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order baskets: for every
+    brand pair, the co-occurrence support and lift
+    (P(a,b) / (P(a)·P(b)), probabilities over orders). Lift > 1 =
+    brands bought together more than chance — the classic
+    cross-sell/recommender signal, and structurally the
+    ``docs_collocations_pmi`` discounted-ratio shape lifted from token
+    bigrams to baskets.
+
+    Scale shape: the basket table is the DISTINCT (order, brand)
+    projection (one shuffle); pair emission reuses the inverted-index
+    posting emit with the ORDER as the posting key, so each order
+    contributes |brands-in-order| choose 2 rows — bounded by the brand
+    cardinality squared, never by order count. All counts are exact
+    integers; support/lift are single IEEE divisions of exact integer
+    products (bit-identical cross-engine). The per-brand totals and
+    the scalar order count are broadcast-sized at any corpus size."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_orders = ob.agg(F.countDistinct("okey").alias("n"))
+    per_brand = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_orders"))
+    posts = ob.select(F.col("brand").alias("doc_id"), F.col("okey").alias("gram"))
+    pairs = (
+        posting_pair_emit(posts, (), None)
+        .groupBy(
+            F.col("doc_a").alias("brand_a"), F.col("doc_b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per_brand.select(
+        F.col("brand").alias("brand_a"), F.col("n_orders").alias("n_orders_a")
+    )
+    pb = per_brand.select(
+        F.col("brand").alias("brand_b"), F.col("n_orders").alias("n_orders_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "brand_a")
+        .join(F.broadcast(pb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_orders_a",
+            "n_orders_b",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(
+                (F.col("n_both") * F.col("n")).cast("double")
+                / (F.col("n_orders_a") * F.col("n_orders_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Margin-based mining (Artetxe & Schwenk '19)
+# --------------------------------------------------------------------
+
+MARGIN_KNN = 4  # neighborhood size for the margin normalizer
+
+
+@stage(
+    "embeddings_margin_mining",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hh
+      FROM documents
+    ), n AS (
+      SELECT s.doc_id, s.hh,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(list_transform(
+                    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                    x -> x * x), (acc, x) -> acc + x)) AS nrm
+      FROM split s JOIN embeddings e ON e.vec_id = s.doc_id
+    ), pairs AS (
+      SELECT t.doc_id AS test_doc_id, c.doc_id AS train_doc_id,
+             CAST(round(round(list_reduce(list_transform(list_zip(t.v, c.v),
+                                                         p -> p[1] * p[2]),
+                                          (acc, x) -> acc + x)
+                              / (t.nrm * c.nrm), 6) * 1000000.0, 0) AS BIGINT)
+               AS c_micro
+      FROM n t, n c
+      WHERE t.hh >= 'e6' AND c.hh < 'cd'
+    ), tknn AS (
+      SELECT test_doc_id, CAST(sum(c_micro) AS BIGINT) AS mx4
+      FROM (
+        SELECT test_doc_id, c_micro,
+               row_number() OVER (PARTITION BY test_doc_id
+                                  ORDER BY c_micro DESC, train_doc_id) AS rk
+        FROM pairs
+      ) WHERE rk <= {MARGIN_KNN}
+      GROUP BY test_doc_id
+    ), cknn AS (
+      SELECT train_doc_id, CAST(sum(c_micro) AS BIGINT) AS my4
+      FROM (
+        SELECT train_doc_id, c_micro,
+               row_number() OVER (PARTITION BY train_doc_id
+                                  ORDER BY c_micro DESC, test_doc_id) AS rk
+        FROM pairs
+      ) WHERE rk <= {MARGIN_KNN}
+      GROUP BY train_doc_id
+    ), scored AS (
+      SELECT p.test_doc_id, p.train_doc_id,
+             round(CAST(p.c_micro AS DOUBLE) / 1000000.0, 6) AS cosine_sim,
+             round(2.0 * {MARGIN_KNN} * p.c_micro / (t.mx4 + c.my4), 6) AS margin
+      FROM pairs p
+      JOIN tknn t USING (test_doc_id)
+      JOIN cknn c USING (train_doc_id)
+    )
+    SELECT test_doc_id, train_doc_id, cosine_sim, margin
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY test_doc_id ORDER BY margin DESC, train_doc_id
+    ) = 1
+    """,
+    tags=("llm", "mining", "embedding"),
+)
+def embeddings_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based candidate mining (Artetxe & Schwenk ACL'19, the
+    LASER/CCMatrix bitext-mining scorer): each held-out doc's best
+    TRAIN-side match ranked not by raw cosine but by the RATIO margin —
+    cosine divided by the mean of both sides' k-NN cosine
+    neighborhoods. Raw cosine retrieves hubs (vectors close to
+    everything); the margin normalizes hubness away, which is why
+    production pair mining uses it instead of a plain threshold.
+
+    Scale shape: the held-out block broadcasts (same contract as
+    ``docs_semantic_decontamination``); the pair frame carries only
+    (ids, c_micro) — the cosine is 6-dp-rounded then micro-quantized
+    to an exact BIGINT, so both k-NN neighborhood sums are
+    order-independent exact integers and the margin is one IEEE
+    division of exact integers (bit-identical cross-engine). The two
+    top-k passes are windows PARTITIONED by doc id (spillable
+    partition sorts, no global ordering); the train-side groups are
+    bounded by the held-out size. The pair frame is checkpointed once
+    for its three consumers (both k-NN passes + the final scoring)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _split_hh(F.col("doc_id")).alias("hh")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    n = (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            "doc_id",
+            "hh",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .select("doc_id", "hh", "v", _norm(F.col("v")).alias("nrm"))
+    )
+    test = n.filter(F.col("hh") >= "e6").select(
+        F.col("doc_id").alias("test_doc_id"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tnrm"),
+    )
+    train = n.filter(F.col("hh") < "cd").select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cos6 = F.round(
+        _dot(F.col("tv"), F.col("cv")) / (F.col("tnrm") * F.col("cnrm")), 6
+    )
+    pairs = (
+        train.join(F.broadcast(test), F.col("test_doc_id") != F.col("train_doc_id"))
+        .select(
+            "test_doc_id",
+            "train_doc_id",
+            F.round(cos6 * 1e6, 0).cast("bigint").alias("c_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as W
+
+    wt = W.partitionBy("test_doc_id").orderBy(
+        F.desc("c_micro"), F.asc("train_doc_id")
+    )
+    tknn = (
+        pairs.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= MARGIN_KNN)
+        .groupBy("test_doc_id")
+        .agg(F.sum("c_micro").alias("mx4"))
+    )
+    wc = W.partitionBy("train_doc_id").orderBy(
+        F.desc("c_micro"), F.asc("test_doc_id")
+    )
+    cknn = (
+        pairs.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= MARGIN_KNN)
+        .groupBy("train_doc_id")
+        .agg(F.sum("c_micro").alias("my4"))
+    )
+    margin = F.round(
+        2.0 * MARGIN_KNN * F.col("c_micro") / (F.col("mx4") + F.col("my4")), 6
+    )
+    # tknn is bounded by the held-out size → broadcast; cknn is
+    # CORPUS-sized, so no forced hint — it joins the pair frame on the
+    # train_doc_id key (AQE broadcasts at fixture scale, degrades to a
+    # hash shuffle join when the corpus outgrows the threshold).
+    scored = (
+        pairs.join(F.broadcast(tknn), "test_doc_id")
+        .join(cknn, "train_doc_id")
+        .select(
+            "test_doc_id",
+            "train_doc_id",
+            F.round(F.col("c_micro").cast("double") / 1e6, 6).alias("cosine_sim"),
+            margin.alias("margin"),
+        )
+    )
+    best = (
+        scored.select(
+            "test_doc_id",
+            F.struct(
+                F.col("margin").alias("m"),
+                (F.lit(0) - F.col("train_doc_id")).alias("nid"),
+                F.col("cosine_sim").alias("c"),
+            ).alias("sc"),
+        )
+        .groupBy("test_doc_id")
+        .agg(F.max("sc").alias("sc"))
+    )
+    return best.select(
+        "test_doc_id",
+        (F.lit(0) - F.col("sc.nid")).alias("train_doc_id"),
+        F.col("sc.c").alias("cosine_sim"),
+        F.col("sc.m").alias("margin"),
     )

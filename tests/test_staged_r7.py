@@ -65,7 +65,7 @@ def test_staged_oracle_parity_sf0001(spark):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    assert len(STAGED) == 6
+    assert len(STAGED) == 8
     for name, q in STAGED.items():
         sdf = q.fn(spark, SF_DIR).toPandas()
         ddf = con.execute(q.oracle).fetchdf()
@@ -347,3 +347,92 @@ def test_zipf_report_matches_pandas_replay(spark):
     for r in rows:
         assert abs(r["zipf_ratio"] - round(r["rank"] * r["n"] / f1, 6)) <= 1e-9
     assert rows[0]["zipf_ratio"] == 1.0
+
+
+# --------------------------------------------------------------------
+# Basket lift / margin mining
+# --------------------------------------------------------------------
+
+
+def test_basket_lift_matches_pandas_replay(spark):
+    """From-scratch replay: distinct (order, brand) baskets, exact pair
+    co-occurrence counts, lift arithmetic."""
+    from itertools import combinations
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        lineitem_brand_basket_lift,
+    )
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    pt = pd.read_parquet(f"{SF_DIR}/part.parquet")[["p_partkey", "p_brand"]]
+    ob = li.merge(pt, left_on="l_partkey", right_on="p_partkey")[
+        ["l_orderkey", "p_brand"]
+    ].drop_duplicates()
+    n_orders = ob["l_orderkey"].nunique()
+    per_brand = ob.groupby("p_brand")["l_orderkey"].nunique().to_dict()
+    pair_counts: dict[tuple[str, str], int] = {}
+    for _, grp in ob.groupby("l_orderkey"):
+        for a, b in combinations(sorted(grp["p_brand"]), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+
+    rows = lineitem_brand_basket_lift(spark, SF_DIR).collect()
+    got = {(r["brand_a"], r["brand_b"]): r for r in rows}
+    assert set(got) == set(pair_counts)
+    for (a, b), r in got.items():
+        assert r["n_both"] == pair_counts[(a, b)]
+        assert r["n_orders_a"] == per_brand[a]
+        assert r["n_orders_b"] == per_brand[b]
+        want_lift = round(
+            pair_counts[(a, b)] * n_orders / (per_brand[a] * per_brand[b]), 6
+        )
+        assert abs(r["lift"] - want_lift) <= 1e-9
+        assert abs(r["support"] - round(pair_counts[(a, b)] / n_orders, 6)) <= 1e-9
+
+
+def test_margin_mining_matches_numpy_replay(spark):
+    """Full numpy replay of the Artetxe–Schwenk ratio margin: 6-dp
+    micro-quantized cosines, top-4 neighborhood sums on both sides,
+    per-test argmax with the (margin desc, id asc) tie-break."""
+    import hashlib
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        MARGIN_KNN,
+        embeddings_margin_mining,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    def hh(doc_id: int) -> str:
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+
+    is_test = np.array([hh(i) >= "e6" for i in ids])
+    is_train = np.array([hh(i) < "cd" for i in ids])
+    test_ids, train_ids = ids[is_test], ids[is_train]
+    c_micro = np.rint(np.round(m[is_test] @ m[is_train].T, 6) * 1e6).astype(np.int64)
+
+    def topk_sum(row: np.ndarray, tie_ids: np.ndarray) -> int:
+        order = np.lexsort((tie_ids, -row))[:MARGIN_KNN]
+        return int(row[order].sum())
+
+    mx4 = {int(t): topk_sum(c_micro[qi], train_ids) for qi, t in enumerate(test_ids)}
+    my4 = {
+        int(c): topk_sum(c_micro[:, ci], test_ids) for ci, c in enumerate(train_ids)
+    }
+
+    got = {r["test_doc_id"]: r for r in embeddings_margin_mining(spark, SF_DIR).collect()}
+    assert set(got) == set(int(t) for t in test_ids)
+    for qi, t in enumerate(test_ids):
+        margins = [
+            (
+                round(2.0 * MARGIN_KNN * c_micro[qi, ci] / (mx4[int(t)] + my4[int(c)]), 6),
+                -int(c),
+            )
+            for ci, c in enumerate(train_ids)
+        ]
+        best_m, best_nid = max(margins)
+        r = got[int(t)]
+        assert r["train_doc_id"] == -best_nid, f"test doc {t}"
+        assert abs(r["margin"] - best_m) <= 1e-9, f"test doc {t}"
