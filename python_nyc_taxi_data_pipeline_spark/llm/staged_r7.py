@@ -19,9 +19,12 @@ flow):
 - ``docs_minhash_oph_pairs``: one-permutation hashing (OPH) MinHash
   with densification (Li, Owen & Zhang NeurIPS'12; Shrivastava & Li
   ICML'14) — ONE hash pass over the shingles instead of one pass per
-  permutation. At 100 TB signature computation dominates near-dup cost
-  (it touches every shingle of every document); OPH cuts that stage by
-  ~PERMS× while keeping the banded-LSH candidate layout identical.
+  permutation, keeping the banded-LSH candidate layout identical. The
+  hash-call budget drops PERMS× by construction; measured END-TO-END
+  it runs at parity with the k-permutation family on the fixtures
+  (sf0.1 warm 1.12 vs 1.14 s — ~30-word fixture docs make the
+  signature stage fixed-cost-dominated either way; the win grows with
+  shingle volume per document, i.e. with real web-document lengths).
 - ``docs_semantic_decontamination``: the embedding-space twin of
   ``docs_train_test_contamination`` — for every held-out doc, its
   nearest TRAIN-split neighbor by cosine and a contaminated verdict.
@@ -118,44 +121,59 @@ def oph_hashed(grams: Column) -> Column:
     return F.transform(grams, lambda g: F.xxhash64(g, F.lit(_OPH_SALT)))
 
 
-def oph_signature(hs: Column, k: int = OPH_BINS) -> Column:
-    """Densified OPH signature from a MATERIALIZED hash-array column.
+def oph_bins(hs: Column, k: int = OPH_BINS) -> Column:
+    """Raw OPH bins from a MATERIALIZED hash-array column: bin j's
+    value is min{h : h mod k = j}, NULL when the bin is empty.
 
-    Plain OPH: bin j's value is min{h : h mod k = j}. A document with
-    few shingles leaves bins EMPTY, and an empty bin would band-match
-    everything (NULL) or nothing — both wrong. Densification
-    (Shrivastava & Li '14): empty bin j borrows from the nearest
-    non-empty bin to its right (circular), at borrow distance t > 0 the
-    borrowed value is re-hashed with t so different distances stay
-    distinguishable (the re-hash replaces the paper's ``v + t·C``
-    offset — ANSI mode rejects intentional long wraparound, and a
-    collision-free remix is what the offset is for).
-
-    Cost note: the k filter passes below scan the materialized 8-byte
-    hash array with a pmod compare per element — arithmetic, not
-    hashing. The xxhash64 budget stays ONE call per shingle."""
-    bins = F.transform(
+    Cost note: the k filter passes scan the materialized 8-byte hash
+    array with a pmod compare per element — arithmetic, not hashing.
+    The xxhash64 budget stays ONE call per shingle."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda j: F.array_min(F.filter(hs, lambda h: F.pmod(h, F.lit(k)) == j)),
     )
 
-    def densify(bins_col: Column) -> Column:
-        def first_filled(j: Column) -> Column:
-            candidates = F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda t: F.struct(
-                    F.element_at(bins_col, (F.pmod(j + t, F.lit(k)) + 1).cast("int")).alias("v"),
-                    t.alias("t"),
-                ),
-            )
-            hit = F.element_at(F.filter(candidates, lambda s: s["v"].isNotNull()), 1)
-            return F.when(hit["t"] == 0, hit["v"]).otherwise(
-                F.xxhash64(hit["v"], hit["t"])
-            )
 
-        return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), first_filled)
+def oph_densify(bins_col: Column, k: int = OPH_BINS) -> Column:
+    """Densification (Shrivastava & Li '14) of a MATERIALIZED bins
+    column: empty bin j borrows from the nearest non-empty bin to its
+    right (circular); at borrow distance t > 0 the borrowed value is
+    re-hashed with t so different distances stay distinguishable (the
+    re-hash replaces the paper's ``v + t·C`` offset — ANSI mode rejects
+    intentional long wraparound, and a collision-free remix is what the
+    offset is for).
 
-    return densify(bins)
+    ``bins_col`` MUST be a materialized column, not the ``oph_bins``
+    expression inline: the borrow scan references it k·k times from
+    lambda bodies, which are exempt from common-subexpression
+    elimination — inlined, the 16-bin computation re-evaluates up to
+    256×, measured 5.5× slower END-TO-END than the k-permutation
+    family it exists to beat."""
+
+    def first_filled(j: Column) -> Column:
+        candidates = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda t: F.struct(
+                F.element_at(
+                    bins_col, (F.pmod(j + t, F.lit(k)) + 1).cast("int")
+                ).alias("v"),
+                t.alias("t"),
+            ),
+        )
+        hit = F.element_at(F.filter(candidates, lambda s: s["v"].isNotNull()), 1)
+        return F.when(hit["t"] == 0, hit["v"]).otherwise(
+            F.xxhash64(hit["v"], hit["t"])
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), first_filled)
+
+
+def oph_signature(hs: Column, k: int = OPH_BINS) -> Column:
+    """Densified OPH signature — ``oph_densify(oph_bins(...))`` INLINE.
+    Correct on any input but meant for small literal frames (tests):
+    production plans must materialize the bins between the two stages
+    (see ``oph_densify``'s cost note and ``docs_minhash_oph_pairs``)."""
+    return oph_densify(oph_bins(hs, k), k)
 
 
 def oph_band_index(
@@ -223,7 +241,13 @@ def docs_minhash_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = g.select("doc_id", oph_hashed(F.col("grams")).alias("hs")).localCheckpoint(
         eager=True
     )
-    sig = hs.select("doc_id", oph_signature(F.col("hs")).alias("sig"))
+    # bins materialized (16 longs/doc) before densification — inlined,
+    # the borrow scan re-evaluates the bin computation up to 256× per
+    # doc (see oph_densify docstring; measured 5.5× slower end-to-end).
+    binned = hs.select("doc_id", oph_bins(F.col("hs")).alias("bins")).localCheckpoint(
+        eager=True
+    )
+    sig = binned.select("doc_id", oph_densify(F.col("bins")).alias("sig"))
     posts = oph_band_index(sig).select(
         "doc_id", "band_idx", F.col("band_hash").alias("gram")
     )
@@ -855,7 +879,9 @@ MARGIN_KNN = 4  # neighborhood size for the margin normalizer
     """,
     tags=("llm", "mining", "embedding"),
 )
-def embeddings_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embeddings_margin_mining(
+    spark: SparkSession, sf_dir: str, test_ceiling: int | None = None
+) -> DataFrame:
     """Margin-based candidate mining (Artetxe & Schwenk ACL'19, the
     LASER/CCMatrix bitext-mining scorer): each held-out doc's best
     TRAIN-side match ranked not by raw cosine but by the RATIO margin —
@@ -873,10 +899,20 @@ def embeddings_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k passes are windows PARTITIONED by doc id (spillable
     partition sorts, no global ordering); the train-side groups are
     bounded by the held-out size. The pair frame is checkpointed once
-    for its three consumers (both k-NN passes + the final scoring)."""
+    for its three consumers (both k-NN passes + the final scoring).
+
+    ``test_ceiling``: restrict the held-out side to doc_id below it —
+    the scale-stress hook that pins the held-out set while the corpus
+    inflates (the production shape: the query side does NOT grow with
+    the corpus; fixture inflation would otherwise grow both sides and
+    measure the intrinsically quadratic all-pairs frame)."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", _split_hh(F.col("doc_id")).alias("hh")
     )
+    if test_ceiling is not None:
+        d = d.filter(
+            (F.col("hh") < "e6") | (F.col("doc_id") < F.lit(test_ceiling))
+        )
     e = load(spark, sf_dir, "embeddings")
     n = (
         d.join(e, d["doc_id"] == e["vec_id"])

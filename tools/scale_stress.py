@@ -106,11 +106,41 @@ def _incremental_dedup_shufflejoin(spark, sf_dir):
     return all_queries()["docs_incremental_exact_dedup"].fn(spark, sf_dir)
 
 
+def _staged(name: str):
+    """Resolve a round-7 STAGED query (not yet in the live registry)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
+def _margin_mining_fixedq(spark, sf_dir):
+    """embeddings_margin_mining with the held-out side PINNED to the
+    base copy (doc_id < the inflation shift): the production shape —
+    the query set does not grow with the corpus — so the pair frame
+    and both k-NN shuffles must track corpus size ~linearly. Without
+    the pin, fixture inflation grows both sides and measures the
+    intrinsically quadratic all-pairs frame instead of the operator."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        embeddings_margin_mining,
+    )
+
+    return embeddings_margin_mining(spark, sf_dir, test_ceiling=10_000_000)
+
+
 # Non-registered callables stressed alongside the registry queries.
 EXTRA_FNS = {
     "embeddings_semdedup_scaledk": _semdedup_scaledk,
     "docs_incremental_exact_dedup_shufflejoin": _incremental_dedup_shufflejoin,
     "embeddings_semdedup_ivf_scaledk": _semdedup_ivf_scaledk,
+    # round-7 staged candidates (llm/staged_r7.py)
+    "docs_minhash_oph_pairs": _staged("docs_minhash_oph_pairs"),
+    "docs_semantic_decontamination": _staged("docs_semantic_decontamination"),
+    "corpus_vocab_growth": _staged("corpus_vocab_growth"),
+    "embeddings_margin_mining_fixedq": _margin_mining_fixedq,
 }
 MAX_EXPONENT = {
     # Near-dup family (r4): banded LSH / label propagation are linear;
@@ -172,6 +202,17 @@ MAX_EXPONENT = {
     # shuffles are the (doc_id, chunk)-keyed hash agg and the 16-byte
     # chunk-hash count join — both linear in corpus size.
     "docs_cdc_chunks": 1.35,
+    # Staged r7: OPH rides the same banded-bucket emit as the k-perm
+    # family (bijected copies pair among themselves); semantic decon's
+    # only shuffle is the test-sized argmax partial agg (the corpus
+    # STREAMS against the broadcast held-out block); vocab growth is
+    # one word-key count agg (the prefix bijection grows vocab ~k);
+    # margin mining with the held-out side pinned shuffles the
+    # test×corpus pair frame, linear in corpus size.
+    "docs_minhash_oph_pairs": 1.35,
+    "docs_semantic_decontamination": 1.35,
+    "corpus_vocab_growth": 1.35,
+    "embeddings_margin_mining_fixedq": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
@@ -465,6 +506,19 @@ def main() -> int:
     # stress dirs and crash on a nonexistent fixture path).
     args = [a for a in sys.argv[1:] if a != "--bpe-only"]
     bpe_only = "--bpe-only" in sys.argv[1:]
+    # --only name,name: stress just those queries and MERGE their rows
+    # into the existing STRESS_local.json (other queries' results and
+    # the funnel/BPE probes are preserved) — for stressing newly added
+    # operators without re-running the full multi-hour sweep.
+    only: tuple[str, ...] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = tuple(args[i + 1].split(","))
+        del args[i : i + 2]
+        unknown = [n for n in only if n not in MAX_EXPONENT]
+        if unknown:
+            print(f"unknown --only queries: {unknown}", file=sys.stderr)
+            return 2
     base = args[0] if args else "/root/testdata/sf0.1"
     if bpe_only:
         return bpe_mode(base)
@@ -479,7 +533,7 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     failures = []
-    for name in QUERIES:
+    for name in only if only is not None else QUERIES:
         per_scale = {}
         for k in SCALES:
             m = run_query(name, dirs[k])
@@ -505,6 +559,27 @@ def main() -> int:
             "ok": ok,
         }
 
+    stress_path = os.path.join(ROOT, "STRESS_local.json")
+    if only is not None:
+        # merge mode: fold the new rows into the existing snapshot,
+        # keeping every other query and the funnel/BPE probe results
+        try:
+            with open(stress_path) as f:
+                out = json.load(f)
+        except (OSError, ValueError):
+            out = {
+                "metric": "neardup_scale_stress",
+                "base_sf_dir": base,
+                "scales": list(SCALES),
+                "queries": {},
+            }
+        out.setdefault("queries", {}).update(results)
+        out["ok"] = all(q.get("ok") for q in out["queries"].values())
+        with open(stress_path, "w") as f:
+            f.write(json.dumps(out) + "\n")
+        print(json.dumps({k: results[k]["worst_exponent"] for k in results}))
+        return 1 if failures else 0
+
     # The trailing probes must not be able to discard the sweep that
     # already completed: record an error entry instead of dying.
     try:
@@ -524,7 +599,7 @@ def main() -> int:
         "funnel_form_compare": funnel_result,
         "bpe_200_merges": bpe_result,
     }
-    with open(os.path.join(ROOT, "STRESS_local.json"), "w") as f:
+    with open(stress_path, "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
     return 1 if failures else 0
