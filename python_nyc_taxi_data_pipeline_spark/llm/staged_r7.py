@@ -272,6 +272,12 @@ def _split_hh(c: Column) -> Column:
     return F.substring(F.md5(c.cast("string")), 1, 2)
 
 
+# 40-bit id field of the packed (cosine, id) argmax key: (c_micro +
+# 1e6) <= 2e6 needs 21 bits, 21 + 40 = 61 < 63 — no overflow; ids up
+# to ~1.1e12 fit, and the per-row guard fails loudly beyond that.
+_DECON_ID_BITS = 40
+
+
 @stage(
     "docs_semantic_decontamination",
     oracle=f"""
@@ -315,8 +321,9 @@ def docs_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: the held-out split is the SMALL side by construction
     (a few k docs even at 100 TB), so the test block broadcasts and
     the train corpus STREAMS — one scan, no corpus shuffle. The
-    per-test argmax is a struct-max aggregate (map-side combinable),
-    not a window over the pair table, so nothing n·q-sized is ever
+    per-test argmax is a packed-long (c_micro, ¬train_id) max — a
+    primitive HashAggregate with map-side partials — NOT a struct max
+    (SortAggregate fallback) or a window, so nothing n·q-sized is ever
     sorted; output is |test| rows. Cosines are rounded to 6 dp before
     the argmax and tie-broken by min train id, making the winner
     deterministic and cross-engine stable (same left-fold dot product
@@ -354,24 +361,37 @@ def docs_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     cos = F.round(
         _dot(F.col("tv"), F.col("cv")) / (F.col("tnrm") * F.col("cnrm")), 6
     )
-    # argmax as a struct max: (cosine, -train_id) orders by cosine
-    # desc then train_id asc — a partial-aggregable one-row-per-test
-    # reduction instead of sorting the |train|·|test| pair table.
-    best = (
-        pairs.select(
-            "test_doc_id",
-            F.struct(
-                cos.alias("c"), (F.lit(0) - F.col("train_doc_id")).alias("nid")
-            ).alias("sc"),
-        )
-        .groupBy("test_doc_id")
-        .agg(F.max("sc").alias("sc"))
+    # argmax as a PRIMITIVE-LONG max: (c_micro, train_id) packed into
+    # one bigint — (c_micro + 1e6) in the high bits, the 40-bit
+    # complement of train_id in the low bits — so max(pack) picks
+    # highest cosine then lowest id. A struct max expresses the same
+    # thing but silently falls back to SortAggregate (the segdedup
+    # hazard), which SORTS the |test|·|train| pair frame within
+    # partitions; the packed form is a map-side-combinable
+    # HashAggregate with |test| states and no sort. Per-row
+    # raise_error guard on the id range, mirroring the segdedup /
+    # merge_into packing guards.
+    cap = 1 << _DECON_ID_BITS
+    c_micro = F.round(cos * 1e6, 0).cast("bigint")
+    guarded_id = F.expr(
+        f"if(train_doc_id >= 0 AND train_doc_id < {cap}, train_doc_id,"
+        " raise_error('docs_semantic_decontamination: train_doc_id"
+        " outside the 40-bit packed-argmax range — raise"
+        " _DECON_ID_BITS'))"
     )
+    pack = (c_micro + F.lit(1_000_000)) * F.lit(cap) + (F.lit(cap - 1) - guarded_id)
+    best = (
+        pairs.select("test_doc_id", pack.alias("pk"))
+        .groupBy("test_doc_id")
+        .agg(F.max("pk").alias("pk"))
+    )
+    c_back = F.shiftright(F.col("pk"), _DECON_ID_BITS) - F.lit(1_000_000)
+    id_back = F.lit(cap - 1) - F.col("pk").bitwiseAND(F.lit(cap - 1))
     return best.select(
         "test_doc_id",
-        (F.lit(0) - F.col("sc.nid")).alias("train_doc_id"),
-        F.col("sc.c").alias("cosine_sim"),
-        (F.col("sc.c") >= NEARDUP_COSINE).alias("contaminated"),
+        id_back.alias("train_doc_id"),
+        F.round(c_back.cast("double") / 1e6, 6).alias("cosine_sim"),
+        (c_back >= int(round(NEARDUP_COSINE * 1e6))).alias("contaminated"),
     )
 
 

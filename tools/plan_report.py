@@ -169,6 +169,38 @@ HEADLINERS = [
         "final agreement aggregate is one full-outer join of two "
         "n-row verdict frames into a scalar row.",
     ),
+    (
+        "docs_minhash_oph_pairs",
+        "Densified OPH MinHash (staged r7): ONE xxhash64 per shingle; "
+        "the hash array, the 16-bin mins, and the densified signature "
+        "are separate localCheckpoint stages — the borrow scan "
+        "references the bins k*k times from lambda bodies (CSE-exempt), "
+        "so an inlined bins expression re-evaluates ~256x/doc (measured "
+        "5.5x slower end-to-end). Banding/bucketing/verify are "
+        "plan-identical to docs_minhash_lsh_pairs.",
+    ),
+    (
+        "docs_semantic_decontamination",
+        "Semantic decontamination (staged r7): the held-out block "
+        "broadcasts into a BroadcastNestedLoopJoin against the "
+        "streaming train corpus; the per-test argmax is a struct-max "
+        "HashAggregate (map-side partial), so the n*q pair frame is "
+        "never sorted or shuffled — only |test| rows exchange.",
+    ),
+    (
+        "embeddings_margin_mining",
+        "Margin mining (staged r7): the micro-quantized pair frame is "
+        "checkpointed once for its three consumers; both k-NN passes "
+        "are windows PARTITIONED by doc id; the test-side neighborhood "
+        "sums broadcast back while the corpus-sized train-side frame "
+        "joins UNHINTED (AQE broadcasts at fixture scale, shuffle join "
+        "beyond the threshold); the final argmax is a struct max — a "
+        "partition-sorted SortAggregate over the same checkpointed "
+        "pair frame both k-NN windows already partition-sort, no extra "
+        "exchange (margins are data-dependent ratios, so the "
+        "decontamination report's packed-long HashAggregate idiom "
+        "doesn't apply).",
+    ),
 ]
 
 
@@ -176,8 +208,11 @@ def main() -> int:
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
     from python_nyc_taxi_data_pipeline_spark.session import get_session
 
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED
+
     spark = get_session("plan-report")
-    qs = all_queries()
+    qs = dict(all_queries())
+    qs.update({n: q for n, q in STAGED.items() if n not in qs})
     out = [
         "# PLANS — formatted physical plans of headline queries",
         "",
