@@ -444,12 +444,27 @@ def main() -> int:
         try:
             with open(stress_path) as f:
                 stress = json.load(f)
+            # Summarize: the full per-query exponent map lives in
+            # STRESS_local.json; at 24 entries the verbatim map pushed
+            # the compact line against the driver's 2000-char stdout
+            # tail, so only failures print by name.
+            exps = {
+                n: r.get("worst_exponent")
+                for n, r in stress.get("queries", {}).items()
+                if r.get("worst_exponent") is not None
+            }
+            failing = {
+                n: r.get("worst_exponent")
+                for n, r in stress.get("queries", {}).items()
+                if not r.get("ok")
+            }
+            worst = max(exps.items(), key=lambda kv: kv[1]) if exps else None
             compact_payload["neardup_stress"] = {
                 "ok": stress.get("ok"),
-                "worst_exponents": {
-                    n: r.get("worst_exponent")
-                    for n, r in stress.get("queries", {}).items()
-                },
+                "entries": len(stress.get("queries", {})),
+                "worst": {"query": worst[0], "exponent": worst[1]} if worst else None,
+                "failing": failing,
+                "detail": "STRESS_local.json",
             }
             if stress.get("bpe_200_merges"):
                 compact_payload["bpe_200_merges"] = stress["bpe_200_merges"]

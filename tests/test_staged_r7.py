@@ -436,3 +436,24 @@ def test_margin_mining_matches_numpy_replay(spark):
         r = got[int(t)]
         assert r["train_doc_id"] == -best_nid, f"test doc {t}"
         assert abs(r["margin"] - best_m) <= 1e-9, f"test doc {t}"
+
+
+def test_staged_plans_avoid_sort_aggregate(spark):
+    """Struct min/max silently plans as SortAggregate (sorts every
+    group's rows within partitions — the segdedup keeper-election
+    hazard, re-hit by the decontamination argmax during round 6). Pin
+    every staged plan SortAggregate-free except the documented
+    exception: margin mining's ratio argmax, whose data-dependent
+    margin can't pack into a primitive key and whose input frame the
+    k-NN windows already partition-sort."""
+    from tests.test_plans import plan_of
+
+    allowed = {"embeddings_margin_mining"}
+    flagged = {}
+    for name, q in STAGED.items():
+        if name in allowed:
+            continue
+        p = plan_of(q.fn(spark, SF_DIR))
+        if "SortAggregate" in p:
+            flagged[name] = "SortAggregate"
+    assert flagged == {}
