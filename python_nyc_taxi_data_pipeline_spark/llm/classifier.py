@@ -204,12 +204,21 @@ def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    cmeta0 = cls.select(
+        "lang",
+        _micro(F.col("oov_c") + F.lit(1), F.col("denom")).alias("oov_micro"),
+        _micro(F.col("n_docs"), F.lit(n_docs_total)).alias("prior_micro"),
+    ).withColumnRenamed("lang", "cls")
+    # 0-based lexicographic class index for the packed argmin (min idx
+    # == min cls string, preserving the struct-min tie-break). Rank by
+    # triangular join on the C-row frame — the constant-size-frame
+    # idiom instead of a single-partition window.
+    ahead = cmeta0.select(F.col("cls").alias("b_cls"))
     cmeta = F.broadcast(
-        cls.select(
-            "lang",
-            _micro(F.col("oov_c") + F.lit(1), F.col("denom")).alias("oov_micro"),
-            _micro(F.col("n_docs"), F.lit(n_docs_total)).alias("prior_micro"),
-        ).withColumnRenamed("lang", "cls")
+        cmeta0.join(F.broadcast(ahead), F.col("b_cls") < F.col("cls"), "left")
+        .groupBy("cls", "oov_micro", "prior_micro")
+        .agg(F.count("b_cls").alias("cls_idx"))
+        .localCheckpoint(eager=True)
     )
     # ---- scoring: one more corpus explode -> per-doc distinct-token
     # counts, broadcast-model joins, one groupBy(doc_id) argmin. Two
@@ -253,15 +262,23 @@ def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("cnt").alias("n_oov"))
     )
+    # the doc's own label rides the aggregate as its CLASS INDEX (an
+    # int — every lang is a class by construction): F.first on a
+    # STRING has a non-primitive buffer, which alone forces the whole
+    # aggregate to SortAggregate even when everything else packs.
+    lang_idx = F.broadcast(
+        cmeta.select(F.col("cls").alias("lang"), F.col("cls_idx").alias("lang_idx"))
+    )
     costs = (
         d.select("doc_id", "lang")
+        .join(lang_idx, "lang")
         .join(doc_oov, "doc_id", "left")
         .crossJoin(cmeta)
         .join(doc_iv, ["doc_id", "cls"], "left")
         .select(
             "doc_id",
-            "lang",
-            "cls",
+            "lang_idx",
+            "cls_idx",
             (
                 F.col("prior_micro")
                 + F.coalesce("iv_cost", F.lit(0))
@@ -269,18 +286,45 @@ def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cost_micro"),
         )
     )
+    # argmin as a PRIMITIVE-LONG min: cost_micro packed with the 8-bit
+    # class index — min(pack) picks lowest cost, tie-broken by lowest
+    # class index (== lexicographic cls, matching the previous
+    # struct-min semantics). A struct min plans as SortAggregate and
+    # SORTS the |docs|·C cost frame within partitions; the packed form
+    # is a map-side-combinable HashAggregate (the segdedup keeper
+    # idiom). Per-row raise_error guard on both fields' ranges.
+    pk = F.expr(
+        f"if(cost_micro >= 0 AND cost_micro < {1 << 55}"
+        " AND cls_idx >= 0 AND cls_idx < 256,"
+        " cost_micro * 256 + cls_idx,"
+        " raise_error('docs_nb_lang_classifier: (cost_micro, cls_idx)"
+        " outside the packed-argmin range'))"
+    )
+    best = (
+        costs.select("doc_id", "lang_idx", pk.alias("pk"))
+        .groupBy("doc_id")
+        .agg(F.first("lang_idx").alias("lang_idx"), F.min("pk").alias("pk"))
+    )
+    cls_lookup = F.broadcast(
+        cmeta.select("cls_idx", F.col("cls").alias("pred_lang"))
+    )
     return (
-        costs.groupBy("doc_id")
-        .agg(
-            F.first("lang").alias("lang"),
-            F.min(F.struct("cost_micro", "cls")).alias("best"),
+        best.withColumn("cls_idx", F.col("pk").bitwiseAND(F.lit(255)))
+        .join(cls_lookup, "cls_idx")
+        .join(
+            F.broadcast(
+                cmeta.select(
+                    F.col("cls_idx").alias("lang_idx"), F.col("cls").alias("lang")
+                )
+            ),
+            "lang_idx",
         )
         .select(
             "doc_id",
             "lang",
-            F.col("best.cls").alias("pred_lang"),
-            F.col("best.cost_micro").alias("cost_micro"),
-            (F.col("best.cls") == F.col("lang")).alias("correct"),
+            "pred_lang",
+            F.shiftright(F.col("pk"), 8).alias("cost_micro"),
+            (F.col("cls_idx") == F.col("lang_idx")).alias("correct"),
         )
     )
 
@@ -365,19 +409,28 @@ def embeddings_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = topk.groupBy("query_id", "qlabel", "nlabel").agg(
         F.count(F.lit(1)).alias("votes")
     )
+    # majority vote as a PRIMITIVE-LONG min: (K - votes) in the high
+    # bits, the label in the low 10 — min(pack) picks max votes then
+    # min label, the same (votes DESC, label ASC) tie-break the
+    # previous struct min expressed, without its SortAggregate
+    # fallback. Guarded per row (labels must fit 10 bits).
+    pk = F.expr(
+        f"if(nlabel >= 0 AND nlabel < 1024,"
+        f" ({PROBE_K} - votes) * 1024 + nlabel,"
+        " raise_error('embeddings_knn_label_probe: nlabel outside the"
+        " packed-argmin range'))"
+    )
     return (
-        votes.groupBy("query_id")
-        .agg(
-            F.first("qlabel").alias("qlabel"),
-            F.min(F.struct((-F.col("votes")).alias("neg"), "nlabel", "votes")).alias(
-                "best"
-            ),
-        )
+        votes.select("query_id", "qlabel", pk.alias("pk"))
+        .groupBy("query_id")
+        .agg(F.first("qlabel").alias("qlabel"), F.min("pk").alias("pk"))
         .select(
             F.col("query_id").alias("vec_id"),
             F.col("qlabel").alias("label"),
-            F.col("best.nlabel").alias("pred_label"),
-            F.col("best.votes").alias("votes"),
-            (F.col("best.nlabel") == F.col("qlabel")).alias("correct"),
+            F.col("pk").bitwiseAND(F.lit(1023)).alias("pred_label"),
+            (F.lit(PROBE_K) - F.shiftright(F.col("pk"), 10)).alias("votes"),
+            (F.col("pk").bitwiseAND(F.lit(1023)) == F.col("qlabel")).alias(
+                "correct"
+            ),
         )
     )

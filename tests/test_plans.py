@@ -355,6 +355,26 @@ def test_no_plan_antipatterns_across_all_queries(spark):
     assert flagged == {}
 
 
+def test_no_sort_aggregate_across_all_queries(spark):
+    """Fleet-wide net: struct/string-buffered aggregates silently plan
+    as SortAggregate, which SORTS every group's rows within partitions
+    — hit twice in round 6 (the NB classifier's struct argmin + its
+    F.first on a STRING doc label; the knn label probe's struct vote
+    min), both fixed by packing into primitive longs / carrying the
+    label as its class index. Zero registered plans may regress; a
+    future query with a legitimate sort-based aggregate earns an
+    explicit allowlist entry here, not a silent pass."""
+    from python_nyc_taxi_data_pipeline_spark import registry
+
+    allowed: set = set()
+    flagged = [
+        name
+        for name, q in registry.all_queries().items()
+        if name not in allowed and "SortAggregate" in plan_of(q.fn(spark, SF_DIR))
+    ]
+    assert flagged == []
+
+
 def test_segment_dedup_keeper_is_primitive_hash_aggregate(spark):
     """Keeper election must stay a primitive-long HashAggregate (min of
     the packed key) — a struct min would silently fall back to
