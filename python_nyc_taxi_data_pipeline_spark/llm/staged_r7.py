@@ -49,6 +49,15 @@ flow):
 - ``embeddings_margin_mining``: Artetxe & Schwenk ratio-margin pair
   mining (the LASER/CCMatrix scorer) — hubness-normalized best-match
   retrieval between the held-out and train splits.
+- ``docs_edit_similarity_pairs``: char-level Levenshtein verification
+  of the shingle near-dup candidates — the ORDER-SENSITIVE verify
+  stage that separates revision twins from block-reordered twins,
+  affordable precisely because the pair set is inverted-index-bounded.
+- ``embeddings_pca_power``: top principal component by power iteration
+  (the ABTT / whitening preprocessing input, Mu & Viswanath ICLR'18) —
+  MLlib's RowMatrix shape: ONE distributed scan accumulates exact
+  integer moments, the d×d eigensolve is bounded driver work, and the
+  oracle replays the full iteration as unrolled chained CTEs.
 """
 
 from __future__ import annotations
@@ -61,8 +70,11 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import QueryFn
 from .dedup import (
+    DF_CEILING,
     GRAMS_CTE_SQL,
+    JACCARD_PAIRS_SQL,
     JACCARD_THRESHOLD,
+    _jaccard_pairs_from,
     _verify_jaccard,
     hashed_shingle_table,
     posting_pair_emit,
@@ -1019,4 +1031,314 @@ def embeddings_margin_mining(
         (F.lit(0) - F.col("sc.nid")).alias("train_doc_id"),
         F.col("sc.c").alias("cosine_sim"),
         F.col("sc.m").alias("margin"),
+    )
+
+
+# --------------------------------------------------------------------
+# Edit-distance (Levenshtein) verification of near-dup candidates
+# --------------------------------------------------------------------
+
+# Char-level normalized edit similarity 1 - lev/max(len) at or above
+# this confirms a word-shingle candidate as a true revision-style
+# near-dup; below it the pair shares shingles but not document-level
+# structure (block-reordered twins, boilerplate overlap). The
+# fixture's near-dup pairs are all revisions (sim >= 0.92 at every
+# SF, so every row verifies); the discriminating case — a
+# sentence-REORDERED twin that keeps interior trigrams but scrambles
+# char order — is pinned by the construction pytest.
+EDIT_SIM_THRESHOLD = 0.5
+
+
+@stage(
+    "docs_edit_similarity_pairs",
+    oracle=f"""
+    WITH g AS (
+{GRAMS_CTE_SQL}
+    ), pairs AS (
+{JACCARD_PAIRS_SQL}
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           levenshtein(ta.text, tb.text) AS edit_distance,
+           round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                     / greatest(length(ta.text), length(tb.text)),
+                 6) AS edit_similarity,
+           round(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                     / greatest(length(ta.text), length(tb.text)),
+                 6) >= {EDIT_SIM_THRESHOLD} AS edit_verified
+    FROM pairs p
+    JOIN documents ta ON ta.doc_id = p.doc_a
+    JOIN documents tb ON tb.doc_id = p.doc_b
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def docs_edit_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the word-shingle near-dup
+    candidates: every Jaccard >= 0.30 pair re-scored by normalized
+    Levenshtein similarity ``1 - lev(a,b)/max(len(a),len(b))`` with an
+    ``edit_verified`` verdict at 0.5. Set-based shingle overlap is
+    order-blind — a doc and its shuffled-sentence twin score identical
+    Jaccard — so revision-style dedup (the git-commit / CommonCrawl
+    recrawl shape) confirms candidates with an ORDER-SENSITIVE char
+    metric before collapsing clusters; cf. the exact-substring verify
+    stage of Lee et al. '22's dedup pipeline.
+
+    Scale shape: Levenshtein is O(len_a * len_b) per pair — far too
+    expensive as a generator, exactly affordable as a VERIFIER because
+    the pair set is already bounded by the inverted-index emit
+    (Sigma_gram df^2 with the DF_CEILING hot-shingle cap). Full texts
+    are joined for CANDIDATE PAIRS ONLY — the corpus text column never
+    enters a shuffle; the two doc_id equi-joins degrade from AQE
+    broadcast to hash-shuffle joins as the corpus outgrows the
+    threshold, which is the correct 100 TB behavior. The DP runs
+    JVM-side (codegen ``levenshtein``), no Python. Production knob at
+    cluster scale: Spark's thresholded ``levenshtein(l, r, k)``
+    variant abandons a pair early once the distance provably exceeds
+    ``(1 - threshold) * max_len`` — an O(k * len) early exit; the
+    unthresholded form here keeps the reported distance exact for the
+    oracle.
+
+    The oracle recomputes the FULL exact candidate set (no df
+    ceiling), so hash equality doubles as a recall-neutrality proof of
+    the cap on this corpus (the ``docs_jaccard_df_ceiling_contract``
+    argument extended through the verify stage)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_from(spark, d, DF_CEILING)
+    texts = d.select("doc_id", "text", F.length("text").alias("n_len"))
+    ta = texts.alias("ta")
+    tb = texts.alias("tb")
+    lev = F.levenshtein(F.col("ta.text"), F.col("tb.text"))
+    sim = F.round(
+        F.lit(1.0)
+        - lev.cast("double") / F.greatest(F.col("ta.n_len"), F.col("tb.n_len")),
+        6,
+    )
+    return (
+        pairs.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            lev.alias("edit_distance"),
+            sim.alias("edit_similarity"),
+            (sim >= EDIT_SIM_THRESHOLD).alias("edit_verified"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Distributed PCA: top principal component by power iteration
+# --------------------------------------------------------------------
+
+EMB_DIM = 64
+_PCA_SCALE = 1_000_000.0  # micro quantization of the per-row moments
+PCA_POWER_ITERS = 128  # fixed: determinism is the parity contract; 128 steps
+# also converge to cos >= 0.99 with numpy's top eigenvector even on the
+# fixture's NEAR-DEGENERATE spectrum (top eigvals within 1.3% of each
+# other — synthetic isotropic embeddings are the worst case for power
+# iteration; any real anisotropic corpus converges far faster)
+
+
+def _pca_oracle_sql(t_iters: int = PCA_POWER_ITERS) -> str:
+    """The DuckDB twin of ``embeddings_pca_power``, generated the way
+    the BPE oracle replays training: the covariance build and every
+    power-iteration step unrolled as chained CTEs. All corpus sums are
+    exact integers (order-free); every double fold afterwards is an
+    ORDER-PINNED ``list_reduce`` (ascending index), bit-identical to
+    the driver-side Python loop that accumulates in the same order —
+    the ``knn_pq_adc`` order-pinned-fold discipline applied to linear
+    algebra.
+
+    Every CTE is ``AS MATERIALIZED``: each iteration references its
+    predecessor twice (through w_t and the norm), so plain CTEs invite
+    the optimizer to INLINE the chain — a 2^T expression blow-up that
+    in practice surfaced as thousands of duplicate parquet scans
+    ("Too many open files") before it surfaced as slowness."""
+    d = EMB_DIM
+    parts = [
+        f"""
+    WITH v AS MATERIALIZED (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), dims AS MATERIALIZED (
+      SELECT unnest(generate_series(0, {d - 1})) AS i
+    ), mom AS MATERIALIZED (
+      SELECT d1.i AS i, d2.i AS j,
+             CAST(sum(CAST(round(v.v[d1.i + 1] * v.v[d2.i + 1]
+                                 * {_PCA_SCALE}, 0) AS BIGINT)) AS BIGINT) AS s
+      FROM v, dims d1, dims d2
+      GROUP BY d1.i, d2.i
+    ), mn AS MATERIALIZED (
+      SELECT d.i AS i,
+             CAST(sum(CAST(round(v.v[d.i + 1] * {_PCA_SCALE}, 0)
+                           AS BIGINT)) AS BIGINT) AS m
+      FROM v, dims d
+      GROUP BY d.i
+    ), nn AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v
+    ), c AS MATERIALIZED (
+      SELECT mom.i, mom.j,
+             (CAST(mom.s AS DOUBLE) / {_PCA_SCALE}) / nn.n
+             - ((CAST(ma.m AS DOUBLE) / {_PCA_SCALE}) / nn.n)
+               * ((CAST(mb.m AS DOUBLE) / {_PCA_SCALE}) / nn.n) AS cij
+      FROM mom, nn, mn ma, mn mb
+      WHERE ma.i = mom.i AND mb.i = mom.j
+    ), v0 AS MATERIALIZED (
+      SELECT i, CAST(1.0 AS DOUBLE) AS val FROM dims
+    )"""
+    ]
+    for t in range(1, t_iters + 1):
+        parts.append(
+            f""", w{t} AS MATERIALIZED (
+      SELECT c.i AS i,
+             list_reduce(list(c.cij * p.val ORDER BY c.j),
+                         (a, b) -> a + b) AS w
+      FROM c JOIN v{t - 1} p ON p.i = c.j
+      GROUP BY c.i
+    ), n{t} AS MATERIALIZED (
+      SELECT sqrt(list_reduce(list(w * w ORDER BY i), (a, b) -> a + b)) AS nrm
+      FROM w{t}
+    ), v{t} AS MATERIALIZED (
+      SELECT i, w / nrm AS val FROM w{t}, n{t}
+    )"""
+        )
+    parts.append(
+        f""", q AS MATERIALIZED (
+      SELECT c.i AS i,
+             list_reduce(list(c.cij * p.val ORDER BY c.j),
+                         (a, b) -> a + b) AS qv
+      FROM c JOIN v{t_iters} p ON p.i = c.j
+      GROUP BY c.i
+    ), lam AS MATERIALIZED (
+      SELECT list_reduce(list(p.val * q.qv ORDER BY p.i),
+                         (a, b) -> a + b) AS l
+      FROM v{t_iters} p JOIN q ON q.i = p.i
+    ), tr AS MATERIALIZED (
+      SELECT list_reduce(list(cij ORDER BY i), (a, b) -> a + b) AS t
+      FROM c WHERE i = j
+    )
+    SELECT p.i AS dim_idx,
+           round(p.val, 6) + 0.0 AS loading,
+           round(lam.l, 6) + 0.0 AS eigenvalue,
+           round(lam.l / tr.t, 6) + 0.0 AS explained_variance_ratio
+    FROM v{t_iters} p, lam, tr"""
+    )
+    return "".join(parts)
+
+
+@stage(
+    "embeddings_pca_power",
+    oracle=_pca_oracle_sql(),
+    tags=("llm", "embedding", "linalg"),
+)
+def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration — the ABTT / all-but-the-top preprocessing input (Mu &
+    Viswanath ICLR'18: dominant directions of an embedding space are
+    corpus-frequency artifacts; retrieval improves when the top PC is
+    projected out) and the whitening step run before IVF/PQ training.
+
+    Architecture is MLlib's own PCA shape (RowMatrix
+    computeGramianMatrix → local eigensolve): the ONLY corpus-sized
+    work is one scan that accumulates the d(d+1)-cell second-moment /
+    mean block plus the row count — per row a 4161-cell integer array
+    (64×64 products + 64 values + 1, each micro-quantized HALF_UP so
+    the corpus sums are exact order-free integers), posexploded and
+    hash-aggregated with map-side combine (4161 states per partition —
+    the kmeans centroid-update shape, fleet-proven). The d×d
+    eigensolve then runs DRIVER-side on the collected 4161 integers —
+    bounded work at any corpus size, the sanctioned kmeans-style
+    scalar collect.
+
+    Determinism contract: covariance entries derive from exact
+    integers with a pinned op order; the {PCA_POWER_ITERS}-step power
+    iteration from the all-ones vector does every inner-product fold
+    in ascending index order, so the Python loop here and the oracle's
+    unrolled chained-CTE replay produce BIT-IDENTICAL doubles (the
+    knn_pq_adc discipline). The final 6-dp rounding happens in SPARK
+    (createDataFrame of raw doubles → F.round), keeping the
+    engine-rounding pairing every other query already proves; ``+ 0.0``
+    normalizes -0.0 on both engines. Fixed iteration count: the
+    contract is determinism, not convergence — the pytest checks
+    convergence against numpy's eigendecomposition separately.
+
+    Scale ceilings, documented: per-row product micros are ≲1e8, so
+    bigint sums hold to ~1e10 rows; past that, drop _PCA_SCALE to 1e4
+    or accumulate in DECIMAL(38,0). The sums collect is 4161 values
+    regardless of corpus size."""
+    e = load(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    micro = lambda col: F.round(col * F.lit(_PCA_SCALE), 0).cast("bigint")  # noqa: E731
+    prods = F.flatten(
+        F.transform(
+            F.col("v"),
+            lambda xi: F.transform(F.col("v"), lambda xj: micro(xi * xj)),
+        )
+    )
+    vals = F.transform(F.col("v"), lambda xi: micro(xi))
+    # Row-count cell doubles as the dimensionality guard: a ragged
+    # embedding would silently misalign every moment cell, so it
+    # raises instead (the packing-guard pattern).
+    one = F.expr(
+        f"if(size(v) = {EMB_DIM}, cast(1 as bigint),"
+        " raise_error('embeddings_pca_power: embedding dim != 64 —"
+        " moment cells would misalign'))"
+    )
+    cells = F.concat(prods, vals, F.array(one))
+    sums = {
+        r["pos"]: r["s"]
+        for r in (
+            e.select(F.posexplode(cells).alias("pos", "cell"))
+            .groupBy("pos")
+            .agg(F.sum("cell").alias("s"))
+            .collect()
+        )
+    }
+    d = EMB_DIM
+    n_f = float(sums[d * d + d])
+    S = [[sums[i * d + j] for j in range(d)] for i in range(d)]
+    M = [sums[d * d + i] for i in range(d)]
+    C = [
+        [
+            (S[i][j] / _PCA_SCALE) / n_f
+            - ((M[i] / _PCA_SCALE) / n_f) * ((M[j] / _PCA_SCALE) / n_f)
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v = [1.0] * d
+    for _ in range(PCA_POWER_ITERS):
+        w = []
+        for i in range(d):
+            s = 0.0
+            for j in range(d):
+                s += C[i][j] * v[j]
+            w.append(s)
+        s = 0.0
+        for i in range(d):
+            s += w[i] * w[i]
+        nrm = s**0.5
+        v = [w[i] / nrm for i in range(d)]
+    q = []
+    for i in range(d):
+        s = 0.0
+        for j in range(d):
+            s += C[i][j] * v[j]
+        q.append(s)
+    lam = 0.0
+    for i in range(d):
+        lam += v[i] * q[i]
+    tr = 0.0
+    for i in range(d):
+        tr += C[i][i]
+    rows = [(i, v[i], lam, lam / tr) for i in range(d)]
+    raw = spark.createDataFrame(
+        rows, "dim_idx bigint, l double, e double, r double"
+    )
+    return raw.select(
+        "dim_idx",
+        (F.round("l", 6) + F.lit(0.0)).alias("loading"),
+        (F.round("e", 6) + F.lit(0.0)).alias("eigenvalue"),
+        (F.round("r", 6) + F.lit(0.0)).alias("explained_variance_ratio"),
     )

@@ -65,7 +65,7 @@ def test_staged_oracle_parity_sf0001(spark):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    assert len(STAGED) == 8
+    assert len(STAGED) >= 8
     for name, q in STAGED.items():
         sdf = q.fn(spark, SF_DIR).toPandas()
         ddf = con.execute(q.oracle).fetchdf()
@@ -457,3 +457,133 @@ def test_staged_plans_avoid_sort_aggregate(spark):
         if "SortAggregate" in p:
             flagged[name] = "SortAggregate"
     assert flagged == {}
+
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows], _DOC_SCHEMA
+    ).write.parquet(str(path / "documents.parquet"))
+    return str(path)
+
+
+def _lev(a: str, b: str) -> int:
+    """Classic Wagner–Fischer DP — the independent replay for Spark's
+    (and DuckDB's) ``levenshtein``."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_similarity_separates_revision_from_reorder(spark, tmp_path):
+    """The edit_verified verdict must SPLIT the two candidate classes
+    shingle Jaccard cannot tell apart at the document level: a
+    revision twin (one word substituted → high Jaccard, high edit
+    sim) and a block-REORDERED twin (interior trigrams survive the
+    shuffle → Jaccard clears the candidate bar, but char order is
+    scrambled → low edit sim). Every emitted metric is replayed with
+    a pure-Python Wagner–Fischer DP."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        EDIT_SIM_THRESHOLD,
+        docs_edit_similarity_pairs,
+    )
+
+    blocks = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu anchor barrel cedar dome",
+        "ember falcon garnet harbor ivory jasper kernel lumen marble nectar",
+    ]
+    base = " ".join(blocks)
+    revision = base.replace("oscar", "orbit")
+    reordered = " ".join(reversed(blocks))
+    rows = [
+        (0, base),
+        (1, revision),
+        (2, reordered),
+        (3, "totally unrelated words about completely different topics here now"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in docs_edit_similarity_pairs(spark, sf).collect()
+    }
+
+    assert (0, 1) in got, "revision twin must be a candidate pair"
+    assert (0, 2) in got, "block-reordered twin must be a candidate pair"
+    assert got[(0, 1)].edit_verified, "revision twin must verify"
+    assert not got[(0, 2)].edit_verified, (
+        "block-reordered twin shares shingles but not char structure — "
+        "the edit verify stage exists to reject exactly this pair"
+    )
+
+    texts = dict(rows)
+    for (a, b), r in got.items():
+        want = _lev(texts[a], texts[b])
+        assert r.edit_distance == want
+        sim = round(1.0 - want / max(len(texts[a]), len(texts[b])), 6)
+        assert abs(r.edit_similarity - sim) < 1e-9
+        assert r.edit_verified == (sim >= EDIT_SIM_THRESHOLD)
+
+
+def test_pca_power_matches_numpy_eigendecomposition(spark):
+    """Replay the WHOLE pipeline in numpy from the raw parquet: same
+    micro-quantized moments, same covariance formula — then check the
+    returned component against numpy's exact eigendecomposition. The
+    fixture spectrum is near-degenerate (top eigenvalues within ~1.3%),
+    the worst case for power iteration, so the bounds have teeth."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        embeddings_pca_power,
+    )
+
+    got = (
+        embeddings_pca_power(spark, SF_DIR)
+        .toPandas()
+        .sort_values("dim_idx")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    S = np.round(np.einsum("ni,nj->nij", X, X) * 1e6).sum(axis=0)
+    M = np.round(X * 1e6).sum(axis=0)
+    n = len(X)
+    C = (S / 1e6) / n - np.outer((M / 1e6) / n, (M / 1e6) / n)
+    evals, evecs = np.linalg.eigh(C)
+    lam1, v1 = evals[-1], evecs[:, -1]
+
+    v = got["loading"].to_numpy()
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4, "loadings must be unit-norm"
+    lam = got["eigenvalue"].iloc[0]
+    assert (got["eigenvalue"] == lam).all(), "one eigenvalue, repeated"
+    assert lam >= 0.999 * lam1, f"Rayleigh quotient {lam} vs top {lam1}"
+    assert lam <= lam1 + 1e-9, "Rayleigh can never exceed the top eigenvalue"
+    assert abs(v @ v1) >= 0.97, f"|cos| to numpy eigenvector: {abs(v @ v1)}"
+    evr = got["explained_variance_ratio"].iloc[0]
+    assert abs(evr - lam / np.trace(C)) < 1e-5
+
+
+def test_pca_power_rejects_ragged_embeddings(spark, tmp_path):
+    """A corpus with a wrong-dimension embedding must FAIL LOUDLY —
+    a silent misalignment would corrupt every moment cell."""
+    import pytest as _pytest
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        embeddings_pca_power,
+    )
+
+    rows = [(0, [0.1] * 64, 1), (1, [0.2] * 32, 2)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    with _pytest.raises(Exception, match="embedding dim != 64"):
+        embeddings_pca_power(spark, str(tmp_path))
