@@ -58,6 +58,10 @@ flow):
   MLlib's RowMatrix shape: ONE distributed scan accumulates exact
   integer moments, the d×d eigensolve is bounded driver work, and the
   oracle replays the full iteration as unrolled chained CTEs.
+- ``docs_source_js_divergence``: pairwise Jensen–Shannon divergence
+  between source unigram distributions over a shared top-V+OOV space —
+  the source-similarity matrix mixture design reads before setting
+  sampling weights; micro-nat integer sums, one corpus-sized shuffle.
 """
 
 from __future__ import annotations
@@ -1341,4 +1345,166 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("l", 6) + F.lit(0.0)).alias("loading"),
         (F.round("e", 6) + F.lit(0.0)).alias("eigenvalue"),
         (F.round("r", 6) + F.lit(0.0)).alias("explained_variance_ratio"),
+    )
+
+
+# --------------------------------------------------------------------
+# Inter-source Jensen–Shannon divergence (mixture design)
+# --------------------------------------------------------------------
+
+# Shared feature space for the source distributions: the global top-V
+# tokens plus one OOV bucket that absorbs the rest — distributions
+# stay PROPER (sum to 1) and the pair computation is bounded at V+1
+# terms regardless of corpus vocabulary (the pruned-LM discipline of
+# docs_unigram_surprisal_filter applied to a divergence).
+JS_TOP_V = 64
+_JS_OOV = " OOV "  # contains spaces: impossible as a space-split token
+
+@stage(
+    "docs_source_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), sc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok
+    ), topv AS (
+      SELECT tok FROM sc GROUP BY tok
+      ORDER BY CAST(sum(c) AS BIGINT) DESC, tok
+      LIMIT {JS_TOP_V}
+    ), bucketed AS (
+      SELECT sc.source,
+             CASE WHEN topv.tok IS NOT NULL THEN sc.tok
+                  ELSE '{_JS_OOV}' END AS bucket,
+             CAST(sum(sc.c) AS BIGINT) AS c
+      FROM sc LEFT JOIN topv ON topv.tok = sc.tok
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS t FROM bucketed GROUP BY source
+    ), buckets AS (
+      SELECT DISTINCT bucket FROM bucketed
+    ), grid AS (
+      SELECT s.source, s.t, b.bucket, coalesce(bc.c, 0) AS c
+      FROM totals s CROSS JOIN buckets b
+      LEFT JOIN bucketed bc ON bc.source = s.source AND bc.bucket = b.bucket
+    ), terms AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.t AS ta, b.t AS tb,
+             CAST(round((
+               CASE WHEN a.c > 0 THEN 0.5 * ((CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE))
+                    * ln(2.0 * (CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE))
+                         / ((CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE))
+                            + (CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE)))))
+                    ELSE 0.0 END
+               + CASE WHEN b.c > 0 THEN 0.5 * ((CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE))
+                      * ln(2.0 * (CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE))
+                           / ((CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE))
+                              + (CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE)))))
+                      ELSE 0.0 END
+             ) * 1000000.0, 0) AS BIGINT) AS term_micro
+      FROM grid a JOIN grid b
+        ON a.bucket = b.bucket AND a.source < b.source
+      WHERE a.c > 0 OR b.c > 0
+    )
+    SELECT source_a, source_b, ta AS tokens_a, tb AS tokens_b,
+           CAST(sum(term_micro) AS BIGINT) AS js_micro,
+           round(CAST(CAST(sum(term_micro) AS BIGINT) AS DOUBLE)
+                 / 1000000.0, 6) AS js_divergence
+    FROM terms
+    GROUP BY source_a, source_b, ta, tb
+    """,
+    tags=("llm", "mixture", "report"),
+)
+def docs_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between every two sources'
+    unigram distributions over a shared top-{JS_TOP_V}+OOV feature
+    space — the similarity matrix mixture design reads before setting
+    sampling weights (near-zero JS → sources are redundant, dedup or
+    merge their quotas; high JS → genuinely complementary data;
+    cf. the domain-similarity weighting of DoReMi/DSIR-style mixture
+    tuning). JS over the OOV-completed space is proper (bounded by
+    ln 2, symmetric, no infinities — unlike raw KL).
+
+    Scale shape: the ONLY corpus-sized work is the (source, token)
+    count — one map-side-combined shuffle over the Zipf-compressed
+    token space (the corpus_vocabulary shape). The top-V vocabulary is
+    a bounded TakeOrdered; bucketing collapses the per-source
+    distributions to ≤ V+1 rows each, so the pair stage is
+    |sources|²·(V+1)/2 rows of pure arithmetic — bounded by SOURCE
+    cardinality (domains/datasets: tens to thousands), never by corpus
+    size; at 1e3 sources it is ~3e7 in-memory rows, one aggregation.
+
+    Determinism: per-term doubles are identical cross-engine (same
+    integer counts, same pinned expression tree, one ln per side),
+    quantized HALF_UP to micro-nats BEFORE the per-pair sum — the
+    order-free integer-sum discipline of the LM family; the only
+    emitted float is one rounded division. Top-V ties break on
+    (count DESC, token ASC)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    sc = sc.localCheckpoint(eager=True)  # three consumers below
+    topv = (
+        sc.groupBy("tok")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(JS_TOP_V)
+        .select("tok")
+    )
+    bucketed = (
+        sc.join(F.broadcast(topv.withColumnRenamed("tok", "vtok")),
+                F.col("tok") == F.col("vtok"), "left")
+        .select(
+            "source",
+            F.when(F.col("vtok").isNotNull(), F.col("tok"))
+            .otherwise(F.lit(_JS_OOV))
+            .alias("bucket"),
+            "c",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    bucketed = bucketed.localCheckpoint(eager=True)  # bounded: sources×(V+1)
+    totals = bucketed.groupBy("source").agg(F.sum("c").alias("t"))
+    buckets = bucketed.select("bucket").distinct()
+    grid = (
+        totals.crossJoin(F.broadcast(buckets))
+        .join(bucketed, ["source", "bucket"], "left")
+        .select("source", "t", "bucket", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = grid.alias("a")
+    b = grid.alias("b")
+
+    def p(side: str) -> Column:
+        return F.col(f"{side}.c").cast("double") / F.col(f"{side}.t").cast(
+            "double"
+        )
+
+    def half(side: str) -> Column:
+        ps = p(side)
+        return F.when(
+            F.col(f"{side}.c") > 0,
+            F.lit(0.5) * (ps * F.log(F.lit(2.0) * ps / (p("a") + p("b")))),
+        ).otherwise(F.lit(0.0))
+
+    term_micro = F.round((half("a") + half("b")) * 1e6, 0).cast("bigint")
+    terms = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .filter((F.col("a.c") > 0) | (F.col("b.c") > 0))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.t").alias("tokens_a"),
+            F.col("b.t").alias("tokens_b"),
+            term_micro.alias("term_micro"),
+        )
+    )
+    return terms.groupBy("source_a", "source_b", "tokens_a", "tokens_b").agg(
+        F.sum("term_micro").alias("js_micro"),
+        F.round(F.sum("term_micro").cast("double") / 1e6, 6).alias(
+            "js_divergence"
+        ),
     )

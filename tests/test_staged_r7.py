@@ -587,3 +587,84 @@ def test_pca_power_rejects_ragged_embeddings(spark, tmp_path):
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
     with _pytest.raises(Exception, match="embedding dim != 64"):
         embeddings_pca_power(spark, str(tmp_path))
+
+
+def test_js_divergence_matches_python_replay(spark):
+    """From-scratch pandas/math replay at sf0.001: same top-V
+    vocabulary (count DESC, token ASC), same OOV completion, same
+    per-term micro-nat quantization — exact integer equality on
+    js_micro for every pair."""
+    import math
+    from collections import Counter
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        _JS_OOV,
+        JS_TOP_V,
+        docs_source_js_divergence,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    per_source: dict[str, Counter] = {}
+    glob: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        per_source.setdefault(r["source"], Counter()).update(toks)
+        glob.update(toks)
+    topv = set(
+        t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:JS_TOP_V]
+    )
+    bucketed = {s: Counter() for s in per_source}
+    for s, cnt in per_source.items():
+        for t, c in cnt.items():
+            bucketed[s][t if t in topv else _JS_OOV] += c
+    totals = {s: sum(c.values()) for s, c in bucketed.items()}
+
+    got = docs_source_js_divergence(spark, SF_DIR).toPandas()
+    assert len(got) == len(totals) * (len(totals) - 1) // 2
+    for r in got.itertuples():
+        ca, cb = bucketed[r.source_a], bucketed[r.source_b]
+        ta, tb = totals[r.source_a], totals[r.source_b]
+        assert (r.tokens_a, r.tokens_b) == (ta, tb)
+        js_micro = 0
+        for t in set(ca) | set(cb):
+            pa = ca.get(t, 0) / float(ta)
+            pb = cb.get(t, 0) / float(tb)
+            term = 0.0
+            if ca.get(t, 0) > 0:
+                term += 0.5 * (pa * math.log(2.0 * pa / (pa + pb)))
+            if cb.get(t, 0) > 0:
+                term += 0.5 * (pb * math.log(2.0 * pb / (pa + pb)))
+            # HALF_UP like the engines
+            js_micro += int(
+                math.floor(abs(term) * 1e6 + 0.5) * (1 if term >= 0 else -1)
+            )
+        assert r.js_micro == js_micro, f"{r.source_a}/{r.source_b}"
+
+
+def test_js_divergence_identical_and_disjoint_extremes(spark, tmp_path):
+    """Contract extremes on a constructed corpus: a source paired with
+    its verbatim twin scores JS 0; two disjoint-vocabulary sources
+    score ln 2 (the JS maximum) within per-term quantization slack."""
+    import math
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        docs_source_js_divergence,
+    )
+
+    t1 = "apple banana cherry date elder fig grape"
+    t2 = "umber violet walnut xenon yucca zinnia quartz"
+    rows = [
+        (0, t1, "en", "twin_a", len(t1)),
+        (1, t1, "en", "twin_b", len(t1)),
+        (2, t2, "en", "disjoint", len(t2)),
+    ]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.source_a, r.source_b): r.js_divergence
+        for r in docs_source_js_divergence(spark, str(tmp_path)).collect()
+    }
+    assert got[("twin_a", "twin_b")] == 0.0
+    for pair in (("disjoint", "twin_a"), ("disjoint", "twin_b")):
+        assert abs(got[pair] - math.log(2.0)) < 1e-4, got[pair]
