@@ -62,6 +62,10 @@ flow):
   between source unigram distributions over a shared top-V+OOV space —
   the source-similarity matrix mixture design reads before setting
   sampling weights; micro-nat integer sums, one corpus-sized shuffle.
+- ``docs_ccnet_perplexity_buckets``: CCNet's head/middle/tail
+  perplexity terciles per language (Wenzek et al. LREC'20), composed
+  on the registered surprisal scores with an exact integer ranking
+  key so the ntile cut is bit-stable cross-engine.
 """
 
 from __future__ import annotations
@@ -1507,4 +1511,101 @@ def docs_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("term_micro").cast("double") / 1e6, 6).alias(
             "js_divergence"
         ),
+    )
+
+
+# --------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing
+# --------------------------------------------------------------------
+
+_CCNET_BUCKETS = {1: "head", 2: "middle", 3: "tail"}
+
+
+@stage(
+    "docs_ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH scored AS (
+{_LM_ORACLE}
+    ), ranked AS (
+      SELECT d.lang, s.doc_id, s.n_tokens, s.sum_surprisal_micro,
+             s.mean_surprisal_micro,
+             ntile(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY (s.sum_surprisal_micro * 1000000) // s.n_tokens,
+                        s.doc_id
+             ) AS nt
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT lang,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+           min(mean_surprisal_micro) AS mean_surprisal_min,
+           max(mean_surprisal_micro) AS mean_surprisal_max
+    FROM ranked
+    GROUP BY lang, nt
+    """,
+    tags=("llm", "quality", "lm", "report"),
+)
+def docs_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. LREC'20): within
+    each language, rank documents by LM surprisal and cut into
+    perplexity terciles — 'head' is the cleanest third that CCNet
+    ships as its top-quality slice, 'tail' the noisiest. The report
+    carries doc/token mass and the surprisal range per (lang, bucket):
+    the table a mixture designer reads to decide how deep into each
+    language's quality distribution to sample.
+
+    Composes the registered ``docs_unigram_surprisal_filter`` scores
+    verbatim (same pruned-LM micro-nat integers), so the bucket
+    boundaries inherit its exactness. Ranking inside a language uses
+    an INTEGER key — ``sum_micro * 1e6 DIV n_tokens`` (exact
+    fixed-point mean; ~1e16 at a 1000-token doc, far inside bigint) —
+    tie-broken by doc_id, so ntile agrees bit-for-bit cross-engine;
+    a float-division key could order equal means differently.
+
+    Scale shape: scoring is the LM plan (one corpus explode, bounded
+    broadcast LM, one per-doc rollup); the tercile cut is ONE window
+    partitioned by lang — per-language spillable sorts, exactly the
+    shard-by-language sort CCNet itself performs, never a global
+    order. The final rollup is a ≤ 3·|langs|-group hash aggregate. At
+    100 TB the sort is the honest cost of exact terciles; the cheaper
+    variant (approximate boundaries from a per-lang surprisal
+    histogram, then one broadcast-compare pass) trades boundary
+    exactness for sortlessness and drops in without changing this
+    report's schema."""
+    from pyspark.sql import Window as W
+
+    scored = docs_unigram_surprisal_filter(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    key = F.expr("sum_surprisal_micro * 1000000 DIV n_tokens")
+    nt = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    )
+    ranked = (
+        scored.join(d, "doc_id")
+        .select("lang", "n_tokens", "mean_surprisal_micro", nt.alias("nt"))
+    )
+    bucket = (
+        F.when(F.col("nt") == 1, F.lit("head"))
+        .when(F.col("nt") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.groupBy("lang", "nt")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_mass"),
+            F.min("mean_surprisal_micro").alias("mean_surprisal_min"),
+            F.max("mean_surprisal_micro").alias("mean_surprisal_max"),
+        )
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            "n_docs",
+            "token_mass",
+            "mean_surprisal_min",
+            "mean_surprisal_max",
+        )
     )

@@ -668,3 +668,52 @@ def test_js_divergence_identical_and_disjoint_extremes(spark, tmp_path):
     assert got[("twin_a", "twin_b")] == 0.0
     for pair in (("disjoint", "twin_a"), ("disjoint", "twin_b")):
         assert abs(got[pair] - math.log(2.0)) < 1e-4, got[pair]
+
+
+def test_ccnet_buckets_match_python_replay(spark):
+    """From-scratch replay of the tercile cut at sf0.001: recompute
+    each doc's exact fixed-point mean-surprisal key from the REGISTERED
+    surprisal scores, apply standard ntile(3) semantics per language
+    (first n mod 3 tiles get the extra row), and reconcile every
+    (lang, bucket) row."""
+    from python_nyc_taxi_data_pipeline_spark.llm.lm import (
+        docs_unigram_surprisal_filter,
+    )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        docs_ccnet_perplexity_buckets,
+    )
+
+    scored = docs_unigram_surprisal_filter(spark, SF_DIR).toPandas()
+    langs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "lang"]]
+    df = scored.merge(langs, on="doc_id")
+    df["key"] = (df["sum_surprisal_micro"] * 1_000_000) // df["n_tokens"]
+
+    want = {}
+    for lang, g in df.groupby("lang"):
+        g = g.sort_values(["key", "doc_id"]).reset_index(drop=True)
+        n = len(g)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        start = 0
+        for tile, label in zip(sizes, ("head", "middle", "tail")):
+            part = g.iloc[start : start + tile]
+            start += tile
+            want[(lang, label)] = (
+                len(part),
+                int(part["n_tokens"].sum()),
+                part["mean_surprisal_micro"].min(),
+                part["mean_surprisal_micro"].max(),
+            )
+
+    got = docs_ccnet_perplexity_buckets(spark, SF_DIR).toPandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        w = want[(r.lang, r.bucket)]
+        assert (r.n_docs, r.token_mass) == (w[0], w[1]), (r.lang, r.bucket)
+        assert r.mean_surprisal_min == w[2]
+        assert r.mean_surprisal_max == w[3]
+    # head must be the LOW-surprisal tercile in every language
+    for lang in got["lang"].unique():
+        h = got[(got.lang == lang) & (got.bucket == "head")].iloc[0]
+        t = got[(got.lang == lang) & (got.bucket == "tail")].iloc[0]
+        assert h.mean_surprisal_max <= t.mean_surprisal_min

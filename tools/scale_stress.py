@@ -141,6 +141,9 @@ EXTRA_FNS = {
     "docs_semantic_decontamination": _staged("docs_semantic_decontamination"),
     "corpus_vocab_growth": _staged("corpus_vocab_growth"),
     "embeddings_margin_mining_fixedq": _margin_mining_fixedq,
+    "docs_edit_similarity_pairs": _staged("docs_edit_similarity_pairs"),
+    "embeddings_pca_power": _staged("embeddings_pca_power"),
+    "docs_source_js_divergence": _staged("docs_source_js_divergence"),
 }
 MAX_EXPONENT = {
     # Near-dup family (r4): banded LSH / label propagation are linear;
@@ -213,6 +216,19 @@ MAX_EXPONENT = {
     "docs_semantic_decontamination": 1.35,
     "corpus_vocab_growth": 1.35,
     "embeddings_margin_mining_fixedq": 1.35,
+    # Edit-similarity verify rides the inverted-index pair emit (the
+    # prefix bijection keeps copies pairing only among themselves, so
+    # candidate pairs — and the text-fetch joins — scale ~k); the
+    # Levenshtein DP itself is per-pair compute, no shuffle.
+    "docs_edit_similarity_pairs": 1.35,
+    # PCA's single shuffle is the 4161-state moment aggregation —
+    # map-side combined to a CONSTANT number of rows per partition, so
+    # shuffle bytes should stay ~flat while scan time grows linearly.
+    "embeddings_pca_power": 1.35,
+    # JS divergence: one (source, token) count shuffle over the
+    # Zipf-compressed vocab (the prefix bijection grows vocab ~k); the
+    # pair stage is bounded by source cardinality, not corpus size.
+    "docs_source_js_divergence": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
