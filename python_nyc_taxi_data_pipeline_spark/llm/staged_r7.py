@@ -66,6 +66,10 @@ flow):
   perplexity terciles per language (Wenzek et al. LREC'20), composed
   on the registered surprisal scores with an exact integer ranking
   key so the ntile cut is bit-stable cross-engine.
+- ``docs_dup_cluster_report``: cluster-size histogram + dedup-savings
+  ledger (docs/tokens a keep-min-id pass removes), composed on the
+  registered connected-components assignments and reconciling to the
+  whole corpus.
 """
 
 from __future__ import annotations
@@ -1608,4 +1612,96 @@ def docs_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
             "mean_surprisal_min",
             "mean_surprisal_max",
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Dup-cluster size report: what dedup buys
+# --------------------------------------------------------------------
+
+
+def _cluster_report_oracle() -> str:
+    from .clusters import _clusters_oracle
+
+    # Reuse the registered clusters oracle verbatim as a subquery: the
+    # recursive-CTE connected components IS the ground truth the
+    # cluster assignments are already hash-proven against.
+    clusters_sql = _clusters_oracle()
+    return f"""
+    WITH clus AS MATERIALIZED (
+{clusters_sql}
+    ), sized AS (
+      SELECT c.doc_id, c.cluster_rep,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok
+      FROM clus c JOIN documents d ON d.doc_id = c.doc_id
+    ), percl AS (
+      SELECT cluster_rep,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(sum(ntok) AS BIGINT) AS tok,
+             CAST(sum(CASE WHEN doc_id = cluster_rep THEN ntok
+                           ELSE 0 END) AS BIGINT) AS rep_tok
+      FROM sized GROUP BY cluster_rep
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
+           CAST(sum(tok) AS BIGINT) AS token_mass,
+           CAST(sum(tok - rep_tok) AS BIGINT) AS tokens_removed
+    FROM percl
+    GROUP BY sz
+    """
+
+
+@stage(
+    "docs_dup_cluster_report",
+    oracle=_cluster_report_oracle(),
+    tags=("llm", "dedup", "report"),
+)
+def docs_dup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph plus the dedup
+    savings ledger: per cluster size, how many clusters, how many
+    documents, and how many docs/tokens a keep-min-id dedup pass
+    removes (the representative's tokens stay, the rest go). This is
+    the report read BEFORE committing a dedup run — whether
+    duplication lives in a few giant template clusters (df-cap /
+    boilerplate territory) or many pairs (revision twins), and what
+    fraction of the token budget dedup actually recovers; cluster_size
+    = 1 rows carry the untouched singleton mass, so the table
+    reconciles to the whole corpus.
+
+    Composes the registered ``docs_dup_clusters`` assignments verbatim
+    (min-label propagation; its oracle is reused as a subquery here,
+    so this report's hash check re-proves the composition end to end).
+    Scale shape: after clustering, ONE groupBy(cluster_rep) hash
+    aggregate (corpus-keyed, map-side combined) and one ≤ max-size-
+    group rollup — both integer-exact, no window, no sort."""
+    from .clusters import docs_dup_clusters
+
+    clus = docs_dup_clusters(spark, sf_dir)
+    ntok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("ntok")
+    )
+    sized = clus.join(ntok, "doc_id")
+    percl = sized.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("ntok").alias("tok"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("cluster_rep"), F.col("ntok"))
+            .otherwise(F.lit(0))
+        ).alias("rep_tok"),
+    )
+    return percl.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.col("sz") - 1).alias("docs_removed"),
+        F.sum("tok").alias("token_mass"),
+        F.sum(F.col("tok") - F.col("rep_tok")).alias("tokens_removed"),
+    ).select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "docs_removed",
+        "token_mass",
+        "tokens_removed",
     )

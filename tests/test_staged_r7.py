@@ -717,3 +717,47 @@ def test_ccnet_buckets_match_python_replay(spark):
         h = got[(got.lang == lang) & (got.bucket == "head")].iloc[0]
         t = got[(got.lang == lang) & (got.bucket == "tail")].iloc[0]
         assert h.mean_surprisal_max <= t.mean_surprisal_min
+
+
+def test_dup_cluster_report_reconciles_with_clusters(spark):
+    """Pandas replay from the REGISTERED cluster assignments: the
+    report's ledger must reconcile exactly — per-size rows rebuilt
+    from a groupby of docs_dup_clusters, and the whole table summing
+    back to the corpus doc/token totals."""
+    from python_nyc_taxi_data_pipeline_spark.llm.clusters import (
+        docs_dup_clusters,
+    )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        docs_dup_cluster_report,
+    )
+
+    clus = docs_dup_clusters(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs["ntok"] = docs["text"].map(lambda t: len(t.split(" ")))
+    m = clus.merge(docs[["doc_id", "ntok"]], on="doc_id")
+
+    percl = m.groupby("cluster_rep").agg(
+        sz=("doc_id", "size"),
+        tok=("ntok", "sum"),
+    )
+    rep_tok = m[m.doc_id == m.cluster_rep].set_index("cluster_rep")["ntok"]
+    percl["rep_tok"] = rep_tok
+    assert percl["rep_tok"].notna().all(), "every cluster keeps its rep"
+
+    got = docs_dup_cluster_report(spark, SF_DIR).toPandas()
+    want = percl.groupby("sz").agg(
+        n_clusters=("tok", "size"),
+        token_mass=("tok", "sum"),
+        rep_mass=("rep_tok", "sum"),
+    )
+    assert set(got["cluster_size"]) == set(want.index)
+    for r in got.itertuples():
+        w = want.loc[r.cluster_size]
+        assert r.n_clusters == w["n_clusters"]
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.docs_removed == (r.cluster_size - 1) * r.n_clusters
+        assert r.token_mass == w["token_mass"]
+        assert r.tokens_removed == w["token_mass"] - w["rep_mass"]
+    # whole-corpus reconciliation
+    assert got["n_docs"].sum() == len(docs)
+    assert got["token_mass"].sum() == docs["ntok"].sum()
