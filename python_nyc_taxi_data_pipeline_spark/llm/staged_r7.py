@@ -1253,12 +1253,13 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Architecture is MLlib's own PCA shape (RowMatrix
     computeGramianMatrix → local eigensolve): the ONLY corpus-sized
     work is one scan that accumulates the d(d+1)-cell second-moment /
-    mean block plus the row count — per row a 4161-cell integer array
-    (64×64 products + 64 values + 1, each micro-quantized HALF_UP so
+    mean block plus the row count — per row a 2145-cell integer array
+    (the 2080-cell upper product triangle + 64 values + 1, each
+    micro-quantized HALF_UP so
     the corpus sums are exact order-free integers), posexploded and
-    hash-aggregated with map-side combine (4161 states per partition —
+    hash-aggregated with map-side combine (2145 states per partition —
     the kmeans centroid-update shape, fleet-proven). The d×d
-    eigensolve then runs DRIVER-side on the collected 4161 integers —
+    eigensolve then runs DRIVER-side on the collected 2145 integers —
     bounded work at any corpus size, the sanctioned kmeans-style
     scalar collect.
 
@@ -1276,16 +1277,24 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale ceilings, documented: per-row product micros are ≲1e8, so
     bigint sums hold to ~1e10 rows; past that, drop _PCA_SCALE to 1e4
-    or accumulate in DECIMAL(38,0). The sums collect is 4161 values
+    or accumulate in DECIMAL(38,0). The sums collect is 2145 values
     regardless of corpus size."""
     e = load(spark, sf_dir, "embeddings").select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     micro = lambda col: F.round(col * F.lit(_PCA_SCALE), 0).cast("bigint")  # noqa: E731
+    # UPPER TRIANGLE only (j >= i): IEEE multiplication commutes, so
+    # round(xi*xj*scale) is bit-identical to its mirror — the driver
+    # reflects S across the diagonal and the oracle's full d² grid
+    # still matches exactly. Halves the dominant explode (4096 → 2080
+    # product cells per row; measured ~1.9× on the moment stage).
     prods = F.flatten(
         F.transform(
             F.col("v"),
-            lambda xi: F.transform(F.col("v"), lambda xj: micro(xi * xj)),
+            lambda xi, i: F.transform(
+                F.slice(F.col("v"), i + 1, F.lit(EMB_DIM) - i),
+                lambda xj: micro(xi * xj),
+            ),
         )
     )
     vals = F.transform(F.col("v"), lambda xi: micro(xi))
@@ -1308,9 +1317,18 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     }
     d = EMB_DIM
-    n_f = float(sums[d * d + d])
-    S = [[sums[i * d + j] for j in range(d)] for i in range(d)]
-    M = [sums[d * d + i] for i in range(d)]
+    n_tri = d * (d + 1) // 2
+
+    def tri(i: int, j: int) -> int:
+        # position of (i, j) with j >= i in the row-major triangle
+        return i * d - i * (i - 1) // 2 + (j - i)
+
+    n_f = float(sums[n_tri + d])
+    S = [
+        [sums[tri(i, j)] if j >= i else sums[tri(j, i)] for j in range(d)]
+        for i in range(d)
+    ]
+    M = [sums[n_tri + i] for i in range(d)]
     C = [
         [
             (S[i][j] / _PCA_SCALE) / n_f
