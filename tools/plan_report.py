@@ -201,6 +201,29 @@ HEADLINERS = [
         "decontamination report's packed-long HashAggregate idiom "
         "doesn't apply).",
     ),
+    (
+        "docs_edit_similarity_pairs",
+        "Levenshtein verify stage: candidate pairs come from the "
+        "inverted-index emit (one posting shuffle); the corpus text "
+        "column is joined for CANDIDATE PAIRS ONLY (two doc_id "
+        "equi-joins, AQE-broadcast at fixture scale), and the DP runs "
+        "as codegen `levenshtein` on the joined rows — no Python, no "
+        "text shuffle.",
+    ),
+    (
+        "docs_source_js_divergence",
+        "JS divergence: one map-side-combined (source, token) count "
+        "shuffle is the only corpus-sized stage; top-V is a bounded "
+        "TakeOrdered broadcast; the pair grid is |sources|-bounded "
+        "arithmetic with micro-nat integer sums.",
+    ),
+    (
+        "docs_ccnet_perplexity_buckets",
+        "CCNet terciles: the LM scoring plan (explode -> broadcast LM "
+        "-> per-doc rollup) feeds ONE window partitioned by lang "
+        "ordered by an exact fixed-point integer key; final rollup is "
+        "a 3*|langs|-group HashAggregate.",
+    ),
 ]
 
 
