@@ -75,6 +75,11 @@ flow):
   what makes corpus-wide signature retention affordable) with the
   debiased estimator pinned within 0.35 of exact Jaccard per verified
   pair.
+- ``docs_ccnet_histogram_cut_contract``: the SORTLESS production
+  variant of the CCNet cut — histogram-quantile tercile boundaries +
+  one broadcast-compare pass — with its per-language agreement vs the
+  exact sort measured and pinned (fully integer-exact, so the oracle
+  replays the agreement numbers themselves).
 """
 
 from __future__ import annotations
@@ -1840,4 +1845,157 @@ def docs_minhash_bbit_calibration(
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------
+# Sortless CCNet cut: histogram boundaries + agreement contract
+# --------------------------------------------------------------------
+
+# Histogram bin width in the ranking key's FIXED-POINT units (the key
+# is mean surprisal in micro-nats scaled by a further 1e6, ~3.4e12 on
+# the fixtures). 2^26 units ≈ 67 micro-nats of mean surprisal →
+# 79–187 occupied bins per language across the SFs. The width must
+# track the DENSE part of the distribution, not the range: surprisal
+# is peaked, so a 2^32 width atomizes the tails into singleton bins
+# while lumping ~1/3 of a language into the ONE bin straddling the
+# tercile edge (measured agreement collapsed to 0.60–0.80); at 2^26
+# the edge bins hold tens of docs and min agreement is 0.971 at every
+# SF — while the (lang, bin) table stays trivially broadcastable.
+CCNET_HIST_BIN = 1 << 26
+CCNET_AGREEMENT_FLOOR = 0.9
+
+_CCNET_KEY_SQL = "(s.sum_surprisal_micro * 1000000) // s.n_tokens"
+
+
+@stage(
+    "docs_ccnet_histogram_cut_contract",
+    oracle=f"""
+    WITH scored AS (
+{_LM_ORACLE}
+    ), keyed AS (
+      SELECT d.lang, s.doc_id,
+             {_CCNET_KEY_SQL} AS k,
+             ({_CCNET_KEY_SQL}) // {CCNET_HIST_BIN} AS bin
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ), exact AS (
+      SELECT lang, doc_id,
+             ntile(3) OVER (PARTITION BY lang ORDER BY k, doc_id) AS nt
+      FROM keyed
+    ), hist AS (
+      SELECT lang, bin, CAST(count(*) AS BIGINT) AS c
+      FROM keyed GROUP BY lang, bin
+    ), cum AS (
+      SELECT lang, bin, c,
+             CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cm,
+             CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM hist
+    ), cuts AS (
+      SELECT lang,
+             min(CASE WHEN cm * 3 >= n THEN bin END) AS b1,
+             min(CASE WHEN cm * 3 >= 2 * n THEN bin END) AS b2
+      FROM cum GROUP BY lang
+    ), approx AS (
+      SELECT k.lang, k.doc_id,
+             CASE WHEN k.bin <= c.b1 THEN 1
+                  WHEN k.bin <= c.b2 THEN 2
+                  ELSE 3 END AS ab
+      FROM keyed k JOIN cuts c ON c.lang = k.lang
+    )
+    SELECT e.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e.nt = a.ab THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           round(CAST(sum(CASE WHEN e.nt = a.ab THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS agreement_rate,
+           (CAST(sum(CASE WHEN e.nt = a.ab THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*)) >= {CCNET_AGREEMENT_FLOOR} AS agreement_ok,
+           min(c.b1) AS head_cut_bin, min(c.b2) AS tail_cut_bin
+    FROM exact e
+    JOIN approx a ON a.lang = e.lang AND a.doc_id = e.doc_id
+    JOIN cuts c ON c.lang = e.lang
+    GROUP BY e.lang
+    """,
+    tags=("llm", "quality", "lm", "contract"),
+)
+def docs_ccnet_histogram_cut_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SORTLESS production variant of the CCNet tercile cut, with
+    its exactness cost measured: instead of sorting every language
+    shard (``docs_ccnet_perplexity_buckets``), build a bounded
+    (lang, bin) surprisal HISTOGRAM ({CCNET_HIST_BIN}-micro-nat bins),
+    read the tercile boundary bins off the cumulative counts, and
+    assign buckets with one broadcast-compare pass — no corpus-sized
+    sort anywhere, the histogram-quantile idiom every engine ships for
+    exactly this situation. Only documents inside a boundary BIN can
+    disagree with the exact cut, so the per-language agreement rate is
+    structurally ≥ 1 − 2·(max bin mass)/n; the contract pins it ≥
+    {CCNET_AGREEMENT_FLOOR} (measured ≥ 0.971 at every SF).
+
+    This is the ``knn_lsh_recall_eval`` / ``semdedup_ivf`` contract
+    pattern: the eval query itself CONTAINS the exact per-lang sort to
+    compare against (that is the price of the evaluation, run once to
+    qualify the approx path); production runs only the histogram side.
+    Everything — keys, bins, cumulative counts, boundary bins,
+    both assignments — is exact integer arithmetic, so the oracle
+    replays the ENTIRE contract including the agreement numbers, not
+    just a verdict boolean.
+
+    Scale shape of the approx path: one (lang, bin) hash aggregate
+    (map-side combined, bounded output), cumulative sums over the
+    BOUNDED histogram frame, one broadcast cuts join. The ntile side
+    exists only inside this eval."""
+    from pyspark.sql import Window as W
+
+    scored = docs_unigram_surprisal_filter(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    key = F.expr("sum_surprisal_micro * 1000000 DIV n_tokens")
+    keyed = (
+        scored.join(d, "doc_id")
+        .select("lang", "doc_id", key.alias("k"))
+        .withColumn("bin", F.expr(f"k DIV {CCNET_HIST_BIN}"))
+        .localCheckpoint(eager=True)  # feeds exact, hist, and approx
+    )
+    nt = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.col("k").asc(), F.col("doc_id").asc())
+    )
+    exact = keyed.select("lang", "doc_id", nt.alias("nt"))
+    hist = keyed.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("lang").orderBy("bin")
+    cum = hist.select(
+        "lang",
+        "bin",
+        F.sum("c").over(wcum).alias("cm"),
+        F.sum("c").over(W.partitionBy("lang")).alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cm") * 3 >= F.col("n"), F.col("bin"))).alias("b1"),
+        F.min(
+            F.when(F.col("cm") * 3 >= 2 * F.col("n"), F.col("bin"))
+        ).alias("b2"),
+    )
+    approx = keyed.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        "doc_id",
+        F.when(F.col("bin") <= F.col("b1"), F.lit(1))
+        .when(F.col("bin") <= F.col("b2"), F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("ab"),
+    )
+    joined = exact.join(approx, ["lang", "doc_id"]).join(
+        F.broadcast(cuts), "lang"
+    )
+    agree = F.sum(
+        F.when(F.col("nt") == F.col("ab"), F.lit(1)).otherwise(F.lit(0))
+    )
+    n = F.count(F.lit(1))
+    rate = agree.cast("double") / n
+    return joined.groupBy("lang").agg(
+        n.alias("n_docs"),
+        agree.alias("n_agree"),
+        F.round(rate, 6).alias("agreement_rate"),
+        (rate >= CCNET_AGREEMENT_FLOOR).alias("agreement_ok"),
+        F.min("b1").alias("head_cut_bin"),
+        F.min("b2").alias("tail_cut_bin"),
     )

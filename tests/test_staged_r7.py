@@ -806,3 +806,55 @@ def test_bbit_calibration_matches_signature_replay(spark):
             abs(est - exact) <= BBIT_EST_ERR_CEILING
         ), (r.doc_a, r.doc_b)
         assert r.est_err_bounded, "fixture pairs must all calibrate"
+
+
+def test_ccnet_histogram_cut_matches_pandas_replay(spark):
+    """From-scratch pandas replay of the sortless cut at sf0.001:
+    same fixed-point keys, same 2^26 bins, same cumulative boundary
+    rule, same exact-ntile comparison — every per-language row must
+    reproduce exactly, and at least one language must show REAL
+    disagreement (rate < 1) so the contract is measuring something."""
+    from python_nyc_taxi_data_pipeline_spark.llm.lm import (
+        docs_unigram_surprisal_filter,
+    )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        CCNET_HIST_BIN,
+        docs_ccnet_histogram_cut_contract,
+    )
+
+    scored = docs_unigram_surprisal_filter(spark, SF_DIR).toPandas()
+    langs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "lang"]]
+    df = scored.merge(langs, on="doc_id")
+    df["k"] = (df["sum_surprisal_micro"] * 1_000_000) // df["n_tokens"]
+    df["bin"] = df["k"] // CCNET_HIST_BIN
+
+    want = {}
+    for lang, g in df.groupby("lang"):
+        g = g.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        n = len(g)
+        base, extra = divmod(n, 3)
+        nt = (
+            [1] * (base + (1 if extra > 0 else 0))
+            + [2] * (base + (1 if extra > 1 else 0))
+            + [3] * base
+        )
+        g["nt"] = nt
+        cum = g.groupby("bin").size().sort_index().cumsum()
+        b1 = cum[cum * 3 >= n].index.min()
+        b2 = cum[cum * 3 >= 2 * n].index.min()
+        ab = g["bin"].map(lambda b: 1 if b <= b1 else (2 if b <= b2 else 3))
+        agree = int((ab.values == g["nt"].values).sum())
+        want[lang] = (n, agree, int(b1), int(b2))
+
+    got = docs_ccnet_histogram_cut_contract(spark, SF_DIR).toPandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, agree, b1, b2 = want[r.lang]
+        assert (r.n_docs, r.n_agree) == (n, agree), r.lang
+        assert (r.head_cut_bin, r.tail_cut_bin) == (b1, b2), r.lang
+        assert r.agreement_rate == round(agree / n, 6)
+        assert r.agreement_ok
+    assert (got["agreement_rate"] < 1.0).any(), (
+        "no boundary flips anywhere — the bin width has drifted back "
+        "to a degenerate regime and the contract is vacuous"
+    )
