@@ -208,7 +208,14 @@ def run_one(name: str, sf_dir: str, repeats: int = 3) -> int:
         )
         spark.stop()
         return 0
-    q = all_queries()[name]
+    qs = all_queries()
+    if name in qs:
+        q = qs[name]
+    else:
+        # round-7 staged candidates are benchable too (--staged mode)
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED
+
+        q = STAGED[name]
     for _ in range(repeats):
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -340,10 +347,55 @@ def current_round(repo: str) -> int:
     return newest + 1
 
 
+def run_staged(sf_dir: str) -> int:
+    """Fresh-JVM warm timings for every round-7 staged candidate,
+    written to BENCH_staged.json — the per-round cost record the
+    registration decision reads (the registered set's analog is the
+    curated isolated bench)."""
+    import subprocess
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED
+
+    results = {}
+    for name in STAGED:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            results[name] = {"error": "timeout after 900s"}
+            print(f"# staged {name}: TIMEOUT", file=sys.stderr)
+            continue
+        last = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        try:
+            results[name] = json.loads(last)
+        except ValueError:
+            results[name] = {"error": proc.stderr[-500:]}
+        print(f"# staged {name}: {results[name]}", file=sys.stderr)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = {
+        "metric": "staged_queries_isolated",
+        "unit": "sec",
+        "sf": sf_of(sf_dir),
+        "round": current_round(repo),
+        "queries": results,
+    }
+    with open(os.path.join(repo, "BENCH_staged.json"), "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps({k: v.get("warm_min") for k, v in results.items()}))
+    return 0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         return run_one(sys.argv[2], sf_dir)
+    if len(sys.argv) >= 2 and sys.argv[1] == "--staged":
+        return run_staged(sf_dir)
     if len(sys.argv) >= 2 and sys.argv[1] == "--isolated":
         arg = sys.argv[2] if len(sys.argv) >= 3 else "curated"
         names = (

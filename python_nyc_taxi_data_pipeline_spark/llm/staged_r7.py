@@ -80,6 +80,10 @@ flow):
   one broadcast-compare pass — with its per-language agreement vs the
   exact sort measured and pinned (fully integer-exact, so the oracle
   replays the agreement numbers themselves).
+- ``lineitem_brand_abc_classes``: per-brand ABC/Pareto revenue
+  classification (80/95 cuts) — DECIMAL-exact cumulative shares via
+  cross-multiplied comparisons, the window input pre-collapsed to one
+  row per (brand, part).
 """
 
 from __future__ import annotations
@@ -1998,4 +2002,112 @@ def docs_ccnet_histogram_cut_contract(
         (rate >= CCNET_AGREEMENT_FLOOR).alias("agreement_ok"),
         F.min("b1").alias("head_cut_bin"),
         F.min("b2").alias("tail_cut_bin"),
+    )
+
+
+# --------------------------------------------------------------------
+# Per-brand ABC (Pareto) revenue classification
+# --------------------------------------------------------------------
+
+
+@stage(
+    "lineitem_brand_abc_classes",
+    oracle="""
+    WITH pr AS (
+      SELECT p.p_brand, l.l_partkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, l.l_partkey
+    ), ranked AS (
+      SELECT p_brand, l_partkey, rev,
+             SUM(rev) OVER (
+               PARTITION BY p_brand ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(rev) OVER (PARTITION BY p_brand) AS total
+      FROM pr
+    ), classed AS (
+      SELECT p_brand, l_partkey, rev,
+             CASE WHEN cum * 10 <= total * 8 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             total
+      FROM ranked
+    )
+    SELECT p_brand, abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(rev) AS DOUBLE), 2) AS class_revenue,
+           round(CAST(SUM(rev) AS DOUBLE) / CAST(min(total) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed
+    GROUP BY p_brand, abc_class
+    """,
+    tags=("analytics", "report"),
+)
+def lineitem_brand_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification per brand: parts ranked by
+    discounted revenue within their brand, classified A while the
+    cumulative share (self-inclusive) stays ≤ 80%, B to 95%, C after —
+    the classic 80/15/5 revenue-concentration report inventory and
+    procurement planning runs. Balances the staged slate with a
+    transactional-analytics shape (the collocation→basket-lift lineage
+    continued).
+
+    Exactness: per-part revenue accumulates in DECIMAL(18,4) (the
+    fleet's TPC-H discipline), the cumulative and total are DECIMAL
+    window sums, and the class cuts are cross-multiplied decimal
+    integer comparisons (``cum·10 ≤ total·8``) — no float enters the
+    classification, so the A/B/C assignment is bit-free of rounding
+    drift; ties rank by (revenue DESC, partkey). The only floats are
+    the two rounded report columns.
+
+    Scale shape: lineitem collapses FIRST to one row per (brand,
+    partkey) — a map-side-combined hash aggregate keyed like the scan
+    — so the window input is |parts|, not |lineitem|; the per-brand
+    cumulative is a spillable bounded-partition sort (25 brands on the
+    fixtures; real catalogs are thousands — still parts/brand-sized
+    groups, never corpus-sized). Final rollup is a ≤ 3·|brands|-group
+    hash aggregate."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+        ).alias("rev1"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    pr = (
+        li.join(p, "l_partkey")
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("rev1").alias("rev"))
+    )
+    wcum = (
+        W.partitionBy("p_brand")
+        .orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("p_brand")
+    ranked = pr.select(
+        "p_brand",
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(wtot).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") * 10 <= F.col("total") * 8, F.lit("A"))
+        .when(F.col("cum") * 20 <= F.col("total") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    classed = ranked.select("p_brand", "rev", "total", cls.alias("abc_class"))
+    return classed.groupBy("p_brand", "abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev").cast("double"), 2).alias("class_revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.min("total").cast("double"), 6
+        ).alias("revenue_share"),
     )

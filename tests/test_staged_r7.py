@@ -858,3 +858,72 @@ def test_ccnet_histogram_cut_matches_pandas_replay(spark):
         "no boundary flips anywhere — the bin width has drifted back "
         "to a degenerate regime and the contract is vacuous"
     )
+
+
+def test_abc_classes_match_pandas_replay(spark):
+    """From-scratch pandas replay of the per-brand Pareto cut using
+    Python Decimal for the revenue accumulation (mirroring the
+    DECIMAL(18,4) discipline) — every (brand, class) row reconciles,
+    and classes partition each brand's parts."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        lineitem_brand_abc_classes,
+    )
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_partkey", "l_extendedprice", "l_discount"]
+    ]
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")[["p_partkey", "p_brand"]]
+    q4 = Decimal("0.0001")
+
+    def rev_row(r):
+        return Decimal(repr(r.l_extendedprice * (1 - r.l_discount))).quantize(
+            q4, rounding=ROUND_HALF_UP
+        )
+
+    li = li.assign(rev=[rev_row(r) for r in li.itertuples()])
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+
+    want = {}
+    for brand, g in m.groupby("p_brand"):
+        per = (
+            g.groupby("l_partkey")["rev"].apply(lambda s: sum(s, Decimal(0)))
+            .reset_index()
+        )
+        per = per.sort_values(
+            ["rev", "l_partkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        total = sum(per["rev"], Decimal(0))
+        cum = Decimal(0)
+        classes = []
+        for r in per.itertuples():
+            cum += r.rev
+            if cum * 10 <= total * 8:
+                classes.append("A")
+            elif cum * 20 <= total * 19:
+                classes.append("B")
+            else:
+                classes.append("C")
+        per["cls"] = classes
+        for cls, cg in per.groupby("cls"):
+            crev = sum(cg["rev"], Decimal(0))
+            want[(brand, cls)] = (
+                len(cg),
+                round(float(crev), 2),
+                round(float(crev) / float(total), 6),
+            )
+
+    got = lineitem_brand_abc_classes(spark, SF_DIR).toPandas()
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, crev, share = want[(r.p_brand, r.abc_class)]
+        assert r.n_parts == n, (r.p_brand, r.abc_class)
+        assert abs(r.class_revenue - crev) < 0.02, (r.p_brand, r.abc_class)
+        assert abs(r.revenue_share - share) < 1e-5
+    # Pareto sanity: within every brand the A share is the largest and
+    # the three shares sum to ~1
+    for brand, g in got.groupby("p_brand"):
+        s = g.set_index("abc_class")["revenue_share"]
+        assert abs(s.sum() - 1.0) < 1e-4
+        assert s.get("A", 0) >= s.get("C", 0)

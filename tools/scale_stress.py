@@ -144,6 +144,11 @@ EXTRA_FNS = {
     "docs_edit_similarity_pairs": _staged("docs_edit_similarity_pairs"),
     "embeddings_pca_power": _staged("embeddings_pca_power"),
     "docs_source_js_divergence": _staged("docs_source_js_divergence"),
+    "docs_ccnet_perplexity_buckets": _staged("docs_ccnet_perplexity_buckets"),
+    "docs_ccnet_histogram_cut_contract": _staged(
+        "docs_ccnet_histogram_cut_contract"
+    ),
+    "docs_dup_cluster_report": _staged("docs_dup_cluster_report"),
 }
 MAX_EXPONENT = {
     # Near-dup family (r4): banded LSH / label propagation are linear;
@@ -229,6 +234,14 @@ MAX_EXPONENT = {
     # Zipf-compressed vocab (the prefix bijection grows vocab ~k); the
     # pair stage is bounded by source cardinality, not corpus size.
     "docs_source_js_divergence": 1.35,
+    # CCNet cuts: LM scoring is the stressed surprisal plan; the exact
+    # cut adds one per-lang window shuffle (~k rows), the histogram
+    # contract adds the bounded (lang, bin) agg + the eval-only ntile.
+    "docs_ccnet_perplexity_buckets": 1.35,
+    "docs_ccnet_histogram_cut_contract": 1.35,
+    # Cluster report: label propagation (stressed via docs_dup_clusters)
+    # plus two corpus-keyed hash aggregates — linear by design.
+    "docs_dup_cluster_report": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
