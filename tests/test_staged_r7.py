@@ -927,3 +927,84 @@ def test_abc_classes_match_pandas_replay(spark):
         s = g.set_index("abc_class")["revenue_share"]
         assert abs(s.sum() - 1.0) < 1e-4
         assert s.get("A", 0) >= s.get("C", 0)
+
+
+def test_js_divergence_oov_bucket_engages_beyond_top_v(spark, tmp_path):
+    """The fixture vocabulary (31 words) never overflows JS_TOP_V=64,
+    so the OOV completion is invisible there. Construct a corpus with
+    > 64 distinct words and verify (a) the result matches the DuckDB
+    twin (the driver-gate check on the path the fixtures skip) and
+    (b) a pure-Python replay WITH the OOV bucket reproduces js_micro,
+    while one WITHOUT it does not — proving the bucket is engaged."""
+    import math
+    from collections import Counter
+
+    import duckdb as _duck
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        _JS_OOV,
+        JS_TOP_V,
+        docs_source_js_divergence,
+    )
+
+    # 40 shared head words repeated (land in top-V) + 60 rare words
+    # split disjointly between the sources (overflow into OOV).
+    head = [f"common{i}" for i in range(40)]
+    rare_a = [f"alpha{i}" for i in range(30)]
+    rare_b = [f"beta{i}" for i in range(30)]
+    text_a = " ".join(head * 3 + rare_a)
+    text_b = " ".join(head * 3 + rare_b)
+    rows = [(0, text_a, "en", "src_a", len(text_a)),
+            (1, text_b, "en", "src_b", len(text_b))]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = docs_source_js_divergence(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED
+
+    duck = con.execute(STAGED["docs_source_js_divergence"].oracle).fetchdf()
+    assert len(duck) == 1
+    assert int(duck["js_micro"].iloc[0]) == r.js_micro
+
+    def replay(with_oov: bool) -> int:
+        counts = {"src_a": Counter(text_a.split(" ")),
+                  "src_b": Counter(text_b.split(" "))}
+        glob = counts["src_a"] + counts["src_b"]
+        topv = set(
+            t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:JS_TOP_V]
+        )
+        b = {}
+        for s, cnt in counts.items():
+            c = Counter()
+            for t, n in cnt.items():
+                if t in topv:
+                    c[t] += n
+                elif with_oov:
+                    c[_JS_OOV] += n
+            b[s] = c
+        ta, tb = sum(b["src_a"].values()), sum(b["src_b"].values())
+        total = 0
+        for t in set(b["src_a"]) | set(b["src_b"]):
+            pa = b["src_a"].get(t, 0) / float(ta)
+            pb = b["src_b"].get(t, 0) / float(tb)
+            term = 0.0
+            if b["src_a"].get(t, 0) > 0:
+                term += 0.5 * (pa * math.log(2.0 * pa / (pa + pb)))
+            if b["src_b"].get(t, 0) > 0:
+                term += 0.5 * (pb * math.log(2.0 * pb / (pa + pb)))
+            total += int(math.floor(abs(term) * 1e6 + 0.5) * (1 if term >= 0 else -1))
+        return total
+
+    assert r.js_micro == replay(with_oov=True)
+    assert r.js_micro != replay(with_oov=False), (
+        "OOV bucket made no difference — the constructed vocabulary "
+        "failed to overflow top-V and this test is vacuous"
+    )
