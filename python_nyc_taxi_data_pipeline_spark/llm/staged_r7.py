@@ -84,6 +84,10 @@ flow):
   classification (80/95 cuts) — DECIMAL-exact cumulative shares via
   cross-multiplied comparisons, the window input pre-collapsed to one
   row per (brand, part).
+- ``docs_quality_filter_agreement``: pairwise contingency matrix +
+  Cohen's kappa across the three registered quality filters — the
+  redundancy report that decides whether an ensemble member earns its
+  compute (chance-corrected, NULL on degenerate marginals).
 """
 
 from __future__ import annotations
@@ -557,9 +561,7 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
-@stage(
-    "docs_quality_ensemble",
-    oracle=f"""
+_ENSEMBLE_ORACLE = f"""
     WITH lmq AS ({_LM_ORACLE}
     ), gq AS (
       SELECT doc_id,
@@ -588,7 +590,12 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM gq g
     JOIN rq r USING (doc_id)
     JOIN lmq l USING (doc_id)
-    """,
+"""
+
+
+@stage(
+    "docs_quality_ensemble",
+    oracle=_ENSEMBLE_ORACLE,
     tags=("llm", "quality", "ensemble"),
 )
 def docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2111,3 +2118,134 @@ def lineitem_brand_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("double") / F.min("total").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+# --------------------------------------------------------------------
+# Quality-filter agreement matrix (Cohen's kappa)
+# --------------------------------------------------------------------
+
+_FILTER_PAIRS = (
+    ("gopher", "repetition"),
+    ("gopher", "surprisal"),
+    ("repetition", "surprisal"),
+)
+
+
+def _agreement_pair_sql(a: str, b: str) -> str:
+    ka, kb = f"{a}_keep", f"{b}_keep"
+    return f"""
+      SELECT '{a}' AS filter_a, '{b}' AS filter_b,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN {ka} AND {kb} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both_keep,
+             CAST(sum(CASE WHEN NOT {ka} AND NOT {kb} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both_drop,
+             CAST(sum(CASE WHEN {ka} AND NOT {kb} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_a,
+             CAST(sum(CASE WHEN NOT {ka} AND {kb} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_b
+      FROM votes
+"""
+
+
+@stage(
+    "docs_quality_filter_agreement",
+    oracle=f"""
+    WITH votes AS ({_ENSEMBLE_ORACLE}
+    ), pairs AS (
+{" UNION ALL ".join(_agreement_pair_sql(a, b) for a, b in _FILTER_PAIRS)}
+    )
+    SELECT filter_a, filter_b, n_docs, n_both_keep, n_both_drop,
+           n_only_a, n_only_b,
+           round(CAST(n_both_keep + n_both_drop AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE), 6) AS agreement_rate,
+           CASE WHEN 1.0
+                     - ((CAST(n_both_keep + n_only_a AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE))
+                        * (CAST(n_both_keep + n_only_b AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE))
+                        + (1.0 - (CAST(n_both_keep + n_only_a AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)))
+                          * (1.0 - (CAST(n_both_keep + n_only_b AS DOUBLE)
+                                    / CAST(n_docs AS DOUBLE)))) = 0.0
+                THEN NULL
+                ELSE round(
+                  ((CAST(n_both_keep + n_both_drop AS DOUBLE)
+                    / CAST(n_docs AS DOUBLE))
+                   - ((CAST(n_both_keep + n_only_a AS DOUBLE)
+                       / CAST(n_docs AS DOUBLE))
+                      * (CAST(n_both_keep + n_only_b AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE))
+                      + (1.0 - (CAST(n_both_keep + n_only_a AS DOUBLE)
+                                / CAST(n_docs AS DOUBLE)))
+                        * (1.0 - (CAST(n_both_keep + n_only_b AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)))))
+                  / (1.0
+                     - ((CAST(n_both_keep + n_only_a AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE))
+                        * (CAST(n_both_keep + n_only_b AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE))
+                        + (1.0 - (CAST(n_both_keep + n_only_a AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)))
+                          * (1.0 - (CAST(n_both_keep + n_only_b AS DOUBLE)
+                                    / CAST(n_docs AS DOUBLE))))), 6)
+           END AS cohen_kappa
+    FROM pairs
+    """,
+    tags=("llm", "quality", "report"),
+)
+def docs_quality_filter_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise agreement matrix of the three registered quality
+    filters — raw agreement rate AND Cohen's kappa (chance-corrected:
+    two filters that each keep 95% of docs agree 90%+ by luck alone;
+    kappa subtracts that). This is the redundancy report read before
+    shipping a filter ensemble: kappa near 1 means a filter adds no
+    information and its compute can be dropped; kappa near 0 means the
+    filters kill DIFFERENT slices and the majority vote
+    (``docs_quality_ensemble``) is actually load-bearing. Cf. the
+    filter-ablation methodology of the RefinedWeb/FineWeb reports.
+
+    Composes the ensemble's vote frame verbatim, checkpointed once for
+    the three pair aggregates (the ``corpus_curation_funnel``
+    union-of-scalar-aggregates shape). All contingency counts are
+    exact integers; agreement and kappa are the only floats, computed
+    from those integers with a pinned expression tree (kappa =
+    (po − pe)/(1 − pe) with pe from the marginal keep rates), NULL
+    when chance agreement is exactly 1 (degenerate marginals).
+    Scale: beyond the members' own scans, one checkpointed |corpus|
+    frame and three map-side-combinable scalar aggregates."""
+    v = docs_quality_ensemble(spark, sf_dir).localCheckpoint(eager=True)
+    out = None
+    for a, b in _FILTER_PAIRS:
+        ka, kb = F.col(f"{a}_keep"), F.col(f"{b}_keep")
+        cnt = lambda c: F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0)))  # noqa: E731
+        agg = v.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(ka & kb).alias("n_both_keep"),
+            cnt(~ka & ~kb).alias("n_both_drop"),
+            cnt(ka & ~kb).alias("n_only_a"),
+            cnt(~ka & kb).alias("n_only_b"),
+        )
+        nd = F.col("n_docs").cast("double")
+        po = (F.col("n_both_keep") + F.col("n_both_drop")).cast("double") / nd
+        pa = (F.col("n_both_keep") + F.col("n_only_a")).cast("double") / nd
+        pb = (F.col("n_both_keep") + F.col("n_only_b")).cast("double") / nd
+        pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+        kappa = F.when(F.lit(1.0) - pe == 0.0, F.lit(None).cast("double")).otherwise(
+            F.round((po - pe) / (F.lit(1.0) - pe), 6)
+        )
+        row = agg.select(
+            F.lit(a).alias("filter_a"),
+            F.lit(b).alias("filter_b"),
+            "n_docs",
+            "n_both_keep",
+            "n_both_drop",
+            "n_only_a",
+            "n_only_b",
+            F.round(po, 6).alias("agreement_rate"),
+            kappa.alias("cohen_kappa"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

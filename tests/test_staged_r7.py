@@ -1008,3 +1008,59 @@ def test_js_divergence_oov_bucket_engages_beyond_top_v(spark, tmp_path):
         "OOV bucket made no difference — the constructed vocabulary "
         "failed to overflow top-V and this test is vacuous"
     )
+
+
+def test_filter_agreement_matches_python_replay(spark):
+    """Recompute the full contingency table and Cohen's kappa in pure
+    Python from the ensemble votes — every cell and both floats must
+    reproduce."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        docs_quality_ensemble,
+        docs_quality_filter_agreement,
+    )
+
+    votes = docs_quality_ensemble(spark, SF_DIR).toPandas()
+    got = docs_quality_filter_agreement(spark, SF_DIR).toPandas()
+    assert len(got) == 3
+    for r in got.itertuples():
+        a = votes[f"{r.filter_a}_keep"].to_numpy()
+        b = votes[f"{r.filter_b}_keep"].to_numpy()
+        n = len(votes)
+        bk = int((a & b).sum())
+        bd = int((~a & ~b).sum())
+        oa = int((a & ~b).sum())
+        ob = int((~a & b).sum())
+        assert (r.n_docs, r.n_both_keep, r.n_both_drop) == (n, bk, bd)
+        assert (r.n_only_a, r.n_only_b) == (oa, ob)
+        po = (bk + bd) / n
+        pa = (bk + oa) / n
+        pb = (bk + ob) / n
+        pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+        assert r.agreement_rate == round(po, 6)
+        if 1.0 - pe == 0.0:
+            assert pd.isna(r.cohen_kappa)
+        else:
+            assert r.cohen_kappa == round((po - pe) / (1.0 - pe), 6)
+
+
+def test_filter_agreement_degenerate_marginals_yield_null_kappa(
+    spark, tmp_path
+):
+    """A corpus of identical clean docs makes every filter keep
+    everything: agreement 1.0, chance agreement 1.0, kappa undefined —
+    the report must say NULL, not divide by zero."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        docs_quality_filter_agreement,
+    )
+
+    words = ("the quick brown fox and the lazy dog ran over the green "
+             "hill with steady pace while birds sang songs of summer "
+             "mornings bright")
+    rows = [(i, words, "en", "web", len(words)) for i in range(4)]
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = docs_quality_filter_agreement(spark, str(tmp_path)).toPandas()
+    assert len(got) == 3
+    assert (got["agreement_rate"] == 1.0).all()
+    assert got["cohen_kappa"].isna().all()
