@@ -88,6 +88,11 @@ flow):
   Cohen's kappa across the three registered quality filters — the
   redundancy report that decides whether an ensemble member earns its
   compute (chance-corrected, NULL on degenerate marginals).
+- ``orders_snapshot_diff``: change-data-feed between table versions
+  (Delta ``table_changes`` shape) — one full-outer key join
+  classifying inserted/deleted/updated rows with a changed-column
+  bitmask; the READ side of the registered MERGE's CDC story,
+  round-tripped through ``SnapshotTable`` time travel in pytest.
 """
 
 from __future__ import annotations
@@ -114,6 +119,7 @@ from .dedup import (
 )
 from .lm import _LM_ORACLE, docs_unigram_surprisal_filter
 from .quality import docs_gopher_quality
+from ..operators.merge_into import _MERGE_ORACLE
 from .similarity import NEARDUP_COSINE, _dot, _norm
 
 
@@ -2249,3 +2255,76 @@ def docs_quality_filter_agreement(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------
+# Snapshot diff: change-data-feed between table versions
+# --------------------------------------------------------------------
+
+
+@stage(
+    "orders_snapshot_diff",
+    oracle=f"""
+    WITH merged AS ({_MERGE_ORACLE}
+    ), old AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+    ), d AS (
+      SELECT coalesce(o.o_orderkey, m.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                  WHEN m.o_orderkey IS NULL THEN 'deleted'
+                  ELSE 'updated' END AS change_type,
+             CASE WHEN o.o_orderkey IS NULL OR m.o_orderkey IS NULL THEN 0
+                  ELSE (CASE WHEN o.o_custkey IS DISTINCT FROM m.o_custkey
+                             THEN 1 ELSE 0 END)
+                       + (CASE WHEN o.o_orderstatus
+                               IS DISTINCT FROM m.o_orderstatus
+                               THEN 2 ELSE 0 END)
+                       + (CASE WHEN o.o_totalprice
+                               IS DISTINCT FROM m.o_totalprice
+                               THEN 4 ELSE 0 END)
+             END AS changed_mask
+      FROM old o FULL OUTER JOIN merged m ON m.o_orderkey = o.o_orderkey
+    )
+    SELECT o_orderkey, change_type, changed_mask,
+           CAST(bit_count(changed_mask) AS INT) AS n_changed_cols
+    FROM d
+    WHERE change_type <> 'updated' OR changed_mask > 0
+    """,
+    tags=("cdc", "snapshot", "report"),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two versions of the orders table: the
+    pre-merge snapshot vs the post-``merge_into_orders`` snapshot,
+    read back as classified per-key deltas (inserted / deleted /
+    updated + a changed-column bitmask). This is the READ side of the
+    CDC story whose write side is the registered MERGE: Delta CDF /
+    ``table_changes`` semantics built from one full-outer key join —
+    and because the merge feed is deterministic, the diff must recover
+    EXACTLY the update/delete/insert slices the feed carried, which is
+    what the oracle (and the SnapshotTable round-trip pytest) proves.
+
+    The old side pins ``round(o_totalprice, 2)`` to match the merge
+    output's declared 2-dp contract, so passthrough rows compare
+    bit-equal and only genuinely-updated columns set mask bits (bit 0
+    = custkey, 1 = status, 2 = totalprice; updates set 6: status +
+    price, custkey passes through).
+
+    Scale: ``operators/snapshots.snapshot_diff`` — one key-partitioned
+    full-outer shuffle join (bucket both versions for co-location),
+    output bounded by change volume."""
+    from ..operators.merge_into import merge_into_orders
+    from ..operators.snapshots import snapshot_diff
+
+    old = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+    new = merge_into_orders(spark, sf_dir)
+    return snapshot_diff(old, new, "o_orderkey")

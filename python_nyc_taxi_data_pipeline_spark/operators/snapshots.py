@@ -40,6 +40,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotTable:
@@ -175,3 +176,68 @@ class SnapshotTable:
                     deleted.append(f)
             os.remove(os.path.join(self.manifest_dir, f"v{v:08d}.json"))
         return deleted
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Change-data-feed between two versions of a keyed table — the
+    read-side complement of ``merge_into`` (Delta's ``table_changes``
+    / CDF shape): one FULL OUTER equi-join on ``key`` classifies every
+    row as inserted (absent before), deleted (absent after), or
+    updated (present in both with any data column differing;
+    bit ``i`` of ``changed_mask`` marks data column ``i`` in schema
+    order, ``n_changed_cols`` is its popcount). Unchanged rows are
+    dropped — the feed is the DELTA, not a copy of the table.
+
+    Presence is tracked with explicit marker literals, not data-column
+    NULL checks, so genuinely-NULL data columns can't masquerade as
+    absent rows; column comparisons use null-safe equality
+    (``IS DISTINCT FROM``). Schemas must match exactly — a drifted
+    column set raises here rather than mis-classifying.
+
+    Scale: one key-partitioned shuffle join (the CDC-feed join shape;
+    bucket both versions on the key to make it co-located), then
+    row-local arithmetic. Output is bounded by the change volume, not
+    the table."""
+    if old.columns != new.columns:
+        raise ValueError(
+            f"snapshot_diff: schema mismatch {old.columns} vs {new.columns}"
+        )
+    data_cols = [c for c in old.columns if c != key]
+    o = old.select(
+        F.col(key).alias("__k_old"),
+        F.lit(1).alias("__o_present"),
+        *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+    )
+    n = new.select(
+        F.col(key).alias("__k_new"),
+        F.lit(1).alias("__n_present"),
+        *[F.col(c).alias(f"__n_{c}") for c in data_cols],
+    )
+    j = o.join(n, F.col("__k_old") == F.col("__k_new"), "full_outer")
+    mask = None
+    for i, c in enumerate(data_cols):
+        bit = F.when(
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    change = (
+        F.when(F.col("__o_present").isNull(), F.lit("inserted"))
+        .when(F.col("__n_present").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("__k_old"), F.col("__k_new")).alias(key),
+            change.alias("change_type"),
+            F.when(
+                F.col("__o_present").isNull() | F.col("__n_present").isNull(),
+                F.lit(0),
+            )
+            .otherwise(mask)
+            .alias("changed_mask"),
+        )
+        .withColumn("n_changed_cols", F.bit_count(F.col("changed_mask")))
+        .filter(
+            (F.col("change_type") != "updated") | (F.col("changed_mask") > 0)
+        )
+    )

@@ -130,3 +130,56 @@ def test_merge_into_semantics_and_snapshot_commit(spark, tmp_path):
     v1 = tbl.commit(merge_into_orders(spark, SF_DIR))
     assert tbl.read_version(v0).count() == len(before)
     assert tbl.read_version(v1).count() == len(merged)
+
+
+def test_snapshot_diff_round_trips_the_cdc_feed(spark, tmp_path):
+    """Commit the pre- and post-merge orders as SnapshotTable versions
+    and read the diff BETWEEN VERSIONS: it must classify exactly the
+    deterministic change feed's slices (update → mask 6: status+price,
+    custkey passes through), self-diff must be empty, and a drifted
+    schema must raise instead of mis-classifying."""
+    import pytest
+
+    from python_nyc_taxi_data_pipeline_spark.operators.merge_into import (
+        merge_into_orders,
+    )
+    from python_nyc_taxi_data_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    old = load(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    st = SnapshotTable(spark, str(tmp_path / "orders_snap"))
+    v0 = st.commit(old)
+    v1 = st.commit(merge_into_orders(spark, SF_DIR))
+    diff = snapshot_diff(
+        st.read_version(v0), st.read_version(v1), "o_orderkey"
+    ).toPandas()
+
+    keys = {r["o_orderkey"] for r in old.select("o_orderkey").collect()}
+    upd = {k for k in keys if k % 10 == 3}
+    dele = {k for k in keys if k % 10 == 7}
+    ins = {k + 10_000_000 for k in keys if k % 10 == 1}
+
+    by_type = {
+        t: set(g["o_orderkey"]) for t, g in diff.groupby("change_type")
+    }
+    assert by_type["updated"] == upd
+    assert by_type["deleted"] == dele
+    assert by_type["inserted"] == ins
+    u = diff[diff.change_type == "updated"]
+    assert (u["changed_mask"] == 6).all()
+    assert (u["n_changed_cols"] == 2).all()
+    assert (diff[diff.change_type != "updated"]["changed_mask"] == 0).all()
+
+    assert snapshot_diff(
+        st.read_version(v0), st.read_version(v0), "o_orderkey"
+    ).count() == 0
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_diff(old, old.drop("o_custkey"), "o_orderkey")
