@@ -1064,3 +1064,56 @@ def test_filter_agreement_degenerate_marginals_yield_null_kappa(
     assert len(got) == 3
     assert (got["agreement_rate"] == 1.0).all()
     assert got["cohen_kappa"].isna().all()
+
+
+def test_gold_ivm_equals_full_recompute_and_kills_empty_groups(spark):
+    """The IVM path (stored aggregate ⊕ feed deltas) must equal an
+    INDEPENDENT full recompute over the merged table, row for row —
+    and any customer whose every order was deleted must vanish from
+    the maintained view rather than linger at n=0."""
+    from python_nyc_taxi_data_pipeline_spark.operators.merge_into import (
+        merge_into_orders,
+    )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        orders_gold_ivm,
+    )
+
+    ivm = (
+        orders_gold_ivm(spark, SF_DIR)
+        .toPandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    recompute = (
+        merge_into_orders(spark, SF_DIR)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_spend"),
+        )
+        .toPandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    assert len(ivm) == len(recompute)
+    assert (ivm["o_custkey"] == recompute["o_custkey"]).all()
+    assert (ivm["n_orders"] == recompute["n_orders"]).all()
+    assert (ivm["total_spend"] == recompute["total_spend"]).all()
+
+    # group-death: the base aggregate must have MORE groups than the
+    # maintained view whenever deletes wiped a customer out entirely
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    base_groups = orders["o_custkey"].nunique()
+    survivors = set(ivm["o_custkey"])
+    dead = {
+        ck
+        for ck, g in orders.groupby("o_custkey")
+        if all(k % 10 == 7 for k in g["o_orderkey"])
+    }
+    assert survivors.isdisjoint(dead)
+    assert len(survivors) == base_groups - len(dead)
