@@ -97,6 +97,20 @@ flow):
   gold aggregate — stored view ⊕ CDC delta contributions, group death
   included, in exact DECIMAL; the oracle recomputes from scratch, so
   the driver's hash equality IS the IVM ≡ recompute theorem.
+- ``events_conversion_funnel``: ordered view→click→purchase funnel
+  with a 12-hour conversion window — both running-max windows ride
+  ONE (user, ts, event_id) sort, no event self-join; the
+  product-analytics primitive the sessionization/markov queries
+  don't cover.
+- ``part_blocking_pairs``: blocked sorted-neighborhood candidate
+  pairs (Hernandez & Stolfo SIGMOD'95) — the sort-key-based
+  entity-resolution blocking complement to content-keyed LSH, with
+  the neighbor pairing lowered to an exact (block, rank+delta)
+  equi-join and an integer cross-multiplied similarity cut.
+- ``docs_kneser_ney_bigrams``: interpolated Kneser-Ney bigram table
+  (D=0.75) with exact count columns and a per-row IEEE-identical
+  probability — the continuation-count smoothing real n-gram LMs
+  ship, next to the registered Stupid-Backoff's cheap approximation.
 """
 
 from __future__ import annotations
@@ -2452,4 +2466,452 @@ def orders_gold_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "n_orders",
         F.round(F.col("spend").cast("double"), 2).alias("total_spend"),
+    )
+
+
+# --------------------------------------------------------------------
+# Ordered conversion funnel with a conversion window
+# --------------------------------------------------------------------
+
+# Step k+1 must land within this many hours of the LATEST preceding
+# qualifying step-k event — the conversion-window semantic every
+# product-analytics funnel (Amplitude/Mixpanel-style) implements.
+# Without it the fixtures (and any long-lived user) trivially reach
+# every step; 12 h yields real attrition at all three SFs
+# (sf0.01: 150 -> 136 -> 58 users).
+FUNNEL_WINDOW_HOURS = 12
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@stage(
+    "events_conversion_funnel",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_view
+      FROM events
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                      AND ts <= last_view
+                              + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+                     THEN ts END AS qual_click
+      FROM seq
+    ), s3 AS (
+      SELECT *, max(qual_click) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_qual_click
+      FROM s2
+    ), u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN qual_click IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+             max(CASE WHEN event_type = 'purchase'
+                       AND last_qual_click IS NOT NULL
+                       AND ts <= last_qual_click
+                               + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+                      THEN 1 ELSE 0 END) AS r3
+      FROM u_src GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(sum(r1) AS BIGINT) AS n1,
+             CAST(sum(r2) AS BIGINT) AS n2,
+             CAST(sum(r3) AS BIGINT) AS n3
+      FROM u
+    )
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name, n1 AS n_users,
+           CAST(NULL AS DOUBLE) AS conv_from_prev,
+           CASE WHEN n1 > 0
+                THEN round(CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+           END AS conv_from_first
+    FROM tot
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', n2,
+           CASE WHEN n1 > 0
+                THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END,
+           CASE WHEN n1 > 0
+                THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END
+    FROM tot
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', n3,
+           CASE WHEN n2 > 0
+                THEN round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) END,
+           CASE WHEN n1 > 0
+                THEN round(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END
+    FROM tot
+    """.replace("u_src", "s3"),
+    tags=("events", "analytics", "funnel"),
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion funnel with a
+    {FUNNEL_WINDOW_HOURS}-hour conversion window: a click counts only
+    within the window of the LATEST strictly-preceding view, a
+    purchase only within the window of the latest strictly-preceding
+    qualifying click. Step counts are distinct users reaching each
+    step in order, plus step-over-step and step-over-top conversion
+    rates — the product-analytics primitive under every funnel
+    dashboard, and the sequential-pattern shape (ordered events with
+    gap constraints) the registered sessionization/markov queries
+    don't cover.
+
+    Exactness: user counts are integer; rates divide two BIGINTs as
+    doubles and round to 6, guarded against empty-step division so
+    both engines agree on NULL. Sequence order ties break on
+    ``event_id``, so qualifying sets are deterministic cross-engine.
+
+    Scale (100 TB): ONE user-key shuffle; both running-max windows
+    ride the SAME (user_id, ts, event_id) sort — Catalyst plans one
+    Exchange + one Sort, then two Window operators back to back (no
+    re-shuffle, verified in the staged plan sweep). The per-user
+    rollup map-side combines on the already-partitioned key; the
+    final 3-row report is a scalar aggregate stacked out, which is
+    the one benign single-partition stage. No self-join of events to
+    events (the naive funnel join), no global sort, no Python."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    preceding = order.rowsBetween(W.unboundedPreceding, -1)
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    s1 = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts")))
+        .over(preceding)
+        .alias("last_view"),
+        F.col("event_id"),
+    )
+    s2 = s1.withColumn(
+        "qual_click",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("last_view").isNotNull()
+            & (F.col("ts") <= F.col("last_view") + win),
+            F.col("ts"),
+        ),
+    )
+    s3 = s2.withColumn(
+        "last_qual_click", F.max("qual_click").over(preceding)
+    )
+    users = s3.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("r1"),
+        F.max(
+            F.when(F.col("qual_click").isNotNull(), 1).otherwise(0)
+        ).alias("r2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("last_qual_click").isNotNull()
+                & (F.col("ts") <= F.col("last_qual_click") + win),
+                1,
+            ).otherwise(0)
+        ).alias("r3"),
+    )
+    tot = users.agg(
+        F.sum("r1").alias("n1"),
+        F.sum("r2").alias("n2"),
+        F.sum("r3").alias("n3"),
+    )
+    return tot.selectExpr(
+        """stack(3,
+             CAST(1 AS INT), 'view', n1,
+             CAST(NULL AS DOUBLE),
+             CASE WHEN n1 > 0
+                  THEN round(CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+             END,
+             CAST(2 AS INT), 'click', n2,
+             CASE WHEN n1 > 0
+                  THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+             END,
+             CASE WHEN n1 > 0
+                  THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+             END,
+             CAST(3 AS INT), 'purchase', n3,
+             CASE WHEN n2 > 0
+                  THEN round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+             END,
+             CASE WHEN n1 > 0
+                  THEN round(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+             END
+           ) AS (step, step_name, n_users, conv_from_prev,
+                 conv_from_first)"""
+    )
+
+
+# --------------------------------------------------------------------
+# Blocked sorted-neighborhood candidate pairs (entity resolution)
+# --------------------------------------------------------------------
+
+# Sorted-neighborhood method (Hernandez & Stolfo SIGMOD'95): sort
+# records by a key, slide a fixed window, compare only records within
+# it. Blocking on the first name word first keeps every window-local
+# sort parallel (no global ordering anywhere), which is how SNM is
+# actually deployed at scale.
+SNM_WINDOW = 4
+# emit pairs with name-word Jaccard >= 2/5; the filter compares
+# cross-multiplied integers so the cut is exact in both engines
+SNM_NUM, SNM_DEN = 2, 5
+
+
+@stage(
+    "part_blocking_pairs",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS block,
+             list_distinct(string_split(p_name, ' ')) AS words,
+             CAST(row_number() OVER (
+               PARTITION BY string_split(p_name, ' ')[1]
+               ORDER BY p_name, p_partkey
+             ) AS BIGINT) AS rnk
+      FROM part
+    ), pairs AS (
+      SELECT a.block,
+             a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+             CAST(len(list_intersect(a.words, b.words)) AS INT)
+               AS shared_words,
+             CAST(len(a.words) + len(b.words)
+                  - len(list_intersect(a.words, b.words)) AS INT)
+               AS union_words
+      FROM p a JOIN p b
+        ON a.block = b.block
+       AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + {SNM_WINDOW}
+    )
+    SELECT block, a_partkey, b_partkey, shared_words, union_words,
+           round(CAST(shared_words AS DOUBLE)
+                 / CAST(union_words AS DOUBLE), 6) AS name_jaccard
+    FROM pairs
+    WHERE shared_words * {SNM_DEN} >= union_words * {SNM_NUM}
+    """,
+    tags=("dedup", "blocking", "entity-resolution"),
+)
+def part_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood candidate pairs over part names —
+    the classic entity-resolution blocking scheme (Hernandez & Stolfo
+    SIGMOD'95): block on the first name word, sort each block by full
+    name, and emit every pair within a {SNM_WINDOW}-row window whose
+    distinct-word Jaccard clears 2/5. This is the record-linkage
+    complement to the MinHash/LSH family: LSH buckets by CONTENT
+    similarity, SNM exploits a domain SORT KEY (names, addresses,
+    timestamps) and guarantees bounded, skew-free comparison volume
+    (exactly window x block rows) regardless of how similarity mass
+    is distributed.
+
+    Exactness: the similarity cut compares cross-multiplied integers
+    (shared*5 >= union*2) — no float at the boundary; the reported
+    ``name_jaccard`` divides the SAME two ints as doubles and rounds
+    to 6 in both engines.
+
+    Scale (100 TB): the window sort is PER BLOCK (the first name
+    word), so no global ordering exists anywhere; in production the
+    block key is chosen fine enough that blocks fit a partition. The
+    neighbor pairing is an EQUI-join — each left row explodes into
+    {SNM_WINDOW} (block, rank+delta) probe keys joined on exact
+    (block, rank) — never the block-local theta-join whose per-block
+    cost is quadratic. One shuffle for the rank window, one hash join
+    on primitive keys, output bounded by window x n rows."""
+    p = load(spark, sf_dir, "part")
+    from pyspark.sql import Window as W
+
+    split = F.split("p_name", " ")
+    base = p.select(
+        "p_partkey",
+        "p_name",
+        F.element_at(split, 1).alias("block"),
+        F.array_distinct(split).alias("words"),
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("block").orderBy("p_name", "p_partkey"))
+        .cast("bigint"),
+    )
+    # each row probes its next SNM_WINDOW in-block ranks via exact keys
+    probes = (
+        base.select(
+            "block",
+            F.col("p_partkey").alias("a_partkey"),
+            F.col("words").alias("a_words"),
+            "rnk",
+            F.explode(F.expr(f"sequence(1, {SNM_WINDOW})")).alias("delta"),
+        )
+        .select(
+            "block",
+            "a_partkey",
+            "a_words",
+            (F.col("rnk") + F.col("delta")).alias("rnk"),
+        )
+    )
+    right = base.select(
+        "block",
+        F.col("rnk"),
+        F.col("p_partkey").alias("b_partkey"),
+        F.col("words").alias("b_words"),
+    )
+    inter = F.size(F.array_intersect("a_words", "b_words"))
+    union = F.size("a_words") + F.size("b_words") - inter
+    return (
+        probes.join(right, ["block", "rnk"])
+        .select(
+            "block",
+            "a_partkey",
+            "b_partkey",
+            inter.cast("int").alias("shared_words"),
+            union.cast("int").alias("union_words"),
+        )
+        .filter(
+            F.col("shared_words") * SNM_DEN >= F.col("union_words") * SNM_NUM
+        )
+        .select(
+            "block",
+            "a_partkey",
+            "b_partkey",
+            "shared_words",
+            "union_words",
+            F.round(
+                F.col("shared_words").cast("double")
+                / F.col("union_words").cast("double"),
+                6,
+            ).alias("name_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Kneser-Ney smoothed bigram table
+# --------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  # the standard absolute-discounting constant
+KN_TOP = 100  # emitted table size (deterministic head of the LM)
+
+
+@stage(
+    "docs_kneser_ney_bigrams",
+    oracle=f"""
+    WITH base AS (
+      SELECT string_split(text, ' ') AS a
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), prs AS (
+      SELECT unnest(list_slice(a, 1, len(a) - 1)) AS w1,
+             unnest(list_slice(a, 2, len(a))) AS w2
+      FROM base
+    ), bg AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bigram
+      FROM prs GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_prefix,
+             CAST(count(*) AS INT) AS n_follow_types
+      FROM bg GROUP BY w1
+    ), prec AS (
+      SELECT w2, CAST(count(*) AS INT) AS n_prec_types
+      FROM bg GROUP BY w2
+    ), d AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types FROM bg
+    ), top AS (
+      SELECT bg.w1, bg.w2, bg.n_bigram,
+             ctx.n_prefix, ctx.n_follow_types, prec.n_prec_types,
+             row_number() OVER (
+               ORDER BY bg.n_bigram DESC, bg.w1, bg.w2
+             ) AS rk
+      FROM bg
+      JOIN ctx ON ctx.w1 = bg.w1
+      JOIN prec ON prec.w2 = bg.w2
+    )
+    SELECT w1, w2, n_bigram, n_prefix, n_follow_types, n_prec_types,
+           round(
+             (GREATEST(CAST(n_bigram AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+              / CAST(n_prefix AS DOUBLE))
+             + (({KN_DISCOUNT} * CAST(n_follow_types AS DOUBLE)
+                 / CAST(n_prefix AS DOUBLE))
+                * (CAST(n_prec_types AS DOUBLE)
+                   / (SELECT CAST(n_types AS DOUBLE) FROM d))),
+             6) AS p_kn
+    FROM top WHERE rk <= {KN_TOP}
+    """,
+    tags=("llm", "lm"),
+)
+def docs_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram table (Kneser & Ney ICASSP'95;
+    Chen & Goodman '98 eq. 4.25): P_KN(w2|w1) = max(c(w1,w2)-D,0)/c(w1)
+    + D*N1+(w1,*)/c(w1) * N1+(*,w2)/|bigram types|, with the standard
+    D=0.75. The registered Stupid-Backoff filter is the CHEAP
+    MapReduce-era scorer; KN is the smoothing that actual n-gram LMs
+    ship (KenLM/SRILM default), and its continuation counts — in how
+    many distinct contexts does w2 appear — are exactly the quantity
+    backoff ignores. Emitted: the deterministic top-{KN_TOP} bigrams
+    with every count the formula consumes, so a consumer can audit
+    the smoothing arithmetic row by row.
+
+    Exactness: all five count columns are exact integers; ``p_kn``
+    evaluates the IDENTICAL parenthesized IEEE-double expression over
+    those integers in both engines and rounds to 6 — a per-row
+    formula, no float accumulation anywhere.
+
+    Scale (100 TB): one corpus pass builds the vocab^2-bounded bigram
+    count table (map-side combined), checkpointed once; the context,
+    continuation, and type-count aggregates all read THAT table, never
+    the corpus — bigram-type scale, not token scale. The two
+    enrichment joins key on single words (vocab-bounded sides), and
+    the head selection is orderBy+limit = TakeOrderedAndProject (no
+    global sort materialization, no single-partition exchange)."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(F.split("text", " ").alias("a")).where(F.size("a") >= 2)
+    prs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 1),"
+                " i -> struct(element_at(a, i) AS w1,"
+                "             element_at(a, i + 1) AS w2))"
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2")
+    # vocab^2-bounded; checkpoint so the three derived aggregates and
+    # the final join tree share one materialization of the corpus pass
+    bg = (
+        prs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("n_bigram").alias("n_prefix"),
+        F.count(F.lit(1)).cast("int").alias("n_follow_types"),
+    )
+    prec = bg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("int").alias("n_prec_types")
+    )
+    n_types = float(bg.count())  # scalar: total distinct bigram types
+    disc = F.lit(KN_DISCOUNT)
+    p_kn = F.round(
+        (
+            F.greatest(
+                F.col("n_bigram").cast("double") - disc, F.lit(0.0)
+            )
+            / F.col("n_prefix").cast("double")
+        )
+        + (
+            (disc * F.col("n_follow_types").cast("double")
+             / F.col("n_prefix").cast("double"))
+            * (F.col("n_prec_types").cast("double") / F.lit(n_types))
+        ),
+        6,
+    )
+    return (
+        bg.join(ctx, "w1")
+        .join(prec, "w2")
+        .orderBy(F.desc("n_bigram"), F.asc("w1"), F.asc("w2"))
+        .limit(KN_TOP)
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_prefix",
+            "n_follow_types",
+            "n_prec_types",
+            p_kn.alias("p_kn"),
+        )
     )

@@ -1117,3 +1117,147 @@ def test_gold_ivm_equals_full_recompute_and_kills_empty_groups(spark):
     }
     assert survivors.isdisjoint(dead)
     assert len(survivors) == base_groups - len(dead)
+
+
+def test_conversion_funnel_matches_python_replay(spark):
+    """Replay the windowed funnel semantics per user in pure Python
+    (sort events, scan once tracking the latest view / latest
+    qualifying click) and compare the step counts — localizes a break
+    to the window-frame construction that the oracle hash can only
+    flag wholesale."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        FUNNEL_WINDOW_HOURS,
+        events_conversion_funnel,
+    )
+
+    got = (
+        events_conversion_funnel(spark, SF_DIR)
+        .toPandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    win = pd.Timedelta(hours=FUNNEL_WINDOW_HOURS)
+    n1 = n2 = n3 = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        last_view = last_qual_click = None
+        r1 = r2 = r3 = False
+        for _, row in g.iterrows():
+            t, k = row["ts"], row["event_type"]
+            if k == "view":
+                r1 = True
+            elif k == "click" and last_view is not None and t <= last_view + win:
+                r2 = True
+            elif (
+                k == "purchase"
+                and last_qual_click is not None
+                and t <= last_qual_click + win
+            ):
+                r3 = True
+            # update running state AFTER classifying (strict precedence)
+            if k == "view":
+                last_view = t
+            elif k == "click" and last_view is not None and t <= last_view + win:
+                last_qual_click = t
+        n1 += r1
+        n2 += r2
+        n3 += r3
+    assert list(got["n_users"]) == [n1, n2, n3]
+    # funnel monotonicity is structural: each step requires the prior
+    assert n1 >= n2 >= n3 > 0
+
+
+def test_blocking_pairs_complete_within_window(spark):
+    """Brute-force every within-block pair at sf0.001 and check the
+    emitted set is EXACTLY the pairs at sorted-rank distance <= W that
+    clear the integer Jaccard cut — completeness (no neighbor missed)
+    and soundness (no out-of-window or sub-threshold pair) together."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        SNM_DEN,
+        SNM_NUM,
+        SNM_WINDOW,
+        part_blocking_pairs,
+    )
+
+    got = part_blocking_pairs(spark, SF_DIR).toPandas()
+    parts = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    parts["block"] = parts["p_name"].str.split(" ").str[0]
+    expected = set()
+    for _, g in parts.groupby("block"):
+        g = g.sort_values(["p_name", "p_partkey"]).reset_index(drop=True)
+        words = [set(n.split(" ")) for n in g["p_name"]]
+        for i in range(len(g)):
+            for j in range(i + 1, min(i + SNM_WINDOW, len(g) - 1) + 1):
+                inter = len(words[i] & words[j])
+                union = len(words[i] | words[j])
+                if inter * SNM_DEN >= union * SNM_NUM:
+                    expected.add(
+                        (g["p_partkey"][i], g["p_partkey"][j], inter, union)
+                    )
+    emitted = {
+        (r.a_partkey, r.b_partkey, r.shared_words, r.union_words)
+        for r in got.itertuples()
+    }
+    assert emitted == expected
+
+
+def test_kneser_ney_matches_python_replay(spark):
+    """Recompute the FULL KN table in pure Python at sf0.001 and
+    compare the emitted head row-for-row (counts exactly, p_kn to the
+    same 6-dp rounding). Also asserts the KN invariant the emitted
+    slice can't show on its own: summed over the whole vocabulary,
+    P_KN(*|w1) is a probability distribution (≈1 per context)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        KN_DISCOUNT,
+        KN_TOP,
+        docs_kneser_ney_bigrams,
+    )
+
+    got = docs_kneser_ney_bigrams(spark, SF_DIR).toPandas()
+    assert len(got) == KN_TOP
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    bg: Counter = Counter()
+    for text in docs["text"]:
+        w = text.split(" ")
+        for a, b in zip(w, w[1:]):
+            bg[(a, b)] += 1
+    n_prefix: Counter = Counter()
+    n_follow: Counter = Counter()
+    n_prec: Counter = Counter()
+    for (a, b), n in bg.items():
+        n_prefix[a] += n
+        n_follow[a] += 1
+        n_prec[b] += 1
+    n_types = len(bg)
+
+    def p_kn(a: str, b: str) -> float:
+        return (max(bg[(a, b)] - KN_DISCOUNT, 0.0) / n_prefix[a]) + (
+            (KN_DISCOUNT * n_follow[a] / n_prefix[a]) * (n_prec[b] / n_types)
+        )
+
+    head = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:KN_TOP]
+    assert [(a, b) for (a, b), _ in head] == list(zip(got["w1"], got["w2"]))
+    for (a, b), n in head:
+        row = got[(got["w1"] == a) & (got["w2"] == b)].iloc[0]
+        assert row["n_bigram"] == n
+        assert row["n_prefix"] == n_prefix[a]
+        assert row["n_follow_types"] == n_follow[a]
+        assert row["n_prec_types"] == n_prec[b]
+        assert math.isclose(row["p_kn"], round(p_kn(a, b), 6), abs_tol=1e-9)
+
+    # distribution check over full contexts: sum_b P_KN(b|a) == 1 when
+    # b ranges over the vocabulary — continuation mass must close the
+    # discount hole exactly IF sum_b Pcont(b) over observed followers
+    # were 1; with Pcont normalized by bigram types it is, by design:
+    follows: defaultdict[str, list[str]] = defaultdict(list)
+    for a, b in bg:
+        follows[a].append(b)
+    vocab_prec_total = sum(n_prec.values())
+    assert vocab_prec_total == n_types  # each bigram type counted once
+    for a in list(follows)[:25]:
+        full = sum(p_kn(a, b) for b in n_prec)  # all possible followers
+        assert math.isclose(full, 1.0, rel_tol=1e-9), a

@@ -149,6 +149,7 @@ EXTRA_FNS = {
         "docs_ccnet_histogram_cut_contract"
     ),
     "docs_dup_cluster_report": _staged("docs_dup_cluster_report"),
+    "docs_kneser_ney_bigrams": _staged("docs_kneser_ney_bigrams"),
 }
 MAX_EXPONENT = {
     # Near-dup family (r4): banded LSH / label propagation are linear;
@@ -242,6 +243,10 @@ MAX_EXPONENT = {
     # Cluster report: label propagation (stressed via docs_dup_clusters)
     # plus two corpus-keyed hash aggregates — linear by design.
     "docs_dup_cluster_report": 1.35,
+    # Kneser-Ney: one bigram-count agg (the word-prefix bijection grows
+    # bigram types ~k) + three bigram-type-scale aggregates/joins; the
+    # TakeOrdered head is constant-size.
+    "docs_kneser_ney_bigrams": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
