@@ -2719,16 +2719,22 @@ def part_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     split = F.split("p_name", " ")
-    base = p.select(
-        "p_partkey",
-        "p_name",
-        F.element_at(split, 1).alias("block"),
-        F.array_distinct(split).alias("words"),
-    ).withColumn(
-        "rnk",
-        F.row_number()
-        .over(W.partitionBy("block").orderBy("p_name", "p_partkey"))
-        .cast("bigint"),
+    # ranked frame feeds BOTH join sides; checkpoint so the block sort
+    # and the name split run once, not once per side
+    base = (
+        p.select(
+            "p_partkey",
+            "p_name",
+            F.element_at(split, 1).alias("block"),
+            F.array_distinct(split).alias("words"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.partitionBy("block").orderBy("p_name", "p_partkey"))
+            .cast("bigint"),
+        )
+        .localCheckpoint(eager=True)
     )
     # each row probes its next SNM_WINDOW in-block ranks via exact keys
     probes = (
