@@ -111,6 +111,15 @@ flow):
   (D=0.75) with exact count columns and a per-row IEEE-identical
   probability — the continuation-count smoothing real n-gram LMs
   ship, next to the registered Stupid-Backoff's cheap approximation.
+- ``customer_k_anonymity``: k-anonymity audit over a quasi-identifier
+  tuple (Sweeney '02) — per-threshold at-risk classes/records and the
+  anonymous fraction; the re-identification-risk gate complementing
+  the registered explicit-PII detector. One QI groupBy, then
+  dimension-table work.
+- ``events_interarrival_entropy``: per-user Shannon entropy of the
+  gap-magnitude histogram (exact integer-microsecond gaps, decimal-
+  digit buckets, micro-nat quantized terms) — the WHO-is-mechanical
+  bot signal next to the hourly anomaly's WHEN-is-anomalous.
 """
 
 from __future__ import annotations
@@ -2919,5 +2928,218 @@ def docs_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_follow_types",
             "n_prec_types",
             p_kn.alias("p_kn"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# k-anonymity audit (data-governance report)
+# --------------------------------------------------------------------
+
+# Quasi-identifier tuple: nation x market segment x 1000-unit balance
+# bucket — the re-identification surface a release of "anonymized"
+# customer rows actually exposes (Sweeney '02).
+KANON_THRESHOLDS = (2, 5, 10, 25)
+
+
+@stage(
+    "customer_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ), th AS (
+      SELECT unnest(ARRAY{list(KANON_THRESHOLDS)}) AS k
+    ), agg AS (
+      SELECT th.k,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(CASE WHEN cls.n < th.k THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_classes_below_k,
+             CAST(sum(CASE WHEN cls.n < th.k THEN cls.n ELSE 0 END)
+                  AS BIGINT) AS n_records_below_k,
+             CAST(sum(cls.n) AS BIGINT) AS n_records
+      FROM cls CROSS JOIN th
+      GROUP BY th.k
+    )
+    SELECT CAST(k AS INT) AS k, n_classes, n_classes_below_k,
+           n_records_below_k, n_records,
+           round(CAST(n_records - n_records_below_k AS DOUBLE)
+                 / CAST(n_records AS DOUBLE), 6) AS pct_anonymous
+    FROM agg
+    """,
+    tags=("governance", "privacy", "report"),
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney IJUFKS'02) over the customer table's
+    quasi-identifier tuple (nation, market segment, 1000-unit balance
+    bucket): for each disclosure threshold k, how many equivalence
+    classes — and how many RECORDS — fall below it, and what fraction
+    of the table is k-anonymous. The data-governance gate a dataset
+    release (or a training-corpus PII review) runs before shipping
+    "de-identified" rows; complements the registered PII-detection
+    query, which finds explicit identifiers while this measures
+    re-identification risk from benign-looking attributes.
+
+    Exactness: every count is an exact integer; the one division
+    derives from two BIGINTs and rounds to 6 identically cross-engine.
+
+    Scale (100 TB): ONE shuffle — the quasi-identifier groupBy (hash
+    aggregate, map-side combined). The class-size frame is bounded by
+    the QI domain (|nations| x |segments| x |buckets|, ~1.4k rows
+    here), so the threshold explode (x{len(KANON_THRESHOLDS)}) and the
+    per-k rollup are dimension-table work. No window, no sort, no
+    join against the fact table."""
+    c = load(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ks = F.array([F.lit(k) for k in KANON_THRESHOLDS])
+    agg = (
+        cls.select("n", F.explode(ks).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0)).alias(
+                "n_classes_below_k"
+            ),
+            F.sum(
+                F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0)
+            ).alias("n_records_below_k"),
+            F.sum("n").alias("n_records"),
+        )
+    )
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        "n_classes",
+        "n_classes_below_k",
+        "n_records_below_k",
+        "n_records",
+        F.round(
+            (F.col("n_records") - F.col("n_records_below_k")).cast("double")
+            / F.col("n_records").cast("double"),
+            6,
+        ).alias("pct_anonymous"),
+    )
+
+
+# --------------------------------------------------------------------
+# Inter-arrival-time entropy (bot / automation detection)
+# --------------------------------------------------------------------
+
+# Gap buckets are DECIMAL-DIGIT COUNTS of the exact integer
+# microsecond gap (floor(log10)+1): integer-exact in both engines,
+# where a float log2 bucket could waver at power boundaries between
+# libm implementations. Human traffic spreads across many magnitude
+# buckets; scripted traffic concentrates (low entropy).
+LOW_ENTROPY_MICRO = 500_000  # flag below 0.5 nats
+
+
+@stage(
+    "events_interarrival_entropy",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             )) AS gap_us
+      FROM events
+      QUALIFY gap_us IS NOT NULL
+    ), b AS (
+      SELECT user_id,
+             CAST(length(CAST(gap_us AS VARCHAR)) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_b
+      FROM g GROUP BY 1, 2
+    ), u AS (
+      SELECT user_id, CAST(sum(n_b) AS BIGINT) AS n_gaps,
+             CAST(count(*) AS INT) AS n_buckets
+      FROM b GROUP BY 1
+    ), terms AS (
+      SELECT b.user_id,
+             CAST(round(-(CAST(b.n_b AS DOUBLE) / CAST(u.n_gaps AS DOUBLE))
+                        * ln(CAST(b.n_b AS DOUBLE) / CAST(u.n_gaps AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS t_micro
+      FROM b JOIN u USING (user_id)
+    )
+    SELECT u.user_id, u.n_gaps, u.n_buckets,
+           CAST(sum(t.t_micro) AS BIGINT) AS entropy_micro,
+           (CAST(sum(t.t_micro) AS BIGINT) < {LOW_ENTROPY_MICRO})
+             AS low_entropy_flag
+    FROM u JOIN terms t USING (user_id)
+    GROUP BY u.user_id, u.n_gaps, u.n_buckets
+    """,
+    tags=("events", "anomaly", "quality"),
+)
+def events_interarrival_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time entropy — the order-of-magnitude
+    histogram of gaps between consecutive events, summarized as
+    Shannon entropy: scripted/bot traffic fires on a clock and
+    concentrates in one or two magnitude buckets (low entropy), human
+    sessions spread across many. The behavioral-quality twin of the
+    registered hourly anomaly z-scores: that one finds WHEN volume is
+    anomalous, this one finds WHO is mechanical.
+
+    Exactness discipline: gaps are exact integer microseconds
+    (``unix_micros`` / ``epoch_us``); buckets are the gap's DECIMAL
+    DIGIT COUNT — an integer-exact floor(log10)+1 in both engines,
+    immune to the libm log2 boundary wobble a float bucket would risk;
+    each entropy term quantizes to micro-nats HALF_UP BEFORE the
+    per-user sum (order-free integer addition, the JS-divergence
+    pattern); the low-entropy flag compares integers.
+
+    Scale (100 TB): one user-key shuffle for the lag window, then the
+    (user, bucket) and per-user hash aggregates ride the same key
+    (map-side combined; at most ~13 magnitude buckets per user). The
+    terms join is user-keyed on two already-aggregated frames. No
+    corpus-sized sort, no Python."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    gaps = (
+        e.select(
+            "user_id",
+            "ts",
+            F.lag("ts")
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("prev_ts"),
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        # timestampdiff is NTZ-native: no epoch conversion, so the gap
+        # is session-timezone-independent (unix_micros rejects NTZ)
+        .select(
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias(
+                "gap_us"
+            ),
+        )
+    )
+    b = gaps.groupBy(
+        "user_id",
+        F.length(F.col("gap_us").cast("string")).cast("int").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+    u = b.groupBy("user_id").agg(
+        F.sum("n_b").alias("n_gaps"),
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+    )
+    p = F.col("n_b").cast("double") / F.col("n_gaps").cast("double")
+    terms = b.join(u, "user_id").select(
+        "user_id",
+        F.round(-p * F.log(p) * 1e6, 0).cast("bigint").alias("t_micro"),
+    )
+    return (
+        u.join(terms, "user_id")
+        .groupBy("user_id", "n_gaps", "n_buckets")
+        .agg(F.sum("t_micro").alias("entropy_micro"))
+        .select(
+            "user_id",
+            "n_gaps",
+            "n_buckets",
+            "entropy_micro",
+            (F.col("entropy_micro") < LOW_ENTROPY_MICRO).alias(
+                "low_entropy_flag"
+            ),
         )
     )

@@ -1261,3 +1261,83 @@ def test_kneser_ney_matches_python_replay(spark):
     for a in list(follows)[:25]:
         full = sum(p_kn(a, b) for b in n_prec)  # all possible followers
         assert math.isclose(full, 1.0, rel_tol=1e-9), a
+
+
+def test_k_anonymity_matches_pandas_replay(spark):
+    """Recompute the equivalence classes and every per-threshold count
+    in pandas; also pin the structural identities (records partition
+    across below/at-or-above k; pct_anonymous consistent with counts)."""
+    import math
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        KANON_THRESHOLDS,
+        customer_k_anonymity,
+    )
+
+    got = (
+        customer_k_anonymity(spark, SF_DIR)
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    c["bal_bucket"] = (c["c_acctbal"] / 1000.0).apply(math.floor)
+    sizes = c.groupby(
+        ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    ).size()
+    for _, row in got.iterrows():
+        k = row["k"]
+        assert k in KANON_THRESHOLDS
+        below = sizes[sizes < k]
+        assert row["n_classes"] == len(sizes)
+        assert row["n_classes_below_k"] == len(below)
+        assert row["n_records_below_k"] == below.sum()
+        assert row["n_records"] == len(c)
+        assert row["pct_anonymous"] == round(
+            (len(c) - below.sum()) / len(c), 6
+        )
+    # thresholds are increasing, so at-risk counts are monotone
+    assert got["n_records_below_k"].is_monotonic_increasing
+
+
+def test_interarrival_entropy_matches_python_replay(spark):
+    """Replay the gap -> digit-bucket -> quantized-entropy pipeline per
+    user in pure Python (pandas timestamps carry the same microsecond
+    integers) and compare entropy_micro EXACTLY — the quantization
+    contract, not an isclose."""
+    import math
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        LOW_ENTROPY_MICRO,
+        events_interarrival_entropy,
+    )
+
+    got = events_interarrival_entropy(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    expected = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64")  # ns -> exact integer
+        gaps = [(b - a) // 1000 for a, b in zip(us, us[1:])]
+        if not gaps:
+            continue
+        buckets: dict[int, int] = {}
+        for gap in gaps:
+            buckets[len(str(gap))] = buckets.get(len(str(gap)), 0) + 1
+        n = len(gaps)
+        ent = 0
+        for n_b in buckets.values():
+            p = n_b / n
+            # decimal HALF_UP at micro, matching F.round/duck round
+            t = -p * math.log(p) * 1e6
+            ent += int(math.floor(t + 0.5))
+        expected[uid] = (n, len(buckets), ent)
+    assert len(got) == len(expected)
+    for r in got.itertuples():
+        n, nb, ent = expected[r.user_id]
+        assert (r.n_gaps, r.n_buckets, r.entropy_micro) == (n, nb, ent), (
+            r.user_id
+        )
+        assert r.low_entropy_flag == (ent < LOW_ENTROPY_MICRO)
+    # the signal must discriminate at fixture scale: entropy varies
+    assert got["entropy_micro"].nunique() > 1
