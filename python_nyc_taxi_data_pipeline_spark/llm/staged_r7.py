@@ -120,6 +120,10 @@ flow):
   gap-magnitude histogram (exact integer-microsecond gaps, decimal-
   digit buckets, micro-nat quantized terms) — the WHO-is-mechanical
   bot signal next to the hourly anomaly's WHEN-is-anomalous.
+- ``orders_rfm_segments``: RFM quintile segmentation via the sortless
+  histogram-cut machinery — global quintiles with NO sort or ntile
+  over customers (domain-bounded histograms + cross-multiplied
+  integer boundary picks), every emitted value integer-exact.
 """
 
 from __future__ import annotations
@@ -3142,4 +3146,195 @@ def events_interarrival_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "low_entropy_flag"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# RFM customer segmentation via sortless histogram quintiles
+# --------------------------------------------------------------------
+
+# Monetary histogram bucket: $1000 units (cents DIV 100000) — keeps
+# the histogram domain-bounded (a few thousand buckets) so the
+# cumulative stage is dimension-table work at any customer count.
+RFM_MONETARY_BUCKET_CENTS = 100_000
+RFM_QS = (1, 2, 3, 4)  # quintile boundaries
+
+
+@stage(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH ref AS (
+      SELECT max(o_orderdate) AS ref_ts FROM orders
+    ), rfm AS (
+      SELECT o_custkey,
+             CAST((epoch_us((SELECT ref_ts FROM ref))
+                   - epoch_us(max(o_orderdate))) // 86400000000
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  * 100 AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), long AS (
+      SELECT o_custkey, 'r' AS metric, recency_days AS bucket FROM rfm
+      UNION ALL
+      SELECT o_custkey, 'f', frequency FROM rfm
+      UNION ALL
+      SELECT o_custkey, 'm',
+             monetary_cents // {RFM_MONETARY_BUCKET_CENTS} FROM rfm
+    ), hist AS (
+      SELECT metric, bucket, CAST(count(*) AS BIGINT) AS n_b
+      FROM long GROUP BY 1, 2
+    ), cumh AS (
+      SELECT metric, bucket,
+             sum(n_b) OVER (PARTITION BY metric ORDER BY bucket) AS cum,
+             sum(n_b) OVER (PARTITION BY metric) AS total
+      FROM hist
+    ), bounds AS (
+      SELECT metric, q, min(bucket) AS boundary
+      FROM cumh CROSS JOIN (
+        SELECT unnest(ARRAY{list(RFM_QS)}) AS q
+      )
+      WHERE cum * 5 >= q * total
+      GROUP BY 1, 2
+    ), quint AS (
+      SELECT l.o_custkey, l.metric,
+             CAST(1 + sum(CASE WHEN l.bucket > b.boundary
+                               THEN 1 ELSE 0 END) AS INT) AS qt
+      FROM long l JOIN bounds b ON b.metric = l.metric
+      GROUP BY 1, 2
+    ), scores AS (
+      SELECT o_custkey,
+             CAST(6 - max(CASE WHEN metric = 'r' THEN qt END) AS INT)
+               AS r_score,
+             max(CASE WHEN metric = 'f' THEN qt END) AS f_score,
+             max(CASE WHEN metric = 'm' THEN qt END) AS m_score
+      FROM quint GROUP BY 1
+    )
+    SELECT rfm.o_custkey, rfm.recency_days, rfm.frequency,
+           rfm.monetary_cents, s.r_score, s.f_score, s.m_score,
+           s.r_score || '-' || s.f_score || '-' || s.m_score
+             AS rfm_segment
+    FROM rfm JOIN scores s USING (o_custkey)
+    """,
+    tags=("analytics", "segmentation", "report"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    quintile scores 1–5 per dimension (r_score flipped so 5 = most
+    recent) — the marketing-analytics workhorse behind churn and
+    loyalty targeting. The quintiles come from the SORTLESS
+    histogram-cut machinery the CCNet contract pioneered: no global
+    sort or ntile over customers anywhere, which is what makes this
+    the 100 TB shape — rank-based quintiles would need a total order
+    over every customer.
+
+    Exactness: recency is integer days to the corpus max order date;
+    frequency an exact count; monetary exact integer cents via
+    DECIMAL accumulation. Histograms bucket integers (days, counts,
+    $1000 units); quintile boundaries are min bucket with
+    ``cum·5 ≥ q·total`` (cross-multiplied integers, no float); scores
+    count integer boundary comparisons. Every engine-visible value is
+    an integer or a concatenation of integers.
+
+    Scale (100 TB): one o_custkey aggregate builds the RFM frame; the
+    3n-row long form feeds a (metric, bucket) hash aggregate whose
+    output is DOMAIN-bounded (days span, max order count, $1000
+    buckets), so the cumulative triangular join and boundary pick are
+    dimension-table work; score assignment equi-joins the 12-row
+    boundary table (broadcast) and re-aggregates on the customer key.
+    Three customer-keyed shuffles total, all linear; no window over
+    customers, no sort."""
+    o = load(spark, sf_dir, "orders")
+    # ALL timestamp arithmetic happens in NTZ (naive) space: a vanilla
+    # LTZ session interprets the file's naive midnights in the session
+    # timezone with PER-VALUE DST offsets, so instant-based diffs (and
+    # timestamp->date casts) drift by an hour — one whole day after the
+    # floor — across DST boundaries; casting back to NTZ recovers the
+    # file-naive values exactly. The reference anchor rides a 1-row
+    # broadcast (no driver collect round-trip, which converts through
+    # yet another timezone).
+    ts_ntz = F.col("o_orderdate").cast("timestamp_ntz")
+    rfm0 = o.groupBy("o_custkey").agg(
+        F.max(ts_ntz).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    ref_frame = o.agg(F.max(ts_ntz).alias("ref_ts"))
+    # recency counts whole 24 h periods between NAIVE timestamps
+    # (timestampdiff(DAY) / epoch_us floor-division in the oracle)
+    rfm = rfm0.join(F.broadcast(ref_frame)).select(
+        "o_custkey",
+        F.expr("timestampdiff(DAY, last_order, ref_ts)")
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    ).localCheckpoint(eager=True)  # feeds long form AND final join
+    long = rfm.selectExpr(
+        "o_custkey",
+        f"""stack(3,
+              'r', recency_days,
+              'f', frequency,
+              'm', monetary_cents DIV {RFM_MONETARY_BUCKET_CENTS}
+            ) AS (metric, bucket)""",
+    )
+    hist = long.groupBy("metric", "bucket").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    # cumulative over the DOMAIN-bounded histogram: triangular join,
+    # not a single-partition window
+    h2 = hist.select(
+        "metric",
+        F.col("bucket").alias("bucket2"),
+        F.col("n_b").alias("n_b2"),
+    )
+    cumh = (
+        hist.join(h2, "metric")
+        .filter(F.col("bucket2") <= F.col("bucket"))
+        .groupBy("metric", "bucket")
+        .agg(F.sum("n_b2").alias("cum"))
+    )
+    tot = hist.groupBy("metric").agg(F.sum("n_b").alias("total"))
+    qs = F.array([F.lit(q) for q in RFM_QS])
+    bounds = (
+        cumh.join(tot, "metric")
+        .select("metric", "bucket", "cum", "total", F.explode(qs).alias("q"))
+        .filter(F.col("cum") * 5 >= F.col("q") * F.col("total"))
+        .groupBy("metric", "q")
+        .agg(F.min("bucket").alias("boundary"))
+    )
+    quint = (
+        long.join(bounds, "metric")
+        .groupBy("o_custkey", "metric")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(F.col("bucket") > F.col("boundary"), 1).otherwise(0)
+                )
+            )
+            .cast("int")
+            .alias("qt")
+        )
+    )
+    scores = quint.groupBy("o_custkey").agg(
+        (6 - F.max(F.when(F.col("metric") == "r", F.col("qt"))))
+        .cast("int")
+        .alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("qt"))).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", F.col("qt"))).alias("m_score"),
+    )
+    return rfm.join(scores, "o_custkey").select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("rfm_segment"),
     )

@@ -1341,3 +1341,70 @@ def test_interarrival_entropy_matches_python_replay(spark):
         assert r.low_entropy_flag == (ent < LOW_ENTROPY_MICRO)
     # the signal must discriminate at fixture scale: entropy varies
     assert got["entropy_micro"].nunique() > 1
+
+
+def test_rfm_segments_match_pandas_replay(spark):
+    """Recompute RFM metrics, histogram-cut boundaries, and quintile
+    scores in pandas with the identical cross-multiplied boundary rule
+    and compare every score — plus the structural pins: scores live in
+    1..5 and each metric's quintile populations are within one
+    histogram bucket of balanced (ties can only overfill)."""
+    from decimal import Decimal
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        RFM_MONETARY_BUCKET_CENTS,
+        RFM_QS,
+        orders_rfm_segments,
+    )
+
+    got = orders_rfm_segments(spark, SF_DIR).toPandas()
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    ref = o["o_orderdate"].max()
+    g = o.groupby("o_custkey")
+    rfm = pd.DataFrame(
+        {
+            # whole 24 h periods between instants — the timezone-free
+            # recency contract (timestampdiff(DAY) / epoch_us DIV)
+            "recency_days": (ref - g["o_orderdate"].max()).dt.days,
+            "frequency": g.size(),
+            "monetary_cents": g["o_totalprice"].apply(
+                lambda s: int(
+                    sum(round(Decimal(str(x)), 2) for x in s) * 100
+                )
+            ),
+        }
+    )
+    buckets = {
+        "r": rfm["recency_days"],
+        "f": rfm["frequency"],
+        "m": rfm["monetary_cents"] // RFM_MONETARY_BUCKET_CENTS,
+    }
+
+    def quintile(vals: pd.Series) -> pd.Series:
+        hist = vals.value_counts().sort_index()
+        cum = hist.cumsum()
+        n = len(vals)
+        bnds = [cum.index[(cum * 5 >= q * n)][0] for q in RFM_QS]
+        return vals.apply(lambda v: 1 + sum(v > b for b in bnds))
+
+    r_q, f_q, m_q = (
+        quintile(buckets[m]).sort_index() for m in ("r", "f", "m")
+    )
+    rfm = rfm.sort_index()
+    got = got.set_index("o_custkey").sort_index()
+    assert (got["recency_days"] == rfm["recency_days"]).all()
+    assert (got["frequency"] == rfm["frequency"]).all()
+    assert (got["monetary_cents"] == rfm["monetary_cents"]).all()
+    assert (got["r_score"] == (6 - r_q)).all()
+    assert (got["f_score"] == f_q).all()
+    assert (got["m_score"] == m_q).all()
+    for col in ("r_score", "f_score", "m_score"):
+        assert got[col].between(1, 5).all()
+    # quintile balance: boundaries are min buckets crossing q/5, so no
+    # quintile's cumulative boundary undershoots its target rank
+    n = len(rfm)
+    for q_series in (f_q, m_q):
+        cum = 0
+        for q in (1, 2, 3, 4):
+            cum += (q_series == q).sum()
+            assert cum * 5 >= q * n
