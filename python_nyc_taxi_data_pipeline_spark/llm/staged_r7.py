@@ -124,6 +124,18 @@ flow):
   histogram-cut machinery — global quintiles with NO sort or ntile
   over customers (domain-bounded histograms + cross-multiplied
   integer boundary picks), every emitted value integer-exact.
+- ``orders_benford_audit``: Benford first-significant-digit audit
+  (Nigrini '96) with per-digit chi-square terms and an alpha=0.001
+  reject flag — first digits from DECIMAL-exact cents strings,
+  Benford shares as Python-quantized literals in BOTH plans, so no
+  engine libm is consulted anywhere.
+- ``orders_column_profile``: single-pass Deequ-style column profile
+  (rows / nulls / EXACT distinct / canonical min-max / rates) — one
+  scan through a ``stack`` long form and two chained hash aggregates;
+  the approx_count_distinct swap is the documented sketch path.
+- ``customer_mad_outliers``: median-absolute-deviation robust z gate
+  — the heavy-tail-safe outlier filter on the proven exact-percentile
+  pair, emitted unfiltered so the oracle hashes every scored row.
 """
 
 from __future__ import annotations
@@ -3337,4 +3349,335 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("rfm_segment"),
+    )
+
+
+# --------------------------------------------------------------------
+# Benford first-digit audit (fraud / synthetic-data detection)
+# --------------------------------------------------------------------
+
+# Benford shares ln(1+1/d)/ln(10), pre-quantized in PYTHON to 9 dp and
+# embedded as literals in BOTH engines' plans — neither engine's libm
+# is ever consulted, so the one cross-engine float hazard (log) is
+# gone by construction.
+import math as _math
+
+BENFORD_P = tuple(round(_math.log10(1.0 + 1.0 / d), 9) for d in range(1, 10))
+# chi-square 0.999 critical value, df=8 (published table constant)
+BENFORD_CHI2_CRIT_MICRO = 26_125_000
+
+
+@stage(
+    "orders_benford_audit",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM cents GROUP BY 1
+    ), digits AS (
+      SELECT unnest(ARRAY[1,2,3,4,5,6,7,8,9]) AS digit,
+             unnest(ARRAY{list(BENFORD_P)}) AS p_exp
+    ), tot AS (
+      SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs
+    ), terms AS (
+      SELECT d.digit,
+             COALESCE(o.n_obs, 0) AS n_obs,
+             t.n_total,
+             CAST(round(d.p_exp * 1000000.0, 0) AS BIGINT)
+               AS exp_share_micro,
+             CAST(round(CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                        / CAST(t.n_total AS DOUBLE) * 1000000.0, 0)
+                  AS BIGINT) AS obs_share_micro,
+             CAST(round(
+               (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                - CAST(t.n_total AS DOUBLE) * d.p_exp)
+               * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                  - CAST(t.n_total AS DOUBLE) * d.p_exp)
+               / (CAST(t.n_total AS DOUBLE) * d.p_exp)
+               * 1000000.0, 0) AS BIGINT) AS chi2_term_micro
+      FROM digits d LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+    ), chi AS (
+      SELECT CAST(sum(chi2_term_micro) AS BIGINT) AS chi2_total_micro
+      FROM terms
+    )
+    SELECT terms.digit, terms.n_obs, terms.n_total,
+           terms.obs_share_micro, terms.exp_share_micro,
+           terms.chi2_term_micro, chi.chi2_total_micro,
+           (chi.chi2_total_micro > {BENFORD_CHI2_CRIT_MICRO})
+             AS benford_reject
+    FROM terms CROSS JOIN chi
+    """,
+    tags=("governance", "anomaly", "report"),
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the forensic-accounting screen (Nigrini '96) a data-governance
+    pass runs to catch fabricated or synthetically-inflated monetary
+    columns before they poison a training corpus: human-scale
+    transaction amounts follow log10(1+1/d); uniform or hand-typed
+    fakes don't. Nine rows (one per digit) with observed/expected
+    shares, per-digit chi-square terms, the total statistic, and a
+    reject flag against the df=8, alpha=0.001 critical value.
+
+    Exactness: first digit comes from the DECIMAL-exact integer cents
+    rendered as a string (no float log10 anywhere); the Benford
+    shares are PYTHON-computed literals quantized to 9 dp embedded in
+    both plans; chi-square terms are pure-IEEE double arithmetic on
+    exact integers and those literals, quantized to integer micro
+    before the order-free total sum. A digit the corpus never emits
+    still gets its row (literal digit frame LEFT JOIN observed).
+
+    Scale (100 TB): ONE scan, one 9-group hash aggregate (map-side
+    combined to 9 rows per partition); everything after is literal
+    9-row dimension work — two broadcast-size cross joins against
+    1-row totals. No window, no sort, no second fact scan."""
+    o = load(spark, sf_dir, "orders")
+    cents = o.filter(F.col("o_totalprice") > 0).select(
+        (F.round("o_totalprice", 2).cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    obs = cents.groupBy(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    digits = spark.createDataFrame(
+        [(d, p) for d, p in zip(range(1, 10), BENFORD_P)],
+        "digit int, p_exp double",
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n_total"))
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+    e = F.col("n_total").cast("double") * F.col("p_exp")
+    terms = (
+        digits.join(obs, "digit", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            "n_total",
+            F.round(F.col("p_exp") * 1e6, 0)
+            .cast("bigint")
+            .alias("exp_share_micro"),
+            F.round(
+                n_obs.cast("double") / F.col("n_total").cast("double") * 1e6, 0
+            )
+            .cast("bigint")
+            .alias("obs_share_micro"),
+            F.round(
+                (n_obs.cast("double") - e) * (n_obs.cast("double") - e) / e * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("chi2_term_micro"),
+        )
+    )
+    chi = terms.agg(F.sum("chi2_term_micro").alias("chi2_total_micro"))
+    return terms.join(F.broadcast(chi)).select(
+        "digit",
+        "n_obs",
+        "n_total",
+        "obs_share_micro",
+        "exp_share_micro",
+        "chi2_term_micro",
+        "chi2_total_micro",
+        (F.col("chi2_total_micro") > BENFORD_CHI2_CRIT_MICRO).alias(
+            "benford_reject"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Single-pass column profile (Deequ-style data-quality report)
+# --------------------------------------------------------------------
+
+# (column, canonical-string expression) pairs — Spark SQL on the left
+# is paired with the semantically identical DuckDB rendering in the
+# oracle. Doubles go through DECIMAL(18,2) and timestamps through a
+# fixed format string so both engines render IDENTICAL canonical
+# strings (raw double/timestamp -> string differs between engines).
+PROFILE_COLS = (
+    ("o_orderkey", "CAST(o_orderkey AS STRING)", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+    (
+        "o_totalprice",
+        "CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS STRING)",
+        "CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR)",
+    ),
+    (
+        "o_orderdate",
+        "date_format(CAST(o_orderdate AS TIMESTAMP_NTZ),"
+        " 'yyyy-MM-dd HH:mm:ss')",
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+    ),
+)
+
+
+def _profile_oracle() -> str:
+    branches = "\n      UNION ALL\n".join(
+        f"      SELECT '{name}' AS col_name, {duck} AS value FROM orders"
+        for name, _, duck in PROFILE_COLS
+    )
+    return f"""
+    WITH long AS (
+{branches}
+    ), pv AS (
+      SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
+      FROM long GROUP BY 1, 2
+    )
+    SELECT col_name,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(COALESCE(sum(CASE WHEN value IS NULL THEN n END), 0)
+                AS BIGINT) AS n_nulls,
+           CAST(count(CASE WHEN value IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_distinct,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(CAST(COALESCE(sum(CASE WHEN value IS NULL THEN n END), 0)
+                      AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS null_rate,
+           round(CAST(count(CASE WHEN value IS NOT NULL THEN 1 END)
+                      AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+             AS distinct_rate
+    FROM pv GROUP BY col_name
+    """
+
+
+@stage(
+    "orders_column_profile",
+    oracle=_profile_oracle(),
+    tags=("governance", "quality", "report"),
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column-profile report (the Deequ / Great
+    Expectations analyzer shape): one row per orders column with row
+    count, null count, EXACT distinct count, lexicographic min/max of
+    a canonical string rendering, and null/distinct rates — the
+    profile a data-quality gate diffs between ingest batches to catch
+    schema rot, null floods, and key-cardinality drift.
+
+    Canonicalization: doubles render through DECIMAL(18,2) and
+    timestamps through one fixed format so both engines emit
+    byte-identical strings (both castings are injective, so distinct
+    counts are the native ones); min/max are binary-collation string
+    comparisons in both engines.
+
+    Scale (100 TB): ONE fact scan — ``stack`` is a generator, not a
+    self-union, so the 6x long form never re-reads the table — then
+    two chained hash aggregates: (col, value) with map-side combine
+    absorbing per-partition duplicates, then the 6-group rollup.
+    This is the EXACT-distinct shape; when a profile can tolerate
+    sketch error, swap ``approx_count_distinct`` into the wide form
+    and skip the long explosion entirely (the
+    ``percentile_approx_contract`` / ``agg_approx_distinct`` pattern
+    already registered). No expand-based multi-distinct (which would
+    multiply the SCAN, not the combined rows), no sort."""
+    o = load(spark, sf_dir, "orders")
+    stack_args = ",\n          ".join(
+        f"'{name}', {spark_expr}" for name, spark_expr, _ in PROFILE_COLS
+    )
+    long = o.selectExpr(
+        f"stack({len(PROFILE_COLS)},\n          {stack_args}"
+        ") AS (col_name, value)"
+    )
+    pv = long.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("n"))
+    n_nulls = F.coalesce(
+        F.sum(F.when(F.col("value").isNull(), F.col("n"))), F.lit(0)
+    ).cast("bigint")
+    n_distinct = F.count(
+        F.when(F.col("value").isNotNull(), F.lit(1))
+    ).cast("bigint")
+    return pv.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        n_nulls.alias("n_nulls"),
+        n_distinct.alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(
+            n_nulls.cast("double") / F.sum("n").cast("double"), 6
+        ).alias("null_rate"),
+        F.round(
+            n_distinct.cast("double") / F.sum("n").cast("double"), 6
+        ).alias("distinct_rate"),
+    )
+
+
+# --------------------------------------------------------------------
+# MAD robust outlier gate (median absolute deviation)
+# --------------------------------------------------------------------
+
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant (published)
+MAD_Z_CUT = 3.0
+
+
+@stage(
+    "customer_mad_outliers",
+    oracle=f"""
+    WITH m AS (
+      SELECT quantile_cont(c_acctbal, 0.5) AS med FROM customer
+    ), d AS (
+      SELECT c_custkey, c_acctbal, m.med,
+             abs(c_acctbal - m.med) AS dev
+      FROM customer CROSS JOIN m
+    ), s AS (
+      SELECT quantile_cont(dev, 0.5) AS mad FROM d
+    )
+    SELECT d.c_custkey, d.c_acctbal,
+           round(d.med, 6) AS med,
+           round(s.mad * {MAD_CONSISTENCY}, 6) AS sigma_robust,
+           round(d.dev / (s.mad * {MAD_CONSISTENCY}), 6) AS robust_z,
+           (d.dev > {MAD_Z_CUT} * {MAD_CONSISTENCY} * s.mad)
+             AS is_outlier
+    FROM d CROSS JOIN s
+    """,
+    tags=("quality", "statistics", "anomaly"),
+)
+def customer_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate via median absolute deviation — the
+    heavy-tail-safe twin of a z-score filter (mean/stddev move with
+    the outliers they hunt; median/MAD don't): every customer scored
+    by robust z (distance from the median in MAD-derived sigmas) with
+    the 3-sigma flag — emitted UNFILTERED so the oracle hashes the
+    whole scored frame, not just the (fixture-empty) outlier tail.
+    The numeric-column analog of the text-side quality-median filter,
+    and the gate a feature-store ingest runs on monetary columns
+    before training.
+
+    Exactness: both medians are Spark's exact interpolated
+    ``percentile`` vs DuckDB's ``quantile_cont`` (bit-identical pair
+    already proven by ``percentile_order_value``); deviations and the
+    robust z are pure IEEE double arithmetic on those two scalars —
+    the cut compares RAW doubles identically in both engines, rounds
+    happen only on emitted columns.
+
+    Scale (100 TB): the exact median is the scale-honest cost here —
+    one global sort-based aggregate each for median and MAD (Spark
+    runs them as single-reduce exact percentiles). Production at
+    trillion-row scale swaps ``approx_percentile`` (t-digest, the
+    registered ``percentile_approx_contract`` bounds the error);
+    everything else is a broadcast of two 1-row frames over one fact
+    scan. No per-group sort, no window."""
+    c = load(spark, sf_dir, "customer")
+    m = c.agg(F.percentile("c_acctbal", 0.5).alias("med"))
+    d = c.join(F.broadcast(m)).select(
+        "c_custkey",
+        "c_acctbal",
+        "med",
+        F.abs(F.col("c_acctbal") - F.col("med")).alias("dev"),
+    )
+    s = d.agg(F.percentile("dev", 0.5).alias("mad"))
+    sigma = F.col("mad") * MAD_CONSISTENCY
+    return d.join(F.broadcast(s)).select(
+        "c_custkey",
+        "c_acctbal",
+        F.round("med", 6).alias("med"),
+        F.round(sigma, 6).alias("sigma_robust"),
+        F.round(F.col("dev") / sigma, 6).alias("robust_z"),
+        (F.col("dev") > MAD_Z_CUT * MAD_CONSISTENCY * F.col("mad")).alias(
+            "is_outlier"
+        ),
     )

@@ -1408,3 +1408,128 @@ def test_rfm_segments_match_pandas_replay(spark):
         for q in (1, 2, 3, 4):
             cum += (q_series == q).sum()
             assert cum * 5 >= q * n
+
+
+def test_benford_audit_matches_decimal_replay(spark):
+    """Recompute the digit histogram from exact Decimal cents in
+    pandas, the chi-square terms from the same embedded Benford
+    literals, and every emitted column; pin the structural identities
+    (9 rows, shares sum to ~1e6 micro, flag consistent with total)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        BENFORD_CHI2_CRIT_MICRO,
+        BENFORD_P,
+        orders_benford_audit,
+    )
+
+    got = (
+        orders_benford_audit(spark, SF_DIR)
+        .toPandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = [
+        int(
+            (Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        )
+        for v in o["o_totalprice"]
+        if v > 0
+    ]
+    counts = {d: 0 for d in range(1, 10)}
+    for c in cents:
+        counts[int(str(c)[0])] += 1
+    n_total = sum(counts.values())
+    assert list(got["digit"]) == list(range(1, 10))
+    assert (got["n_total"] == n_total).all()
+    chi2_total = 0
+    for i, d in enumerate(range(1, 10)):
+        row = got.iloc[i]
+        assert row["n_obs"] == counts[d]
+        e = n_total * BENFORD_P[i]
+        term = round((counts[d] - e) * (counts[d] - e) / e * 1e6)
+        assert row["chi2_term_micro"] == term
+        assert row["exp_share_micro"] == round(BENFORD_P[i] * 1e6)
+        assert row["obs_share_micro"] == round(counts[d] / n_total * 1e6)
+        chi2_total += term
+    assert (got["chi2_total_micro"] == chi2_total).all()
+    assert (got["benford_reject"] == (chi2_total > BENFORD_CHI2_CRIT_MICRO)).all()
+    # shares are a (quantized) probability distribution
+    assert abs(got["obs_share_micro"].sum() - 1_000_000) <= 9
+
+
+def test_column_profile_matches_pandas_replay(spark):
+    """Re-render every column through the same canonicalization in
+    pandas and recompute n/null/distinct/min/max/rates."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        PROFILE_COLS,
+        orders_column_profile,
+    )
+
+    got = orders_column_profile(spark, SF_DIR).toPandas().set_index("col_name")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+
+    def canon(name):
+        s = o[name]
+        if name in ("o_orderkey", "o_custkey"):
+            return s.map(lambda v: str(int(v)))
+        if name == "o_totalprice":
+            return s.map(
+                lambda v: str(
+                    Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+                )
+            )
+        if name == "o_orderdate":
+            return s.dt.strftime("%Y-%m-%d %H:%M:%S")
+        return s
+
+    assert set(got.index) == {name for name, _, _ in PROFILE_COLS}
+    for name, _, _ in PROFILE_COLS:
+        vals = canon(name)
+        row = got.loc[name]
+        assert row["n_rows"] == len(o)
+        assert row["n_nulls"] == vals.isna().sum()
+        assert row["n_distinct"] == vals.dropna().nunique()
+        assert row["min_value"] == vals.dropna().min()
+        assert row["max_value"] == vals.dropna().max()
+        assert row["null_rate"] == round(vals.isna().sum() / len(o), 6)
+        assert row["distinct_rate"] == round(
+            vals.dropna().nunique() / len(o), 6
+        )
+
+
+def test_mad_outliers_matches_numpy_replay(spark):
+    """np.median is the same linear-interpolated quantile both engines
+    compute; replay median/MAD/robust-z and the flag row-by-row."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        MAD_CONSISTENCY,
+        MAD_Z_CUT,
+        customer_mad_outliers,
+    )
+
+    got = (
+        customer_mad_outliers(spark, SF_DIR)
+        .toPandas()
+        .set_index("c_custkey")
+        .sort_index()
+    )
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet").set_index("c_custkey")
+    med = float(np.median(c["c_acctbal"]))
+    dev = (c["c_acctbal"] - med).abs()
+    mad = float(np.median(dev))
+    sigma = mad * MAD_CONSISTENCY
+    assert len(got) == len(c)
+    assert (got["med"] == round(med, 6)).all()
+    assert (got["sigma_robust"] == round(sigma, 6)).all()
+    expect_z = (dev / sigma).round(6).sort_index()
+    assert (got["robust_z"] == expect_z).all()
+    assert (
+        got["is_outlier"] == (dev > MAD_Z_CUT * sigma).sort_index()
+    ).all()
+    # uniform-ish fixture balances: no 3-sigma tail, max z bounded by
+    # the uniform-distribution ceiling (~1.35)
+    assert not got["is_outlier"].any()
+    assert got["robust_z"].max() < 2.0
