@@ -136,6 +136,17 @@ flow):
 - ``customer_mad_outliers``: median-absolute-deviation robust z gate
   — the heavy-tail-safe outlier filter on the proven exact-percentile
   pair, emitted unfiltered so the oracle hashes every scored row.
+- ``nation_trade_pagerank``: weighted PageRank (damping 0.85, 5 fixed
+  iterations) over the supplier-nation → customer-nation revenue
+  graph — ONE fact-scale aggregation builds the bounded entity graph,
+  then every iteration is broadcast-size dimension work in integer
+  pico-rank units (per-edge contributions quantized BEFORE the
+  order-free sum); the oracle unrolls all iterations as chained CTEs.
+- ``orders_zorder_skipping_contract``: Morton-layout data-skipping
+  contract — bit-interleaved (customer, day) file assignment vs a
+  time-linear layout, zone-map pruning evaluated for point / range /
+  conjunctive predicates; integer-exact scan counts showing z-order
+  cuts the point query to ~1/8 of files where linear scans all.
 """
 
 from __future__ import annotations
@@ -3680,4 +3691,466 @@ def customer_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dev") > MAD_Z_CUT * MAD_CONSISTENCY * F.col("mad")).alias(
             "is_outlier"
         ),
+    )
+
+
+# --------------------------------------------------------------------
+# Weighted PageRank over the nation trade graph (iterative)
+# --------------------------------------------------------------------
+
+PR_DAMP = 0.85
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000_000  # pico-rank: 1.0 of probability mass
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled {PR_ITERS}-iteration PageRank as chained CTEs — the
+    ``embeddings_pca_power`` oracle pattern: DuckDB replays the exact
+    integer-quantized iteration, term by term."""
+    head = f"""
+    WITH edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS w_e4
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, CAST(sum(w_e4) AS BIGINT) AS w_out
+      FROM edges GROUP BY src
+    ), inw AS (
+      SELECT dst, CAST(sum(w_e4) AS BIGINT) AS w_in
+      FROM edges GROUP BY dst
+    ), ew AS (
+      SELECT e.src, e.dst,
+             CAST(e.w_e4 AS DOUBLE) / CAST(o.w_out AS DOUBLE) AS wf
+      FROM edges e JOIN outw o ON o.src = e.src
+    ), nodes AS (
+      SELECT n_nationkey AS node, n_name FROM nation
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes
+    ), p0 AS (
+      SELECT node,
+             CAST(round({PR_SCALE}.0 / nn.nd, 0) AS BIGINT) AS pr
+      FROM nodes CROSS JOIN nn
+    )"""
+    its = []
+    prev = "p0"
+    for t in range(1, PR_ITERS + 1):
+        its.append(f"""
+    , dang{t} AS (
+      SELECT CAST(COALESCE(sum(pr), 0) AS BIGINT) AS d
+      FROM {prev} WHERE node NOT IN (SELECT src FROM outw)
+    ), inc{t} AS (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(round(CAST(p.pr AS DOUBLE) * e.wf, 0)
+                           AS BIGINT)) AS BIGINT) AS inc
+      FROM {prev} p JOIN ew e ON e.src = p.node
+      GROUP BY e.dst
+    ), p{t} AS (
+      SELECT n.node,
+             CAST(CAST(round((1.0 - {PR_DAMP}) * {PR_SCALE}.0 / nn.nd, 0)
+                       AS BIGINT)
+                  + CAST(round({PR_DAMP}
+                               * (CAST(d.d AS DOUBLE) / nn.nd
+                                  + CAST(COALESCE(i.inc, 0) AS DOUBLE)),
+                               0) AS BIGINT) AS BIGINT) AS pr
+      FROM nodes n
+      CROSS JOIN nn CROSS JOIN dang{t} d
+      LEFT JOIN inc{t} i ON i.node = n.node
+    )""")
+        prev = f"p{t}"
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT n.n_name AS nation, p.pr AS pagerank_pico,
+           COALESCE(o.w_out, 0) AS out_strength_e4,
+           COALESCE(i.w_in, 0) AS in_strength_e4,
+           (o.w_out IS NULL) AS is_dangling
+    FROM nodes n
+    JOIN {prev} p ON p.node = n.node
+    LEFT JOIN outw o ON o.src = n.node
+    LEFT JOIN inw i ON i.dst = n.node
+    """
+    )
+
+
+@stage(
+    "nation_trade_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "analytics"),
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (Page et al. '99, damping 0.85, 5 fixed
+    iterations) over the nation-level trade graph — nodes are nations,
+    an edge src→dst carries the exact-DECIMAL revenue suppliers in src
+    shipped to customers in dst (the TPC-H Q7 volume lifted to a full
+    adjacency). The graph-centrality complement to the label-
+    propagation dup clustering: importance flows along weighted edges
+    instead of connectivity, the shape behind supplier-risk and
+    influence scoring on transaction graphs.
+
+    Exactness (the ``embeddings_pca_power`` discipline): edge weights
+    are DECIMAL-exact integer e4 units; out-degree-normalized weights
+    are single-division doubles of two exact integers; rank lives in
+    integer PICO units — each edge's contribution quantizes to a
+    bigint BEFORE the order-free integer sum, every iteration, in both
+    engines; the teleport and damping terms round identically from the
+    same literals. The oracle unrolls all 5 iterations as chained
+    CTEs; dangling mass (nations with no outbound trade) redistributes
+    uniformly through an anti-join sum, never dropped.
+
+    Scale (100 TB): the fact-table work is ONE aggregation — the
+    4-table join down to at most |N|^2 = 625 edge rows (AQE broadcasts
+    the three dimension sides; the lineitem scan is the only big
+    shuffle). All 5 iterations are dimension-table work on 25-row
+    frames (broadcast joins, localCheckpoint-flattened lineage) — the
+    standard scale split for graph analytics on transaction data:
+    aggregate the fact table ONCE into the bounded entity graph, then
+    iterate on the graph alone."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    edges = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cu, orders.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(l_extendedprice * (1 - l_discount)"
+                        " AS DECIMAL(18,4))"
+                    )
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("w_e4")
+        )
+        .localCheckpoint(eager=True)  # the ONE fact-scale job
+    )
+    outw = edges.groupBy("src").agg(F.sum("w_e4").cast("bigint").alias("w_out"))
+    inw = edges.groupBy("dst").agg(F.sum("w_e4").cast("bigint").alias("w_in"))
+    ew = (
+        edges.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w_e4").cast("double") / F.col("w_out").cast("double")).alias(
+                "wf"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = na.select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    ).localCheckpoint(eager=True)
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    p = (
+        nodes.join(F.broadcast(nn))
+        .select(
+            "node",
+            F.round(F.lit(float(PR_SCALE)) / F.col("nd"), 0)
+            .cast("bigint")
+            .alias("pr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    srcs = outw.select(F.col("src").alias("node")).distinct()
+    for _ in range(PR_ITERS):
+        dang = (
+            p.join(srcs, "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0)).cast("bigint").alias("d"))
+        )
+        inc = (
+            p.join(ew, p.node == ew.src)
+            .groupBy(F.col("dst").alias("inode"))
+            .agg(
+                F.sum(
+                    F.round(F.col("pr").cast("double") * F.col("wf"), 0).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("inc")
+            )
+        )
+        p = (
+            nodes.join(F.broadcast(nn))
+            .join(F.broadcast(dang))
+            .join(F.broadcast(inc), F.col("node") == F.col("inode"), "left")
+            .select(
+                "node",
+                (
+                    F.round(
+                        (1.0 - PR_DAMP) * float(PR_SCALE) / F.col("nd"), 0
+                    ).cast("bigint")
+                    + F.round(
+                        PR_DAMP
+                        * (
+                            F.col("d").cast("double") / F.col("nd")
+                            + F.coalesce(F.col("inc"), F.lit(0)).cast("double")
+                        ),
+                        0,
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(p, "node")
+        .join(outw, nodes.node == outw.src, "left")
+        .join(inw, nodes.node == inw.dst, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("pr").alias("pagerank_pico"),
+            F.coalesce(F.col("w_out"), F.lit(0)).cast("bigint").alias(
+                "out_strength_e4"
+            ),
+            F.coalesce(F.col("w_in"), F.lit(0)).cast("bigint").alias(
+                "in_strength_e4"
+            ),
+            F.col("w_out").isNull().alias("is_dangling"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Z-order layout data-skipping contract
+# --------------------------------------------------------------------
+
+Z_BITS = 8           # bits per dimension -> 256 buckets each
+Z_DIM = 1 << Z_BITS
+Z_FILES = 64         # simulated files per layout
+Z_FILE_SPAN = (Z_DIM * Z_DIM) // Z_FILES  # z-values per z-order file
+L_FILE_SPAN = Z_DIM // Z_FILES            # day-buckets per linear file
+ZPRED_CB = 37        # point predicate: customer bucket
+ZPRED_DB_LO, ZPRED_DB_HI = 96, 127  # range predicate: day buckets
+
+
+def _z_expr(shift_fn: str) -> str:
+    """Bit-interleave cb/db into a 16-bit Morton code. ``shift_fn`` is
+    'spark' (shiftleft/shiftright functions) or 'duck' (<< >>
+    operators) — same arithmetic, engine-native spelling."""
+    terms = []
+    for i in range(Z_BITS):
+        if shift_fn == "spark":
+            terms.append(
+                f"(shiftleft(shiftright(cb, {i}) & 1, {2 * i + 1})"
+                f" + shiftleft(shiftright(db, {i}) & 1, {2 * i}))"
+            )
+        else:
+            terms.append(
+                f"((((cb >> {i}) & 1) << {2 * i + 1})"
+                f" + (((db >> {i}) & 1) << {2 * i}))"
+            )
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    return f"""
+    WITH anchor AS (
+      SELECT min(o_orderdate) AS mn,
+             CAST((epoch_us(max(o_orderdate)) - epoch_us(min(o_orderdate)))
+                  // 86400000000 AS BIGINT) AS max_day
+      FROM orders
+    ), r AS (
+      SELECT CAST(o_custkey % {Z_DIM} AS BIGINT) AS cb,
+             CAST(((epoch_us(o_orderdate) - epoch_us(a.mn)) // 86400000000)
+                  * {Z_DIM} // (a.max_day + 1) AS BIGINT) AS db
+      FROM orders CROSS JOIN anchor a
+    ), rz AS (
+      SELECT cb, db, CAST({_z_expr("duck")} AS BIGINT) AS z FROM r
+    ), files AS (
+      SELECT 'zorder' AS layout, z // {Z_FILE_SPAN} AS file, cb, db FROM rz
+      UNION ALL
+      SELECT 'linear', db // {L_FILE_SPAN}, cb, db FROM rz
+    ), stats AS (
+      SELECT layout, file,
+             min(cb) AS mncb, max(cb) AS mxcb,
+             min(db) AS mndb, max(db) AS mxdb,
+             CAST(count(*) AS BIGINT) AS nr
+      FROM files GROUP BY 1, 2
+    ), preds AS (
+      SELECT * FROM (VALUES
+        ('cust_point', CAST({ZPRED_CB} AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        ('day_range', CAST(NULL AS BIGINT),
+         CAST({ZPRED_DB_LO} AS BIGINT), CAST({ZPRED_DB_HI} AS BIGINT)),
+        ('cust_and_day', CAST({ZPRED_CB} AS BIGINT),
+         CAST({ZPRED_DB_LO} AS BIGINT), CAST({ZPRED_DB_HI} AS BIGINT))
+      ) AS t(predicate, cb_point, db_lo, db_hi)
+    ), sel AS (
+      SELECT 'cust_point' AS predicate,
+             CAST(count(CASE WHEN cb = {ZPRED_CB} THEN 1 END) AS BIGINT)
+               AS selected_rows
+      FROM rz
+      UNION ALL
+      SELECT 'day_range',
+             CAST(count(CASE WHEN db BETWEEN {ZPRED_DB_LO} AND {ZPRED_DB_HI}
+                             THEN 1 END) AS BIGINT)
+      FROM rz
+      UNION ALL
+      SELECT 'cust_and_day',
+             CAST(count(CASE WHEN cb = {ZPRED_CB}
+                              AND db BETWEEN {ZPRED_DB_LO} AND {ZPRED_DB_HI}
+                             THEN 1 END) AS BIGINT)
+      FROM rz
+    ), agg AS (
+      SELECT s.layout, p.predicate,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN
+               (p.cb_point IS NULL
+                OR (s.mncb <= p.cb_point AND p.cb_point <= s.mxcb))
+               AND (p.db_lo IS NULL
+                    OR (s.mxdb >= p.db_lo AND s.mndb <= p.db_hi))
+               THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+             CAST(sum(CASE WHEN
+               (p.cb_point IS NULL
+                OR (s.mncb <= p.cb_point AND p.cb_point <= s.mxcb))
+               AND (p.db_lo IS NULL
+                    OR (s.mxdb >= p.db_lo AND s.mndb <= p.db_hi))
+               THEN s.nr ELSE 0 END) AS BIGINT) AS rows_scanned,
+             CAST(sum(s.nr) AS BIGINT) AS total_rows
+      FROM stats s CROSS JOIN preds p
+      GROUP BY 1, 2
+    )
+    SELECT a.layout, a.predicate, a.n_files, a.files_scanned,
+           a.rows_scanned, a.total_rows, sel.selected_rows,
+           round(CAST(a.rows_scanned AS DOUBLE)
+                 / CAST(a.total_rows AS DOUBLE), 6) AS scan_fraction
+    FROM agg a JOIN sel USING (predicate)
+    """
+
+
+@stage(
+    "orders_zorder_skipping_contract",
+    oracle=_zorder_oracle(),
+    tags=("layout", "pruning", "contract"),
+)
+def orders_zorder_skipping_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-skipping contract for a Morton (z-order) file layout vs a
+    single-dimension linear layout — the write-side lever that makes
+    100 TB point/range scans cheap: interleave the bits of two
+    predicate dimensions (customer bucket, time bucket) into one sort
+    key, carve the key space into files, and min/max zone maps prune
+    on BOTH dimensions at once. Linear (time-only) layout prunes time
+    ranges perfectly but scans EVERY file for a customer point query;
+    z-order prunes both to ~1/8 of files at 8 bits per dimension. One
+    row per (layout, predicate): file/row scan counts, true selected
+    rows, scan fraction — the numbers a table-layout decision reads.
+
+    Exactness: buckets, Morton codes (16 explicit shift-mask terms,
+    engine-native spellings of the same integer arithmetic), file
+    assignment, zone-map min/max, and every count are exact integers;
+    the one division rounds from two exact BIGINTs.
+
+    Scale (100 TB): ONE fact scan computes buckets + z-codes
+    (per-row integer expressions against a broadcast 1-row date
+    anchor); the zone-map build is a (layout, file) hash aggregate —
+    128 groups — and the pruning evaluation is literal dimension work
+    (128 x 3 cross join). This is exactly the metadata pass a real
+    OPTIMIZE ZORDER writes; the simulated files stand in for the
+    rewrite the container can't hold."""
+    o = load(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp_ntz")
+    anchor = o.agg(
+        F.min(ts).alias("mn"),
+        F.expr(
+            "CAST(timestampdiff(DAY,"
+            " min(CAST(o_orderdate AS TIMESTAMP_NTZ)),"
+            " max(CAST(o_orderdate AS TIMESTAMP_NTZ))) AS BIGINT)"
+        ).alias("max_day"),
+    )
+    # integer floor division: (day_idx * 256) DIV (max_day + 1)
+    r = o.join(F.broadcast(anchor)).selectExpr(
+        f"CAST(pmod(o_custkey, {Z_DIM}) AS BIGINT) AS cb",
+        "CAST(timestampdiff(DAY, mn, CAST(o_orderdate AS TIMESTAMP_NTZ))"
+        f" AS BIGINT) * {Z_DIM} DIV (max_day + 1) AS db",
+    )
+    rz = r.selectExpr(
+        "cb", "db", f"CAST({_z_expr('spark')} AS BIGINT) AS z"
+    ).localCheckpoint(eager=True)  # feeds files AND selected counts
+    files = rz.selectExpr(
+        f"stack(2, 'zorder', z DIV {Z_FILE_SPAN},"
+        f" 'linear', db DIV {L_FILE_SPAN}) AS (layout, file)",
+        "cb",
+        "db",
+    )
+    stats = files.groupBy("layout", "file").agg(
+        F.min("cb").alias("mncb"),
+        F.max("cb").alias("mxcb"),
+        F.min("db").alias("mndb"),
+        F.max("db").alias("mxdb"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    preds = spark.createDataFrame(
+        [
+            ("cust_point", ZPRED_CB, None, None),
+            ("day_range", None, ZPRED_DB_LO, ZPRED_DB_HI),
+            ("cust_and_day", ZPRED_CB, ZPRED_DB_LO, ZPRED_DB_HI),
+        ],
+        "predicate string, cb_point bigint, db_lo bigint, db_hi bigint",
+    )
+    in_day = F.col("db").between(ZPRED_DB_LO, ZPRED_DB_HI)
+    sel = rz.agg(
+        F.count(F.when(F.col("cb") == ZPRED_CB, 1))
+        .cast("bigint")
+        .alias("cust_point"),
+        F.count(F.when(in_day, 1)).cast("bigint").alias("day_range"),
+        F.count(F.when((F.col("cb") == ZPRED_CB) & in_day, 1))
+        .cast("bigint")
+        .alias("cust_and_day"),
+    ).selectExpr(
+        "stack(3, 'cust_point', cust_point, 'day_range', day_range,"
+        " 'cust_and_day', cust_and_day) AS (predicate, selected_rows)"
+    )
+    surv = (
+        F.col("cb_point").isNull()
+        | ((F.col("mncb") <= F.col("cb_point")) & (F.col("cb_point") <= F.col("mxcb")))
+    ) & (
+        F.col("db_lo").isNull()
+        | ((F.col("mxdb") >= F.col("db_lo")) & (F.col("mndb") <= F.col("db_hi")))
+    )
+    agg = (
+        stats.join(F.broadcast(preds))
+        .groupBy("layout", "predicate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.when(surv, 1).otherwise(0)).cast("bigint").alias(
+                "files_scanned"
+            ),
+            F.sum(F.when(surv, F.col("nr")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("nr").cast("bigint").alias("total_rows"),
+        )
+    )
+    return agg.join(F.broadcast(sel), "predicate").select(
+        "layout",
+        "predicate",
+        "n_files",
+        "files_scanned",
+        "rows_scanned",
+        "total_rows",
+        "selected_rows",
+        F.round(
+            F.col("rows_scanned").cast("double")
+            / F.col("total_rows").cast("double"),
+            6,
+        ).alias("scan_fraction"),
     )

@@ -1533,3 +1533,172 @@ def test_mad_outliers_matches_numpy_replay(spark):
     # the uniform-distribution ceiling (~1.35)
     assert not got["is_outlier"].any()
     assert got["robust_z"].max() < 2.0
+
+
+def test_pagerank_matches_python_replay(spark):
+    """Replay the full quantized iteration (edge aggregation in exact
+    Decimal, pico-integer rank updates) in pure Python and compare
+    every emitted column; pin mass conservation and discrimination."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        PR_DAMP,
+        PR_ITERS,
+        PR_SCALE,
+        nation_trade_pagerank,
+    )
+
+    got = (
+        nation_trade_pagerank(spark, SF_DIR)
+        .toPandas()
+        .set_index("nation")
+        .sort_index()
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    su = pd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cu = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    na = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+
+    j = (
+        li.merge(su, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+    )
+    edges: dict[tuple[int, int], int] = {}
+    for src, dst, ep, disc in zip(
+        j["s_nationkey"], j["c_nationkey"], j["l_extendedprice"], j["l_discount"]
+    ):
+        w = (Decimal(str(ep)) * (1 - Decimal(str(disc)))).quantize(
+            Decimal("0.0001"), ROUND_HALF_UP
+        )
+        k = (int(src), int(dst))
+        edges[k] = edges.get(k, 0) + int(w * 10000)
+    w_out: dict[int, int] = {}
+    w_in: dict[int, int] = {}
+    for (s, d), w in edges.items():
+        w_out[s] = w_out.get(s, 0) + w
+        w_in[d] = w_in.get(d, 0) + w
+    nodes = sorted(na["n_nationkey"])
+    names = dict(zip(na["n_nationkey"], na["n_name"]))
+    nd = float(len(nodes))
+    pr = {n: round(PR_SCALE / nd) for n in nodes}
+    for _ in range(PR_ITERS):
+        dang = sum(pr[n] for n in nodes if n not in w_out)
+        inc = {n: 0 for n in nodes}
+        for (s, d), w in edges.items():
+            inc[d] += round(float(pr[s]) * (w / w_out[s]))
+        pr = {
+            n: round((1.0 - PR_DAMP) * PR_SCALE / nd)
+            + round(PR_DAMP * (dang / nd + float(inc[n])))
+            for n in nodes
+        }
+    for n in nodes:
+        row = got.loc[names[n]]
+        assert row["pagerank_pico"] == pr[n], names[n]
+        assert row["out_strength_e4"] == w_out.get(n, 0)
+        assert row["in_strength_e4"] == w_in.get(n, 0)
+        assert bool(row["is_dangling"]) == (n not in w_out)
+    # probability mass conserved to within per-node rounding drift
+    assert abs(got["pagerank_pico"].sum() - PR_SCALE) <= (PR_ITERS + 1) * len(
+        nodes
+    )
+    # weighted centrality discriminates: ranks are not all equal
+    assert got["pagerank_pico"].nunique() > 1
+
+
+def test_zorder_contract_matches_pandas_replay(spark):
+    """Replay buckets, Morton codes, file assignment, zone maps, and
+    pruning in pandas; pin the headline structural facts (z-order
+    prunes the point predicate to 1/8 of files while linear scans all,
+    both layouts prune the aligned day range identically, and no
+    selected row is ever pruned — skipping is lossless)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        L_FILE_SPAN,
+        Z_DIM,
+        Z_FILE_SPAN,
+        ZPRED_CB,
+        ZPRED_DB_HI,
+        ZPRED_DB_LO,
+        orders_zorder_skipping_contract,
+    )
+
+    got = (
+        orders_zorder_skipping_contract(spark, SF_DIR)
+        .toPandas()
+        .set_index(["layout", "predicate"])
+        .sort_index()
+    )
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    day_idx = (o["o_orderdate"] - o["o_orderdate"].min()).dt.days
+    max_day = int(day_idx.max())
+    cb = (o["o_custkey"] % Z_DIM).astype(int)
+    db = (day_idx * Z_DIM // (max_day + 1)).astype(int)
+
+    def morton(c, d):
+        z = 0
+        for i in range(8):
+            z += (((c >> i) & 1) << (2 * i + 1)) + (((d >> i) & 1) << (2 * i))
+        return z
+
+    z = pd.Series([morton(c, d) for c, d in zip(cb, db)])
+    frames = {
+        "zorder": pd.DataFrame({"file": z // Z_FILE_SPAN, "cb": cb, "db": db}),
+        "linear": pd.DataFrame(
+            {"file": db // L_FILE_SPAN, "cb": cb, "db": db}
+        ),
+    }
+    in_day = db.between(ZPRED_DB_LO, ZPRED_DB_HI)
+    selected = {
+        "cust_point": int((cb == ZPRED_CB).sum()),
+        "day_range": int(in_day.sum()),
+        "cust_and_day": int(((cb == ZPRED_CB) & in_day).sum()),
+    }
+    for layout, f in frames.items():
+        zones = f.groupby("file").agg(
+            mncb=("cb", "min"),
+            mxcb=("cb", "max"),
+            mndb=("db", "min"),
+            mxdb=("db", "max"),
+            nr=("cb", "size"),
+        )
+        for pred, (cbp, lo, hi) in {
+            "cust_point": (ZPRED_CB, None, None),
+            "day_range": (None, ZPRED_DB_LO, ZPRED_DB_HI),
+            "cust_and_day": (ZPRED_CB, ZPRED_DB_LO, ZPRED_DB_HI),
+        }.items():
+            surv = zones.index.map(
+                lambda fl: (
+                    cbp is None
+                    or zones.loc[fl, "mncb"] <= cbp <= zones.loc[fl, "mxcb"]
+                )
+                and (
+                    lo is None
+                    or (
+                        zones.loc[fl, "mxdb"] >= lo
+                        and zones.loc[fl, "mndb"] <= hi
+                    )
+                )
+            )
+            row = got.loc[(layout, pred)]
+            assert row["n_files"] == len(zones)
+            assert row["files_scanned"] == int(pd.Series(surv).sum())
+            assert row["rows_scanned"] == int(zones.loc[list(surv), "nr"].sum())
+            assert row["total_rows"] == len(o)
+            assert row["selected_rows"] == selected[pred]
+            # losslessness: scanned rows always cover the selected set
+            assert row["rows_scanned"] >= row["selected_rows"]
+    # the headline contract: multi-dim locality beats single-dim
+    # (>=90%: a sparse small-SF zone can exclude the point by luck)
+    lin_point = got.loc[("linear", "cust_point")]
+    assert lin_point["files_scanned"] >= 0.9 * lin_point["n_files"]
+    assert got.loc[("zorder", "cust_point"), "files_scanned"] <= 8
+    # the day range aligns with the top 3 db bits, so BOTH layouts
+    # prune it to at most 8 of 64 file slots (sparse small-SF z-files
+    # can leave some of the 8 empty, hence <=, not ==)
+    assert got.loc[("zorder", "day_range"), "files_scanned"] <= 8
+    assert got.loc[("linear", "day_range"), "files_scanned"] <= 8
+    assert (
+        got.loc[("zorder", "cust_and_day"), "rows_scanned"]
+        < got.loc[("linear", "cust_and_day"), "rows_scanned"]
+    )
