@@ -150,6 +150,16 @@ EXTRA_FNS = {
     ),
     "docs_dup_cluster_report": _staged("docs_dup_cluster_report"),
     "docs_kneser_ney_bigrams": _staged("docs_kneser_ney_bigrams"),
+    "orders_benford_audit": _staged("orders_benford_audit"),
+    "orders_column_profile": _staged("orders_column_profile"),
+    "orders_rfm_segments": _staged("orders_rfm_segments"),
+    "orders_zorder_skipping_contract": _staged(
+        "orders_zorder_skipping_contract"
+    ),
+    "nation_trade_pagerank": _staged("nation_trade_pagerank"),
+    "customer_mad_outliers": _staged("customer_mad_outliers"),
+    "customer_k_anonymity": _staged("customer_k_anonymity"),
+    "events_interarrival_entropy": _staged("events_interarrival_entropy"),
 }
 MAX_EXPONENT = {
     # Near-dup family (r4): banded LSH / label propagation are linear;
@@ -247,13 +257,32 @@ MAX_EXPONENT = {
     # bigram types ~k) + three bigram-type-scale aggregates/joins; the
     # TakeOrdered head is constant-size.
     "docs_kneser_ney_bigrams": 1.35,
+    # Relational staged r7 (key-shifted orders/customer/lineitem/events
+    # inflation): Benford/profile/RFM/z-order are single-scan hash
+    # aggregates whose group counts are either literal (9 digits, 6
+    # columns, 128 file slots) or key-bounded (customers, QI classes) —
+    # map-side combine keeps their shuffles ~flat-to-linear. PageRank's
+    # fact work is the one edge aggregation (25x25 groups); iterations
+    # are dimension-size. MAD's exact percentile buffers the value
+    # column through its aggregate, linear by construction. The
+    # entropy query shuffles per-(user, bucket) partials, users ~k.
+    "orders_benford_audit": 1.35,
+    "orders_column_profile": 1.35,
+    "orders_rfm_segments": 1.35,
+    "orders_zorder_skipping_contract": 1.35,
+    "nation_trade_pagerank": 1.35,
+    "customer_mad_outliers": 1.35,
+    "customer_k_anonymity": 1.35,
+    "events_interarrival_entropy": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
 
 def build_inflated(base_sf_dir: str, k: int, outdir: str) -> None:
-    """Materialize a k×-inflated fixture dir (documents + embeddings
-    rewritten, every other table symlinked from the base dir)."""
+    """Materialize a k×-inflated fixture dir (documents, embeddings,
+    and the relational fact tables orders/lineitem/customer/events
+    rewritten with key-shifted copies; every other table symlinked
+    from the base dir)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -304,9 +333,37 @@ def build_inflated(base_sf_dir: str, k: int, outdir: str) -> None:
         row_group_size=max(1, len(emb_all) // 16),
     )
 
+    # Relational fact tables, inflated by key-shifted copies so the
+    # orders/customer/events staged queries scale too (attributes stay
+    # identical; keys shift by the same c*10M convention as doc_id).
+    # l_orderkey shifts WITH o_orderkey so every lineitem copy still
+    # joins its order copy; o_custkey / l_suppkey stay unshifted so
+    # dimension joins keep resolving. No pre-existing stress query
+    # reads these tables, so inflating them changes nothing else.
+    _REL_SHIFTS = {
+        "orders.parquet": ("o_orderkey",),
+        "lineitem.parquet": ("l_orderkey",),
+        "customer.parquet": ("c_custkey",),
+        "events.parquet": ("event_id", "user_id"),
+    }
+    for name, shift_cols in _REL_SHIFTS.items():
+        t = pq.read_table(os.path.join(base_sf_dir, name)).to_pandas()
+        tparts = [t]
+        for c in range(1, k):
+            p = t.copy()
+            for col in shift_cols:
+                p[col] = p[col] + c * 10_000_000
+            tparts.append(p)
+        t_all = pd.concat(tparts, ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(t_all, preserve_index=False),
+            os.path.join(outdir, name),
+            row_group_size=max(1, len(t_all) // 16),
+        )
+
     for f in glob.glob(os.path.join(base_sf_dir, "*.parquet")):
         name = os.path.basename(f)
-        if name in ("documents.parquet", "embeddings.parquet"):
+        if name in ("documents.parquet", "embeddings.parquet", *_REL_SHIFTS):
             continue
         dst = os.path.join(outdir, name)
         if not os.path.exists(dst):
