@@ -3453,9 +3453,18 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c")
     )
-    obs = cents.groupBy(
-        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
-    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    obs = (
+        cents.groupBy(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        # ≤9 rows; pins the ONE fact scan — tot, terms, and the chi
+        # branch otherwise each replay the whole scan lineage (the
+        # un-checkpointed plan read orders 4x)
+        .localCheckpoint(eager=True)
+    )
     digits = spark.createDataFrame(
         [(d, p) for d, p in zip(range(1, 10), BENFORD_P)],
         "digit int, p_exp double",
