@@ -147,6 +147,15 @@ flow):
   time-linear layout, zone-map pruning evaluated for point / range /
   conjunctive predicates; integer-exact scan counts showing z-order
   cuts the point query to ~1/8 of files where linear scans all.
+- ``part_copurchase_triangles``: triangle count + global clustering
+  coefficient of the support-thresholded part co-purchase graph —
+  graph-MOTIF counting (each edge pair enumerated once under the
+  a<b<c orientation) next to the connectivity-only dup clustering and
+  the flow-based PageRank; every count integer-exact.
+- ``docs_phrase_search``: exact-phrase retrieval over a positional
+  inverted index — the quoted-query operator BM25 can't express,
+  resolved as the classic m-way positional self-join on one
+  checkpointed (doc, word, pos) posting frame; no full-text regex.
 """
 
 from __future__ import annotations
@@ -4163,3 +4172,207 @@ def orders_zorder_skipping_contract(
             6,
         ).alias("scan_fraction"),
     )
+
+
+# --------------------------------------------------------------------
+# Triangle counting / clustering coefficient (graph motif)
+# --------------------------------------------------------------------
+
+TRI_MIN_SUPPORT = 2  # co-purchase edges need >= 2 shared orders
+
+
+@stage(
+    "part_copurchase_triangles",
+    oracle=f"""
+    WITH ip AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM ip a
+      JOIN ip b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ), tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.pa = e1.pb
+      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (
+        SELECT pa AS node FROM e UNION ALL SELECT pb FROM e
+      ) GROUP BY node
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT agg.n_nodes, agg.n_edges, tri.n_triangles, agg.n_wedges,
+           CAST(round(3.0 * CAST(tri.n_triangles AS DOUBLE)
+                      / CAST(agg.n_wedges AS DOUBLE) * 1000000.0, 0)
+                AS BIGINT) AS global_clustering_micro
+    FROM agg CROSS JOIN tri
+    """,
+    tags=("graph", "motif", "analytics"),
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the part
+    co-purchase graph — the graph-motif health check behind
+    recommendation quality (triangle-rich co-purchase neighborhoods
+    = coherent product affinities) and community-structure audits;
+    the motif-counting complement to the connectivity-only dup
+    clustering and the flow-based PageRank. Nodes are parts, an edge
+    joins parts bought together in ≥ {TRI_MIN_SUPPORT} orders; one
+    row: nodes, edges, triangles, wedges (open 2-paths), and the
+    clustering coefficient 3·triangles/wedges in integer micro units.
+
+    Exactness: every motif count is an exact integer over an exact
+    integer edge list; the lone division quantizes to micro.
+
+    Scale (100 TB): per-order pair emit is the basket-bounded
+    quadratic (the SNM/posting-emit discipline — baskets are small by
+    nature, and the support threshold prunes the edge list before any
+    quadratic-in-graph work); the triangle join enumerates each edge
+    pair once under the a<b<c orientation — at web scale the same
+    join runs degree-ordered (orient each edge toward the higher-
+    degree endpoint) to bound per-vertex fan-out, which this plan
+    swaps in by replacing the id comparator with a (degree, id)
+    struct comparator. The edge list localCheckpoints once and feeds
+    all three triangle sides plus the degree aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    ip = li.select("l_orderkey", "l_partkey").distinct()
+    a = ip.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = ip.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)  # 3 triangle sides + degree agg
+    )
+    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    return agg.join(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            3.0
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+            * 1e6,
+            0,
+        )
+        .cast("bigint")
+        .alias("global_clustering_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Positional phrase search (exact-phrase retrieval)
+# --------------------------------------------------------------------
+
+# Literal phrase battery — mixed 2- and 3-term phrases with non-trivial
+# fixture hit counts, mirroring the registered BM25 battery's fixed-
+# query design (the battery is config, not data).
+PHRASE_BATTERY = ("table hash", "customer join", "small query line")
+
+
+def _phrase_oracle() -> str:
+    branches = []
+    for ph in PHRASE_BATTERY:
+        terms = ph.split(" ")
+        joins = "\n        ".join(
+            f"JOIN w t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.pos = t0.pos + {i} AND t{i}.wd = '{t}'"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        branches.append(f"""
+      SELECT '{ph}' AS phrase, t0.doc_id,
+             CAST(count(*) AS BIGINT) AS n_matches
+      FROM w t0
+        {joins}
+      WHERE t0.wd = '{terms[0]}'
+      GROUP BY 1, 2""")
+    body = "\n      UNION ALL\n".join(branches)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+{body}
+    """
+
+
+@stage(
+    "docs_phrase_search",
+    oracle=_phrase_oracle(),
+    tags=("llm", "retrieval", "positional"),
+)
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over a positional inverted index — the
+    quoted-query operator BM25's bag-of-words scoring cannot express:
+    for each battery phrase, every document containing the words
+    CONSECUTIVELY, with its occurrence count. One row per (phrase,
+    matching doc).
+
+    Exactness: occurrence counts are exact integers from positional
+    equality; positions are engine-local ordinals used only in
+    relative offsets, so 0- vs 1-based never leaks.
+
+    Scale (100 TB): the positional posting frame (doc, word, pos) is
+    built ONCE (a generator over the scan, checkpointed for the m
+    join sides) and each phrase resolves as the classic m-way
+    positional self-join — equi-keyed on (doc, pos±offset, word),
+    hash-partitioned, no window, no regex over full text (a
+    contains-style LIKE would false-positive across word boundaries
+    and re-scan the corpus per phrase). In production the rarest term
+    drives the join order; AQE's runtime stats pick that up from the
+    word-filtered side sizes."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "wd"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for ph in PHRASE_BATTERY:
+        terms = ph.split(" ")
+        j = (
+            w.filter(F.col("wd") == terms[0])
+            .select("doc_id", F.col("pos").alias("p0"))
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            ti = w.filter(F.col("wd") == t).select(
+                "doc_id", (F.col("pos") - i).alias("p0")
+            )
+            j = j.join(ti, ["doc_id", "p0"])
+        hit = j.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches")
+        ).select(F.lit(ph).alias("phrase"), "doc_id", "n_matches")
+        out = hit if out is None else out.unionByName(hit)
+    return out

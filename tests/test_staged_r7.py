@@ -1702,3 +1702,76 @@ def test_zorder_contract_matches_pandas_replay(spark):
         got.loc[("zorder", "cust_and_day"), "rows_scanned"]
         < got.loc[("linear", "cust_and_day"), "rows_scanned"]
     )
+
+
+def test_triangles_match_python_replay(spark):
+    """Rebuild the support-thresholded co-purchase graph in Python and
+    count triangles/wedges by direct enumeration."""
+    from itertools import combinations
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        TRI_MIN_SUPPORT,
+        part_copurchase_triangles,
+    )
+
+    got = part_copurchase_triangles(spark, SF_DIR).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(
+        lambda s: sorted(set(s))
+    )
+    support: dict[tuple[int, int], int] = {}
+    for parts in baskets:
+        for a, b in combinations(parts, 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    edges = {p for p, s in support.items() if s >= TRI_MIN_SUPPORT}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in edges:
+        # oriented a<b; close with c>b so each triangle counts once
+        tri += sum(
+            1 for c in (adj[a] & adj[b]) if c > b and (b, c) in edges
+        )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    assert got["n_nodes"] == len(adj)
+    assert got["n_edges"] == len(edges)
+    assert got["n_triangles"] == tri
+    assert got["n_wedges"] == wedges
+    assert got["global_clustering_micro"] == round(3 * tri / wedges * 1e6)
+    # sanity: clustering coefficient is a valid ratio
+    assert 0 <= got["global_clustering_micro"] <= 1_000_000
+
+
+def test_phrase_search_matches_python_replay(spark):
+    """Replay every battery phrase with a sliding-window scan over the
+    raw split words — the definitionally-correct (if unscalable)
+    implementation — and compare (phrase, doc, count) sets exactly."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        PHRASE_BATTERY,
+        docs_phrase_search,
+    )
+
+    got = docs_phrase_search(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    expect: dict[tuple[str, int], int] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        for ph in PHRASE_BATTERY:
+            terms = ph.split(" ")
+            n = sum(
+                1
+                for i in range(len(words) - len(terms) + 1)
+                if words[i : i + len(terms)] == terms
+            )
+            if n:
+                expect[(ph, doc_id)] = n
+    got_map = {
+        (r["phrase"], r["doc_id"]): r["n_matches"]
+        for _, r in got.iterrows()
+    }
+    assert got_map == expect
+    # every battery phrase hits the fixture (the battery stays
+    # meaningful if the fixture is regenerated)
+    assert {p for p, _ in got_map} == set(PHRASE_BATTERY)
