@@ -160,6 +160,7 @@ EXTRA_FNS = {
     "customer_mad_outliers": _staged("customer_mad_outliers"),
     "customer_k_anonymity": _staged("customer_k_anonymity"),
     "events_interarrival_entropy": _staged("events_interarrival_entropy"),
+    "docs_phrase_search": _staged("docs_phrase_search"),
 }
 MAX_EXPONENT = {
     # Near-dup family (r4): banded LSH / label propagation are linear;
@@ -274,6 +275,14 @@ MAX_EXPONENT = {
     "customer_mad_outliers": 1.35,
     "customer_k_anonymity": 1.35,
     "events_interarrival_entropy": 1.35,
+    # Phrase search: the positional posting build scans the whole
+    # corpus but the per-phrase joins see only the battery terms'
+    # postings — the word-prefix inflation bijection pins those to the
+    # base copy, so join shuffles stay ~flat while the scan grows.
+    # (Triangles are deliberately NOT stressed: duplicated baskets
+    # inflate co-purchase SUPPORT itself, so the stress would measure
+    # the inflation scheme's edge blow-up, not the operator.)
+    "docs_phrase_search": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
