@@ -1775,3 +1775,74 @@ def test_phrase_search_matches_python_replay(spark):
     # every battery phrase hits the fixture (the battery stays
     # meaningful if the fixture is regenerated)
     assert {p for p, _ in got_map} == set(PHRASE_BATTERY)
+
+
+def test_zorder_layout_prunes_real_parquet_rowgroups(spark, tmp_path):
+    """End-to-end layout proof on REAL parquet artifacts: write orders
+    once z-ordered and once date-ordered (same row-group size), read
+    the actual footer min/max statistics back with pyarrow, and count
+    the row groups a stats-pruning reader must touch for the customer
+    point predicate. The staged contract simulates file assignment;
+    this pins that genuinely-written footers reproduce its headline —
+    Morton ordering localizes BOTH dimensions, date ordering only one."""
+    import pyarrow.parquet as pq
+
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        Z_DIM,
+        ZPRED_CB,
+        _z_expr,
+    )
+
+    o = load(spark, SF_DIR, "orders")
+    anchor = o.agg(
+        F.min(F.col("o_orderdate").cast("timestamp_ntz")).alias("mn"),
+        F.expr(
+            "CAST(timestampdiff(DAY,"
+            " min(CAST(o_orderdate AS TIMESTAMP_NTZ)),"
+            " max(CAST(o_orderdate AS TIMESTAMP_NTZ))) AS BIGINT)"
+        ).alias("max_day"),
+    )
+    r = o.join(F.broadcast(anchor)).selectExpr(
+        f"CAST(pmod(o_custkey, {Z_DIM}) AS BIGINT) AS cb",
+        "CAST(timestampdiff(DAY, mn, CAST(o_orderdate AS TIMESTAMP_NTZ))"
+        f" AS BIGINT) * {Z_DIM} DIV (max_day + 1) AS db",
+    )
+    rz = r.selectExpr("cb", "db", f"CAST({_z_expr('spark')} AS BIGINT) AS z")
+    layouts = {
+        "zorder": rz.orderBy("z"),
+        "linear": rz.orderBy("db", "cb"),
+    }
+    n_rows = rz.count()
+    rg_size = max(1, n_rows // 32)  # ~32 row groups either way
+    touched = {}
+    for name, df in layouts.items():
+        path = str(tmp_path / f"{name}.parquet")
+        # single file so pruning is purely row-group stats, not luck
+        pdf = df.toPandas()
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            path,
+            row_group_size=rg_size,
+        )
+        md = pq.ParquetFile(path).metadata
+        cb_idx = md.schema.names.index("cb")
+        hit = 0
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(cb_idx).statistics
+            assert st.has_min_max
+            if st.min <= ZPRED_CB <= st.max:
+                hit += 1
+        touched[name] = (hit, md.num_row_groups)
+    z_hit, z_total = touched["zorder"]
+    l_hit, l_total = touched["linear"]
+    # date-ordered data scatters customers everywhere: a stats reader
+    # touches (almost) every row group for the customer point query
+    assert l_hit >= 0.9 * l_total
+    # z-ordered data confines the customer bits: at 8 bits/dim and 32
+    # row groups, at most ~half the groups can contain the point —
+    # measured is ~1/4; assert the conservative bound
+    assert z_hit <= 0.5 * z_total
+    assert z_hit < l_hit
