@@ -130,9 +130,11 @@ flow):
   Benford shares as Python-quantized literals in BOTH plans, so no
   engine libm is consulted anywhere.
 - ``orders_column_profile``: single-pass Deequ-style column profile
-  (rows / nulls / EXACT distinct / canonical min-max / rates) — one
-  scan through a ``stack`` long form and two chained hash aggregates;
-  the approx_count_distinct swap is the documented sketch path.
+  (rows / nulls / EXACT distinct / native min-max for ordered types /
+  rates) — a ``stack`` long form through two chained hash aggregates
+  plus a wide 1-row min/max hash aggregate; free-form strings get
+  cardinality only (exact string min/max would plan as the forbidden
+  SortAggregate); the approx_count_distinct swap is the sketch path.
 - ``customer_mad_outliers``: median-absolute-deviation robust z gate
   — the heavy-tail-safe outlier filter on the proven exact-percentile
   pair, emitted unfiltered so the oracle hashes every scored row.
@@ -3546,11 +3548,45 @@ PROFILE_COLS = (
     ),
 )
 
+# min/max are computed NATIVELY and only for columns with a meaningful
+# order AND a hash-aggregable (mutable) buffer type — bigint, DECIMAL,
+# timestamp. An exact min/max over free-form STRINGS forces Spark's
+# SortAggregate fallback (string aggregation buffers are immutable),
+# i.e. a per-partition sort of the whole distinct frame — the precise
+# plan hazard the fleet SortAggregate sweep forbids. Deequ draws the
+# same line: ordered types get min/max, free strings get cardinality
+# only. Each entry: (column, Spark min/max input expr, DuckDB twin,
+# Spark formatter template, DuckDB formatter template).
+PROFILE_MINMAX = (
+    ("o_orderkey", "o_orderkey", "o_orderkey",
+     "CAST({} AS STRING)", "CAST({} AS VARCHAR)"),
+    ("o_custkey", "o_custkey", "o_custkey",
+     "CAST({} AS STRING)", "CAST({} AS VARCHAR)"),
+    ("o_totalprice",
+     "CAST(round(o_totalprice, 2) AS DECIMAL(18,2))",
+     "CAST(round(o_totalprice, 2) AS DECIMAL(18,2))",
+     "CAST({} AS STRING)", "CAST({} AS VARCHAR)"),
+    ("o_orderdate",
+     "CAST(o_orderdate AS TIMESTAMP_NTZ)", "o_orderdate",
+     "date_format({}, 'yyyy-MM-dd HH:mm:ss')",
+     "strftime({}, '%Y-%m-%d %H:%M:%S')"),
+)
+
 
 def _profile_oracle() -> str:
     branches = "\n      UNION ALL\n".join(
         f"      SELECT '{name}' AS col_name, {duck} AS value FROM orders"
         for name, _, duck in PROFILE_COLS
+    )
+    mm_selects = ", ".join(
+        f"min({duck}) AS mn_{name}, max({duck}) AS mx_{name}"
+        for name, _, duck, _, _ in PROFILE_MINMAX
+    )
+    mm_rows = "\n      UNION ALL\n".join(
+        f"      SELECT '{name}' AS col_name,"
+        f" {fmt_d.format(f'mn_{name}')} AS min_value,"
+        f" {fmt_d.format(f'mx_{name}')} AS max_value FROM wide"
+        for name, _, _, _, fmt_d in PROFILE_MINMAX
     )
     return f"""
     WITH long AS (
@@ -3558,21 +3594,27 @@ def _profile_oracle() -> str:
     ), pv AS (
       SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
       FROM long GROUP BY 1, 2
+    ), counts AS (
+      SELECT col_name,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(COALESCE(sum(CASE WHEN value IS NULL THEN n END), 0)
+                  AS BIGINT) AS n_nulls,
+             CAST(count(CASE WHEN value IS NOT NULL THEN 1 END)
+                  AS BIGINT) AS n_distinct,
+             round(CAST(COALESCE(sum(CASE WHEN value IS NULL THEN n END), 0)
+                        AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS null_rate,
+             round(CAST(count(CASE WHEN value IS NOT NULL THEN 1 END)
+                        AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+               AS distinct_rate
+      FROM pv GROUP BY col_name
+    ), wide AS (
+      SELECT {mm_selects} FROM orders
+    ), mm AS (
+{mm_rows}
     )
-    SELECT col_name,
-           CAST(sum(n) AS BIGINT) AS n_rows,
-           CAST(COALESCE(sum(CASE WHEN value IS NULL THEN n END), 0)
-                AS BIGINT) AS n_nulls,
-           CAST(count(CASE WHEN value IS NOT NULL THEN 1 END)
-                AS BIGINT) AS n_distinct,
-           min(value) AS min_value,
-           max(value) AS max_value,
-           round(CAST(COALESCE(sum(CASE WHEN value IS NULL THEN n END), 0)
-                      AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS null_rate,
-           round(CAST(count(CASE WHEN value IS NOT NULL THEN 1 END)
-                      AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
-             AS distinct_rate
-    FROM pv GROUP BY col_name
+    SELECT c.col_name, c.n_rows, c.n_nulls, c.n_distinct,
+           mm.min_value, mm.max_value, c.null_rate, c.distinct_rate
+    FROM counts c LEFT JOIN mm ON mm.col_name = c.col_name
     """
 
 
@@ -3584,21 +3626,27 @@ def _profile_oracle() -> str:
 def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column-profile report (the Deequ / Great
     Expectations analyzer shape): one row per orders column with row
-    count, null count, EXACT distinct count, lexicographic min/max of
-    a canonical string rendering, and null/distinct rates — the
-    profile a data-quality gate diffs between ingest batches to catch
-    schema rot, null floods, and key-cardinality drift.
+    count, null count, EXACT distinct count, canonical native min/max
+    for ORDERED columns, and null/distinct rates — the profile a
+    data-quality gate diffs between ingest batches to catch schema
+    rot, null floods, and key-cardinality drift.
 
     Canonicalization: doubles render through DECIMAL(18,2) and
     timestamps through one fixed format so both engines emit
     byte-identical strings (both castings are injective, so distinct
-    counts are the native ones); min/max are binary-collation string
-    comparisons in both engines.
+    counts are the native ones). min/max follow Deequ's line — they
+    exist for ordered hash-aggregable types (bigint, DECIMAL,
+    timestamp) and are NULL for free-form strings: an exact string
+    min/max forces Spark's SortAggregate fallback (immutable string
+    aggregation buffers), a per-partition sort of the whole distinct
+    frame that the fleet SortAggregate sweep forbids.
 
-    Scale (100 TB): ONE fact scan — ``stack`` is a generator, not a
-    self-union, so the 6x long form never re-reads the table — then
-    two chained hash aggregates: (col, value) with map-side combine
-    absorbing per-partition duplicates, then the 6-group rollup.
+    Scale (100 TB): ONE logical column pass spelled as two scans the
+    planner keeps cheap — the ``stack`` long form (a generator, not a
+    self-union) feeding two chained hash aggregates ((col, value) with
+    map-side combine, then the 6-group rollup), plus a wide 1-row
+    min/max hash aggregate over the native columns; both sides join on
+    the 6-row col_name frame. Every aggregate is a HashAggregate.
     This is the EXACT-distinct shape; when a profile can tolerate
     sketch error, swap ``approx_count_distinct`` into the wide form
     and skip the long explosion entirely (the
@@ -3620,18 +3668,44 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.count(
         F.when(F.col("value").isNotNull(), F.lit(1))
     ).cast("bigint")
-    return pv.groupBy("col_name").agg(
+    counts = pv.groupBy("col_name").agg(
         F.sum("n").cast("bigint").alias("n_rows"),
         n_nulls.alias("n_nulls"),
         n_distinct.alias("n_distinct"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
         F.round(
             n_nulls.cast("double") / F.sum("n").cast("double"), 6
         ).alias("null_rate"),
         F.round(
             n_distinct.cast("double") / F.sum("n").cast("double"), 6
         ).alias("distinct_rate"),
+    )
+    wide = o.selectExpr(
+        *[
+            e
+            for name, spark_in, _, _, _ in PROFILE_MINMAX
+            for e in (
+                f"min({spark_in}) AS mn_{name}",
+                f"max({spark_in}) AS mx_{name}",
+            )
+        ]
+    )
+    mm_rows = ", ".join(
+        f"'{name}', {fmt_s.format(f'mn_{name}')}, {fmt_s.format(f'mx_{name}')}"
+        for name, _, _, fmt_s, _ in PROFILE_MINMAX
+    )
+    mm = wide.selectExpr(
+        f"stack({len(PROFILE_MINMAX)}, {mm_rows})"
+        " AS (col_name, min_value, max_value)"
+    )
+    return counts.join(F.broadcast(mm), "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "null_rate",
+        "distinct_rate",
     )
 
 

@@ -1486,6 +1486,11 @@ def test_column_profile_matches_pandas_replay(spark):
             return s.dt.strftime("%Y-%m-%d %H:%M:%S")
         return s
 
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        PROFILE_MINMAX,
+    )
+
+    orderable = {name for name, _, _, _, _ in PROFILE_MINMAX}
     assert set(got.index) == {name for name, _, _ in PROFILE_COLS}
     for name, _, _ in PROFILE_COLS:
         vals = canon(name)
@@ -1493,8 +1498,28 @@ def test_column_profile_matches_pandas_replay(spark):
         assert row["n_rows"] == len(o)
         assert row["n_nulls"] == vals.isna().sum()
         assert row["n_distinct"] == vals.dropna().nunique()
-        assert row["min_value"] == vals.dropna().min()
-        assert row["max_value"] == vals.dropna().max()
+        if name in orderable:
+            # NATIVE-order min/max, rendered canonically afterwards
+            # (string-side lexicographic min/max would differ for
+            # variable-width numerics: "999.00" > "10000.00")
+            if name in ("o_orderkey", "o_custkey"):
+                lo, hi = str(int(o[name].min())), str(int(o[name].max()))
+            elif name == "o_totalprice":
+                dec = o[name].map(
+                    lambda v: Decimal(str(v)).quantize(
+                        Decimal("0.01"), ROUND_HALF_UP
+                    )
+                )
+                lo, hi = str(dec.min()), str(dec.max())
+            else:
+                lo = o[name].min().strftime("%Y-%m-%d %H:%M:%S")
+                hi = o[name].max().strftime("%Y-%m-%d %H:%M:%S")
+            assert row["min_value"] == lo
+            assert row["max_value"] == hi
+        else:
+            # Deequ's line: free-form strings get cardinality, not
+            # min/max (exact string min/max = SortAggregate fallback)
+            assert pd.isna(row["min_value"]) and pd.isna(row["max_value"])
         assert row["null_rate"] == round(vals.isna().sum() / len(o), 6)
         assert row["distinct_rate"] == round(
             vals.dropna().nunique() / len(o), 6

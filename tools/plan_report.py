@@ -254,7 +254,7 @@ HEADLINERS = [
     ),
     (
         "orders_column_profile",
-        "Column profile (staged r7): ONE scan -> Generate (stack long form) -> two chained aggregates: the (col, value) HashAggregate map-side-combines per-partition duplicates before its Exchange, then the 6-group rollup runs as a SortAggregate (string min/max). No expand-based multi-distinct, no second scan.",
+        "Column profile (staged r7): ONE scan -> Generate (stack long form) -> two chained HashAggregates ((col, value) map-side combined, then the 6-group rollup), plus a wide 1-row native min/max HashAggregate broadcast back onto the 6-row frame. Free-form string columns carry NULL min/max by design: an exact string min/max has an immutable aggregation buffer and falls back to SortAggregate — a per-partition sort of the whole distinct frame — which the fleet sweep forbids (caught there, rewritten to this form). Every aggregate in the plan is a HashAggregate.",
     ),
     (
         "customer_mad_outliers",
