@@ -3732,7 +3732,9 @@ MAD_Z_CUT = 3.0
     SELECT d.c_custkey, d.c_acctbal,
            round(d.med, 6) AS med,
            round(s.mad * {MAD_CONSISTENCY}, 6) AS sigma_robust,
-           round(d.dev / (s.mad * {MAD_CONSISTENCY}), 6) AS robust_z,
+           CASE WHEN s.mad > 0
+                THEN round(d.dev / (s.mad * {MAD_CONSISTENCY}), 6)
+           END AS robust_z,
            (d.dev > {MAD_Z_CUT} * {MAD_CONSISTENCY} * s.mad)
              AS is_outlier
     FROM d CROSS JOIN s
@@ -3779,7 +3781,12 @@ def customer_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.round("med", 6).alias("med"),
         F.round(sigma, 6).alias("sigma_robust"),
-        F.round(F.col("dev") / sigma, 6).alias("robust_z"),
+        # mad=0 (>=50% of values identical) leaves robust_z undefined:
+        # guarded to NULL in BOTH engines (unguarded, Spark's non-ANSI
+        # x/0 is NULL but DuckDB's IEEE division is +inf -> hash split)
+        F.when(F.col("mad") > 0, F.round(F.col("dev") / sigma, 6)).alias(
+            "robust_z"
+        ),
         (F.col("dev") > MAD_Z_CUT * MAD_CONSISTENCY * F.col("mad")).alias(
             "is_outlier"
         ),
@@ -4127,6 +4134,35 @@ def _zorder_oracle() -> str:
     """
 
 
+def zorder_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (cb, db, z) bucketed frame: per-row customer bucket,
+    range-scaled day bucket (against a broadcast 1-row date anchor),
+    and the 16-bit Morton code — eagerly checkpointed because every
+    consumer (zone-map build, selected-row counts, and the real-parquet
+    row-group test that certifies the contract against genuinely
+    written footers) reads it multiple times. One definition so the
+    test can never drift from the query it certifies."""
+    o = load(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp_ntz")
+    anchor = o.agg(
+        F.min(ts).alias("mn"),
+        F.expr(
+            "CAST(timestampdiff(DAY,"
+            " min(CAST(o_orderdate AS TIMESTAMP_NTZ)),"
+            " max(CAST(o_orderdate AS TIMESTAMP_NTZ))) AS BIGINT)"
+        ).alias("max_day"),
+    )
+    # integer floor division: (day_idx * 256) DIV (max_day + 1)
+    r = o.join(F.broadcast(anchor)).selectExpr(
+        f"CAST(pmod(o_custkey, {Z_DIM}) AS BIGINT) AS cb",
+        "CAST(timestampdiff(DAY, mn, CAST(o_orderdate AS TIMESTAMP_NTZ))"
+        f" AS BIGINT) * {Z_DIM} DIV (max_day + 1) AS db",
+    )
+    return r.selectExpr(
+        "cb", "db", f"CAST({_z_expr('spark')} AS BIGINT) AS z"
+    ).localCheckpoint(eager=True)
+
+
 @stage(
     "orders_zorder_skipping_contract",
     oracle=_zorder_oracle(),
@@ -4157,26 +4193,10 @@ def orders_zorder_skipping_contract(
     128 groups — and the pruning evaluation is literal dimension work
     (128 x 3 cross join). This is exactly the metadata pass a real
     OPTIMIZE ZORDER writes; the simulated files stand in for the
-    rewrite the container can't hold."""
-    o = load(spark, sf_dir, "orders")
-    ts = F.col("o_orderdate").cast("timestamp_ntz")
-    anchor = o.agg(
-        F.min(ts).alias("mn"),
-        F.expr(
-            "CAST(timestampdiff(DAY,"
-            " min(CAST(o_orderdate AS TIMESTAMP_NTZ)),"
-            " max(CAST(o_orderdate AS TIMESTAMP_NTZ))) AS BIGINT)"
-        ).alias("max_day"),
-    )
-    # integer floor division: (day_idx * 256) DIV (max_day + 1)
-    r = o.join(F.broadcast(anchor)).selectExpr(
-        f"CAST(pmod(o_custkey, {Z_DIM}) AS BIGINT) AS cb",
-        "CAST(timestampdiff(DAY, mn, CAST(o_orderdate AS TIMESTAMP_NTZ))"
-        f" AS BIGINT) * {Z_DIM} DIV (max_day + 1) AS db",
-    )
-    rz = r.selectExpr(
-        "cb", "db", f"CAST({_z_expr('spark')} AS BIGINT) AS z"
-    ).localCheckpoint(eager=True)  # feeds files AND selected counts
+    rewrite the container can't hold (the companion pytest writes the
+    REAL parquet layouts from the same shared frame and re-proves the
+    pruning against genuine footer statistics)."""
+    rz = zorder_bucketed(spark, sf_dir)
     files = rz.selectExpr(
         f"stack(2, 'zorder', z DIV {Z_FILE_SPAN},"
         f" 'linear', db DIV {L_FILE_SPAN}) AS (layout, file)",
@@ -4284,9 +4304,11 @@ TRI_MIN_SUPPORT = 2  # co-purchase edges need >= 2 shared orders
       FROM deg
     )
     SELECT agg.n_nodes, agg.n_edges, tri.n_triangles, agg.n_wedges,
-           CAST(round(3.0 * CAST(tri.n_triangles AS DOUBLE)
-                      / CAST(agg.n_wedges AS DOUBLE) * 1000000.0, 0)
-                AS BIGINT) AS global_clustering_micro
+           CASE WHEN agg.n_wedges > 0 THEN
+             CAST(round(3.0 * CAST(tri.n_triangles AS DOUBLE)
+                        / CAST(agg.n_wedges AS DOUBLE) * 1000000.0, 0)
+                  AS BIGINT)
+           END AS global_clustering_micro
     FROM agg CROSS JOIN tri
     """,
     tags=("graph", "motif", "analytics"),
@@ -4354,15 +4376,19 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_triangles",
         "n_wedges",
-        F.round(
-            3.0
-            * F.col("n_triangles").cast("double")
-            / F.col("n_wedges").cast("double")
-            * 1e6,
-            0,
-        )
-        .cast("bigint")
-        .alias("global_clustering_micro"),
+        # wedge-free graphs (perfect matchings) leave the coefficient
+        # undefined: NULL in both engines (0/0 is NULL in non-ANSI
+        # Spark but NaN in DuckDB — a silent hash split unguarded)
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                3.0
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+                * 1e6,
+                0,
+            ).cast("bigint"),
+        ).alias("global_clustering_micro"),
     )
 
 
@@ -4429,10 +4455,18 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     drives the join order; AQE's runtime stats pick that up from the
     word-filtered side sizes."""
     d = load(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos", "wd"),
-    ).localCheckpoint(eager=True)
+    battery_terms = sorted({t for ph in PHRASE_BATTERY for t in ph.split(" ")})
+    # only the battery terms' postings survive any downstream join, so
+    # filter BEFORE the checkpoint: the materialized frame holds the
+    # battery posting lists, not every token of every document
+    w = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "wd"),
+        )
+        .filter(F.col("wd").isin(battery_terms))
+        .localCheckpoint(eager=True)
+    )
     out = None
     for ph in PHRASE_BATTERY:
         terms = ph.split(" ")

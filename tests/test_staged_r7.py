@@ -1624,10 +1624,12 @@ def test_pagerank_matches_python_replay(spark):
         assert row["out_strength_e4"] == w_out.get(n, 0)
         assert row["in_strength_e4"] == w_in.get(n, 0)
         assert bool(row["is_dangling"]) == (n not in w_out)
-    # probability mass conserved to within per-node rounding drift
-    assert abs(got["pagerank_pico"].sum() - PR_SCALE) <= (PR_ITERS + 1) * len(
-        nodes
-    )
+    # probability mass conserved to within quantization drift: per
+    # iteration each node rounds twice (+-0.5 each) AND each edge
+    # contribution rounds once before the damped sum — the structural
+    # bound is iterations * (2*nodes + edges) half-units
+    drift_bound = PR_ITERS * (2 * len(nodes) + len(edges) + 2)
+    assert abs(got["pagerank_pico"].sum() - PR_SCALE) <= drift_bound
     # weighted centrality discriminates: ranks are not all equal
     assert got["pagerank_pico"].nunique() > 1
 
@@ -1812,28 +1814,14 @@ def test_zorder_layout_prunes_real_parquet_rowgroups(spark, tmp_path):
     Morton ordering localizes BOTH dimensions, date ordering only one."""
     import pyarrow.parquet as pq
 
-    from python_nyc_taxi_data_pipeline_spark.catalog import load
     from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
-        Z_DIM,
         ZPRED_CB,
-        _z_expr,
+        zorder_bucketed,
     )
 
-    o = load(spark, SF_DIR, "orders")
-    anchor = o.agg(
-        F.min(F.col("o_orderdate").cast("timestamp_ntz")).alias("mn"),
-        F.expr(
-            "CAST(timestampdiff(DAY,"
-            " min(CAST(o_orderdate AS TIMESTAMP_NTZ)),"
-            " max(CAST(o_orderdate AS TIMESTAMP_NTZ))) AS BIGINT)"
-        ).alias("max_day"),
-    )
-    r = o.join(F.broadcast(anchor)).selectExpr(
-        f"CAST(pmod(o_custkey, {Z_DIM}) AS BIGINT) AS cb",
-        "CAST(timestampdiff(DAY, mn, CAST(o_orderdate AS TIMESTAMP_NTZ))"
-        f" AS BIGINT) * {Z_DIM} DIV (max_day + 1) AS db",
-    )
-    rz = r.selectExpr("cb", "db", f"CAST({_z_expr('spark')} AS BIGINT) AS z")
+    # the SAME shared frame the staged contract consumes — the test
+    # cannot drift from the query it certifies
+    rz = zorder_bucketed(spark, SF_DIR)
     layouts = {
         "zorder": rz.orderBy("z"),
         "linear": rz.orderBy("db", "cb"),

@@ -357,6 +357,15 @@ def build_inflated(base_sf_dir: str, k: int, outdir: str) -> None:
     }
     for name, shift_cols in _REL_SHIFTS.items():
         t = pq.read_table(os.path.join(base_sf_dir, name)).to_pandas()
+        for col in shift_cols:
+            # a base key at/above the shift would alias into copy-1's
+            # key space and silently corrupt every downstream join the
+            # stress then measures — same guard class as merge_into's
+            # _REPLAY_SHIFT raise_error
+            assert int(t[col].max()) < 10_000_000, (
+                f"{name}.{col} max {int(t[col].max())} >= 10M shift: "
+                "raise the key-shift before inflating this fixture"
+            )
         tparts = [t]
         for c in range(1, k):
             p = t.copy()
