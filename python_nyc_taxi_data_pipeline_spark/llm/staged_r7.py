@@ -8,9 +8,10 @@ r3-evidence queries — the rotation the round-5 verdict prescribed
 (VERDICT.md "Next round #1"). An eleventh no-evidence query would sort
 ahead of an r3 query and evict it from the window, leaving its evidence
 stale for another round. So these stay OUT of ``registry`` until round
-7: flipping ``stage`` to ``registry.register`` (identical signature)
-and importing this module from ``registry._ensure_loaded`` is the whole
-registration step.
+7: one call to ``promote_to_registry(batch)`` from
+``registry._ensure_loaded`` is the whole registration step (it
+re-registers identical name/oracle/tags/fn rows; pass batches that
+respect the evidence-window math).
 
 The operators (all beyond-reference LLM-pipeline ops; the reference —
 ``/root/reference`` — has no analog, its surface is the taxi medallion
@@ -197,6 +198,27 @@ class StagedQuery:
 
 
 STAGED: dict[str, StagedQuery] = {}
+
+
+def promote_to_registry(names: list[str] | None = None) -> list[str]:
+    """Round-7 registration in one call: re-register staged queries
+    into the LIVE registry (identical name/oracle/tags/fn). Call from
+    ``registry._ensure_loaded`` with the batch to promote — e.g.
+    ``staged_r7.promote_to_registry(R7_BATCH)`` — instead of editing
+    every ``@stage`` decorator. ``names=None`` promotes the whole
+    slate; pass an explicit batch to respect the evidence-window math
+    in the module docstring (≤ window slack per round). Returns the
+    promoted names. Idempotent across re-imports is NOT needed —
+    ``registry.register`` raises on duplicates by design, so a double
+    promotion fails loudly."""
+    from ..registry import register
+
+    promoted = []
+    for name in names if names is not None else list(STAGED):
+        q = STAGED[name]
+        register(name, q.oracle, q.tags)(q.fn)
+        promoted.append(name)
+    return promoted
 
 
 def stage(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):

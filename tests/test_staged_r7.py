@@ -1859,3 +1859,30 @@ def test_zorder_layout_prunes_real_parquet_rowgroups(spark, tmp_path):
     # measured is ~1/4; assert the conservative bound
     assert z_hit <= 0.5 * z_total
     assert z_hit < l_hit
+
+
+def test_promote_to_registry_round_trip():
+    """The r7 registration helper registers a staged query with an
+    identical (name, oracle, tags, fn) row and fails loudly on a
+    double promotion. Exercised against a scratch registry dict so
+    the live registry is untouched."""
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from python_nyc_taxi_data_pipeline_spark import registry
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+        promote_to_registry,
+    )
+
+    scratch: dict = {}
+    with mock.patch.object(registry, "_REGISTRY", scratch):
+        promoted = promote_to_registry(["orders_benford_audit"])
+        assert promoted == ["orders_benford_audit"]
+        row = scratch["orders_benford_audit"]
+        assert row.fn is STAGED["orders_benford_audit"].fn
+        assert row.oracle == STAGED["orders_benford_audit"].oracle
+        assert row.tags == STAGED["orders_benford_audit"].tags
+        with _pytest.raises(ValueError, match="duplicate"):
+            promote_to_registry(["orders_benford_audit"])
+    assert "orders_benford_audit" not in registry._REGISTRY
