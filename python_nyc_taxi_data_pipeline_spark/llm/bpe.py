@@ -30,9 +30,12 @@ Scale design (100 TB corpus):
   applied per round (the standard fast-BPE approximation) to amortize
   the per-round job overhead: ``bpe_train_batched`` implements it
   (measured 2.4-3.4× over serial at batch=8; batch=1 reproduces the
-  exact trainer, property-tested). The REGISTERED queries stay on the
-  serial exact-oracle trainer — the batched form's intra-batch counts
-  are intentionally stale, a documented approximation.
+  exact trainer, property-tested). ``bpe_train`` gates between the
+  two on the merge budget (serial ≤ ``BPE_BATCH_THRESHOLD``, batched
+  above) — so the REGISTERED queries (N_MERGES=6) stay on the serial
+  exact-oracle trainer while production-scale budgets default to the
+  batched path, whose intra-batch counts are intentionally stale, a
+  documented approximation.
 
 Cross-engine exactness: the DuckDB oracle REPLAYS the whole training
 run as chained CTEs — same char split (``regexp_extract_all(word,
@@ -55,6 +58,16 @@ from ..registry import register
 N_MERGES = 6
 EOW = "▁"  # end-of-word marker (SentencePiece-style block char)
 
+# ``bpe_train`` gate: merge budgets up to the threshold train with the
+# EXACT serial loop (one argmax per merge — what the chained-CTE DuckDB
+# oracles replay, so every registered query at N_MERGES=6 stays on the
+# exact path); budgets above it default to the batched top-m
+# non-overlapping trainer (batch=8, measured 2.21× at 200 merges in
+# BENCH_r06.json `bpe_200_merges`) — the production-tokenizer path,
+# where a 30k-merge run cannot afford one shuffle+argmax per merge.
+BPE_BATCH_THRESHOLD = 16
+BPE_BATCH = 8
+
 
 def _merge_col(left: str, right: str) -> Column:
     """Fold coalescing adjacent (left, right) symbols into one, built
@@ -76,7 +89,7 @@ def _merge_col(left: str, right: str) -> Column:
 
 
 # Learned merge tables keyed on (fixture dir, fixture fingerprint,
-# n_merges). The merge list is plain driver data (no session/RDD
+# n_merges, trainer mode). The merge list is plain driver data (no session/RDD
 # handles), so a cache hit is safe across sessions — it skips the
 # per-round pair-count shuffle + argmax entirely; only the cheap
 # fold-chain replay reruns (`_apply_merges`). This halves the bench
@@ -85,7 +98,7 @@ def _merge_col(left: str, right: str) -> Column:
 # entry when a fixture dir is REGENERATED in-process under the same
 # path — e.g. the /tmp/stress_x* dirs tools/scale_stress.py rebuilds
 # per run — which would otherwise replay stale merges over new data.
-_MERGES_CACHE: dict[tuple[str, str, int], list[tuple[int, str, str, int]]] = {}
+_MERGES_CACHE: dict[tuple[str, str, int, str], list[tuple[int, str, str, int]]] = {}
 
 
 def _fixture_fingerprint(sf_dir: str) -> str:
@@ -139,13 +152,28 @@ def _apply_merges(
 
 
 def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
-    """Run the distributed training loop; returns the ordered merge
-    list ``[(round, left, right, pair_count)]`` plus the final
+    """Default training entrypoint — gated on the merge budget:
+    ``n_merges <= BPE_BATCH_THRESHOLD`` runs the exact serial loop
+    (``bpe_train_serial``; one argmax per merge, what the DuckDB
+    oracles replay), larger budgets run the batched top-m
+    non-overlapping trainer (``bpe_train_batched``, batch=8) — the
+    standard fast-BPE approximation production tokenizers use.
+    Returns the ordered merge list ``[(round, left, right,
+    pair_count)]`` plus the final distinct-word segmentation frame."""
+    if n_merges > BPE_BATCH_THRESHOLD:
+        return bpe_train_batched(spark, sf_dir, n_merges, batch=BPE_BATCH)
+    return bpe_train_serial(spark, sf_dir, n_merges)
+
+
+def bpe_train_serial(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
+    """Run the EXACT distributed training loop (one pair-count shuffle
+    + argmax per merge); returns the ordered merge list
+    ``[(round, left, right, pair_count)]`` plus the final
     distinct-word segmentation frame ``(word, freq, syms)`` — the
     trained tokenizer's vocabulary mapping, consumed by
     ``docs_bpe_encode``. The merge table is cached per
     (sf_dir, n_merges); on a hit only the fold-chain replay runs."""
-    key = (os.path.abspath(sf_dir), _fixture_fingerprint(sf_dir), n_merges)
+    key = (os.path.abspath(sf_dir), _fixture_fingerprint(sf_dir), n_merges, "serial")
     cached = _MERGES_CACHE.get(key)
     if cached is not None:
         # Lazy checkpoint: multi-consumer callers materialize the
@@ -201,9 +229,22 @@ def bpe_train_batched(
     pairs after the first can be stale by the earlier merges' effect —
     the non-overlap filter guarantees the merged OCCURRENCES never
     interact, but a merge can still create brand-new pairs that
-    out-count a later pick. ``batch=1`` reproduces exact ``bpe_train``
-    merge-for-merge (property-tested). Stress-only — the registered
-    queries stay on the exact-oracle serial trainer."""
+    out-count a later pick. ``batch=1`` reproduces the exact serial
+    trainer merge-for-merge (property-tested). Since round 7 this is
+    the DEFAULT path for merge budgets above ``BPE_BATCH_THRESHOLD``
+    (via the ``bpe_train`` gate); the registered queries train at
+    N_MERGES=6 and therefore stay on the exact-oracle serial trainer."""
+    key = (
+        os.path.abspath(sf_dir),
+        _fixture_fingerprint(sf_dir),
+        n_merges,
+        f"batched{batch}",
+    )
+    cached = _MERGES_CACHE.get(key)
+    if cached is not None:
+        return list(cached), _apply_merges(
+            _base_words(spark, sf_dir), cached
+        ).localCheckpoint(eager=False)
     words = _base_words(spark, sf_dir).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     rnd = 0
@@ -243,6 +284,7 @@ def bpe_train_batched(
             merges.append((len(merges) + 1, a, b, cnt))
             words = words.select("word", "freq", _merge_col(a, b).alias("syms"))
         words = words.localCheckpoint(eager=True)
+    _MERGES_CACHE[key] = list(merges)
     return merges, words
 
 

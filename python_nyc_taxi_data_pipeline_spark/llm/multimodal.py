@@ -253,25 +253,30 @@ def resize_images(binary_df: DataFrame, width: int = 16, height: int = 16) -> Da
     nearest-neighbor resampled on the real pixel grid, then re-encoded
     (P6/P5). Non-image payloads keep the deterministic byte-stride
     fallback so the stage composes over mixed corpora — swapping the
-    kernel for PIL changes the inner function, not the plan."""
+    kernel for PIL changes the inner function, not the plan.
+
+    The resample kernel is numpy fancy-indexing (two bounded index
+    vectors + one gather), NOT a per-pixel Python loop — at real image
+    sizes the loop is the slow shape (r6 VERDICT finding #1); the
+    array kernel is O(out_pixels) C-side work per image."""
     target = width * height
     tw, th = width, height
     decode = _make_pnm_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # th/tw-sized source row/col lookup vectors; same y*sh//th
+        # arithmetic the scalar kernel used, hoisted out of the image
+        # loop (they depend only on source dims, cached per (sh, sw)).
         def nearest_resize(img: dict) -> bytes:
             sw, sh, ch = img["width"], img["height"], img["channels"]
-            px = img["pixels"]
-            out = bytearray(tw * th * ch)
-            for y in range(th):
-                sy = y * sh // th
-                row = sy * sw
-                for x in range(tw):
-                    si = (row + x * sw // tw) * ch
-                    di = (y * tw + x) * ch
-                    out[di : di + ch] = px[si : si + ch]
+            px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(sh, sw, ch)
+            ys = (np.arange(th, dtype=np.int64) * sh) // th
+            xs = (np.arange(tw, dtype=np.int64) * sw) // tw
+            out = px[ys][:, xs]  # (th, tw, ch) gather, row-major
             magic = b"P6" if ch == 3 else b"P5"
-            return magic + f"\n{tw} {th}\n255\n".encode() + bytes(out)
+            return magic + f"\n{tw} {th}\n255\n".encode() + out.tobytes()
 
         def stride_resize(p: bytes) -> bytes:
             if not p:
@@ -389,6 +394,45 @@ def _binary_features_oracle() -> str:
     """
 
 
+def _pnm_resize_oracle() -> str:
+    """DuckDB replay of the synth→resize→featurize contract: the
+    source raster is a pure function of (doc_id, byte index), so the
+    4×4 nearest-neighbor output pixel at (y, x, c) is
+    v((sy*w + sx)*3 + c) with sy = y*h//4, sx = x*w//4 — a
+    generate_series grid computes every output byte and aggregates
+    the same integer features the Spark pipeline emits. The resized
+    payload is always the 11-byte ``P6\\n4 4\\n255\\n`` header plus 48
+    raster bytes."""
+    return """
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id,
+             (y.g * 4 + x.g) * 3 + c.g AS out_i,
+             (d.doc_id * 131
+              + ((((y.g * d.h) // 4) * d.w + ((x.g * d.w) // 4)) * 3 + c.g)
+                * 7) % 256 AS v
+      FROM d,
+           generate_series(0, 3) AS y(g),
+           generate_series(0, 3) AS x(g),
+           generate_series(0, 2) AS c(g)
+    )
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS INT) AS src_width,
+           CAST(3 + doc_id % 4 AS INT) AS src_height,
+           CAST(59 AS BIGINT) AS n_bytes_resized,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(sum(out_i * v) AS BIGINT) AS pixel_weighted_sum,
+           CAST(max(CASE WHEN out_i = 0 THEN v END) AS BIGINT) AS px_first,
+           CAST(max(CASE WHEN out_i = 47 THEN v END) AS BIGINT) AS px_last
+    FROM px
+    GROUP BY doc_id
+    """
+
+
 def register_binary_features() -> None:
     """Registered from ``registry._ensure_loaded`` (kept in a function
     so importing this module for its UDF helpers never needs Spark)."""
@@ -450,4 +494,104 @@ def register_binary_features() -> None:
         d = load(spark, sf_dir, "documents")
         return documents_as_binary(d).select("doc_id", "payload").mapInPandas(
             run, out_schema
+        )
+
+    @register(
+        "docs_pnm_resize_features",
+        oracle=_pnm_resize_oracle(),
+        tags=("llm", "multimodal", "udf", "image"),
+    )
+    def docs_pnm_resize_features(spark, sf_dir: str) -> DataFrame:
+        """The image-resize path, driver-checked end to end: a
+        deterministic PPM (P6) raster is synthesized per document id
+        (pixel byte i = (doc_id*131 + i*7) mod 256 over a
+        doc_id-dependent w×h grid), pushed through the REAL pipeline —
+        PNM encode → ``resize_images`` (decode + numpy nearest-neighbor
+        gather + re-encode) → PNM decode — and reduced to integer
+        features of the resized raster (byte sum, position-weighted
+        sum, corner pixels). The DuckDB oracle replays the
+        nearest-neighbor index arithmetic (sy = y*sh//th, sx = x*sw//tw)
+        in pure SQL over a generate_series grid, so the driver hash
+        verifies the resample GEOMETRY — not just that bytes moved.
+
+        Scale: pure map stages (no shuffle until the final 48-rows-per-
+        doc-free aggregation — features are computed inside the Arrow
+        worker, so nothing pixel-sized ever hits a Spark row); Arrow
+        batches bound worker memory; closures are self-contained."""
+        tw = th = 4
+
+        synth_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+
+        def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                payloads = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    w, h = 4 + did % 5, 3 + did % 4
+                    n = w * h * 3
+                    v = (
+                        (did * 131 + np.arange(n, dtype=np.int64) * 7) % 256
+                    ).astype(np.uint8)
+                    payloads.append(
+                        b"P6" + f"\n{w} {h}\n255\n".encode() + v.tobytes()
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        feat_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_bytes_resized", T.LongType()),
+                T.StructField("pixel_sum", T.LongType()),
+                T.StructField("pixel_weighted_sum", T.LongType()),
+                T.StructField("px_first", T.LongType()),
+                T.StructField("px_last", T.LongType()),
+            ]
+        )
+        decode = _make_pnm_decoder()
+
+        def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                rows = {k.name: [] for k in feat_schema.fields}
+                for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                    b = bytes(p)
+                    raster = np.frombuffer(
+                        decode(b)["pixels"], dtype=np.uint8
+                    ).astype(np.int64)
+                    idx = np.arange(raster.size, dtype=np.int64)
+                    rows["doc_id"].append(int(did))
+                    rows["n_bytes_resized"].append(len(b))
+                    rows["pixel_sum"].append(int(raster.sum()))
+                    rows["pixel_weighted_sum"].append(int((idx * raster).sum()))
+                    rows["px_first"].append(int(raster[0]))
+                    rows["px_last"].append(int(raster[-1]))
+                yield pd.DataFrame(rows)
+
+        d = load(spark, sf_dir, "documents").select("doc_id")
+        images = d.mapInPandas(synth, synth_schema)
+        resized = resize_images(images, width=tw, height=th)
+        out = resized.select("doc_id", "payload").mapInPandas(feats, feat_schema)
+        return out.select(
+            "doc_id",
+            (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("src_width"),
+            (F.lit(3) + F.col("doc_id") % 4).cast("int").alias("src_height"),
+            "n_bytes_resized",
+            "pixel_sum",
+            "pixel_weighted_sum",
+            "px_first",
+            "px_last",
         )

@@ -200,25 +200,76 @@ class StagedQuery:
 STAGED: dict[str, StagedQuery] = {}
 
 
-def promote_to_registry(names: list[str] | None = None) -> list[str]:
+def promote_to_registry(names: list[str]) -> list[str]:
     """Round-7 registration in one call: re-register staged queries
     into the LIVE registry (identical name/oracle/tags/fn). Call from
     ``registry._ensure_loaded`` with the batch to promote — e.g.
     ``staged_r7.promote_to_registry(R7_BATCH)`` — instead of editing
-    every ``@stage`` decorator. ``names=None`` promotes the whole
-    slate; pass an explicit batch to respect the evidence-window math
-    in the module docstring (≤ window slack per round). Returns the
+    every ``@stage`` decorator. ``names`` is REQUIRED and must be an
+    explicit batch: whole-slate promotion has to be spelled out
+    (e.g. ``list(STAGED)``) so the evidence-window math in the module
+    docstring is a conscious decision, never a default. Returns the
     promoted names. Idempotent across re-imports is NOT needed —
     ``registry.register`` raises on duplicates by design, so a double
     promotion fails loudly."""
     from ..registry import register
 
+    if names is None:  # defensive: callers passing None explicitly
+        raise ValueError(
+            "promote_to_registry requires an explicit name batch; "
+            "spell out whole-slate promotion as list(STAGED)"
+        )
     promoted = []
-    for name in names if names is not None else list(STAGED):
+    for name in names:
         q = STAGED[name]
         register(name, q.oracle, q.tags)(q.fn)
         promoted.append(name)
     return promoted
+
+
+# Round-7 registration batch: the ENTIRE 32-query slate, spelled out
+# (promote_to_registry requires an explicit list by design). Window
+# math for the driver's 50-query stalest-first gate, r7 onward:
+#   r7: 32 new (below) + the multimodal resize query registered in
+#       multimodal.py = 33 new + the 17 OLDEST r4-evidence queries
+#       → 33 r4-evidence queries remain stale after r7.
+#   r8: cap NEW registrations at ≤ 17 so the window = ≤17 new + all
+#       remaining 33 r4 queries — finishing the r4 evidence refresh
+#       exactly (mirror of the r5→r6 rotation playbook).
+R7_BATCH: tuple[str, ...] = (
+    "docs_minhash_oph_pairs",
+    "docs_semantic_decontamination",
+    "corpus_vocab_growth",
+    "docs_quality_ensemble",
+    "events_markov_transitions",
+    "corpus_zipf_report",
+    "lineitem_brand_basket_lift",
+    "embeddings_margin_mining",
+    "docs_edit_similarity_pairs",
+    "embeddings_pca_power",
+    "docs_source_js_divergence",
+    "docs_ccnet_perplexity_buckets",
+    "docs_dup_cluster_report",
+    "docs_minhash_bbit_calibration",
+    "docs_ccnet_histogram_cut_contract",
+    "lineitem_brand_abc_classes",
+    "docs_quality_filter_agreement",
+    "orders_snapshot_diff",
+    "orders_gold_ivm",
+    "events_conversion_funnel",
+    "part_blocking_pairs",
+    "docs_kneser_ney_bigrams",
+    "customer_k_anonymity",
+    "events_interarrival_entropy",
+    "orders_rfm_segments",
+    "orders_benford_audit",
+    "orders_column_profile",
+    "customer_mad_outliers",
+    "nation_trade_pagerank",
+    "orders_zorder_skipping_contract",
+    "part_copurchase_triangles",
+    "docs_phrase_search",
+)
 
 
 def stage(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
@@ -1143,23 +1194,41 @@ def embeddings_margin_mining(
             margin.alias("margin"),
         )
     )
-    best = (
-        scored.select(
-            "test_doc_id",
-            F.struct(
-                F.col("margin").alias("m"),
-                (F.lit(0) - F.col("train_doc_id")).alias("nid"),
-                F.col("cosine_sim").alias("c"),
-            ).alias("sc"),
+    # Argmax as a PRIMITIVE-long hash aggregate: max over the packed
+    # (margin_micro, -train_doc_id) key — a struct max would plan as
+    # SortAggregate (immutable aggregation buffer), the fleet-sweep-
+    # forbidden shape. margin is already 6-dp rounded, so margin*1e6
+    # re-rounded to 0 dp is an exact integer; ties on margin pick the
+    # LOWER train_doc_id (the subtraction), matching the oracle's
+    # ORDER BY margin DESC, train_doc_id. The winner row is recovered
+    # with a broadcast join on the recomputed key (best is held-out-
+    # sized); the two `scored` subtrees are identical, so ReuseExchange
+    # dedups their shuffles inside the one physical plan.
+    shift = F.lit(1 << 33).cast("bigint")
+    lim = F.lit((1 << 62) // (1 << 33)).cast("bigint")
+    m_micro = F.round(F.col("margin") * 1e6, 0).cast("bigint")
+    packed = F.when(
+        (F.abs(m_micro) < lim)
+        & (F.col("train_doc_id") >= 0)
+        & (F.col("train_doc_id") < shift),
+        m_micro * shift - F.col("train_doc_id"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "embeddings_margin_mining: packed argmax key overflow "
+                "(margin or train_doc_id outside the 2^33 pack range)"
+            )
         )
-        .groupBy("test_doc_id")
-        .agg(F.max("sc").alias("sc"))
     )
-    return best.select(
-        "test_doc_id",
-        (F.lit(0) - F.col("sc.nid")).alias("train_doc_id"),
-        F.col("sc.c").alias("cosine_sim"),
-        F.col("sc.m").alias("margin"),
+    best = (
+        scored.select("test_doc_id", packed.alias("k"))
+        .groupBy("test_doc_id")
+        .agg(F.max("k").alias("k"))
+    )
+    return (
+        scored.withColumn("k", packed)
+        .join(F.broadcast(best), ["test_doc_id", "k"])
+        .select("test_doc_id", "train_doc_id", "cosine_sim", "margin")
     )
 
 
@@ -3414,11 +3483,16 @@ BENFORD_CHI2_CRIT_MICRO = 26_125_000
 @stage(
     "orders_benford_audit",
     oracle=f"""
-    WITH cents AS (
+    WITH cents0 AS (
       SELECT CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS c
       FROM orders
-      WHERE o_totalprice > 0
+    ), cents AS (
+      -- filter on the DERIVED cents, not the raw price: a price in
+      -- (0, 0.005) rounds to 0 cents, whose first "digit" would be
+      -- '0' — dropped by the 1-9 digit frame's left join yet counted
+      -- in n_total, silently breaking the shares-sum-to-1 invariant
+      SELECT c FROM cents0 WHERE c >= 1
     ), obs AS (
       SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
              CAST(count(*) AS BIGINT) AS n_obs
@@ -3481,11 +3555,15 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-row dimension work — two broadcast-size cross joins against
     1-row totals. No window, no sort, no second fact scan."""
     o = load(spark, sf_dir, "orders")
-    cents = o.filter(F.col("o_totalprice") > 0).select(
+    cents = o.select(
         (F.round("o_totalprice", 2).cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("c")
-    )
+        # filter on the DERIVED cents (a price in (0, 0.005) rounds to
+        # 0 cents → first digit '0', outside the 1-9 digit frame but
+        # formerly still in n_total; c >= 1 keeps counts and shares
+        # reconciled on any fixture)
+    ).filter(F.col("c") >= 1)
     obs = (
         cents.groupBy(
             F.substring(F.col("c").cast("string"), 1, 1)
@@ -3655,8 +3733,13 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Canonicalization: doubles render through DECIMAL(18,2) and
     timestamps through one fixed format so both engines emit
-    byte-identical strings (both castings are injective, so distinct
-    counts are the native ones). min/max follow Deequ's line — they
+    byte-identical strings. Distinct counts are exact over that
+    CANONICAL rendering: the timestamp format is injective at the
+    fixture's second granularity, and the DECIMAL(18,2) cast is
+    injective here only because fixture prices are already 2-dp —
+    for arbitrary doubles it collapses values that differ below a
+    cent, so n_distinct profiles the canonicalized column, not
+    necessarily the raw one. min/max follow Deequ's line — they
     exist for ordered hash-aggregable types (bigint, DECIMAL,
     timestamp) and are NULL for free-form strings: an exact string
     min/max forces Spark's SortAggregate fallback (immutable string

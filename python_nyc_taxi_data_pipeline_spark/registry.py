@@ -142,4 +142,10 @@ def _ensure_loaded() -> None:
     from .operators import merge_into  # noqa: F401
     from .plans import analytics, analytics2, core, tpch  # noqa: F401
 
+    # Round-7 registration: promote the full staged slate (explicit
+    # batch — see staged_r7.R7_BATCH for the evidence-window math).
+    from .llm import staged_r7
+
+    staged_r7.promote_to_registry(list(staged_r7.R7_BATCH))
+
     _LOADED = True

@@ -1097,6 +1097,32 @@ def test_bpe_batched_final_vocab_matches_serial(spark):
     assert all(cnt > 0 for _, _, _, cnt in batched)
 
 
+def test_bpe_train_gate_dispatches_on_merge_budget(spark):
+    """The default ``bpe_train`` entrypoint gates on the merge budget:
+    ≤ BPE_BATCH_THRESHOLD trains with the exact serial loop (what the
+    registered queries' DuckDB oracles replay), above it the batched-8
+    fast-BPE path is the default (the r6 VERDICT directive). Cache-key
+    modes record which path actually ran."""
+    from python_nyc_taxi_data_pipeline_spark.llm import bpe
+
+    small, _ = bpe.bpe_train(spark, SF_DIR, n_merges=2)
+    assert len(small) == 2
+    assert any(
+        k[2] == 2 and k[3] == "serial" for k in bpe._MERGES_CACHE
+    ), "small budget must train on the exact serial path"
+
+    big = bpe.BPE_BATCH_THRESHOLD + 2
+    merges, _ = bpe.bpe_train(spark, SF_DIR, n_merges=big)
+    assert any(
+        k[2] == big and k[3] == f"batched{bpe.BPE_BATCH}"
+        for k in bpe._MERGES_CACHE
+    ), "large budget must train on the batched path"
+    assert 0 < len(merges) <= big
+    # the exact prefix property: the very first batched pick is the
+    # global argmax, identical to serial round 1
+    assert merges[0][1:] == small[0][1:]
+
+
 def test_bpe_train_cache_invalidated_on_fixture_regeneration(spark, tmp_path):
     """Regenerating a fixture dir in-process under the SAME path (the
     /tmp/stress_x* pattern) must miss the merge cache — the key carries

@@ -1430,12 +1430,15 @@ def test_benford_audit_matches_decimal_replay(spark):
         .reset_index(drop=True)
     )
     o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    # mirror the query: filter on DERIVED cents (>= 1), not raw price —
+    # a price in (0, 0.005) rounds to 0 cents and must be excluded
     cents = [
-        int(
-            (Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        c
+        for c in (
+            int(Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+            for v in o["o_totalprice"]
         )
-        for v in o["o_totalprice"]
-        if v > 0
+        if c >= 1
     ]
     counts = {d: 0 for d in range(1, 10)}
     for c in cents:
@@ -1607,15 +1610,23 @@ def test_pagerank_matches_python_replay(spark):
     nodes = sorted(na["n_nationkey"])
     names = dict(zip(na["n_nationkey"], na["n_name"]))
     nd = float(len(nodes))
-    pr = {n: round(PR_SCALE / nd) for n in nodes}
+
+    # Spark/DuckDB round() is half-AWAY-FROM-ZERO; Python's built-in
+    # round() is banker's (half-to-even). An exact .5 tie in the pico
+    # quantization would diverge, so mirror the engines explicitly —
+    # same ROUND_HALF_UP line the edge-weight replay above uses.
+    def rhu(x: float) -> int:
+        return int(Decimal(str(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    pr = {n: rhu(PR_SCALE / nd) for n in nodes}
     for _ in range(PR_ITERS):
         dang = sum(pr[n] for n in nodes if n not in w_out)
         inc = {n: 0 for n in nodes}
         for (s, d), w in edges.items():
-            inc[d] += round(float(pr[s]) * (w / w_out[s]))
+            inc[d] += rhu(float(pr[s]) * (w / w_out[s]))
         pr = {
-            n: round((1.0 - PR_DAMP) * PR_SCALE / nd)
-            + round(PR_DAMP * (dang / nd + float(inc[n])))
+            n: rhu((1.0 - PR_DAMP) * PR_SCALE / nd)
+            + rhu(PR_DAMP * (dang / nd + float(inc[n])))
             for n in nodes
         }
     for n in nodes:

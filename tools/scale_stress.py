@@ -540,17 +540,20 @@ def bpe_merge_cost(base: str, n_merges: int = 200) -> dict:
 
     # bypass the merge cache: a cached low-merge entry must not serve a
     # 200-merge request, and this run must not poison real queries
-    # (cache keys are (abspath, fixture_fingerprint, n_merges))
+    # (cache keys are (abspath, fixture_fingerprint, n_merges, mode))
     def _evict(path: str) -> None:
         ap = os.path.abspath(path)
         for k in [
-            k for k in bpe._MERGES_CACHE if k[0] == ap and k[-1] == n_merges
+            k for k in bpe._MERGES_CACHE if k[0] == ap and k[2] == n_merges
         ]:
             bpe._MERGES_CACHE.pop(k, None)
 
     _evict(fixture)
     t0 = time.perf_counter()
-    merges, words = bpe.bpe_train(spark, fixture, n_merges=n_merges)
+    # explicit serial trainer: this is the SERIAL-baseline measurement —
+    # the bpe_train gate would route a 200-merge budget to the batched
+    # path and the serial-vs-batched comparison would measure batched twice
+    merges, words = bpe.bpe_train_serial(spark, fixture, n_merges=n_merges)
     words.write.format("noop").mode("overwrite").save()
     total = round(time.perf_counter() - t0, 3)
     _evict(fixture)
