@@ -390,6 +390,35 @@ def run_staged(sf_dir: str) -> int:
     return 0
 
 
+def _plan_tripwire() -> dict:
+    """Run tools/plan_report.py --check in a subprocess; summarize for
+    the bench payloads. Never raises — a broken tripwire must not cost
+    the bench run."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "plan_report.py"), "--check"],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+    except Exception as exc:  # noqa: BLE001
+        return {"ok": None, "error": f"{type(exc).__name__}: {exc}"[:200]}
+    regressions = [
+        ln.strip()[len("REGRESSION ") :]
+        for ln in proc.stdout.splitlines()
+        if ln.strip().startswith("REGRESSION ")
+    ]
+    if proc.returncode == 0:
+        return {"ok": True}
+    return {
+        "ok": False,
+        "regressions": regressions or [f"rc={proc.returncode}", proc.stderr[-200:]],
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
@@ -404,6 +433,14 @@ def main() -> int:
             else [n for n in arg.split(",") if n]
         )
         return run_isolated(names, sf_dir)
+    # Plan-regression tripwire (r6 VERDICT directive #8): compare every
+    # headliner's physical-plan operator multiset against the previous
+    # PLANS.md snapshot BEFORE the timed suite (own JVM, sequential —
+    # no contention with the timings). A fired tripwire doesn't abort
+    # the bench; it lands in both output payloads so the round ledger
+    # shows the drift next to the numbers it explains.
+    tripwire = _plan_tripwire()
+    print(f"# plan_tripwire: {tripwire}", file=sys.stderr)
     spark = get_session("bench")
     timings: dict[str, float] = {}
     # Warm the JVM/session so the FIRST registered query (the registry
@@ -460,6 +497,7 @@ def main() -> int:
             "medallion_rows": med_rows,
             "medallion_rows_per_sec": round(med_rows / med_sec, 1),
             "medallion_nofastpath_rows_per_sec": round(dist_rows / dist_sec, 1),
+            "plan_tripwire": tripwire,
         }
     )
     # The driver's stdout capture keeps only a 2000-char tail — persist
@@ -485,6 +523,7 @@ def main() -> int:
         "medallion_rows": med_rows,
         "medallion_rows_per_sec": round(med_rows / med_sec, 1),
         "medallion_nofastpath_rows_per_sec": round(dist_rows / dist_sec, 1),
+        "plan_tripwire": tripwire,
     }
     # Fold in the latest near-dup scale-stress verdict (tools/
     # scale_stress.py) when present: per-query worst shuffle-growth

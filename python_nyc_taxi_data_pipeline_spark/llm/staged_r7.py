@@ -1193,6 +1193,12 @@ def embeddings_margin_mining(
             F.round(F.col("c_micro").cast("double") / 1e6, 6).alias("cosine_sim"),
             margin.alias("margin"),
         )
+        # One materialization for the two consumers below (argmax agg +
+        # winner join): without the barrier the whole window/join
+        # lineage plans TWICE and no exchange reuse rescues it at
+        # runtime (measured +30% warm). Same size class as the `pairs`
+        # checkpoint above — 4 slim columns per candidate pair.
+        .localCheckpoint(eager=True)
     )
     # Argmax as a PRIMITIVE-long hash aggregate: max over the packed
     # (margin_micro, -train_doc_id) key — a struct max would plan as

@@ -1,17 +1,33 @@
-"""Generate PLANS.md: formatted physical plans of headline queries.
+"""Generate PLANS.md: formatted physical plans of headline queries —
+and TRIPWIRE the operator multiset against the previous snapshot.
 
 The plan-invariant tests (tests/test_plans.py) PIN the properties —
 pushdown, broadcast choices, no cartesian/row-UDF/single-partition
 exchanges; this artifact makes the same plans human-readable so a
 reviewer can audit the physical strategy without running Spark.
 
-Usage: python tools/plan_report.py   (writes PLANS.md at the repo root)
+The tripwire (r6 VERDICT directive #8): every run parses the
+on-disk PLANS.md headliner plans into per-query operator multisets
+and compares them against the freshly generated plans. A headliner
+that GAINED any of the expensive operator classes (Exchange, Sort,
+SortAggregate, SortMergeJoin, CartesianProduct,
+BroadcastNestedLoopJoin, Window) fails the run loudly — the shape
+drift that silently cost docs_dedup_apply ~19% warm time in r6 would
+have been caught the round it landed.
+
+Usage:
+  python tools/plan_report.py            # tripwire, then rewrite PLANS.md
+  python tools/plan_report.py --check    # tripwire only (no write); rc 1 on drift
+  python tools/plan_report.py --accept   # rewrite even if the tripwire fires
+                                         # (documented intentional change)
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
+from collections import Counter
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
@@ -189,17 +205,17 @@ HEADLINERS = [
     ),
     (
         "embeddings_margin_mining",
-        "Margin mining (staged r7): the micro-quantized pair frame is "
-        "checkpointed once for its three consumers; both k-NN passes "
-        "are windows PARTITIONED by doc id; the test-side neighborhood "
-        "sums broadcast back while the corpus-sized train-side frame "
-        "joins UNHINTED (AQE broadcasts at fixture scale, shuffle join "
-        "beyond the threshold); the final argmax is a struct max — a "
-        "partition-sorted SortAggregate over the same checkpointed "
-        "pair frame both k-NN windows already partition-sort, no extra "
-        "exchange (margins are data-dependent ratios, so the "
-        "decontamination report's packed-long HashAggregate idiom "
-        "doesn't apply).",
+        "Margin mining (r7): the micro-quantized pair frame is "
+        "checkpointed once; both k-NN passes are windows PARTITIONED "
+        "by doc id; the test-side neighborhood sums broadcast back "
+        "while the corpus-sized train-side frame joins UNHINTED (AQE "
+        "broadcasts at fixture scale, shuffle join beyond the "
+        "threshold). The final argmax is a PRIMITIVE-long HashAggregate "
+        "over the packed (margin_micro, -train_doc_id) key with a "
+        "broadcast winner join back onto the scored frame — the "
+        "earlier struct-max form planned as SortAggregate (fleet-sweep "
+        "forbidden, caught at r7 registration); the duplicated scored "
+        "subtree dedups via exchange reuse at runtime.",
     ),
     (
         "docs_edit_similarity_pairs",
@@ -271,34 +287,141 @@ HEADLINERS = [
 ]
 
 
-def main() -> int:
+# Operator classes whose COUNT INCREASE in a headliner plan trips the
+# wire: every one is a shuffle, a sort, or a quadratic join — the
+# categories where "the plan got one more of these" is exactly the
+# regression the per-query timings smear out.
+TRIPWIRE_OPS = (
+    "Exchange",
+    "Sort",
+    "SortAggregate",
+    "SortMergeJoin",
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "Window",
+)
+
+# The formatted-explain tree section: lines like
+#   "* HashAggregate (8)" / "+- Exchange (7)" / ":- Sort (3)".
+_TREE_NODE = re.compile(r"^[\s*+:|-]*([A-Za-z][A-Za-z0-9 ]*?) \(\d+\)\s*$")
+
+
+def tree_ops(plan_text: str) -> Counter:
+    """Operator multiset of a formatted physical plan's tree section.
+    Node labels are normalized to their head word plus the exact
+    matches the tripwire cares about (``Exchange`` covers both shuffle
+    and broadcast exchange lines; ``Sort`` stays distinct from
+    ``SortAggregate``/``SortMergeJoin`` because the regex captures the
+    full node name)."""
+    ops: Counter = Counter()
+    for line in plan_text.splitlines():
+        if line.startswith("("):  # reached the per-node detail section
+            break
+        m = _TREE_NODE.match(line)
+        if m:
+            name = m.group(1).strip()
+            # "Scan parquet default.x" style labels keep their head word
+            ops[name.split(" ")[0] if name.startswith("Scan ") else name] += 1
+    return ops
+
+
+def parse_plans_md(path: str) -> dict[str, Counter]:
+    """Per-headliner operator multisets from an existing PLANS.md."""
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return {}
+    plans: dict[str, Counter] = {}
+    for m in re.finditer(
+        r"^## (\S+)\n.*?```\n(.*?)\n```", text, re.S | re.M
+    ):
+        plans[m.group(1)] = tree_ops(m.group(2))
+    return plans
+
+
+def tripwire(prev: dict[str, Counter], new: dict[str, Counter]) -> list[str]:
+    """Headliner-level drift report: one line per headliner whose new
+    plan GAINED a tripwire operator vs the previous snapshot. New
+    headliners (no previous section) are skipped — there is nothing to
+    regress against."""
+    hits = []
+    for name, ops in new.items():
+        old = prev.get(name)
+        if old is None:
+            continue
+        grew = [
+            f"{op} {old.get(op, 0)}->{ops.get(op, 0)}"
+            for op in TRIPWIRE_OPS
+            if ops.get(op, 0) > old.get(op, 0)
+        ]
+        if grew:
+            hits.append(f"{name}: {', '.join(grew)}")
+    return hits
+
+
+def build_plans(spark) -> dict[str, str]:
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
-    from python_nyc_taxi_data_pipeline_spark.session import get_session
 
     from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED
 
-    spark = get_session("plan-report")
     qs = dict(all_queries())
     qs.update({n: q for n, q in STAGED.items() if n not in qs})
+    plans: dict[str, str] = {}
+    for name, _ in HEADLINERS:
+        df = qs[name].fn(spark, SF_DIR)
+        plans[name] = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ).rstrip()
+    return plans
+
+
+def main() -> int:
+    from python_nyc_taxi_data_pipeline_spark.session import get_session
+
+    check_only = "--check" in sys.argv[1:]
+    accept = "--accept" in sys.argv[1:]
+    plans_path = os.path.join(ROOT, "PLANS.md")
+
+    spark = get_session("plan-report")
+    plans = build_plans(spark)
+    spark.stop()
+
+    prev = parse_plans_md(plans_path)
+    hits = tripwire(prev, {n: tree_ops(p) for n, p in plans.items()})
+    if hits:
+        print("PLAN TRIPWIRE FIRED — headliners gained expensive operators:")
+        for h in hits:
+            print(f"  REGRESSION {h}")
+        if not accept:
+            if not check_only:
+                print(
+                    "PLANS.md NOT rewritten; rerun with --accept after "
+                    "adjudicating (and say why in the commit)."
+                )
+            return 1
+        print("--accept: drift adjudicated as intentional; rewriting.")
+    else:
+        print(f"plan tripwire clean ({len(plans)} headliners vs previous snapshot)")
+    if check_only:
+        return 0
+
     out = [
         "# PLANS — formatted physical plans of headline queries",
         "",
         "Generated by `tools/plan_report.py` at sf0.01 (plans are",
         "scale-invariant in shape; AQE may re-plan exchanges at runtime).",
         "Invariants are enforced by `tests/test_plans.py`; this file is",
-        "the human-readable audit trail.",
+        "the human-readable audit trail. Every regeneration first runs",
+        "the operator-multiset tripwire against the previous snapshot.",
         "",
     ]
-    for name, note in HEADLINERS:
-        df = qs[name].fn(spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        out += [f"## {name}", "", note, "", "```", plan.rstrip(), "```", ""]
-    with open(os.path.join(ROOT, "PLANS.md"), "w") as f:
+    notes = dict(HEADLINERS)
+    for name, _ in HEADLINERS:
+        out += [f"## {name}", "", notes[name], "", "```", plans[name], "```", ""]
+    with open(plans_path, "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"wrote PLANS.md ({len(HEADLINERS)} plans)")
-    spark.stop()
     return 0
 
 

@@ -647,6 +647,14 @@ def main() -> int:
     failures = []
     for name in only if only is not None else QUERIES:
         per_scale = {}
+        # Unmeasured 1× warm-up so BOTH exponents are steady-state: the
+        # first execution of a query family can pay one-time costs that
+        # land in the measured shuffle (cache population — BPE merges,
+        # data-derived k — or freshly materialized /tmp state), which
+        # inflated embeddings_dedup_apply's first exponent to a 1.64
+        # cold-start artifact vs 1.02 warm in the r6 ledger.
+        warm = run_query(name, dirs[SCALES[0]])
+        print(f"# {name} warmup x{SCALES[0]} (unmeasured): {warm}", file=sys.stderr)
         for k in SCALES:
             m = run_query(name, dirs[k])
             per_scale[str(k)] = m
@@ -665,6 +673,7 @@ def main() -> int:
             failures.append(name)
         results[name] = {
             "scales": per_scale,
+            "warmup_1x_unmeasured": warm,
             "shuffle_growth_exponents": exps,
             "worst_exponent": worst,
             "max_allowed": MAX_EXPONENT[name],
