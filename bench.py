@@ -212,10 +212,16 @@ def run_one(name: str, sf_dir: str, repeats: int = 3) -> int:
     if name in qs:
         q = qs[name]
     else:
-        # round-7 staged candidates are benchable too (--staged mode)
-        from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED
+        # staged candidates are benchable too (--staged mode); r7 first
+        # (now registered, kept for provenance), then the live r8 slate
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
+            STAGED as STAGED_R7,
+        )
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import (
+            STAGED as STAGED_R8,
+        )
 
-        q = STAGED[name]
+        q = STAGED_R7[name] if name in STAGED_R7 else STAGED_R8[name]
     for _ in range(repeats):
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -348,13 +354,13 @@ def current_round(repo: str) -> int:
 
 
 def run_staged(sf_dir: str) -> int:
-    """Fresh-JVM warm timings for every round-7 staged candidate,
-    written to BENCH_staged.json — the per-round cost record the
-    registration decision reads (the registered set's analog is the
-    curated isolated bench)."""
+    """Fresh-JVM warm timings for every currently-STAGED candidate
+    (the r8 slate — the r7 slate was registered in round 7 and is
+    covered by the main suite), written to BENCH_staged.json — the
+    per-round cost record the registration decision reads."""
     import subprocess
 
-    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import STAGED
 
     results = {}
     for name in STAGED:

@@ -1,15 +1,17 @@
-"""Oracle-parity check for the STAGED round-7 candidate queries.
+"""Oracle-parity check for the STAGED next-round candidate queries.
 
 Same canonicalization as ``tools/oracle_check.py`` (the driver-gate
-replica), pointed at ``llm/staged_r7.STAGED`` instead of the live
-registry — the staged queries must clear the exact bar they will face
-when registered in round 7.
+replica), pointed at a ``llm/staged_rN.STAGED`` slate instead of the
+live registry — the staged queries must clear the exact bar they will
+face when registered next round.
 
-Usage: python tools/staged_check.py [sf_dir ...]
+Usage: python tools/staged_check.py [--module rN] [--only a,b] [sf_dir ...]
+(default module: the current candidate slate, r8)
 """
 
 from __future__ import annotations
 
+import importlib
 import os
 import sys
 
@@ -20,12 +22,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.oracle_check import compare  # noqa: E402
 
 from python_nyc_taxi_data_pipeline_spark.catalog import FIXTURE_TABLES  # noqa: E402
-from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED  # noqa: E402
 from python_nyc_taxi_data_pipeline_spark.session import get_session  # noqa: E402
 
 
 def main() -> int:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    argv = sys.argv[1:]
+    module = "r8"
+    only: set[str] | None = None
+    rest: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--module":
+            module = argv[i + 1]
+            i += 2
+        elif argv[i] == "--only":
+            only = set(argv[i + 1].split(","))
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    mod = importlib.import_module(
+        f"python_nyc_taxi_data_pipeline_spark.llm.staged_{module}"
+    )
+    STAGED = {
+        n: q for n, q in mod.STAGED.items() if only is None or n in only
+    }
+    sf_dirs = rest or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     spark = get_session("staged-check")
     failures = 0
     for sf_dir in sf_dirs:
