@@ -74,6 +74,25 @@ with no analog to any of these):
   units + shift) — dedup is not mixture-neutral; this is the report
   that catches a dedup pass silently re-weighting sources. Composes
   the registered connected-components assignments.
+- ``events_session_stats``: batch 30-min-gap sessionization (same
+  merge rule as the streaming ``window_session_30m``) rolled into a
+  session-shape profile — one user-key shuffle, both window passes on
+  one sort.
+- ``docs_neardup_threshold_sweep``: the whole dedup-threshold
+  sensitivity curve (per 5% Jaccard band: pair count + cumulative
+  at-or-above) from ONE pass over the verified pairs.
+- ``events_conversion_lag_histogram``: signup→first-purchase lag in
+  hourly buckets — activation latency, one user-keyed hash aggregate.
+- ``embeddings_pq_distortion_report``: per-(subspace, code)
+  quantization-error ledger (count, e4-exact distortion mass, load
+  share) — the is-this-codebook-usable audit; composes the
+  registered PQ assignment.
+- ``docs_gopher_rule_attribution``: per-rule kill ledger for the
+  Gopher battery (n_fail, sole kills, share of kills) — the
+  filter-tuning table; same constants and roundings as the
+  registered battery.
+
+The slate is exactly 17 — the r8 registration cap (see above).
 """
 
 from __future__ import annotations
@@ -1439,5 +1458,525 @@ def docs_dedup_survivorship_mix_shift(spark: SparkSession, sf_dir: str) -> DataF
                 "(n_after * 1000000) DIV t_after"
                 " - (n_before * 1000000) DIV t_before"
             ).alias("shift_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Batch sessionization report (30-min gap)
+# --------------------------------------------------------------------
+
+SESSION_GAP_SEC = 1800
+
+
+def _session_stats_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w >= {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), s AS (
+      SELECT user_id, sec,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    ), per AS (
+      SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(sec) - min(sec) AS BIGINT) AS dur
+      FROM s GROUP BY 1, 2
+    )
+    SELECT n_events,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(dur) AS BIGINT) AS total_duration_sec,
+           CAST(min(dur) AS BIGINT) AS min_duration_sec,
+           CAST(max(dur) AS BIGINT) AS max_duration_sec
+    FROM per GROUP BY n_events
+    """
+
+
+@stage(
+    "events_session_stats",
+    oracle=_session_stats_oracle(),
+    tags=("events", "analytics", "report"),
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization report: stitch each user's events into
+    30-minute-gap sessions (a gap ≥ {SESSION_GAP_SEC}s starts a new
+    session — the same merge rule as the registered streaming
+    ``window_session_30m``, so the batch and streaming session
+    definitions provably agree), then the session-shape profile:
+    per events-per-session count, how many sessions, and the
+    duration spread. The engagement-shape table capacity planning
+    and bot detection both read (1-event sessions are bounces;
+    100-event sessions are scrapers).
+
+    Exactness: per-event integer seconds from a NAIVE epoch anchor
+    (``timestampdiff`` on TIMESTAMP_NTZ — never consults the session
+    timezone); gaps/durations are differences of those integers, so
+    boundary-crossing vs truncation semantics can never diverge;
+    (sec, event_id) ordering makes the lag deterministic under ties.
+
+    Scale (100 TB): ONE shuffle on user_id; the lag pass and the
+    running-sum session-id pass ride the SAME partition sort (Spark
+    plans one Exchange + one Sort reused by both windows — the proven
+    gaps-and-islands shape); then two hash aggregates, the second on
+    a |session-shapes|-sized frame."""
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) >= SESSION_GAP_SEC),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        "user_id", "sec", F.sum("is_new").over(wsum).alias("sid")
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("dur"),
+    )
+    return per.groupBy("n_events").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur").alias("total_duration_sec"),
+        F.min("dur").alias("min_duration_sec"),
+        F.max("dur").alias("max_duration_sec"),
+    )
+
+
+# --------------------------------------------------------------------
+# Near-dup threshold sweep (one-pass sensitivity analysis)
+# --------------------------------------------------------------------
+
+SWEEP_BUCKET_MICRO = 50_000  # 5%-wide Jaccard buckets
+
+
+def _threshold_sweep_oracle() -> str:
+    from .dedup import GRAMS_CTE_SQL, JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH g AS MATERIALIZED (
+{GRAMS_CTE_SQL}
+    ), p AS (
+{JACCARD_PAIRS_SQL}
+    ), h AS (
+      SELECT CAST(round(jaccard * 1000000.0, 0) AS BIGINT)
+               // {SWEEP_BUCKET_MICRO} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p GROUP BY 1
+    )
+    SELECT a.bucket,
+           CAST(a.bucket * {SWEEP_BUCKET_MICRO} AS BIGINT) AS threshold_micro,
+           a.n_pairs,
+           CAST(sum(b.n_pairs) AS BIGINT) AS n_pairs_at_or_above
+    FROM h a JOIN h b ON b.bucket >= a.bucket
+    GROUP BY a.bucket, a.n_pairs
+    """
+
+
+@stage(
+    "docs_neardup_threshold_sweep",
+    oracle=_threshold_sweep_oracle(),
+    tags=("llm", "dedup", "report"),
+)
+def docs_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity in ONE pass: the verified near-dup
+    pairs bucketed by Jaccard into 5%-wide bands, each with its count
+    and the cumulative count at-or-above — i.e. how many pairs a
+    dedup pass would act on at every candidate threshold, from one
+    pair scan. The alternative (re-running the pair pipeline per
+    threshold) multiplies the most expensive plan in the repo by the
+    sweep size; this emits the whole sensitivity curve for free.
+
+    Composes the registered ``docs_ngram_jaccard_pairs`` verbatim
+    (oracle embeds its SQL). The 6-dp jaccard is micro-quantized with
+    the proven round-then-cast pattern before bucketing, so band
+    edges are integer comparisons. The cumulative column is a
+    triangular self-join of the ≤20-row band table (broadcast; no
+    window, no single-partition exchange).
+
+    Scale (100 TB): pair volume is inverted-index-bounded; on top of
+    the pair plan this adds one ≤20-group hash aggregate and
+    20²-row arithmetic."""
+    from .dedup import docs_ngram_jaccard_pairs
+
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    h = (
+        pairs.select(
+            F.expr(
+                f"CAST(round(jaccard * 1000000.0, 0) AS BIGINT)"
+                f" DIV {SWEEP_BUCKET_MICRO}"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .localCheckpoint(eager=True)
+    )
+    h2 = h.select(F.col("bucket").alias("b2"), F.col("n_pairs").alias("n2"))
+    return (
+        h.join(F.broadcast(h2), F.col("b2") >= F.col("bucket"))
+        .groupBy("bucket", "n_pairs")
+        .agg(F.sum("n2").alias("n_pairs_at_or_above"))
+        .select(
+            "bucket",
+            (F.col("bucket") * SWEEP_BUCKET_MICRO).alias("threshold_micro"),
+            "n_pairs",
+            "n_pairs_at_or_above",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Conversion lag histogram (signup → first purchase)
+# --------------------------------------------------------------------
+
+LAG_BUCKET_SEC = 3600  # hourly buckets
+
+
+def _conversion_lag_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS sec
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN sec END) AS s0,
+             min(CASE WHEN event_type = 'purchase' THEN sec END) AS p0
+      FROM ev GROUP BY user_id
+    ), conv AS (
+      SELECT user_id, p0 - s0 AS lag_sec
+      FROM per_user
+      WHERE s0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= s0
+    )
+    SELECT CAST(lag_sec // {LAG_BUCKET_SEC} AS BIGINT) AS lag_bucket_hours,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(lag_sec) AS BIGINT) AS min_lag_sec,
+           CAST(max(lag_sec) AS BIGINT) AS max_lag_sec
+    FROM conv GROUP BY 1
+    """
+
+
+@stage(
+    "events_conversion_lag_histogram",
+    oracle=_conversion_lag_oracle(),
+    tags=("events", "analytics", "report"),
+)
+def events_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    purchase follows their first signup, the signup→purchase lag in
+    hourly buckets — the activation-latency histogram growth teams
+    read next to the registered conversion funnel (the funnel says
+    HOW MANY convert; this says HOW FAST, and its tail exposes
+    attribution-window bugs).
+
+    Exactness: per-event integer seconds from the naive epoch anchor;
+    the two firsts are conditional MINs in one hash aggregate; the
+    lag is an integer difference, floor-divided into buckets
+    (nonnegative by the p0 ≥ s0 guard).
+
+    Scale (100 TB): ONE user-keyed hash aggregate over the event scan
+    (map-side combined conditional mins — no window, no sort), then a
+    |buckets|-group rollup. The funnel-order guard keeps
+    never-signed-up purchasers out without a second pass."""
+    e = load(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    per_user = (
+        e.select("user_id", "event_type", sec.alias("sec"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("sec"))).alias(
+                "s0"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("sec"))
+            ).alias("p0"),
+        )
+    )
+    conv = per_user.filter(
+        F.col("s0").isNotNull()
+        & F.col("p0").isNotNull()
+        & (F.col("p0") >= F.col("s0"))
+    ).select((F.col("p0") - F.col("s0")).alias("lag_sec"))
+    return conv.groupBy(
+        F.expr(f"lag_sec DIV {LAG_BUCKET_SEC}").alias("lag_bucket_hours")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("lag_sec").alias("min_lag_sec"),
+        F.max("lag_sec").alias("max_lag_sec"),
+    )
+
+
+# --------------------------------------------------------------------
+# PQ distortion report (per-cell quantization error ledger)
+# --------------------------------------------------------------------
+
+
+def _pq_distortion_oracle() -> str:
+    from ..registry import all_queries
+
+    base = all_queries()["embeddings_pq_codes"].oracle
+    return f"""
+    WITH codes AS MATERIALIZED (
+{base}
+    ), q AS (
+      SELECT subspace, code,
+             CAST(round(dist_sq * 10000.0, 0) AS BIGINT) AS d_e4
+      FROM codes
+    ), cell AS (
+      SELECT subspace, code,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(d_e4) AS BIGINT) AS sum_dist_e4,
+             CAST(max(d_e4) AS BIGINT) AS max_dist_e4
+      FROM q GROUP BY 1, 2
+    ), sub AS (
+      SELECT subspace, CAST(sum(n_vectors) AS BIGINT) AS sub_total
+      FROM cell GROUP BY subspace
+    )
+    SELECT c.subspace, c.code, c.n_vectors, c.sum_dist_e4, c.max_dist_e4,
+           CAST(c.sum_dist_e4 // c.n_vectors AS BIGINT) AS mean_dist_e4,
+           CAST(c.n_vectors * 1000000 // s.sub_total AS BIGINT)
+             AS load_share_micro
+    FROM cell c JOIN sub s USING (subspace)
+    """
+
+
+@stage(
+    "embeddings_pq_distortion_report",
+    oracle=_pq_distortion_oracle(),
+    tags=("llm", "embedding", "quantization", "report"),
+)
+def embeddings_pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(subspace, code) PQ health ledger: assignment count, exact
+    e4-quantized distortion mass (sum / mean / max of the assigned
+    squared L2), and each code's load share within its subspace — the
+    report that decides whether a PQ codebook is usable BEFORE
+    building the index (a code with 90% load means the subspace
+    collapsed; a code with huge mean distortion means its region is
+    under-covered; both are invisible in recall metrics until
+    production).
+
+    Composes the registered ``embeddings_pq_codes`` verbatim — its
+    4-dp ``dist_sq`` is micro-quantized to integer e4 units BEFORE
+    any aggregation (the order-free-integer-sum rule), so the
+    distortion sums are exact; shares and means are floor divisions
+    of nonnegative integers.
+
+    Scale (100 TB): the assignment pass dominates (shuffle-free
+    broadcast-codebook scoring — see the composed plan); this adds
+    one (M·K)-group hash aggregate with map-side combine and an
+    M-row broadcast join."""
+    from .kmeans import embeddings_pq_codes
+
+    codes = embeddings_pq_codes(spark, sf_dir)
+    q = codes.select(
+        "subspace",
+        "code",
+        F.round(F.col("dist_sq") * 10000.0, 0).cast("bigint").alias("d_e4"),
+    )
+    cell = q.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("d_e4").alias("sum_dist_e4"),
+        F.max("d_e4").alias("max_dist_e4"),
+    ).localCheckpoint(eager=True)
+    sub = cell.groupBy("subspace").agg(F.sum("n_vectors").alias("sub_total"))
+    return (
+        cell.join(F.broadcast(sub), "subspace")
+        .select(
+            "subspace",
+            "code",
+            "n_vectors",
+            "sum_dist_e4",
+            "max_dist_e4",
+            F.expr("sum_dist_e4 DIV n_vectors").alias("mean_dist_e4"),
+            F.expr("(n_vectors * 1000000) DIV sub_total").alias(
+                "load_share_micro"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Gopher rule attribution (which filter rule kills what)
+# --------------------------------------------------------------------
+
+
+def _rule_attribution_oracle() -> str:
+    from .quality import (
+        MAX_MEAN_WORD_LEN,
+        MAX_WORDS,
+        MIN_DISTINCT_FRAC,
+        MIN_MEAN_WORD_LEN,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+        REQUIRED_STOPWORDS,
+    )
+
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n_words, n_chars
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS} AS INT)
+               AS ok_words,
+             CAST(round((CAST(n_chars AS DOUBLE) - n_words + 1) / n_words, 4)
+                  BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN} AS INT)
+               AS ok_wordlen,
+             CAST(len(list_filter(words, x -> x IN {REQUIRED_STOPWORDS!r}))
+                  >= {MIN_STOPWORD_HITS} AS INT) AS ok_stop,
+             CAST(round(CAST(len(list_distinct(words)) AS DOUBLE) / n_words, 4)
+                  >= {MIN_DISTINCT_FRAC} AS INT) AS ok_distinct
+      FROM w
+    ), ledger AS (
+      SELECT *,
+             (4 - ok_words - ok_wordlen - ok_stop - ok_distinct) AS n_fails
+      FROM feat
+    ), rules AS (
+      SELECT 'n_words' AS rule, 1 - ok_words AS fail, n_fails FROM ledger
+      UNION ALL
+      SELECT 'mean_word_len', 1 - ok_wordlen, n_fails FROM ledger
+      UNION ALL
+      SELECT 'stopword_hits', 1 - ok_stop, n_fails FROM ledger
+      UNION ALL
+      SELECT 'distinct_frac', 1 - ok_distinct, n_fails FROM ledger
+    ), tot AS (
+      SELECT CAST(sum(CAST(n_fails > 0 AS INT)) AS BIGINT) AS n_killed,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM ledger
+    )
+    SELECT r.rule,
+           CAST(sum(r.fail) AS BIGINT) AS n_fail,
+           CAST(sum(CASE WHEN r.fail = 1 AND r.n_fails = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sole_fail,
+           t.n_killed, t.n_docs,
+           CAST(sum(r.fail) * 1000000 // t.n_killed AS BIGINT)
+             AS share_of_kills_micro
+    FROM rules r CROSS JOIN tot t
+    GROUP BY r.rule, t.n_killed, t.n_docs
+    """
+
+
+@stage(
+    "docs_gopher_rule_attribution",
+    oracle=_rule_attribution_oracle(),
+    tags=("llm", "quality", "report"),
+)
+def docs_gopher_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-rule attribution for the registered Gopher battery: per
+    rule, how many docs fail it, how many it is the SOLE killer of
+    (the marginal docs only this rule removes), and its share of all
+    kills — the tuning table for a quality gate (a rule with high
+    n_fail but zero n_sole_fail is redundant; one with high sole
+    kills deserves a threshold review before it silently shapes the
+    corpus). Same constants, roundings, and feature expressions as
+    the registered ``docs_gopher_quality`` / Brier audit, so the
+    three reports describe one filter.
+
+    Exactness: each rule verdict is a 0/1 integer computed with the
+    proven 4-dp feature roundings; every emitted number is an integer
+    sum or a floor division of integer sums.
+
+    Scale (100 TB): ONE scan → per-doc rule bits (codegen) → a 4-way
+    projection union rolled into a 4-group hash aggregate (the union
+    reads the checkpointed bit frame, not the corpus, four times) —
+    plus a 1-row kill-total broadcast."""
+    from .quality import (
+        MAX_MEAN_WORD_LEN,
+        MAX_WORDS,
+        MIN_DISTINCT_FRAC,
+        MIN_MEAN_WORD_LEN,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+        REQUIRED_STOPWORDS,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_word_len = F.round(
+        (F.col("n_chars").cast("double") - n_words + 1) / n_words, 4
+    )
+    distinct_frac = F.round(
+        F.size(F.array_distinct(words)).cast("double") / n_words, 4
+    )
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*REQUIRED_STOPWORDS)))
+    feat = d.select(
+        n_words.between(MIN_WORDS, MAX_WORDS).cast("int").alias("ok_words"),
+        mean_word_len.between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        .cast("int")
+        .alias("ok_wordlen"),
+        (stop_hits >= MIN_STOPWORD_HITS).cast("int").alias("ok_stop"),
+        (distinct_frac >= MIN_DISTINCT_FRAC).cast("int").alias("ok_distinct"),
+    ).withColumn(
+        "n_fails",
+        F.lit(4)
+        - F.col("ok_words")
+        - F.col("ok_wordlen")
+        - F.col("ok_stop")
+        - F.col("ok_distinct"),
+    ).localCheckpoint(eager=True)
+    tot = feat.agg(
+        F.sum((F.col("n_fails") > 0).cast("int")).cast("bigint").alias("n_killed"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    rules = None
+    for rule, ok_col in (
+        ("n_words", "ok_words"),
+        ("mean_word_len", "ok_wordlen"),
+        ("stopword_hits", "ok_stop"),
+        ("distinct_frac", "ok_distinct"),
+    ):
+        part = feat.select(
+            F.lit(rule).alias("rule"),
+            (1 - F.col(ok_col)).alias("fail"),
+            "n_fails",
+        )
+        rules = part if rules is None else rules.unionAll(part)
+    return (
+        rules.groupBy("rule")
+        .agg(
+            F.sum("fail").cast("bigint").alias("n_fail"),
+            F.sum(
+                F.when((F.col("fail") == 1) & (F.col("n_fails") == 1), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_sole_fail"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rule",
+            "n_fail",
+            "n_sole_fail",
+            "n_killed",
+            "n_docs",
+            F.expr("(n_fail * 1000000) DIV n_killed").alias(
+                "share_of_kills_micro"
+            ),
         )
     )

@@ -473,3 +473,198 @@ def test_token_contamination_bounds_and_split(spark):
         lambda i: hashlib.md5(str(i).encode()).hexdigest()[:2] >= "e6"
     )
     assert set(df["doc_id"]) == set(d.loc[held, "doc_id"])
+
+
+# --------------------------------------------------------------------
+# Sessionization — pandas referee (independent stitching)
+# --------------------------------------------------------------------
+
+
+def _event_secs() -> pd.DataFrame:
+    e = _pd("events")
+    return pd.DataFrame(
+        {
+            "user_id": e["user_id"],
+            "event_id": e["event_id"],
+            "sec": (e["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds().astype(
+                "int64"
+            ),
+        }
+    )
+
+
+def test_session_stats_pandas_replay(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import SESSION_GAP_SEC
+
+    got = (
+        STAGED["events_session_stats"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("n_events", ignore_index=True)
+    )
+    ev = _event_secs().sort_values(["user_id", "sec", "event_id"])
+    sessions: list[tuple[int, int]] = []  # (n_events, duration)
+    for _, g in ev.groupby("user_id"):
+        secs = g["sec"].to_list()
+        start, prev, count = secs[0], secs[0], 1
+        for s in secs[1:]:
+            if s - prev >= SESSION_GAP_SEC:
+                sessions.append((count, prev - start))
+                start, count = s, 0
+            count += 1
+            prev = s
+        sessions.append((count, prev - start))
+    sp = pd.DataFrame(sessions, columns=["n_events", "dur"])
+    want = (
+        sp.groupby("n_events")
+        .agg(
+            n_sessions=("dur", "size"),
+            total_duration_sec=("dur", "sum"),
+            min_duration_sec=("dur", "min"),
+            max_duration_sec=("dur", "max"),
+        )
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_names=False
+    )
+    # Conservation: session events sum to the event count.
+    assert (got["n_events"] * got["n_sessions"]).sum() == len(ev)
+
+
+# --------------------------------------------------------------------
+# Threshold sweep — cumulative identity vs the raw pair table
+# --------------------------------------------------------------------
+
+
+def test_threshold_sweep_cumulative_identity(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import (
+        docs_ngram_jaccard_pairs,
+    )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import (
+        SWEEP_BUCKET_MICRO,
+    )
+
+    got = (
+        STAGED["docs_neardup_threshold_sweep"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    pairs = docs_ngram_jaccard_pairs(spark, SF_DIR).toPandas()
+    jm = (pairs["jaccard"] * 1_000_000.0).round().astype("int64")
+    assert got["n_pairs"].sum() == len(pairs)
+    for r in got.itertuples():
+        assert r.threshold_micro == r.bucket * SWEEP_BUCKET_MICRO
+        assert r.n_pairs == int((jm // SWEEP_BUCKET_MICRO == r.bucket).sum())
+        assert r.n_pairs_at_or_above == int(
+            (jm >= r.bucket * SWEEP_BUCKET_MICRO).sum()
+        )
+    # Monotone non-increasing cumulative curve.
+    assert got["n_pairs_at_or_above"].is_monotonic_decreasing
+
+
+# --------------------------------------------------------------------
+# Conversion lag — pandas referee
+# --------------------------------------------------------------------
+
+
+def test_conversion_lag_pandas_replay(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import LAG_BUCKET_SEC
+
+    got = (
+        STAGED["events_conversion_lag_histogram"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("lag_bucket_hours", ignore_index=True)
+    )
+    e = _pd("events")
+    sec = (e["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds().astype("int64")
+    df = pd.DataFrame(
+        {"user_id": e["user_id"], "event_type": e["event_type"], "sec": sec}
+    )
+    s0 = df[df["event_type"] == "signup"].groupby("user_id")["sec"].min()
+    p0 = df[df["event_type"] == "purchase"].groupby("user_id")["sec"].min()
+    lag = (p0 - s0).dropna()
+    lag = lag[lag >= 0].astype("int64")
+    want = (
+        lag.groupby(lag // LAG_BUCKET_SEC)
+        .agg(["size", "min", "max"])
+        .reset_index()
+        .set_axis(
+            ["lag_bucket_hours", "n_users", "min_lag_sec", "max_lag_sec"], axis=1
+        )
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_names=False
+    )
+
+
+# --------------------------------------------------------------------
+# PQ distortion — ledger identities vs the registered assignment
+# --------------------------------------------------------------------
+
+
+def test_pq_distortion_ledger_identities(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.kmeans import (
+        PQ_M,
+        embeddings_pq_codes,
+    )
+
+    df = STAGED["embeddings_pq_distortion_report"].fn(spark, SF_DIR).toPandas()
+    codes = embeddings_pq_codes(spark, SF_DIR).toPandas()
+    n_vecs = codes["vec_id"].nunique()
+    assert set(df["subspace"]) == set(range(PQ_M))
+    # Every subspace's loads partition the vector population.
+    assert (df.groupby("subspace")["n_vectors"].sum() == n_vecs).all()
+    # Exact distortion mass per cell vs the assignment table.
+    d_e4 = (codes["dist_sq"] * 10_000.0).round().astype("int64")
+    want = (
+        codes.assign(d_e4=d_e4)
+        .groupby(["subspace", "code"])["d_e4"]
+        .agg(["size", "sum", "max"])
+    )
+    got = df.set_index(["subspace", "code"]).sort_index()
+    assert (got["n_vectors"] == want["size"]).all()
+    assert (got["sum_dist_e4"] == want["sum"]).all()
+    assert (got["max_dist_e4"] == want["max"]).all()
+    assert (got["mean_dist_e4"] == got["sum_dist_e4"] // got["n_vectors"]).all()
+    # Load shares floor-sum to 1e6 − ε within each subspace.
+    for _, g in df.groupby("subspace"):
+        s = g["load_share_micro"].sum()
+        assert 1_000_000 - len(g) < s <= 1_000_000
+
+
+# --------------------------------------------------------------------
+# Rule attribution — consistency vs the registered Gopher verdicts
+# --------------------------------------------------------------------
+
+
+def test_rule_attribution_vs_gopher_battery(spark):
+    from python_nyc_taxi_data_pipeline_spark.registry import all_queries
+
+    df = STAGED["docs_gopher_rule_attribution"].fn(spark, SF_DIR).toPandas()
+    assert sorted(df["rule"]) == [
+        "distinct_frac",
+        "mean_word_len",
+        "n_words",
+        "stopword_hits",
+    ]
+    n_docs = len(_pd("documents"))
+    assert (df["n_docs"] == n_docs).all()
+    assert (df["n_sole_fail"] <= df["n_fail"]).all()
+    # Sole kills can never exceed the kill total; every kill is
+    # attributed at least once (Σ n_fail ≥ n_killed).
+    n_killed = int(df["n_killed"].iloc[0])
+    assert df["n_sole_fail"].sum() <= n_killed
+    assert df["n_fail"].sum() >= n_killed
+    # The kill total agrees with the registered Gopher keep verdicts.
+    gopher = all_queries()["docs_gopher_quality"]
+    keep_col = [
+        c
+        for c in gopher.fn(spark, SF_DIR).columns
+        if "keep" in c or "pass" in c
+    ]
+    if keep_col:
+        g = gopher.fn(spark, SF_DIR).toPandas()
+        assert n_killed == int((~g[keep_col[0]].astype(bool)).sum())
