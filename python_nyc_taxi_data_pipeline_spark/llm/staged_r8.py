@@ -129,8 +129,13 @@ R8_BATCH: tuple[str, ...] = (
     "docs_rag_chunk_plan",
     "embeddings_dimension_stats",
     "docs_lang_confusion_matrix",
-    "orders_duplicate_payment_candidates",
+    "customer_spend_gini_contract",
     "docs_dedup_survivorship_mix_shift",
+    "events_session_stats",
+    "docs_neardup_threshold_sweep",
+    "events_conversion_lag_histogram",
+    "embeddings_pq_distortion_report",
+    "docs_gopher_rule_attribution",
 )
 
 

@@ -668,3 +668,48 @@ def test_rule_attribution_vs_gopher_battery(spark):
     if keep_col:
         g = gopher.fn(spark, SF_DIR).toPandas()
         assert n_killed == int((~g[keep_col[0]].astype(bool)).sum())
+
+
+# --------------------------------------------------------------------
+# Registration helper — scratch-registry round trip + batch hygiene
+# --------------------------------------------------------------------
+
+
+def test_r8_batch_names_the_whole_slate():
+    """R8_BATCH is the spelled-out registration list; it must stay in
+    lockstep with the slate (17 = the r8 evidence-window cap derived
+    in the module docstring)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import R8_BATCH
+
+    assert sorted(R8_BATCH) == sorted(STAGED)
+    assert len(R8_BATCH) == 17
+
+
+def test_promote_to_registry_round_trip():
+    """The r8 registration helper registers a staged query with an
+    identical (name, oracle, tags, fn) row, fails loudly on a double
+    promotion, and refuses an implicit whole-slate call. Exercised
+    against a scratch registry dict so the live registry is
+    untouched."""
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from python_nyc_taxi_data_pipeline_spark import registry
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import (
+        promote_to_registry,
+    )
+
+    scratch: dict = {}
+    with mock.patch.object(registry, "_REGISTRY", scratch):
+        promoted = promote_to_registry(["events_session_stats"])
+        assert promoted == ["events_session_stats"]
+        row = scratch["events_session_stats"]
+        assert row.fn is STAGED["events_session_stats"].fn
+        assert row.oracle == STAGED["events_session_stats"].oracle
+        assert row.tags == STAGED["events_session_stats"].tags
+        with _pytest.raises(ValueError, match="duplicate"):
+            promote_to_registry(["events_session_stats"])
+        with _pytest.raises(ValueError, match="explicit"):
+            promote_to_registry(None)
+    assert "events_session_stats" not in registry._REGISTRY

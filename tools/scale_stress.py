@@ -162,6 +162,45 @@ EXTRA_FNS = {
     "events_interarrival_entropy": _staged("events_interarrival_entropy"),
     "docs_phrase_search": _staged("docs_phrase_search"),
 }
+
+
+def _staged8(name: str):
+    """Resolve a round-8 STAGED query (llm/staged_r8.py, not yet in
+    the live registry)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
+# round-8 staged candidates (llm/staged_r8.py)
+EXTRA_FNS.update(
+    {
+        name: _staged8(name)
+        for name in (
+            "docs_token_space_contamination",
+            "retrieval_rerank_cascade",
+            "docs_quality_brier_reliability",
+            "docs_source_distinctive_terms",
+            "docs_cross_source_duplication",
+            "events_retention_cohorts",
+            "events_user_lifecycle",
+            "docs_rag_chunk_plan",
+            "embeddings_dimension_stats",
+            "docs_lang_confusion_matrix",
+            "customer_spend_gini_contract",
+            "docs_dedup_survivorship_mix_shift",
+            "events_session_stats",
+            "docs_neardup_threshold_sweep",
+            "events_conversion_lag_histogram",
+            "embeddings_pq_distortion_report",
+            "docs_gopher_rule_attribution",
+        )
+    }
+)
 MAX_EXPONENT = {
     # Near-dup family (r4): banded LSH / label propagation are linear;
     # embeddings_dedup_apply rides the documented exact all-pairs GEMM.
@@ -283,6 +322,39 @@ MAX_EXPONENT = {
     # inflate co-purchase SUPPORT itself, so the stress would measure
     # the inflation scheme's edge blow-up, not the operator.)
     "docs_phrase_search": 1.35,
+    # Staged r8. Token contamination: tokenization is the vocab join
+    # (vocab grows ~k under the prefix bijection), the gram probe is a
+    # gram-keyed equi-join with both sides ~k. Rerank cascade: the
+    # probe block is ORDER BY doc_id LIMIT 5 — pinned to the base copy
+    # under key-shifted inflation (the production bounded-query shape),
+    # so stage 1 streams the ~k corpus once and stage 2 stays
+    # rank-bounded. Cross-source matrix / mix shift / threshold sweep
+    # ride the stressed pair/cluster plans plus |sources|²- or
+    # band-bounded rollups. The events family (retention, lifecycle,
+    # sessions, conversion lag) shuffles once on user_id (users ~k,
+    # events/user constant). Dimension stats / brier / chunk plan /
+    # rule attribution / distinctive terms are single-scan hash
+    # aggregates with bounded or vocab-(~k)-sized groups. Gini's only
+    # corpus shuffle is the per-customer spend agg (customers ~k; the
+    # bucket self-join is domain-bounded). PQ distortion adds an
+    # (M·K)-group agg on the broadcast-codebook assignment scan.
+    "docs_token_space_contamination": 1.35,
+    "retrieval_rerank_cascade": 1.35,
+    "docs_quality_brier_reliability": 1.35,
+    "docs_source_distinctive_terms": 1.35,
+    "docs_cross_source_duplication": 1.35,
+    "events_retention_cohorts": 1.35,
+    "events_user_lifecycle": 1.35,
+    "docs_rag_chunk_plan": 1.35,
+    "embeddings_dimension_stats": 1.35,
+    "docs_lang_confusion_matrix": 1.35,
+    "customer_spend_gini_contract": 1.35,
+    "docs_dedup_survivorship_mix_shift": 1.35,
+    "events_session_stats": 1.35,
+    "docs_neardup_threshold_sweep": 1.35,
+    "events_conversion_lag_histogram": 1.35,
+    "embeddings_pq_distortion_report": 1.35,
+    "docs_gopher_rule_attribution": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
