@@ -1,0 +1,436 @@
+"""Round-9 registration candidates — implemented and oracle-twinned in
+round 7, REGISTERED in round 9 (after the r8 slate lands).
+
+Same staging mechanism as ``staged_r7``/``staged_r8``. Rotation math:
+r8 registers the 17-query r8 slate, whose window (17 new + 33 r4 rows)
+retires ALL r4 evidence; after r8 the stalest evidence is the 50 rows
+last verified in r5. Registering N new queries in r9 refreshes
+(50 − N) of those — this slate deliberately stays small (≤ 10) so most
+of the r5 cohort rotates in r9 and the remainder in r10, keeping the
+two-round staleness bound the r5→r6 and r7→r8 rotations held.
+Promotion: ``staged_r9.promote_to_registry(R9_BATCH)``.
+
+The slate (operator families the engine does not cover yet):
+
+- ``docs_bpe_roundtrip_contract``: losslessness audit of the trained
+  BPE segmentation — per language: word types/tokens, round-trip
+  failures (concat(syms) ≠ word‖EOW — must be ZERO), and the exact
+  chars-per-symbol compression in micro units. The tokenizer-QC gate
+  run before shipping a vocab.
+- ``orders_basket_lift``: market-basket association rules — brand
+  pairs co-purchased in one order, with support / confidence / lift
+  in exact micro units. The missing classic co-occurrence operator
+  family (recs, cross-sell, co-retrieval).
+- ``lineitem_ship_latency_histogram``: order→ship latency in integer
+  days, weekly-bucketed per return flag — fulfillment cycle-time
+  profiling on the co-partitioned orders⋈lineitem join.
+- ``orders_seasonality_profile``: (month, day-of-week) order matrix
+  with exact micro shares; the weekday index is ENGINE-FREE integer
+  arithmetic (days-since-epoch + 3) mod 7, so DOW conventions can
+  never diverge between engines.
+- ``embeddings_norm_outliers``: embedding-norm QC — e4-exact moment
+  sums → mean ± 3σ fences → outlier counts + extrema. The index
+  pre-flight that catches un-normalized or degenerate vectors.
+- ``customer_l_diversity``: l-diversity ladder on top of the k-anonymity
+  QI classes — per (nation, balance-bucket) class: size and the count
+  of distinct sensitive values (market segment); rollup by diversity
+  level. k-anonymity says classes are big enough; this says they are
+  VARIED enough (a k=50 class that is 100% one segment still leaks).
+- ``docs_boilerplate_ngram_mass``: per-source boilerplate audit —
+  word trigrams occurring in ≥ BOILER_MIN_DOCS docs of one source
+  are "template" grams; report each source's gram mass share held by
+  templates (the C4-style boilerplate-removal sizing table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import QueryFn
+
+
+@dataclass(frozen=True)
+class StagedQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+STAGED: dict[str, StagedQuery] = {}
+
+# Spelled out so promotion is a conscious decision (extended as
+# queries land; must equal sorted(STAGED) at registration time — see
+# the batch-hygiene test).
+R9_BATCH: tuple[str, ...] = (
+    "docs_bpe_roundtrip_contract",
+    "orders_basket_lift",
+    "lineitem_ship_latency_histogram",
+    "orders_seasonality_profile",
+)
+
+
+def promote_to_registry(names: list[str]) -> list[str]:
+    """Round-9 registration in one call (mirror of
+    ``staged_r8.promote_to_registry``): ``names`` is REQUIRED —
+    whole-slate promotion must be spelled out (``list(STAGED)``)."""
+    from ..registry import register
+
+    if names is None:
+        raise ValueError(
+            "promote_to_registry requires an explicit name batch; "
+            "spell out whole-slate promotion as list(STAGED)"
+        )
+    promoted = []
+    for name in names:
+        q = STAGED[name]
+        register(name, q.oracle, q.tags)(q.fn)
+        promoted.append(name)
+    return promoted
+
+
+def stage(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Mirror of ``registry.register`` that records into ``STAGED``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query name {name!r}")
+        STAGED[name] = StagedQuery(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# BPE round-trip (tokenizer losslessness contract)
+# --------------------------------------------------------------------
+
+
+def _bpe_roundtrip_oracle() -> str:
+    from .bpe import EOW, _bpe_oracle
+
+    # r6_words is the trained (word → syms) table the registered BPE
+    # hash checks already prove; this contract re-consumes it.
+    return (
+        _bpe_oracle()
+        + f"""
+    , usage AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), joined AS (
+      SELECT u.lang, u.word, v.syms,
+             CAST(len(v.syms) AS BIGINT) AS n_syms,
+             (array_to_string(v.syms, '') = u.word || '{EOW}') AS ok
+      FROM usage u JOIN r6_words v USING (word)
+    )
+    SELECT lang,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_word_types,
+           CAST(count(*) AS BIGINT) AS n_word_tokens,
+           CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_roundtrip_failures,
+           CAST(sum(n_syms) AS BIGINT) AS n_symbols,
+           CAST(sum(len(word) + 1) * 1000000 // sum(n_syms) AS BIGINT)
+             AS chars_per_symbol_micro
+    FROM joined GROUP BY lang
+    """
+    )
+
+
+@stage(
+    "docs_bpe_roundtrip_contract",
+    oracle=_bpe_roundtrip_oracle(),
+    tags=("llm", "tokenizer", "contract"),
+)
+def docs_bpe_roundtrip_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer losslessness + compression report for the trained BPE
+    segmentation, per language: word types and tokens, round-trip
+    failures (the in-order concatenation of a word's symbols must
+    reconstruct word‖EOW exactly — BPE only ever merges adjacent
+    symbols, so ANY nonzero count means the trainer corrupted a
+    segmentation), total symbol count, and the exact chars-per-symbol
+    compression ratio in micro units (the number a tokenizer ship
+    decision reads — how much sequence length the merges actually buy
+    per language). Composes the registered ``bpe_train`` verbatim on
+    both sides.
+
+    Exactness: the round-trip check is pure string equality; counts
+    and the micro ratio are integer arithmetic (char mass counts the
+    EOW marker on both sides, ``len(word)+1``).
+
+    Scale (100 TB): tokenization stays the vocabulary JOIN (usage
+    explodes to word tokens, the segmentation table is vocab-sized);
+    ONE (lang)-group hash aggregate with map-side combine after the
+    join. No per-doc re-training, no sort."""
+    from .bpe import EOW, bpe_train
+
+    _, vocab = bpe_train(spark, sf_dir)
+    usage = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    joined = usage.join(
+        vocab.select(
+            "word",
+            F.size("syms").cast("bigint").alias("n_syms"),
+            (F.concat_ws("", F.col("syms")) == F.concat(F.col("word"), F.lit(EOW))).alias(
+                "ok"
+            ),
+        ),
+        "word",
+    )
+    return joined.groupBy("lang").agg(
+        F.countDistinct("word").alias("n_word_types"),
+        F.count(F.lit(1)).alias("n_word_tokens"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("bigint").alias(
+            "n_roundtrip_failures"
+        ),
+        F.sum("n_syms").alias("n_symbols"),
+        F.expr(
+            "(sum(length(word) + 1) * 1000000) DIV sum(n_syms)"
+        ).alias("chars_per_symbol_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Market-basket association rules (brand pairs)
+# --------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3  # pair must co-occur in ≥ 3 orders
+
+
+def _basket_lift_oracle() -> str:
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n AS (
+      SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items
+    ), sup1 AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY brand
+    ), pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS s_ab
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT p.brand_a, p.brand_b, p.s_ab,
+           sa.s AS s_a, sb.s AS s_b, n.n_orders,
+           CAST(p.s_ab * 1000000 // sa.s AS BIGINT) AS confidence_micro,
+           CAST(p.s_ab * n.n_orders * 1000000 // (sa.s * sb.s) AS BIGINT)
+             AS lift_micro
+    FROM pairs p
+    JOIN sup1 sa ON sa.brand = p.brand_a
+    JOIN sup1 sb ON sb.brand = p.brand_b
+    CROSS JOIN n
+    """
+
+
+@stage(
+    "orders_basket_lift",
+    oracle=_basket_lift_oracle(),
+    tags=("analytics", "association", "report"),
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    brand pair co-purchased in ≥ {BASKET_MIN_SUPPORT} orders, the
+    exact support, per-antecedent confidence, and lift in micro units
+    — the co-occurrence operator family (cross-sell, recommendations,
+    co-retrieval priors) the engine lacked. lift > 1e6 means the pair
+    attracts beyond independence; the canonical Apriori-style output
+    computed directly (brand cardinality is small enough that frequent-
+    itemset pruning is unnecessary — at larger vocabularies the
+    support HAVING is exactly where the Apriori prune inserts).
+
+    Exactness: supports are distinct-pair counts; confidence is
+    s_ab·1e6 DIV s_a (floor, positive); lift multiplies BEFORE
+    dividing (s_ab·N·1e6 DIV (s_a·s_b)) so both engines floor the
+    same exact integer product.
+
+    Scale (100 TB): the basket build is the co-partitioned
+    lineitem⋈part join (dim broadcast) + one DISTINCT; the pair emit
+    self-joins on the order key, so work is Σ|basket|² — bounded by
+    per-order line counts (~7), NEVER corpus-quadratic; supports are
+    brand-bounded aggregates. NOTE: not stress-sweepable — the
+    key-shift inflater duplicates baskets, inflating SUPPORT itself
+    (the triangle-counting caveat class)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = items.agg(F.countDistinct("okey").alias("n_orders"))
+    sup1 = items.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = items.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = sup1.select(F.col("brand").alias("brand_a"), F.col("s").alias("s_a"))
+    sb = sup1.select(F.col("brand").alias("brand_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            "n_orders",
+            F.expr("(s_ab * 1000000) DIV s_a").alias("confidence_micro"),
+            F.expr("(s_ab * n_orders * 1000000) DIV (s_a * s_b)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Order → ship latency histogram
+# --------------------------------------------------------------------
+
+LATENCY_BUCKET_DAYS = 7
+
+
+def _ship_latency_oracle() -> str:
+    return f"""
+    WITH j AS (
+      SELECT l.l_returnflag,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lat
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT l_returnflag,
+           CAST(CASE WHEN lat >= 0 THEN lat // {LATENCY_BUCKET_DAYS}
+                     ELSE -((-lat + {LATENCY_BUCKET_DAYS} - 1)
+                            // {LATENCY_BUCKET_DAYS}) END AS BIGINT)
+             AS week_bucket,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(lat) AS BIGINT) AS min_days,
+           CAST(max(lat) AS BIGINT) AS max_days
+    FROM j GROUP BY 1, 2
+    """
+
+
+@stage(
+    "lineitem_ship_latency_histogram",
+    oracle=_ship_latency_oracle(),
+    tags=("analytics", "report"),
+)
+def lineitem_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment cycle time: order→ship latency in integer days,
+    weekly-bucketed per return flag — the operational latency profile
+    (and its negative buckets are the data-quality alarm: a line
+    shipped before its order date is corrupt).
+
+    Exactness: latency is a DATE difference (integer days, DST-free);
+    weekly buckets floor toward −∞ on BOTH engines via the explicit
+    two-branch form (Spark DIV and DuckDB // both truncate toward
+    zero — the CASE makes negative latencies bucket identically
+    instead of straddling zero).
+
+    Scale (100 TB): one orders⋈lineitem equi-join on the order key
+    (the canonical co-partitioned / bucketed TPC-H join — broadcast
+    is wrong here, both sides are facts) followed by a
+    (flag × weeks)-bounded hash aggregate with map-side combine."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_returnflag", F.datediff("sd", "od").cast("bigint").alias("lat")
+    )
+    bucket = F.when(
+        F.col("lat") >= 0, F.expr(f"lat DIV {LATENCY_BUCKET_DAYS}")
+    ).otherwise(
+        -F.expr(
+            f"(-lat + {LATENCY_BUCKET_DAYS - 1}) DIV {LATENCY_BUCKET_DAYS}"
+        )
+    )
+    return j.groupBy("l_returnflag", bucket.alias("week_bucket")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("lat").alias("min_days"),
+        F.max("lat").alias("max_days"),
+    )
+
+
+# --------------------------------------------------------------------
+# Seasonality profile (engine-free day-of-week)
+# --------------------------------------------------------------------
+
+
+def _seasonality_oracle() -> str:
+    return """
+    WITH d AS (
+      SELECT month(CAST(o_orderdate AS DATE)) AS month_num,
+             (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              + 3) % 7 AS dow_idx
+      FROM orders
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM d
+    )
+    SELECT CAST(month_num AS BIGINT) AS month_num,
+           CAST(dow_idx AS BIGINT) AS dow_idx,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) * 1000000 // t.n AS BIGINT) AS share_micro
+    FROM d CROSS JOIN tot t
+    GROUP BY month_num, dow_idx, t.n
+    """
+
+
+@stage(
+    "orders_seasonality_profile",
+    oracle=_seasonality_oracle(),
+    tags=("analytics", "report"),
+)
+def orders_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order seasonality matrix: (calendar month × day-of-week) counts
+    with exact micro shares — the demand-shape table behind staffing
+    and capacity models. The weekday index is ENGINE-FREE integer
+    arithmetic: (days-since-1970-01-01 + 3) mod 7 with 0 = Monday
+    (1970-01-01 was a Thursday) — DOW conventions (Sunday-0 vs
+    Monday-1 vs ISO) are the classic cross-engine divergence, and
+    this formulation never asks either engine for one. Month
+    extraction on DATE is calendar arithmetic, identical by
+    definition.
+
+    Scale (100 TB): one scan → a ≤84-group (12×7) hash aggregate with
+    map-side combine; the total is a 1-row broadcast."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od")
+    )
+    d = o.select(
+        F.month("od").cast("bigint").alias("month_num"),
+        (
+            (F.datediff("od", F.to_date(F.lit("1970-01-01"))) + 3) % 7
+        )
+        .cast("bigint")
+        .alias("dow_idx"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("month_num", "dow_idx")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "month_num",
+            "dow_idx",
+            "n_orders",
+            F.expr("(n_orders * 1000000) DIV n").alias("share_micro"),
+        )
+    )

@@ -1886,6 +1886,10 @@ def test_promote_to_registry_round_trip():
         promote_to_registry,
     )
 
+    # Snapshot the live registry: since the r7 slate actually IS
+    # registered now, the leak check is "unchanged", not "absent"
+    # (the old absent-assertion broke once _ensure_loaded had run).
+    pre = dict(registry._REGISTRY)
     scratch: dict = {}
     with mock.patch.object(registry, "_REGISTRY", scratch):
         promoted = promote_to_registry(["orders_benford_audit"])
@@ -1896,4 +1900,4 @@ def test_promote_to_registry_round_trip():
         assert row.tags == STAGED["orders_benford_audit"].tags
         with _pytest.raises(ValueError, match="duplicate"):
             promote_to_registry(["orders_benford_audit"])
-    assert "orders_benford_audit" not in registry._REGISTRY
+    assert registry._REGISTRY == pre
