@@ -71,6 +71,9 @@ R9_BATCH: tuple[str, ...] = (
     "orders_basket_lift",
     "lineitem_ship_latency_histogram",
     "orders_seasonality_profile",
+    "embeddings_norm_outliers",
+    "customer_l_diversity",
+    "docs_boilerplate_ngram_mass",
 )
 
 
@@ -432,5 +435,310 @@ def orders_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow_idx",
             "n_orders",
             F.expr("(n_orders * 1000000) DIV n").alias("share_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Embedding norm QC (moment fences, two-scan, zero-collect)
+# --------------------------------------------------------------------
+
+
+def _norm_outliers_oracle() -> str:
+    return """
+    WITH q AS (
+      SELECT vec_id,
+             list_reduce(list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0)
+                                     AS BIGINT)
+                                * CAST(round(CAST(x AS DOUBLE) * 10000.0, 0)
+                                       AS BIGINT)),
+                         (a, b) -> a + b) // 1000000 AS q2
+      FROM embeddings
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q2) AS BIGINT) AS m1,
+             CAST(sum(q2 * q2) AS BIGINT) AS m2,
+             CAST(min(q2) AS BIGINT) AS min_q2,
+             CAST(max(q2) AS BIGINT) AS max_q2
+      FROM q
+    ), f AS (
+      SELECT n, m1, m2, min_q2, max_q2,
+             round(CAST(m1 AS DOUBLE) / n
+                   - 3.0 * sqrt(CAST(m2 AS DOUBLE) / n
+                                - (CAST(m1 AS DOUBLE) / n)
+                                  * (CAST(m1 AS DOUBLE) / n)), 6) AS lo,
+             round(CAST(m1 AS DOUBLE) / n
+                   + 3.0 * sqrt(CAST(m2 AS DOUBLE) / n
+                                - (CAST(m1 AS DOUBLE) / n)
+                                  * (CAST(m1 AS DOUBLE) / n)), 6) AS hi
+      FROM m
+    )
+    SELECT f.n, f.m1 AS sum_normsq_e2, f.min_q2, f.max_q2,
+           f.lo AS fence_lo, f.hi AS fence_hi,
+           CAST(sum(CASE WHEN q.q2 < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN q.q2 > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above
+    FROM q CROSS JOIN f
+    GROUP BY f.n, f.m1, f.min_q2, f.max_q2, f.lo, f.hi
+    """
+
+
+@stage(
+    "embeddings_norm_outliers",
+    oracle=_norm_outliers_oracle(),
+    tags=("llm", "embedding", "quality", "report"),
+)
+def embeddings_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QC: squared norms in exact centi units (per-
+    element e4 quantization → exact integer sum of squares → DIV to
+    e2, all order-free), global moments, mean ± 3σ fences, and the
+    outlier counts beyond each fence — the index pre-flight that
+    catches un-normalized batches, zero vectors, and scale drift
+    before they poison an ANN index or a cosine threshold.
+
+    Exactness: q2 is an exact integer per vector; the fences are ONE
+    fixed double expression over exact integer moments (6-dp rounded,
+    bit-identical cross-engine — the proven variance pattern); the
+    outlier comparisons compare integers against that shared fence.
+    q2 ≤ d·|x|²·1e2 ≈ 6e4 at d=64, so q2² sums stay in BIGINT past
+    1e9 vectors.
+
+    Scale (100 TB): two scans and nothing else — scan 1 reduces to a
+    ONE-ROW moment aggregate (map-side combined), which broadcasts
+    back over scan 2 for the conditional counts. No corpus-sized
+    checkpoint, no collect, no sort."""
+    e = load(spark, sf_dir, "embeddings")
+    q2 = F.expr(
+        """aggregate(
+             transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)
+                    * CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v) DIV 1000000"""
+    )
+    q = e.select(q2.alias("q2"))
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q2").alias("m1"),
+        F.sum(F.col("q2") * F.col("q2")).alias("m2"),
+        F.min("q2").alias("min_q2"),
+        F.max("q2").alias("max_q2"),
+    )
+    mean = F.col("m1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.col("m2").cast("double") / F.col("n") - mean * mean
+    )
+    f = m.select(
+        "n",
+        "m1",
+        "min_q2",
+        "max_q2",
+        F.round(mean - 3.0 * sd, 6).alias("lo"),
+        F.round(mean + 3.0 * sd, 6).alias("hi"),
+    )
+    return (
+        q.crossJoin(F.broadcast(f))
+        .groupBy("n", "m1", "min_q2", "max_q2", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("q2") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(F.col("q2") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+        )
+        .select(
+            "n",
+            F.col("m1").alias("sum_normsq_e2"),
+            "min_q2",
+            "max_q2",
+            F.col("lo").alias("fence_lo"),
+            F.col("hi").alias("fence_hi"),
+            "n_below",
+            "n_above",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# l-diversity ladder (privacy pairing for the k-anonymity classes)
+# --------------------------------------------------------------------
+
+
+def _l_diversity_oracle() -> str:
+    return """
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS n_c,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT l AS diversity_l,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n_c) AS BIGINT) AS n_customers,
+           CAST(min(n_c) AS BIGINT) AS min_class_size,
+           CAST(max(n_c) AS BIGINT) AS max_class_size
+    FROM cls GROUP BY l
+    """
+
+
+@stage(
+    "customer_l_diversity",
+    oracle=_l_diversity_oracle(),
+    tags=("analytics", "privacy", "report"),
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity ladder over the SAME quasi-identifier classes the
+    registered k-anonymity audit uses (nation × 1000-unit balance
+    bucket), with market segment as the sensitive attribute: for each
+    observed diversity level l (distinct segments inside a class),
+    how many classes sit at that level and how many customers they
+    expose. k-anonymity certifies classes are LARGE enough;
+    l-diversity certifies they are VARIED enough — a k=50 class that
+    is 100% one segment still discloses the segment, and this is the
+    table that finds it (Machanavajjhala et al., ICDE'06).
+
+    Exactness: the bucket is the k-anonymity audit's proven
+    floor-of-double expression; everything else is integer counts.
+
+    Scale (100 TB): ONE customer-scan hash aggregate to the QI domain
+    (distinct-segment state is ≤|segments| per group, map-side
+    combined), then a ≤|segments|-group rollup of that ~1.4k-row
+    frame."""
+    c = load(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    return cls.groupBy(F.col("l").alias("diversity_l")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("n_c").alias("n_customers"),
+        F.min("n_c").alias("min_class_size"),
+        F.max("n_c").alias("max_class_size"),
+    )
+
+
+# --------------------------------------------------------------------
+# Boilerplate n-gram mass (template detection per source)
+# --------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 3  # a trigram in ≥ 3 docs of one source is template
+
+
+def _boilerplate_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(ws) >= 3 THEN
+               list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [] END) AS g
+      FROM toks
+    ), df AS (
+      SELECT source, g, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_g
+      FROM grams GROUP BY 1, 2
+    ), boiler AS (
+      SELECT source, g FROM df WHERE n_docs_g >= {BOILER_MIN_DOCS}
+    ), mass AS (
+      SELECT gr.source,
+             CAST(count(*) AS BIGINT) AS total_grams,
+             CAST(count(b.g) AS BIGINT) AS boiler_grams
+      FROM grams gr
+      LEFT JOIN boiler b ON b.source = gr.source AND b.g = gr.g
+      GROUP BY gr.source
+    ), docs_per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT m.source, d.n_docs, m.total_grams, m.boiler_grams,
+           CAST(m.boiler_grams * 1000000 // m.total_grams AS BIGINT)
+             AS boiler_share_micro
+    FROM mass m JOIN docs_per d USING (source)
+    """
+
+
+@stage(
+    "docs_boilerplate_ngram_mass",
+    oracle=_boilerplate_oracle(),
+    tags=("llm", "text", "quality", "report"),
+)
+def docs_boilerplate_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate audit: a word trigram appearing in
+    ≥ {BOILER_MIN_DOCS} documents of one source is a template gram
+    (navigation chrome, footers, license blurbs — the C4/RefinedWeb
+    boilerplate class); the report gives each source's total gram
+    mass, the mass held by template grams, and the exact micro share
+    — the sizing table that decides whether a source needs
+    boilerplate stripping before it inflates dedup clusters and
+    drags repetition-quality scores.
+
+    Exactness: trigrams are position-joined word triples (our
+    convention in both plans; only MEMBERSHIP and counts ever cross
+    engines); the share is floor division of exact counts.
+
+    Scale (100 TB): one explode → (source, gram) document-frequency
+    hash aggregate (map-side combined, Zipf head collapses early);
+    the template set joins back gram-keyed — the LEFT join's build
+    side is the df-filtered template set, vocabulary-bounded, never
+    corpus-sized; per-source rollup is |sources|-bounded."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("ws") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i),
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).localCheckpoint(eager=True)
+    df_ = grams.groupBy("source", "g").agg(
+        F.countDistinct("doc_id").alias("n_docs_g")
+    )
+    boiler = df_.filter(F.col("n_docs_g") >= BOILER_MIN_DOCS).select(
+        "source", "g", F.lit(1).alias("is_boiler")
+    )
+    mass = (
+        grams.join(boiler, ["source", "g"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("boiler_grams"),
+        )
+    )
+    docs_per = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        mass.join(F.broadcast(docs_per), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_grams",
+            "boiler_grams",
+            F.expr("(boiler_grams * 1000000) DIV total_grams").alias(
+                "boiler_share_micro"
+            ),
         )
     )
