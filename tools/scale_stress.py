@@ -176,6 +176,34 @@ def _staged8(name: str):
     return fn
 
 
+def _staged9(name: str):
+    """Resolve a round-9 STAGED query (llm/staged_r9.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r9 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
+# round-9 staged candidates (llm/staged_r9.py). orders_basket_lift is
+# deliberately absent: the key-shift inflater duplicates baskets, so
+# SUPPORT itself inflates (the triangle-counting caveat class).
+EXTRA_FNS.update(
+    {
+        name: _staged9(name)
+        for name in (
+            "docs_bpe_roundtrip_contract",
+            "lineitem_ship_latency_histogram",
+            "orders_seasonality_profile",
+            "embeddings_norm_outliers",
+            "customer_l_diversity",
+            "docs_boilerplate_ngram_mass",
+        )
+    }
+)
+
 # round-8 staged candidates (llm/staged_r8.py)
 EXTRA_FNS.update(
     {
@@ -355,6 +383,19 @@ MAX_EXPONENT = {
     "events_conversion_lag_histogram": 1.35,
     "embeddings_pq_distortion_report": 1.35,
     "docs_gopher_rule_attribution": 1.35,
+    # Staged r9. BPE round-trip is the vocabulary join (vocab ~k under
+    # the prefix bijection) + one lang-group agg; ship latency is the
+    # co-partitioned fact-fact join (both sides ~k) + a bounded agg;
+    # seasonality/l-diversity are single-scan aggregates with literal-
+    # or key-bounded groups; norm outliers is two scans reducing to a
+    # one-row moment frame; boilerplate mass is the (source, gram) df
+    # agg + a vocab-bounded template join-back.
+    "docs_bpe_roundtrip_contract": 1.35,
+    "lineitem_ship_latency_histogram": 1.35,
+    "orders_seasonality_profile": 1.35,
+    "embeddings_norm_outliers": 1.35,
+    "customer_l_diversity": 1.35,
+    "docs_boilerplate_ngram_mass": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
