@@ -760,12 +760,16 @@ def main() -> int:
     failures = []
     for name in only if only is not None else QUERIES:
         per_scale = {}
-        # Unmeasured 1× warm-up so BOTH exponents are steady-state: the
-        # first execution of a query family can pay one-time costs that
-        # land in the measured shuffle (cache population — BPE merges,
-        # data-derived k — or freshly materialized /tmp state), which
-        # inflated embeddings_dedup_apply's first exponent to a 1.64
-        # cold-start artifact vs 1.02 warm in the r6 ledger.
+        # Unmeasured 1× warm-up so one-time costs (cache population —
+        # BPE merges, data-derived k — or freshly materialized /tmp
+        # state) never land in a measured run. NOTE the r7 re-sweep:
+        # embeddings_dedup_apply's first exponent stayed 1.644 WITH the
+        # warm-up (disproving r6's cold-start hypothesis) — it is a
+        # workload-composition step, not a growth law: the BASE fixture
+        # has zero identical vectors, so near-dup pair structure first
+        # EXISTS at 2× (every vector gains a key-shifted twin); the
+        # 1×→2× interval therefore measures "no pairs → n pairs", and
+        # the steady-state 2×→4× slope (1.017) is the real scaling.
         warm = run_query(name, dirs[SCALES[0]])
         print(f"# {name} warmup x{SCALES[0]} (unmeasured): {warm}", file=sys.stderr)
         for k in SCALES:
