@@ -40,6 +40,18 @@ The slate (operator families the engine does not cover yet):
   word trigrams occurring in ≥ BOILER_MIN_DOCS docs of one source
   are "template" grams; report each source's gram mass share held by
   templates (the C4-style boilerplate-removal sizing table).
+- ``docs_pii_scrub_contract``: PII detect + redact with the planted-
+  injection proof pattern (base corpus provably digit/@-free, so all
+  matches are plants): per source, every planted email/IPv4 found and
+  ZERO residual matches after the scrub — the redaction certificate.
+- ``events_error_cusum``: CUSUM level-shift detection on daily error
+  counts, computed SORTLESS via the suffix-max identity (the
+  sequential recursion becomes a triangular join over the calendar-
+  bounded day spine) — all integer micro arithmetic.
+- ``embeddings_cosine_calibration``: pairwise-cosine histogram of a
+  fixed probe block in 10% bands — where the corpus's similarity
+  mass sits, read before choosing ANY cosine threshold (ε, near-dup
+  cutoffs, rerank floors).
 """
 
 from __future__ import annotations
@@ -74,6 +86,9 @@ R9_BATCH: tuple[str, ...] = (
     "embeddings_norm_outliers",
     "customer_l_diversity",
     "docs_boilerplate_ngram_mass",
+    "docs_pii_scrub_contract",
+    "events_error_cusum",
+    "embeddings_cosine_calibration",
 )
 
 
@@ -741,4 +756,334 @@ def docs_boilerplate_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "boiler_share_micro"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# PII scrub contract (planted-injection, zero-residual proof)
+# --------------------------------------------------------------------
+
+# Bracketed-dot patterns only — no backslash classes, so the Java
+# (Spark) and RE2 (DuckDB) dialects read them identically.
+PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+PII_IPV4_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+def _pii_scrub_oracle() -> str:
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST(doc_id % 100 AS VARCHAR) AS t
+      FROM documents
+    ), scanned AS (
+      SELECT doc_id, source, t,
+             CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT)
+               AS n_ips,
+             regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>',
+                                           'g'),
+                            '{PII_IPV4_RE}', '<IP>', 'g') AS scrubbed
+      FROM planted
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_ips) AS BIGINT) AS n_ips,
+           CAST(sum(len(regexp_extract_all(scrubbed, '{PII_EMAIL_RE}'))
+                    + len(regexp_extract_all(scrubbed, '{PII_IPV4_RE}')))
+                AS BIGINT) AS n_residual,
+           CAST(sum(len(t) - len(scrubbed)) AS BIGINT) AS chars_removed
+    FROM scanned GROUP BY source
+    """
+
+
+@stage(
+    "docs_pii_scrub_contract",
+    oracle=_pii_scrub_oracle(),
+    tags=("llm", "privacy", "contract"),
+)
+def docs_pii_scrub_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction contract on DETERMINISTICALLY PLANTED
+    identifiers (the PNM-fixture pattern: the base corpus provably
+    contains no digits or '@', so every match is a plant and counts
+    are exact): each doc gets one synthetic email and one IPv4
+    appended, the scrubber regexp-replaces both classes, and the
+    report proves per source that (a) every planted identifier was
+    found, (b) the scrubbed text has ZERO residual matches — the
+    invariant a training-data redaction pass must certify before
+    text ships to a trainer.
+
+    Exactness: patterns use bracketed-dot character classes only (no
+    backslash escapes), read identically by Spark's Java regex and
+    DuckDB's RE2; counts and length deltas are exact integers.
+
+    Scale (100 TB): one scan, all per-row codegen (regexp count +
+    replace), one |sources|-group aggregate. A real deployment swaps
+    the plant for the raw corpus and keeps the residual-zero audit —
+    the plan is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    scanned = d.select(
+        "source",
+        t.alias("t"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ).alias("scrubbed"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_ips").alias("n_ips"),
+        F.sum(
+            F.regexp_count(F.col("scrubbed"), F.lit(PII_EMAIL_RE))
+            + F.regexp_count(F.col("scrubbed"), F.lit(PII_IPV4_RE))
+        )
+        .cast("bigint")
+        .alias("n_residual"),
+        F.sum(F.length("t") - F.length("scrubbed"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+
+
+# --------------------------------------------------------------------
+# CUSUM drift detection (sortless suffix-max identity)
+# --------------------------------------------------------------------
+
+CUSUM_H_MULT = 4  # alarm when S exceeds 4× the mean daily count
+
+
+def _cusum_oracle() -> str:
+    return f"""
+    WITH ev AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events WHERE event_type = 'error'
+    ), bounds AS (
+      SELECT min(d) AS d0, max(d) AS d1 FROM ev
+    ), spine AS (
+      SELECT unnest(range(d0, d1 + 1)) AS d FROM bounds
+    ), daily AS (
+      SELECT s.d - b.d0 + 1 AS t,
+             CAST(count(e.d) AS BIGINT) AS c
+      FROM spine s CROSS JOIN bounds b
+      LEFT JOIN ev e ON e.d = s.d
+      GROUP BY 1
+    ), k AS (
+      SELECT CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS k_micro
+      FROM daily
+    ), pref AS (
+      SELECT a.t, a.c,
+             CAST(sum(b.c) AS BIGINT) AS p
+      FROM daily a JOIN daily b ON b.t <= a.t
+      GROUP BY a.t, a.c
+    ), s AS (
+      SELECT a.t, a.c,
+             greatest(CAST(0 AS BIGINT),
+               max(a.p * 1000000 - coalesce(pj.p, 0) * 1000000
+                   - (a.t - pj0.j + 1) * k.k_micro)) AS s_micro
+      FROM pref a
+      CROSS JOIN k
+      JOIN (SELECT t AS j FROM daily) pj0 ON pj0.j <= a.t
+      LEFT JOIN pref pj ON pj.t = pj0.j - 1
+      GROUP BY a.t, a.c
+    )
+    SELECT s.t AS day_idx, s.c AS n_errors, s.s_micro,
+           (s.s_micro > {CUSUM_H_MULT} * k.k_micro) AS alarm
+    FROM s CROSS JOIN k
+    """
+
+
+@stage(
+    "events_error_cusum",
+    oracle=_cusum_oracle(),
+    tags=("events", "anomaly", "report"),
+)
+def events_error_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on the daily error-event count —
+    the classic sequential drift detector (Page '54), computed
+    SORTLESS via the suffix-max identity: the recursive
+    S_t = max(0, S_{t−1} + (x_t − k)) equals
+    max(0, max_{j≤t} Σ_{i=j..t}(x_i − k)), which is pure prefix-sum
+    arithmetic — so instead of a sequential fold (undistributable) or
+    a window sort, the whole path computes as a triangular join over
+    the DAY spine, which is calendar-bounded (30 rows here, 36,500
+    for a century), never event-volume-bounded. Alarm fires when S
+    exceeds {CUSUM_H_MULT}× the mean daily count. Missing days count
+    as zero via the dense spine — a detector that skips quiet days
+    never sees a downward shift.
+
+    Exactness: day indexes and counts are integers; k is the exact
+    floor-micro mean; every S is a max over integer linear terms —
+    no floats anywhere.
+
+    Scale (100 TB): ONE event-scan aggregate to daily counts
+    (map-side combined, |days| groups); everything after runs on the
+    checkpointed day frame (|days|² triangular pairs = dimension
+    arithmetic)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    ev = e.select(
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d")
+    )
+    bounds = ev.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"), "d0"
+    )
+    daily = (
+        spine.join(ev.groupBy("d").agg(F.count(F.lit(1)).alias("c")), "d", "left")
+        .select(
+            (F.col("d") - F.col("d0") + 1).cast("bigint").alias("t"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    k = daily.agg(
+        F.expr("(sum(c) * 1000000) DIV count(1)").alias("k_micro")
+    )
+    b = daily.select(F.col("t").alias("tb"), F.col("c").alias("cb"))
+    pref = (
+        daily.join(F.broadcast(b), F.col("tb") <= F.col("t"))
+        .groupBy("t", "c")
+        .agg(F.sum("cb").alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    pj = pref.select(F.col("t").alias("j"), F.col("p").alias("pj"))
+    s = (
+        pref.join(F.broadcast(daily.select(F.col("t").alias("j"))), F.col("j") <= F.col("t"))
+        .join(
+            F.broadcast(pj.select((F.col("j") + 1).alias("j"), "pj")), "j", "left"
+        )
+        .crossJoin(F.broadcast(k))
+        .groupBy("t", "c")
+        .agg(
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.max(
+                    F.col("p") * 1_000_000
+                    - F.coalesce(F.col("pj"), F.lit(0)) * 1_000_000
+                    - (F.col("t") - F.col("j") + 1) * F.col("k_micro")
+                ),
+            ).alias("s_micro")
+        )
+    )
+    return s.crossJoin(F.broadcast(k)).select(
+        F.col("t").alias("day_idx"),
+        F.col("c").alias("n_errors"),
+        "s_micro",
+        (F.col("s_micro") > CUSUM_H_MULT * F.col("k_micro")).alias("alarm"),
+    )
+
+
+# --------------------------------------------------------------------
+# Cosine-scale calibration histogram (bounded probe block)
+# --------------------------------------------------------------------
+
+CALIB_BLOCK = 100  # vec_id < 100 — pinned to the base copy
+CALIB_BUCKET_MICRO = 100_000  # 10% cosine bands
+
+
+def _cosine_calibration_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(list_transform(
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                    x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM embeddings WHERE vec_id < {CALIB_BLOCK}
+    ), pairs AS (
+      SELECT CAST(round(round(list_reduce(list_transform(list_zip(a.v, b.v),
+                                                         z -> z[1] * z[2]),
+                                          (x, y) -> x + y)
+                               / (a.nrm * b.nrm), 6) * 1000000.0, 0)
+                  AS BIGINT) AS c_micro
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT (c_micro + 1000000) // {CALIB_BUCKET_MICRO} AS bucket,
+           CAST((c_micro + 1000000) // {CALIB_BUCKET_MICRO}
+                * {CALIB_BUCKET_MICRO} - 1000000 AS BIGINT) AS band_lo_micro,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(c_micro) AS BIGINT) AS min_c_micro,
+           CAST(max(c_micro) AS BIGINT) AS max_c_micro
+    FROM pairs GROUP BY 1
+    """
+
+
+@stage(
+    "embeddings_cosine_calibration",
+    oracle=_cosine_calibration_oracle(),
+    tags=("llm", "embedding", "report"),
+)
+def embeddings_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-scale calibration: the pairwise-cosine histogram of a
+    FIXED {CALIB_BLOCK}-vector probe block (vec_id < {CALIB_BLOCK} —
+    pinned to the base copy under inflation) in 10% bands — the table
+    read before choosing any similarity threshold (SemDeDup's ε, the
+    near-dup cutoff, a rerank floor): thresholds are meaningless
+    without knowing where the corpus's cosine mass actually sits
+    (embedding models differ wildly in their 'unrelated' baseline).
+
+    Exactness: cosines use the proven 6-dp round → micro-quantize
+    pattern; the +1e6 shift makes the band floor-division operand
+    nonnegative, so DIV (truncation) and // agree with floor for
+    negative cosines too.
+
+    Scale (100 TB): the block is CONSTANT (broadcast both sides);
+    the pair frame is {CALIB_BLOCK}²/2 rows regardless of corpus
+    size — this is deliberately a CALIBRATION probe, not an all-pairs
+    scan; the registered banded/bucketed plans handle corpus-wide
+    pairing."""
+    from .similarity import _dot, _norm
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < CALIB_BLOCK
+    )
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    c_micro = F.round(
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        * 1e6,
+        0,
+    ).cast("bigint")
+    pairs = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .select(c_micro.alias("c_micro"))
+    )
+    bucket = F.expr(f"(c_micro + 1000000) DIV {CALIB_BUCKET_MICRO}")
+    return pairs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("c_micro").alias("min_c_micro"),
+        F.max("c_micro").alias("max_c_micro"),
+    ).select(
+        "bucket",
+        (F.col("bucket") * CALIB_BUCKET_MICRO - 1_000_000).alias(
+            "band_lo_micro"
+        ),
+        "n_pairs",
+        "min_c_micro",
+        "max_c_micro",
     )

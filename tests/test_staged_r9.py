@@ -332,3 +332,104 @@ def test_promote_to_registry_round_trip():
         with _pytest.raises(ValueError, match="explicit"):
             promote_to_registry(None)
     assert registry._REGISTRY == pre
+
+
+# --------------------------------------------------------------------
+# PII scrub — the residual-zero certificate + exact planted counts
+# --------------------------------------------------------------------
+
+
+def test_pii_scrub_certificate(spark):
+    got = STAGED["docs_pii_scrub_contract"].fn(spark, SF_DIR).toPandas()
+    d = _pd("documents")
+    # The base corpus is provably digit/@-free (the plant premise).
+    assert not d["text"].str.contains("[0-9@]", regex=True).any()
+    per_src = d.groupby("source").size()
+    g = got.set_index("source").sort_index()
+    assert (g["n_docs"] == per_src).all()
+    # Exactly one planted email + one planted IP found per doc.
+    assert (g["n_emails"] == g["n_docs"]).all()
+    assert (g["n_ips"] == g["n_docs"]).all()
+    # The certificate: zero residual matches after scrubbing.
+    assert (g["n_residual"] == 0).all()
+    # Length delta replay for one source: plant minus replacements.
+    src = per_src.index[0]
+    sub = d[d["source"] == src]
+    planted_len = (
+        " contact user@example.com from 10.0.."
+    )  # fixed chars around the ids
+    want_removed = sum(
+        (len(f"user{i}@example.com") - len("<EMAIL>"))
+        + (len(f"10.0.{i % 256}.{i % 100}") - len("<IP>"))
+        for i in sub["doc_id"]
+    )
+    assert int(g.loc[src, "chars_removed"]) == want_removed
+
+
+# --------------------------------------------------------------------
+# CUSUM — the suffix-max implementation must equal the sequential
+# recursion exactly (the identity's referee)
+# --------------------------------------------------------------------
+
+
+def test_cusum_equals_sequential_recursion(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r9 import CUSUM_H_MULT
+
+    got = (
+        STAGED["events_error_cusum"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("day_idx", ignore_index=True)
+    )
+    e = _pd("events")
+    err = e[e["event_type"] == "error"]
+    days = err["ts"].dt.normalize()
+    d0, d1 = days.min(), days.max()
+    spine = pd.date_range(d0, d1, freq="D")
+    counts = days.value_counts().reindex(spine, fill_value=0).astype(int)
+    n = len(spine)
+    k_micro = int(counts.sum()) * 1_000_000 // n
+    s, path = 0, []
+    for c in counts:
+        s = max(0, s + (int(c) * 1_000_000 - k_micro))
+        path.append(s)
+    assert list(got["day_idx"]) == list(range(1, n + 1))
+    assert list(got["n_errors"]) == list(counts)
+    assert list(got["s_micro"]) == path
+    assert list(got["alarm"]) == [p > CUSUM_H_MULT * k_micro for p in path]
+
+
+# --------------------------------------------------------------------
+# Cosine calibration — numpy referee + mass conservation
+# --------------------------------------------------------------------
+
+
+def test_cosine_calibration_numpy_replay(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r9 import (
+        CALIB_BLOCK,
+        CALIB_BUCKET_MICRO,
+    )
+
+    got = (
+        STAGED["embeddings_cosine_calibration"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    emb = _pd("embeddings")
+    blk = emb[emb["vec_id"] < CALIB_BLOCK].sort_values("vec_id")
+    m = np.stack(blk["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.sqrt((m * m).sum(axis=1))
+    cos = (m @ m.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(m), k=1)
+    c_micro = np.round(np.round(cos[iu], 6) * 1e6).astype(np.int64)
+    assert got["n_pairs"].sum() == len(m) * (len(m) - 1) // 2
+    buckets = (c_micro + 1_000_000) // CALIB_BUCKET_MICRO
+    for r in got.itertuples():
+        sel = c_micro[buckets == r.bucket]
+        assert r.n_pairs == len(sel)
+        assert r.min_c_micro == sel.min() and r.max_c_micro == sel.max()
+        assert r.band_lo_micro == r.bucket * CALIB_BUCKET_MICRO - 1_000_000
+        # band containment
+        assert sel.min() >= r.band_lo_micro
+        assert sel.max() < r.band_lo_micro + CALIB_BUCKET_MICRO
