@@ -200,6 +200,9 @@ EXTRA_FNS.update(
             "embeddings_norm_outliers",
             "customer_l_diversity",
             "docs_boilerplate_ngram_mass",
+            "docs_pii_scrub_contract",
+            "events_error_cusum",
+            "embeddings_cosine_calibration",
         )
     }
 )
@@ -396,6 +399,13 @@ MAX_EXPONENT = {
     "embeddings_norm_outliers": 1.35,
     "customer_l_diversity": 1.35,
     "docs_boilerplate_ngram_mass": 1.35,
+    # PII scrub is per-row codegen + a |sources|-group agg; CUSUM's
+    # event-volume work is the one daily-count agg (day spine is
+    # calendar-bounded); cosine calibration's pair frame is a CONSTANT
+    # probe block — its shuffle should stay ~flat under inflation.
+    "docs_pii_scrub_contract": 1.35,
+    "events_error_cusum": 1.35,
+    "embeddings_cosine_calibration": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
