@@ -360,14 +360,17 @@ def current_round(repo: str) -> int:
     return newest + 1
 
 
-def run_staged(sf_dir: str) -> int:
-    """Fresh-JVM warm timings for every currently-STAGED candidate
-    (the r8 slate — the r7 slate was registered in round 7 and is
-    covered by the main suite), written to BENCH_staged.json — the
-    per-round cost record the registration decision reads."""
+def run_staged(sf_dir: str, module: str = "r8") -> int:
+    """Fresh-JVM warm timings for a STAGED slate (default r8, the
+    next-to-register; ``--staged r9`` times the r9 slate), written to
+    BENCH_staged.json / BENCH_staged_r9.json — the per-round cost
+    record the registration decision reads."""
+    import importlib
     import subprocess
 
-    from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import STAGED
+    STAGED = importlib.import_module(
+        f"python_nyc_taxi_data_pipeline_spark.llm.staged_{module}"
+    ).STAGED
 
     results = {}
     for name in STAGED:
@@ -397,7 +400,8 @@ def run_staged(sf_dir: str) -> int:
         "round": current_round(repo),
         "queries": results,
     }
-    with open(os.path.join(repo, "BENCH_staged.json"), "w") as f:
+    fname = "BENCH_staged.json" if module == "r8" else f"BENCH_staged_{module}.json"
+    with open(os.path.join(repo, fname), "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps({k: v.get("warm_min") for k, v in results.items()}))
     return 0
@@ -437,7 +441,7 @@ def main() -> int:
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         return run_one(sys.argv[2], sf_dir)
     if len(sys.argv) >= 2 and sys.argv[1] == "--staged":
-        return run_staged(sf_dir)
+        return run_staged(sf_dir, sys.argv[2] if len(sys.argv) >= 3 else "r8")
     if len(sys.argv) >= 2 and sys.argv[1] == "--isolated":
         arg = sys.argv[2] if len(sys.argv) >= 3 else "curated"
         names = (
