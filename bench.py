@@ -223,12 +223,16 @@ def run_one(name: str, sf_dir: str, repeats: int = 3) -> int:
         from python_nyc_taxi_data_pipeline_spark.llm.staged_r9 import (
             STAGED as STAGED_R9,
         )
-
-        q = (
-            STAGED_R7[name]
-            if name in STAGED_R7
-            else STAGED_R8[name] if name in STAGED_R8 else STAGED_R9[name]
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import (
+            STAGED as STAGED_R10,
         )
+
+        for slate in (STAGED_R7, STAGED_R8, STAGED_R9, STAGED_R10):
+            if name in slate:
+                q = slate[name]
+                break
+        else:
+            raise KeyError(name)
     for _ in range(repeats):
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,627 @@
+"""Round-10 registration candidates — implemented and oracle-twinned
+in round 7, REGISTERED in round 10 (after the r8 and r9 slates land).
+
+Same staging mechanism as ``staged_r8``/``staged_r9``. Rotation math:
+r8 registers 17 (retiring all r4 evidence), r9 registers 10
+(refreshing 40 of the 50 r5 rows); r10 registering this slate of ≤ 10
+makes the r10 window = |slate| new + the 10 remaining r5 rows + the
+oldest r6 rows — staleness stays bounded at two rounds throughout.
+Promotion: ``staged_r10.promote_to_registry(R10_BATCH)``.
+
+The slate (operator families the engine does not cover yet):
+
+- ``docs_doremi_reweight_step``: ONE linearized DoReMi /
+  multiplicative-weights domain-reweighting step — per-source excess
+  surprisal vs the corpus mean (exact integer micro, composes the
+  registered pruned-LM surprisal plan on both sides) drives an
+  integer MW factor and a renormalized next-round mixture share. The
+  domain-mixture optimization primitive (Xie et al. '23) with the
+  iterative-training loop replaced by its auditable single step.
+- ``embeddings_ivf_balance_report``: IVF cell-load audit — per coarse
+  cell: vector count and exact load factor vs perfect balance, plus
+  the imbalance the search latency actually feels (a hot cell = a hot
+  probe). The index-health twin of the PQ distortion ledger.
+- ``docs_dedup_graph_degrees``: degree histogram of the verified
+  near-dup pair graph — how many docs have 1, 2, … near-duplicates;
+  the heavy-degree tail is the spam/mirror signal (a doc with 40
+  near-dups is a template, not content). Composes the registered
+  pair plan.
+- ``events_dau_wau_stickiness``: per-day DAU, trailing-7-day WAU, and
+  the exact DAU/WAU stickiness ratio — the engagement headline
+  metric, computed from ONE distinct (user, day) frame with a
+  7-day spine join (no rolling distinct window, which Spark cannot
+  do exactly).
+- ``corpus_token_budget_plan``: bucketed water-fill to a token budget
+  — quality buckets filled highest-first until the 50% token budget
+  is spent, with the marginal bucket taking the exact remainder. The
+  sortless (histogram-cut) form of "take the best X tokens", the
+  selection step every data-constrained training run executes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import QueryFn
+
+
+@dataclass(frozen=True)
+class StagedQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+STAGED: dict[str, StagedQuery] = {}
+
+R10_BATCH: tuple[str, ...] = (
+    "docs_doremi_reweight_step",
+    "embeddings_ivf_balance_report",
+    "docs_dedup_graph_degrees",
+    "events_dau_wau_stickiness",
+    "corpus_token_budget_plan",
+)
+
+
+def promote_to_registry(names: list[str]) -> list[str]:
+    """Round-10 registration in one call; ``names`` is REQUIRED —
+    whole-slate promotion must be spelled out (``list(STAGED)``)."""
+    from ..registry import register
+
+    if names is None:
+        raise ValueError(
+            "promote_to_registry requires an explicit name batch; "
+            "spell out whole-slate promotion as list(STAGED)"
+        )
+    promoted = []
+    for name in names:
+        q = STAGED[name]
+        register(name, q.oracle, q.tags)(q.fn)
+        promoted.append(name)
+    return promoted
+
+
+def stage(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Mirror of ``registry.register`` that records into ``STAGED``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query name {name!r}")
+        STAGED[name] = StagedQuery(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# Linearized DoReMi reweighting step
+# --------------------------------------------------------------------
+
+DOREMI_ETA_DIV = 4  # factor = 1e6 + excess_micro/4 — the MW step size
+
+
+def _doremi_oracle() -> str:
+    from .lm import _LM_ORACLE
+
+    return f"""
+    WITH per_doc AS MATERIALIZED (
+{_LM_ORACLE}
+    ), src AS (
+      SELECT d.source,
+             CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(p.sum_surprisal_micro) AS BIGINT) AS s_micro
+      FROM per_doc p JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    ), corpus AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS n_all,
+             CAST(sum(s_micro) AS BIGINT) AS s_all
+      FROM src
+    ), stepped AS (
+      SELECT s.source, s.n_tokens,
+             CAST(s.s_micro // s.n_tokens AS BIGINT) AS mean_micro,
+             CAST(s.s_micro // s.n_tokens
+                  - c.s_all // c.n_all AS BIGINT) AS excess_micro,
+             greatest(CAST(0 AS BIGINT),
+                      1000000 + CAST((s.s_micro // s.n_tokens
+                                      - c.s_all // c.n_all)
+                                     // {DOREMI_ETA_DIV} AS BIGINT))
+               AS factor_micro,
+             CAST(s.n_tokens * 1000000 // c.n_all AS BIGINT)
+               AS share_before_micro
+      FROM src s CROSS JOIN corpus c
+    ), norm AS (
+      SELECT CAST(sum(n_tokens * factor_micro) AS HUGEINT) AS z
+      FROM stepped
+    )
+    SELECT st.source, st.n_tokens, st.mean_micro, st.excess_micro,
+           st.factor_micro, st.share_before_micro,
+           CAST(CAST(st.n_tokens AS HUGEINT) * st.factor_micro * 1000000
+                // n.z AS BIGINT) AS share_after_micro
+    FROM stepped st CROSS JOIN norm n
+    """
+
+
+@stage(
+    "docs_doremi_reweight_step",
+    oracle=_doremi_oracle(),
+    tags=("llm", "mixture", "selection"),
+)
+def docs_doremi_reweight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LINEARIZED DoReMi / multiplicative-weights domain-reweight
+    step: each source's excess per-token surprisal over the corpus
+    mean (under the registered pruned unigram LM — the stand-in for
+    the proxy-vs-reference excess loss) scales its token mass by the
+    integer MW factor 1e6 + excess/{DOREMI_ETA_DIV}, clamped at 0,
+    then shares renormalize. Sources whose text the LM finds
+    surprising (under-represented relative to capacity) gain mixture
+    weight; easy sources lose it — ONE auditable step of the
+    domain-mixture optimization loop (Xie et al., DoReMi, '23), with
+    the exp() of the true MW update replaced by its first-order
+    integer form so both engines compute bit-identical weights.
+
+    Exactness: surprisal micro sums come from the registered
+    hash-green plan; means/excesses are floor divisions of integer
+    sums; the normalizer Σ n·factor is accumulated in DECIMAL
+    (HUGEINT in the oracle) so the 1e6-scaled products never
+    overflow; the final share is one integer multiply-divide.
+
+    Scale (100 TB): the surprisal plan dominates (corpus scan +
+    vocab-bounded LM broadcast); this adds one doc-keyed source join,
+    a |sources|-group aggregate, and one-row broadcasts."""
+    from .lm import docs_unigram_surprisal_filter
+
+    per_doc = docs_unigram_surprisal_filter(spark, sf_dir)
+    src_of = load(spark, sf_dir, "documents").select("doc_id", "source")
+    src = (
+        per_doc.join(src_of, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("sum_surprisal_micro").alias("s_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    corpus = src.agg(
+        F.sum("n_tokens").alias("n_all"), F.sum("s_micro").alias("s_all")
+    )
+    stepped = (
+        src.crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("s_micro DIV n_tokens").alias("mean_micro"),
+            F.expr("s_micro DIV n_tokens - s_all DIV n_all").alias(
+                "excess_micro"
+            ),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.expr(
+                    f"1000000 + (s_micro DIV n_tokens - s_all DIV n_all)"
+                    f" DIV {DOREMI_ETA_DIV}"
+                ),
+            ).alias("factor_micro"),
+            F.expr("(n_tokens * 1000000) DIV n_all").alias(
+                "share_before_micro"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    norm = stepped.agg(
+        F.sum(
+            (F.col("n_tokens") * F.col("factor_micro")).cast("decimal(38,0)")
+        ).alias("z")
+    )
+    return stepped.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_tokens",
+        "mean_micro",
+        "excess_micro",
+        "factor_micro",
+        "share_before_micro",
+        (
+            (
+                F.col("n_tokens").cast("decimal(38,0)")
+                * F.col("factor_micro")
+                * 1_000_000
+            )
+            / F.col("z")
+        )
+        .cast("bigint")
+        .alias("share_after_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# IVF cell-balance report
+# --------------------------------------------------------------------
+
+
+def _ivf_balance_oracle() -> str:
+    return """
+    WITH cells AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM embeddings GROUP BY label
+    ), tot AS (
+      SELECT CAST(sum(n_vectors) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(max(n_vectors) AS BIGINT) AS max_cell
+      FROM cells
+    )
+    SELECT c.label, c.n_vectors,
+           CAST(c.n_vectors * t.n_cells * 1000000 // t.n AS BIGINT)
+             AS load_factor_micro,
+           CAST(t.max_cell * t.n_cells * 1000000 // t.n AS BIGINT)
+             AS worst_load_factor_micro,
+           CAST(c.n_vectors * 1000000 // t.max_cell AS BIGINT)
+             AS share_of_hottest_micro
+    FROM cells c CROSS JOIN tot t
+    """
+
+
+@stage(
+    "embeddings_ivf_balance_report",
+    oracle=_ivf_balance_oracle(),
+    tags=("llm", "embedding", "index", "report"),
+)
+def embeddings_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-cell load audit: per cell, the vector count and the
+    exact load factor vs perfect balance (1e6 = balanced; the cell a
+    query probes determines that query's candidate-scan cost, so the
+    WORST load factor — emitted on every row for the report's
+    consumer — is the index's tail-latency multiplier). The
+    index-health twin of the PQ distortion ledger: PQ says codes are
+    tight, this says probes are even; both run before committing an
+    IVF-PQ index build.
+
+    Exactness: all counts integer; load factors are
+    multiply-then-floor-divide of exact integers.
+
+    Scale (100 TB): ONE |cells|-group hash aggregate over the scan
+    (map-side combined) + a one-row broadcast cross."""
+    e = load(spark, sf_dir, "embeddings")
+    cells = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = cells.agg(
+        F.sum("n_vectors").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n_vectors").alias("max_cell"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_vectors",
+        F.expr("(n_vectors * n_cells * 1000000) DIV n").alias(
+            "load_factor_micro"
+        ),
+        F.expr("(max_cell * n_cells * 1000000) DIV n").alias(
+            "worst_load_factor_micro"
+        ),
+        F.expr("(n_vectors * 1000000) DIV max_cell").alias(
+            "share_of_hottest_micro"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Near-dup graph degree profile
+# --------------------------------------------------------------------
+
+
+def _graph_degrees_oracle() -> str:
+    from .dedup import GRAMS_CTE_SQL, JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH g AS MATERIALIZED (
+{GRAMS_CTE_SQL}
+    ), p AS (
+{JACCARD_PAIRS_SQL}
+    ), ends AS (
+      SELECT doc_a AS doc_id FROM p
+      UNION ALL
+      SELECT doc_b FROM p
+    ), deg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+      FROM ends GROUP BY doc_id
+    )
+    SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS example_doc_id
+    FROM deg GROUP BY degree
+    UNION ALL
+    SELECT CAST(0 AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(d.doc_id) AS BIGINT) AS example_doc_id
+    FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
+    WHERE deg.doc_id IS NULL
+    """
+
+
+@stage(
+    "docs_dedup_graph_degrees",
+    oracle=_graph_degrees_oracle(),
+    tags=("llm", "dedup", "report"),
+)
+def docs_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the verified near-dup pair graph: how many
+    documents have exactly d near-duplicates (plus a deterministic
+    example doc per degree), INCLUDING the degree-0 row so the
+    histogram partitions the whole corpus. The degree TAIL is the
+    template/mirror/spam signal — a doc with 40 near-dups is
+    boilerplate wearing a content costume, and connected-components
+    cluster sizes (the registered report) can't see it when the giant
+    cluster is star-shaped vs clique-shaped; degrees can. Composes
+    the registered ``docs_ngram_jaccard_pairs`` verbatim.
+
+    Exactness: pure integer counting; the example is MIN(doc_id).
+
+    Scale (100 TB): pair volume is inverted-index-bounded; degrees
+    are one doc-keyed hash aggregate over 2|pairs| rows, the
+    histogram one more over |docs-with-dups|; the degree-0 row is a
+    doc-keyed LEFT-ANTI join against the (small) positive-degree
+    frame plus a one-row aggregate."""
+    from .dedup import docs_ngram_jaccard_pairs
+
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("degree")
+    ).localCheckpoint(eager=True)
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("example_doc_id"),
+    )
+    zero = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(F.broadcast(deg.select("doc_id")), "doc_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .select(
+            F.lit(0).cast("bigint").alias("degree"),
+            "n_docs",
+            "example_doc_id",
+        )
+    )
+    return hist.unionAll(zero)
+
+
+# --------------------------------------------------------------------
+# DAU / WAU stickiness
+# --------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def _stickiness_oracle() -> str:
+    return f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ), bounds AS (
+      SELECT min(d) AS d0, max(d) AS d1 FROM ud
+    ), spine AS (
+      SELECT unnest(range(d0, d1 + 1)) AS d FROM bounds
+    ), dau AS (
+      SELECT s.d, CAST(count(u.user_id) AS BIGINT) AS dau
+      FROM spine s LEFT JOIN ud u ON u.d = s.d
+      GROUP BY s.d
+    ), wau AS (
+      SELECT s.d, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM spine s
+      JOIN ud u ON u.d BETWEEN s.d - {WAU_WINDOW_DAYS - 1} AND s.d
+      GROUP BY s.d
+    ), b2 AS (
+      SELECT d0 FROM bounds
+    )
+    SELECT dau.d - b2.d0 + 1 AS day_idx, dau.dau, wau.wau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT)
+             AS stickiness_micro
+    FROM dau JOIN wau USING (d) CROSS JOIN b2
+    WHERE dau.d - b2.d0 + 1 >= {WAU_WINDOW_DAYS}
+    """
+
+
+@stage(
+    "events_dau_wau_stickiness",
+    oracle=_stickiness_oracle(),
+    tags=("events", "analytics", "report"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing-{WAU_WINDOW_DAYS}-day WAU, and the exact
+    DAU/WAU stickiness ratio (the engagement headline: what fraction
+    of the weekly audience shows up daily), emitted from the first
+    full window onward. Rolling DISTINCT counts have no exact window
+    form in any engine — the correct distributed shape is the one
+    used here: collapse events to the distinct (user, day) frame
+    ONCE, then a ≤{WAU_WINDOW_DAYS}-way day-spine range join feeds an
+    exact count-distinct per day. Day buckets are integer arithmetic
+    from the epoch anchor (timezone-free).
+
+    Exactness: counts are integers; stickiness is one floor division;
+    the day spine is dense so quiet days report DAU 0.
+
+    Scale (100 TB): ONE event-volume aggregate (the distinct (user,
+    day), map-side combined); the spine join multiplies the ALREADY-
+    COLLAPSED frame by ≤{WAU_WINDOW_DAYS}, and its count-distinct
+    shuffles |uw|·{WAU_WINDOW_DAYS} user-day rows — calendar-bounded
+    fan-out, never event-volume."""
+    e = load(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+            ).alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"), "d0"
+    ).localCheckpoint(eager=True)
+    dau = (
+        spine.join(ud, "d", "left")
+        .groupBy("d", "d0")
+        .agg(F.count(F.col("user_id")).alias("dau"))
+    )
+    wau = (
+        spine.alias("s")
+        .join(
+            ud.alias("u"),
+            F.col("u.d").between(
+                F.col("s.d") - (WAU_WINDOW_DAYS - 1), F.col("s.d")
+            ),
+        )
+        .groupBy(F.col("s.d").alias("d"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            (F.col("d") - F.col("d0") + 1).alias("day_idx"),
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) DIV wau").alias("stickiness_micro"),
+        )
+        .filter(F.col("day_idx") >= WAU_WINDOW_DAYS)
+    )
+
+
+# --------------------------------------------------------------------
+# Token-budget water-fill plan (sortless histogram cut)
+# --------------------------------------------------------------------
+
+BUDGET_SHARE_MICRO = 500_000  # plan to keep 50% of corpus tokens
+
+
+def _budget_plan_oracle() -> str:
+    from .quality import REQUIRED_STOPWORDS
+
+    return f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             least(9000 * len(list_distinct(string_split(text, ' ')))
+                   + 30000 * len(list_filter(string_split(text, ' '),
+                                             x -> x IN {REQUIRED_STOPWORDS!r})),
+                   1000000) AS p_micro
+      FROM documents
+    ), buckets AS (
+      SELECT least(p_micro // 100000, 9) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM feat GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS t_all FROM buckets
+    ), budget AS (
+      SELECT CAST(t_all * {BUDGET_SHARE_MICRO} // 1000000 AS BIGINT) AS b
+      FROM tot
+    ), cum AS (
+      SELECT a.bucket, a.n_docs, a.tokens,
+             CAST(sum(CASE WHEN b.bucket > a.bucket THEN b.tokens
+                           ELSE 0 END) AS BIGINT) AS cum_above
+      FROM buckets a CROSS JOIN buckets b
+      GROUP BY a.bucket, a.n_docs, a.tokens
+    )
+    SELECT c.bucket, c.n_docs, c.tokens, c.cum_above, bu.b AS budget_tokens,
+           CAST(CASE WHEN c.cum_above >= bu.b THEN 0
+                     WHEN c.cum_above + c.tokens <= bu.b THEN c.tokens
+                     ELSE bu.b - c.cum_above END AS BIGINT) AS take_tokens,
+           (c.cum_above + c.tokens <= bu.b) AS fully_taken
+    FROM cum c CROSS JOIN budget bu
+    """
+
+
+@stage(
+    "corpus_token_budget_plan",
+    oracle=_budget_plan_oracle(),
+    tags=("llm", "selection", "mixture"),
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-fill: plan which quality buckets to keep so
+    exactly {BUDGET_SHARE_MICRO}ppm of corpus tokens survive, filling
+    from the highest-quality bucket down, with the MARGINAL bucket
+    taking the exact remainder — "keep the best X tokens" as every
+    data-constrained run executes it, computed SORTLESS: the naive
+    form globally sorts all docs by score; the histogram-cut form
+    (the proven RFM/Gini/CCNet machinery) reduces the corpus to a
+    ≤10-row bucket table and does the cumulative fill as bucket-table
+    arithmetic. The quality score is the Brier audit's p_micro, so
+    the calibration report and this plan describe the same scorer.
+
+    Exactness: per-doc score and token counts are integers; the
+    budget is one floor multiply-divide; cumulative-from-above is a
+    triangular sum of the ≤10-row bucket table; the three-way take
+    CASE is pure integer comparison.
+
+    Scale (100 TB): ONE scan → per-doc integer features → a ≤10-group
+    hash aggregate; everything after is constant-size. The per-doc
+    KEEP decision materializes later as one broadcast-join of this
+    plan against the scored scan — no sort at any scale."""
+    from .quality import REQUIRED_STOPWORDS
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    p_micro = F.least(
+        F.lit(9000) * F.size(F.array_distinct(words)).cast("bigint")
+        + F.lit(30000)
+        * F.size(F.filter(words, lambda w: w.isin(*REQUIRED_STOPWORDS))).cast(
+            "bigint"
+        ),
+        F.lit(1_000_000).cast("bigint"),
+    )
+    buckets = (
+        d.select(
+            p_micro.alias("p_micro"), F.size(words).cast("bigint").alias("n_tokens")
+        )
+        .select(
+            F.least(F.expr("p_micro DIV 100000"), F.lit(9).cast("bigint")).alias(
+                "bucket"
+            ),
+            "n_tokens",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = buckets.agg(F.sum("tokens").alias("t_all"))
+    budget = tot.select(
+        F.expr(f"(t_all * {BUDGET_SHARE_MICRO}) DIV 1000000").alias("b")
+    )
+    b2 = buckets.select(F.col("bucket").alias("b2"), F.col("tokens").alias("tk2"))
+    cum = (
+        buckets.join(F.broadcast(b2), how="cross")
+        .groupBy("bucket", "n_docs", "tokens")
+        .agg(
+            F.sum(
+                F.when(F.col("b2") > F.col("bucket"), F.col("tk2")).otherwise(0)
+            ).alias("cum_above")
+        )
+    )
+    return cum.crossJoin(F.broadcast(budget)).select(
+        "bucket",
+        "n_docs",
+        "tokens",
+        "cum_above",
+        F.col("b").alias("budget_tokens"),
+        F.when(F.col("cum_above") >= F.col("b"), F.lit(0).cast("bigint"))
+        .when(
+            F.col("cum_above") + F.col("tokens") <= F.col("b"), F.col("tokens")
+        )
+        .otherwise(F.col("b") - F.col("cum_above"))
+        .alias("take_tokens"),
+        (F.col("cum_above") + F.col("tokens") <= F.col("b")).alias(
+            "fully_taken"
+        ),
+    )

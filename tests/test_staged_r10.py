@@ -1,0 +1,280 @@
+"""Tests for llm/staged_r10.py — the round-10 registration candidates.
+
+Same structure as the r8/r9 batteries: fleet plan sweeps, oracle
+parity at sf0.001, and independent referees: the MW reweight
+arithmetic replayed from the registered surprisal output, IVF load
+identities, degree-histogram corpus partition, a pandas rolling-window
+DAU/WAU replay, and the water-fill's conservation law (Σ take ==
+budget exactly)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from python_nyc_taxi_data_pipeline_spark.catalog import FIXTURE_TABLES
+from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import (
+    BUDGET_SHARE_MICRO,
+    DOREMI_ETA_DIV,
+    R10_BATCH,
+    STAGED,
+    WAU_WINDOW_DAYS,
+)
+from tests.conftest import SF_DIR
+
+
+def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
+    return duckdb.sql(
+        f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+    ).fetchdf()
+
+
+# --------------------------------------------------------------------
+# Fleet-wide gates
+# --------------------------------------------------------------------
+
+
+def test_staged_plans_carry_no_antipatterns(spark):
+    from tests.test_plans import (
+        _benign_single_partition,
+        _single_partition_exchange_ids,
+        plan_of,
+    )
+
+    flagged = {}
+    for name, q in STAGED.items():
+        p = plan_of(q.fn(spark, SF_DIR))
+        hits = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+        if "SortAggregate" in p:
+            hits.append("SortAggregate")
+        for nid in _single_partition_exchange_ids(p):
+            if not _benign_single_partition(p, nid):
+                hits.append(f"Exchange SinglePartition (node {nid})")
+        if hits:
+            flagged[name] = hits
+    assert flagged == {}
+
+
+def test_staged_oracle_parity_sf0001(spark):
+    from tools.oracle_check import compare
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    for name, q in STAGED.items():
+        sdf = q.fn(spark, SF_DIR).toPandas()
+        ddf = con.execute(q.oracle).fetchdf()
+        problems = compare(name, sdf, ddf)
+        assert not problems, f"{name}: {problems}"
+        assert len(sdf) > 0, f"{name}: degenerate empty result"
+    con.close()
+
+
+# --------------------------------------------------------------------
+# DoReMi step — MW arithmetic replayed from the registered surprisal
+# --------------------------------------------------------------------
+
+
+def test_doremi_step_replays_from_registered_surprisal(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.lm import (
+        docs_unigram_surprisal_filter,
+    )
+
+    got = STAGED["docs_doremi_reweight_step"].fn(spark, SF_DIR).toPandas()
+    per_doc = docs_unigram_surprisal_filter(spark, SF_DIR).toPandas()
+    src_of = _pd("documents").set_index("doc_id")["source"]
+    per_doc["source"] = per_doc["doc_id"].map(src_of)
+    agg = per_doc.groupby("source").agg(
+        n_tokens=("n_tokens", "sum"), s_micro=("sum_surprisal_micro", "sum")
+    )
+    n_all, s_all = int(agg["n_tokens"].sum()), int(agg["s_micro"].sum())
+    corpus_mean = s_all // n_all
+    rows = {}
+    for src, r in agg.iterrows():
+        mean = int(r["s_micro"]) // int(r["n_tokens"])
+        excess = mean - corpus_mean
+        # Python // floors; both engines' DIV truncate toward zero —
+        # match the engine semantics for negative excess.
+        q = abs(excess) // DOREMI_ETA_DIV
+        step = q if excess >= 0 else -q
+        factor = max(0, 1_000_000 + step)
+        rows[src] = (int(r["n_tokens"]), mean, excess, factor)
+    z = sum(n * f for n, _, _, f in rows.values())
+    g = got.set_index("source")
+    for src, (n, mean, excess, factor) in rows.items():
+        r = g.loc[src]
+        assert int(r["n_tokens"]) == n
+        assert int(r["mean_micro"]) == mean, src
+        assert int(r["excess_micro"]) == excess, src
+        assert int(r["factor_micro"]) == factor, src
+        assert int(r["share_before_micro"]) == n * 1_000_000 // n_all
+        assert int(r["share_after_micro"]) == n * factor * 1_000_000 // z, src
+    # Shares renormalize: floor-sums land within |sources| of 1e6.
+    for col in ("share_before_micro", "share_after_micro"):
+        s = got[col].sum()
+        assert 1_000_000 - len(got) < s <= 1_000_000, col
+    # The MW direction: positive excess ⇒ share goes up (strictly,
+    # modulo floor wobble of 1 micro).
+    up = got[got["excess_micro"] > 0]
+    assert (up["share_after_micro"] >= up["share_before_micro"] - 1).all()
+
+
+# --------------------------------------------------------------------
+# IVF balance — load identities
+# --------------------------------------------------------------------
+
+
+def test_ivf_balance_identities(spark):
+    got = STAGED["embeddings_ivf_balance_report"].fn(spark, SF_DIR).toPandas()
+    emb = _pd("embeddings")
+    cells = emb.groupby("label").size()
+    n, n_cells, max_cell = len(emb), len(cells), int(cells.max())
+    assert len(got) == n_cells
+    assert got["n_vectors"].sum() == n
+    g = got.set_index("label").sort_index()
+    assert (g["n_vectors"] == cells.sort_index()).all()
+    assert (
+        g["load_factor_micro"]
+        == g["n_vectors"] * n_cells * 1_000_000 // n
+    ).all()
+    assert (g["worst_load_factor_micro"] == max_cell * n_cells * 1_000_000 // n).all()
+    assert (g["share_of_hottest_micro"] == g["n_vectors"] * 1_000_000 // max_cell).all()
+    # The hottest cell's share of itself is exactly 1e6.
+    assert g["share_of_hottest_micro"].max() == 1_000_000
+    # Mean load factor ≈ 1e6 (floor wobble ≤ n_cells).
+    assert abs(g["load_factor_micro"].mean() - 1_000_000) <= n_cells
+
+
+# --------------------------------------------------------------------
+# Degree histogram — partitions the corpus, agrees with the raw pairs
+# --------------------------------------------------------------------
+
+
+def test_degree_histogram_partitions_corpus(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.dedup import (
+        docs_ngram_jaccard_pairs,
+    )
+
+    got = STAGED["docs_dedup_graph_degrees"].fn(spark, SF_DIR).toPandas()
+    pairs = docs_ngram_jaccard_pairs(spark, SF_DIR).toPandas()
+    n_docs_total = len(_pd("documents"))
+    assert got["n_docs"].sum() == n_docs_total
+    deg = (
+        pd.concat([pairs["doc_a"], pairs["doc_b"]]).value_counts()
+    )
+    want = deg.value_counts()
+    g = got.set_index("degree")
+    for d, n in want.items():
+        assert g.loc[d, "n_docs"] == n
+    assert g.loc[0, "n_docs"] == n_docs_total - deg.size
+    # Handshake: Σ degree·count == 2·|pairs|.
+    assert int((got["degree"] * got["n_docs"]).sum()) == 2 * len(pairs)
+
+
+# --------------------------------------------------------------------
+# DAU/WAU — pandas rolling replay
+# --------------------------------------------------------------------
+
+
+def test_dau_wau_pandas_replay(spark):
+    got = (
+        STAGED["events_dau_wau_stickiness"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("day_idx", ignore_index=True)
+    )
+    e = _pd("events")
+    ud = (
+        pd.DataFrame(
+            {"u": e["user_id"], "d": (e["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days}
+        )
+        .drop_duplicates()
+    )
+    d0, d1 = int(ud["d"].min()), int(ud["d"].max())
+    rows = []
+    for d in range(d0, d1 + 1):
+        idx = d - d0 + 1
+        if idx < WAU_WINDOW_DAYS:
+            continue
+        dau = int((ud["d"] == d).sum())
+        wau = ud.loc[ud["d"].between(d - WAU_WINDOW_DAYS + 1, d), "u"].nunique()
+        rows.append((idx, dau, wau, dau * 1_000_000 // wau))
+    want = pd.DataFrame(
+        rows, columns=["day_idx", "dau", "wau", "stickiness_micro"]
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert (got["stickiness_micro"] <= 1_000_000).all()
+    assert (got["dau"] <= got["wau"]).all()
+
+
+# --------------------------------------------------------------------
+# Token budget — water-fill conservation law
+# --------------------------------------------------------------------
+
+
+def test_budget_plan_conservation(spark):
+    got = (
+        STAGED["corpus_token_budget_plan"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("bucket", ascending=False, ignore_index=True)
+    )
+    t_all = int(got["tokens"].sum())
+    budget = t_all * BUDGET_SHARE_MICRO // 1_000_000
+    assert (got["budget_tokens"] == budget).all()
+    # THE law: the plan spends the budget exactly (budget ≤ corpus).
+    assert int(got["take_tokens"].sum()) == budget
+    # Fill is highest-first: takes are full above the marginal bucket,
+    # zero below it, and each take is within the bucket's mass.
+    assert (got["take_tokens"] <= got["tokens"]).all()
+    state = "full"
+    for r in got.itertuples():  # descending bucket order
+        if state == "full" and r.take_tokens == r.tokens:
+            continue
+        if state == "full":
+            state = "after_marginal"  # the (single) marginal bucket
+            continue
+        assert r.take_tokens == 0, r
+    # cum_above really is the tokens in strictly-better buckets.
+    cum = 0
+    for r in got.itertuples():
+        assert r.cum_above == cum, r
+        cum += r.tokens
+    assert (got["fully_taken"] == (got["take_tokens"] == got["tokens"])).all()
+
+
+# --------------------------------------------------------------------
+# Registration hygiene
+# --------------------------------------------------------------------
+
+
+def test_r10_batch_names_the_whole_slate():
+    assert sorted(R10_BATCH) == sorted(STAGED)
+
+
+def test_promote_to_registry_round_trip():
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from python_nyc_taxi_data_pipeline_spark import registry
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import (
+        promote_to_registry,
+    )
+
+    pre = dict(registry._REGISTRY)
+    scratch: dict = {}
+    with mock.patch.object(registry, "_REGISTRY", scratch):
+        promoted = promote_to_registry(["embeddings_ivf_balance_report"])
+        assert promoted == ["embeddings_ivf_balance_report"]
+        row = scratch["embeddings_ivf_balance_report"]
+        assert row.fn is STAGED["embeddings_ivf_balance_report"].fn
+        assert row.oracle == STAGED["embeddings_ivf_balance_report"].oracle
+        with _pytest.raises(ValueError, match="duplicate"):
+            promote_to_registry(["embeddings_ivf_balance_report"])
+        with _pytest.raises(ValueError, match="explicit"):
+            promote_to_registry(None)
+    assert registry._REGISTRY == pre

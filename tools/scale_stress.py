@@ -187,6 +187,29 @@ def _staged9(name: str):
     return fn
 
 
+def _staged10(name: str):
+    """Resolve a round-10 STAGED query (llm/staged_r10.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
+# round-10 staged candidates (llm/staged_r10.py)
+EXTRA_FNS_R10 = (
+    "docs_doremi_reweight_step",
+    "embeddings_ivf_balance_report",
+    "docs_dedup_graph_degrees",
+    "events_dau_wau_stickiness",
+    "corpus_token_budget_plan",
+)
+
+
+EXTRA_FNS.update({name: _staged10(name) for name in EXTRA_FNS_R10})
+
 # round-9 staged candidates (llm/staged_r9.py). orders_basket_lift is
 # deliberately absent: the key-shift inflater duplicates baskets, so
 # SUPPORT itself inflates (the triangle-counting caveat class).
@@ -406,6 +429,16 @@ MAX_EXPONENT = {
     "docs_pii_scrub_contract": 1.35,
     "events_error_cusum": 1.35,
     "embeddings_cosine_calibration": 1.35,
+    # Staged r10. DoReMi rides the stressed surprisal plan + a
+    # |sources|-group agg; IVF balance / budget plan are single-scan
+    # bounded-group aggregates; degrees ride the stressed pair plan;
+    # DAU/WAU's event-volume work is the one distinct (user, day) agg
+    # (the spine fan-out is calendar-bounded).
+    "docs_doremi_reweight_step": 1.35,
+    "embeddings_ivf_balance_report": 1.35,
+    "docs_dedup_graph_degrees": 1.35,
+    "events_dau_wau_stickiness": 1.35,
+    "corpus_token_budget_plan": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
