@@ -36,6 +36,17 @@ The slate (operator families the engine does not cover yet):
   is spent, with the marginal bucket taking the exact remainder. The
   sortless (histogram-cut) form of "take the best X tokens", the
   selection step every data-constrained training run executes.
+- ``docs_contamination_attribution``: trace each held-out doc to the
+  train doc sharing the MOST token trigrams (packed-key argmax, no
+  SortAggregate) — the decon triage row; composes the r8 token-space
+  pipeline verbatim.
+- ``events_power_user_pareto``: sortless power-user concentration —
+  per activity level, user/event mass at-or-above (the "top X% of
+  users generate Y% of events" curve); the engagement twin of the
+  spend Gini.
+- ``orders_priority_sla``: SLA compliance by order priority (share of
+  lines shipped within 30/90 days) — the does-priority-actually-
+  matter audit on the co-partitioned fact join.
 """
 
 from __future__ import annotations
@@ -65,6 +76,9 @@ R10_BATCH: tuple[str, ...] = (
     "docs_dedup_graph_degrees",
     "events_dau_wau_stickiness",
     "corpus_token_budget_plan",
+    "docs_contamination_attribution",
+    "events_power_user_pareto",
+    "orders_priority_sla",
 )
 
 
@@ -624,4 +638,324 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_above") + F.col("tokens") <= F.col("b")).alias(
             "fully_taken"
         ),
+    )
+
+
+# --------------------------------------------------------------------
+# Contamination attribution (trace the leak to its train doc)
+# --------------------------------------------------------------------
+
+
+def _attribution_oracle() -> str:
+    from .bpe import _bpe_oracle
+    from .staged_r8 import _HH_SQL, TOKEN_NGRAM_N
+
+    # Same tokenize→trigram pipeline as the (r8) token-space
+    # contamination audit — embedded verbatim so this hash re-proves
+    # the composition — extended with the per-(test, train) doc-pair
+    # shared-gram count and the packed-key argmax.
+    return (
+        _bpe_oracle()
+        + f"""
+    , posw AS (
+      SELECT doc_id, {_HH_SQL} AS hh,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), toks AS (
+      SELECT p.doc_id, p.hh,
+             flatten(list(v.syms ORDER BY p.pos)) AS toks
+      FROM posw p JOIN r6_words v USING (word)
+      GROUP BY p.doc_id, p.hh
+    ), grams AS (
+      SELECT doc_id, hh,
+             CASE WHEN len(toks) >= {TOKEN_NGRAM_N} THEN
+               list_distinct(list_transform(
+                 range(1, len(toks) - {TOKEN_NGRAM_N - 2}),
+                 i -> array_to_string(toks[i:i + {TOKEN_NGRAM_N - 1}], ' ')))
+             ELSE [] END AS gs
+      FROM toks
+    ), train_g AS (
+      SELECT doc_id AS train_doc_id, unnest(gs) AS g
+      FROM grams WHERE hh < 'cd'
+    ), test_g AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams WHERE hh >= 'e6'
+    ), pair_hits AS (
+      SELECT t.doc_id, tr.train_doc_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM test_g t JOIN train_g tr USING (g)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, train_doc_id, n_shared
+    FROM pair_hits
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_shared DESC, train_doc_id) = 1
+    """
+    )
+
+
+@stage(
+    "docs_contamination_attribution",
+    oracle=_attribution_oracle(),
+    tags=("llm", "decontamination", "tokenizer"),
+)
+def docs_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace each contaminated held-out doc to its STRONGEST train-side
+    leak: the train document sharing the most token trigrams (ties to
+    the lowest train id). The (r8) token-space audit says WHETHER a
+    held-out doc leaks; this says FROM WHERE — the row a decon triage
+    actually acts on (delete the train doc? whitelist the idiom?).
+    Same BPE tokenize→trigram pipeline, composed verbatim.
+
+    Exactness: shared-gram counts are integers; the per-doc argmax is
+    the packed-BIGINT primitive-key max (n_shared·2³² + (2³²−1 −
+    train_doc)) — a hash aggregate, never a struct-max SortAggregate;
+    the oracle's QUALIFY row_number is the same (count DESC, id ASC)
+    order.
+
+    Scale (100 TB): the pair frame is the gram-keyed inverted-index
+    join (posting-list bounded, the registered pair-emit shape) — the
+    held-out side is eval-sized, so pair volume is |test grams| ×
+    df(gram), never corpus². One (test, train) hash aggregate + one
+    test-doc-keyed packed max."""
+    from .bpe import bpe_train
+    from .staged_r8 import TOKEN_NGRAM_N, _split_hh
+
+    _, vocab = bpe_train(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        _split_hh(F.col("doc_id")).alias("hh"),
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    toks = (
+        d.join(vocab.select("word", "syms"), "word")
+        .groupBy("doc_id", "hh")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("toks")
+        )
+    )
+    n = TOKEN_NGRAM_N
+    grams = toks.select(
+        "doc_id",
+        "hh",
+        F.when(
+            F.size("toks") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("gs"),
+    ).localCheckpoint(eager=True)
+    train_g = grams.filter(F.col("hh") < "cd").select(
+        F.col("doc_id").alias("train_doc_id"), F.explode("gs").alias("g")
+    )
+    test_g = grams.filter(F.col("hh") >= "e6").select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    pair_hits = (
+        test_g.join(train_g, "g")
+        .groupBy("doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    best = pair_hits.groupBy("doc_id").agg(
+        F.max(
+            F.col("n_shared") * F.lit(4294967296).cast("bigint")
+            + (F.lit(4294967295).cast("bigint") - F.col("train_doc_id"))
+        ).alias("packed")
+    )
+    return best.select(
+        "doc_id",
+        (
+            F.lit(4294967295).cast("bigint")
+            - F.col("packed") % F.lit(4294967296).cast("bigint")
+        ).alias("train_doc_id"),
+        F.expr("packed DIV 4294967296").alias("n_shared"),
+    )
+
+
+# --------------------------------------------------------------------
+# Power-user concentration (sortless Pareto over event counts)
+# --------------------------------------------------------------------
+
+
+def _power_user_oracle() -> str:
+    return """
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ), h AS (
+      SELECT n_events AS bucket,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n_events) AS BIGINT) AS events
+      FROM per_user GROUP BY n_events
+    ), tot AS (
+      SELECT CAST(sum(n_users) AS BIGINT) AS u,
+             CAST(sum(events) AS BIGINT) AS e
+      FROM h
+    )
+    SELECT a.bucket, a.n_users, a.events,
+           CAST(sum(b.n_users) AS BIGINT) AS users_at_or_above,
+           CAST(sum(b.events) AS BIGINT) AS events_at_or_above,
+           CAST(sum(b.n_users) * 1000000 // t.u AS BIGINT)
+             AS user_share_micro,
+           CAST(sum(b.events) * 1000000 // t.e AS BIGINT)
+             AS event_share_micro
+    FROM h a JOIN h b ON b.bucket >= a.bucket CROSS JOIN tot t
+    GROUP BY a.bucket, a.n_users, a.events, t.u, t.e
+    """
+
+
+@stage(
+    "events_power_user_pareto",
+    oracle=_power_user_oracle(),
+    tags=("events", "analytics", "report"),
+)
+def events_power_user_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user concentration (the Pareto / "1% rule" audit): per
+    events-per-user level, the user and event mass at-or-above it —
+    read off any row to get "the top X% of users generate Y% of
+    events", computed SORTLESS: one user-key aggregate collapses the
+    event volume, the activity histogram is |levels|-bounded, and the
+    cumulative curve is a triangular join of that tiny table (the
+    threshold-sweep machinery). The engagement-inequality twin of the
+    customer-spend Gini.
+
+    Exactness: integer counts; shares are floor divisions of exact
+    sums.
+
+    Scale (100 TB): ONE event-volume shuffle (user counts, map-side
+    combined); everything after is activity-histogram arithmetic."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    h = (
+        per_user.groupBy(F.col("n_events").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("events"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = h.agg(F.sum("n_users").alias("u"), F.sum("events").alias("e"))
+    b = h.select(
+        F.col("bucket").alias("b2"),
+        F.col("n_users").alias("nu2"),
+        F.col("events").alias("ev2"),
+    )
+    return (
+        h.join(F.broadcast(b), F.col("b2") >= F.col("bucket"))
+        .groupBy("bucket", "n_users", "events")
+        .agg(
+            F.sum("nu2").alias("users_at_or_above"),
+            F.sum("ev2").alias("events_at_or_above"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_users",
+            "events",
+            "users_at_or_above",
+            "events_at_or_above",
+            F.expr("(users_at_or_above * 1000000) DIV u").alias(
+                "user_share_micro"
+            ),
+            F.expr("(events_at_or_above * 1000000) DIV e").alias(
+                "event_share_micro"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Order-priority SLA compliance
+# --------------------------------------------------------------------
+
+SLA_FAST_DAYS = 30
+SLA_SLOW_DAYS = 90
+
+
+def _sla_oracle() -> str:
+    return f"""
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lat
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN lat <= {SLA_FAST_DAYS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_{SLA_FAST_DAYS}d,
+           CAST(sum(CASE WHEN lat <= {SLA_SLOW_DAYS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_{SLA_SLOW_DAYS}d,
+           CAST(sum(CASE WHEN lat <= {SLA_FAST_DAYS} THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT)
+             AS sla_{SLA_FAST_DAYS}d_micro,
+           CAST(sum(CASE WHEN lat <= {SLA_SLOW_DAYS} THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT)
+             AS sla_{SLA_SLOW_DAYS}d_micro
+    FROM j GROUP BY o_orderpriority
+    """
+
+
+@stage(
+    "orders_priority_sla",
+    oracle=_sla_oracle(),
+    tags=("analytics", "report"),
+)
+def orders_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA compliance by order priority: per priority class, the share
+    of line items shipped within {SLA_FAST_DAYS} and {SLA_SLOW_DAYS}
+    days of the order — the table that tells an ops team whether
+    '1-URGENT' actually ships faster than '5-LOW' (on synthetic
+    fixtures it provably does not, which is itself the audit's
+    point: priority labels with no latency effect are process debt).
+
+    Exactness: integer day latencies; SLA shares are floor divisions.
+
+    Scale (100 TB): the co-partitioned orders⋈lineitem fact join (the
+    ship-latency plan) + a |priorities|-group conditional-sum hash
+    aggregate with map-side combine."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority", F.datediff("sd", "od").alias("lat")
+    )
+    fast = F.sum(F.when(F.col("lat") <= SLA_FAST_DAYS, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    slow = F.sum(F.when(F.col("lat") <= SLA_SLOW_DAYS, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            fast.alias(f"n_within_{SLA_FAST_DAYS}d"),
+            slow.alias(f"n_within_{SLA_SLOW_DAYS}d"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            f"n_within_{SLA_FAST_DAYS}d",
+            f"n_within_{SLA_SLOW_DAYS}d",
+            F.expr(
+                f"(n_within_{SLA_FAST_DAYS}d * 1000000) DIV n_lines"
+            ).alias(f"sla_{SLA_FAST_DAYS}d_micro"),
+            F.expr(
+                f"(n_within_{SLA_SLOW_DAYS}d * 1000000) DIV n_lines"
+            ).alias(f"sla_{SLA_SLOW_DAYS}d_micro"),
+        )
     )

@@ -278,3 +278,102 @@ def test_promote_to_registry_round_trip():
         with _pytest.raises(ValueError, match="explicit"):
             promote_to_registry(None)
     assert registry._REGISTRY == pre
+
+
+# --------------------------------------------------------------------
+# Contamination attribution — argmax referee vs the r8 audit
+# --------------------------------------------------------------------
+
+
+def test_attribution_consistent_with_contamination_audit(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import (
+        STAGED as STAGED_R8,
+    )
+
+    attr = STAGED["docs_contamination_attribution"].fn(spark, SF_DIR).toPandas()
+    audit = (
+        STAGED_R8["docs_token_space_contamination"].fn(spark, SF_DIR).toPandas()
+    )
+    a = audit.set_index("doc_id")
+    # Every attributed doc is held-out and its n_shared can't exceed
+    # the audit's total shared-trigram count for that doc... it counts
+    # shared gram OCCURRENCES per train doc vs the audit's distinct
+    # shared grams — but per (test, train) pair each distinct test
+    # gram counts once, so best-pair shared ≤ audit's n_shared total.
+    for r in attr.itertuples():
+        assert r.doc_id in a.index
+        assert 1 <= r.n_shared <= a.loc[r.doc_id, "n_shared_trigrams"]
+    # Docs the audit marks contaminated all receive an attribution.
+    contaminated = set(audit.loc[audit["contaminated"], "doc_id"])
+    assert contaminated <= set(attr["doc_id"])
+    # Packed-key decode round-trips: n_shared and train id are sane.
+    assert (attr["train_doc_id"] >= 0).all()
+    import hashlib
+
+    th = attr["train_doc_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest()[:2]
+    )
+    assert (th < "cd").all()
+
+
+# --------------------------------------------------------------------
+# Power-user pareto — replay + Pareto shape
+# --------------------------------------------------------------------
+
+
+def test_power_user_pareto_replay(spark):
+    got = (
+        STAGED["events_power_user_pareto"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    e = _pd("events")
+    per_user = e.groupby("user_id").size()
+    u, ev = len(per_user), len(e)
+    assert got["n_users"].sum() == u
+    assert got["events"].sum() == ev
+    for r in got.itertuples():
+        sel = per_user[per_user >= r.bucket]
+        assert r.users_at_or_above == len(sel)
+        assert r.events_at_or_above == sel.sum()
+        assert r.user_share_micro == len(sel) * 1_000_000 // u
+        assert r.event_share_micro == int(sel.sum()) * 1_000_000 // ev
+    # Pareto dominance: event share at-or-above always ≥ user share.
+    assert (got["event_share_micro"] >= got["user_share_micro"]).all()
+
+
+# --------------------------------------------------------------------
+# Priority SLA — conditional-count referee
+# --------------------------------------------------------------------
+
+
+def test_priority_sla_replay(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import (
+        SLA_FAST_DAYS,
+        SLA_SLOW_DAYS,
+    )
+
+    got = STAGED["orders_priority_sla"].fn(spark, SF_DIR).toPandas()
+    li = _pd("lineitem")[["l_orderkey", "l_shipdate"]]
+    o = _pd("orders")[["o_orderkey", "o_orderpriority", "o_orderdate"]]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    lat = (j["l_shipdate"].dt.normalize() - j["o_orderdate"].dt.normalize()).dt.days
+    j = j.assign(lat=lat)
+    g = got.set_index("o_orderpriority").sort_index()
+    agg = j.groupby("o_orderpriority")["lat"].agg(
+        n="size",
+        fast=lambda s: int((s <= SLA_FAST_DAYS).sum()),
+        slow=lambda s: int((s <= SLA_SLOW_DAYS).sum()),
+    )
+    assert (g["n_lines"] == agg["n"]).all()
+    assert (g[f"n_within_{SLA_FAST_DAYS}d"] == agg["fast"]).all()
+    assert (g[f"n_within_{SLA_SLOW_DAYS}d"] == agg["slow"]).all()
+    assert (
+        g[f"sla_{SLA_FAST_DAYS}d_micro"]
+        == agg["fast"] * 1_000_000 // agg["n"]
+    ).all()
+    # 30d compliance can never exceed 90d compliance.
+    assert (
+        g[f"sla_{SLA_FAST_DAYS}d_micro"] <= g[f"sla_{SLA_SLOW_DAYS}d_micro"]
+    ).all()

@@ -205,6 +205,9 @@ EXTRA_FNS_R10 = (
     "docs_dedup_graph_degrees",
     "events_dau_wau_stickiness",
     "corpus_token_budget_plan",
+    "docs_contamination_attribution",
+    "events_power_user_pareto",
+    "orders_priority_sla",
 )
 
 
@@ -439,6 +442,12 @@ MAX_EXPONENT = {
     "docs_dedup_graph_degrees": 1.35,
     "events_dau_wau_stickiness": 1.35,
     "corpus_token_budget_plan": 1.35,
+    # Attribution rides the token-contamination inverted-index probe
+    # (both gram sides ~k); pareto is one user-key agg + histogram
+    # arithmetic; SLA is the co-partitioned fact join + bounded agg.
+    "docs_contamination_attribution": 1.35,
+    "events_power_user_pareto": 1.35,
+    "orders_priority_sla": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
