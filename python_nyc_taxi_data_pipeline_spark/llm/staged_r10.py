@@ -47,6 +47,13 @@ The slate (operator families the engine does not cover yet):
 - ``orders_priority_sla``: SLA compliance by order priority (share of
   lines shipped within 30/90 days) — the does-priority-actually-
   matter audit on the co-partitioned fact join.
+- ``docs_curriculum_shard_manifest``: quality-curriculum training
+  shards — deterministic shard deal, highest-quality-first positions
+  within each shard, per-(shard, bucket) contiguous position ranges
+  as the manifest contract.
+- ``embeddings_quantization_sweep``: e1…e4 fixed-point precision
+  sweep (exact-representation counts + integer reconstruction-error
+  mass) — the how-many-bits table read before choosing int8/fp16/PQ.
 """
 
 from __future__ import annotations
@@ -79,6 +86,8 @@ R10_BATCH: tuple[str, ...] = (
     "docs_contamination_attribution",
     "events_power_user_pareto",
     "orders_priority_sla",
+    "docs_curriculum_shard_manifest",
+    "embeddings_quantization_sweep",
 )
 
 
@@ -982,4 +991,191 @@ def orders_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(n_within_{SLA_SLOW_DAYS}d * 1000000) DIV n_lines"
             ).alias(f"sla_{SLA_SLOW_DAYS}d_micro"),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Curriculum shard manifest (quality-ordered training shards)
+# --------------------------------------------------------------------
+
+CURRICULUM_SHARDS = 8
+
+
+def _curriculum_oracle() -> str:
+    from .quality import REQUIRED_STOPWORDS
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             least(9000 * len(list_distinct(string_split(text, ' ')))
+                   + 30000 * len(list_filter(string_split(text, ' '),
+                                             x -> x IN {REQUIRED_STOPWORDS!r})),
+                   1000000) AS p_micro,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, p_micro, n_tokens,
+             CAST(doc_id % {CURRICULUM_SHARDS} AS BIGINT) AS shard,
+             least(p_micro // 100000, 9) AS bucket
+      FROM scored
+    ), positioned AS (
+      SELECT shard, bucket, doc_id, n_tokens,
+             CAST(row_number() OVER (
+               PARTITION BY shard
+               ORDER BY bucket DESC, doc_id) AS BIGINT) AS position
+      FROM sharded
+    )
+    SELECT shard, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(position) AS BIGINT) AS first_position,
+           CAST(max(position) AS BIGINT) AS last_position
+    FROM positioned GROUP BY shard, bucket
+    """
+
+
+@stage(
+    "docs_curriculum_shard_manifest",
+    oracle=_curriculum_oracle(),
+    tags=("llm", "selection", "curriculum"),
+)
+def docs_curriculum_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training-shard manifest: docs deal into
+    {CURRICULUM_SHARDS} deterministic shards (doc_id mod — the
+    registered shard-manifest convention) and each shard orders its
+    docs highest-quality-first ((bucket DESC, doc_id) — deterministic,
+    RNG-free); the manifest row per (shard, bucket) carries the doc
+    and token mass plus the CONTIGUOUS position range — the contract
+    that lets a trainer stream easy/high-quality mass first (quality
+    curriculum) while every shard stays independently orderable. The
+    per-(shard, bucket) position ranges being non-overlapping and
+    exhaustive IS the curriculum property, and it's what the oracle
+    hash pins.
+
+    Exactness: integer score buckets (the Brier/budget scorer);
+    positions are row_numbers under a fully deterministic order.
+
+    Scale (100 TB): ONE shuffle — the shard-key partition sort that
+    assigns positions (each shard sorts independently; shard count
+    scales with the fleet, the classic write-side pattern); the
+    manifest rollup is (shards × 10)-bounded."""
+    from .quality import REQUIRED_STOPWORDS
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    p_micro = F.least(
+        F.lit(9000) * F.size(F.array_distinct(words)).cast("bigint")
+        + F.lit(30000)
+        * F.size(F.filter(words, lambda w: w.isin(*REQUIRED_STOPWORDS))).cast(
+            "bigint"
+        ),
+        F.lit(1_000_000).cast("bigint"),
+    )
+    sharded = d.select(
+        "doc_id",
+        (F.col("doc_id") % CURRICULUM_SHARDS).cast("bigint").alias("shard"),
+        F.least(
+            (p_micro / 100_000).cast("bigint"), F.lit(9).cast("bigint")
+        ).alias("bucket"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.desc("bucket"), F.asc("doc_id"))
+    positioned = sharded.select(
+        "shard",
+        "bucket",
+        "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("position"),
+    )
+    return positioned.groupBy("shard", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("position").alias("first_position"),
+        F.max("position").alias("last_position"),
+    )
+
+
+# --------------------------------------------------------------------
+# Quantization precision sweep (how many bits does the index need)
+# --------------------------------------------------------------------
+
+QUANT_LEVELS = (10, 100, 1000, 10000)  # e1 .. e4 fixed-point scales
+
+
+def _quant_sweep_oracle() -> str:
+    levels = ", ".join(str(s) for s in QUANT_LEVELS)
+    return f"""
+    WITH x AS (
+      SELECT CAST(round(CAST(xv AS DOUBLE) * 10000.0, 0) AS BIGINT) AS q4
+      FROM (SELECT unnest(embedding) AS xv FROM embeddings)
+    ), lv AS (
+      SELECT unnest([{levels}]) AS scale_
+    ), err AS (
+      SELECT lv.scale_,
+             abs(x.q4 * lv.scale_ - CAST(round(CAST(x.q4 AS DOUBLE)
+                                               * lv.scale_ / 10000.0, 0)
+                                         AS BIGINT) * 10000) AS e_e4s
+      FROM x CROSS JOIN lv
+    )
+    SELECT scale_ AS quant_scale,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(CASE WHEN e_e4s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(max(e_e4s) AS BIGINT) AS max_abs_err_e4s,
+           CAST(sum(e_e4s) AS BIGINT) AS sum_abs_err_e4s
+    FROM err GROUP BY scale_
+    """
+
+
+@stage(
+    "embeddings_quantization_sweep",
+    oracle=_quant_sweep_oracle(),
+    tags=("llm", "embedding", "quantization", "report"),
+)
+def embeddings_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization precision sweep: for each fixed-point scale
+    (e1…e4), the exact-representation count and the absolute
+    reconstruction-error mass of quantizing every embedding
+    coordinate — the how-many-bits-does-the-index-need table read
+    before choosing int8 vs fp16 vs PQ for a 100 TB vector store
+    (when e2 already represents 99% of coordinates exactly, shipping
+    e4 wastes half the index bytes).
+
+    Exactness: coordinates first quantize to the canonical e4 integers
+    (the repo-wide exact grid); each coarser level re-quantizes THOSE
+    integers, so errors are exact integer differences in e4·scale
+    units — no float comparison anywhere. The inner round is
+    round-half-away on an exact ratio — the proven micro-quantize
+    pattern, identical cross-engine.
+
+    Scale (100 TB): one scan exploded to coordinates, a constant
+    4-way level fan-out, and a 4-group hash aggregate with map-side
+    combine — shuffle is 4 rows per partition."""
+    e = load(spark, sf_dir, "embeddings")
+    q4 = e.select(
+        F.explode("embedding").alias("xv")
+    ).select(
+        F.round(F.col("xv").cast("double") * 10000.0, 0).cast("bigint").alias("q4")
+    )
+    lv = F.array(*[F.lit(s) for s in QUANT_LEVELS])
+    err = q4.select(
+        "q4", F.explode(lv).alias("scale_")
+    ).select(
+        "scale_",
+        F.abs(
+            F.col("q4") * F.col("scale_")
+            - F.round(
+                F.col("q4").cast("double") * F.col("scale_") / 10000.0, 0
+            ).cast("bigint")
+            * 10000
+        ).alias("e_e4s"),
+    )
+    return err.groupBy(F.col("scale_").alias("quant_scale")).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.when(F.col("e_e4s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.max("e_e4s").alias("max_abs_err_e4s"),
+        F.sum("e_e4s").alias("sum_abs_err_e4s"),
     )

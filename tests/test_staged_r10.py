@@ -379,3 +379,71 @@ def test_priority_sla_replay(spark):
     assert (
         g[f"sla_{SLA_FAST_DAYS}d_micro"] <= g[f"sla_{SLA_SLOW_DAYS}d_micro"]
     ).all()
+
+
+# --------------------------------------------------------------------
+# Curriculum manifest — the curriculum property itself
+# --------------------------------------------------------------------
+
+
+def test_curriculum_manifest_property(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import (
+        CURRICULUM_SHARDS,
+    )
+
+    got = (
+        STAGED["docs_curriculum_shard_manifest"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["shard", "bucket"], ascending=[True, False],
+                     ignore_index=True)
+    )
+    n_docs_total = len(_pd("documents"))
+    assert got["n_docs"].sum() == n_docs_total
+    assert set(got["shard"]) <= set(range(CURRICULUM_SHARDS))
+    # THE curriculum property: within each shard, per-bucket position
+    # ranges are contiguous, non-overlapping, exhaustive, and ordered
+    # highest-quality-first.
+    for shard, g in got.groupby("shard"):
+        g = g.sort_values("bucket", ascending=False)
+        next_pos = 1
+        for r in g.itertuples():
+            assert r.first_position == next_pos, (shard, r.bucket)
+            assert r.last_position == r.first_position + r.n_docs - 1
+            next_pos = r.last_position + 1
+        assert next_pos - 1 == g["n_docs"].sum()
+
+
+# --------------------------------------------------------------------
+# Quantization sweep — numpy referee + monotonicity laws
+# --------------------------------------------------------------------
+
+
+def test_quantization_sweep_replay(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import QUANT_LEVELS
+
+    got = (
+        STAGED["embeddings_quantization_sweep"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("quant_scale", ignore_index=True)
+    )
+    emb = np.stack(_pd("embeddings")["embedding"].to_numpy()).astype(np.float64)
+    frac = emb.ravel() * 10000.0
+    q4 = np.round(frac)
+    half = np.isclose(np.abs(frac - np.trunc(frac)), 0.5)
+    q4 = np.where(half, np.trunc(frac) + np.sign(frac), q4).astype(np.int64)
+    assert (got["n_values"] == q4.size).all()
+    for r in got.itertuples():
+        ratio = q4.astype(np.float64) * r.quant_scale / 10000.0
+        rq = np.round(ratio)
+        h = np.isclose(np.abs(ratio - np.trunc(ratio)), 0.5)
+        rq = np.where(h, np.trunc(ratio) + np.sign(ratio), rq).astype(np.int64)
+        err = np.abs(q4 * r.quant_scale - rq * 10000)
+        assert r.n_exact == int((err == 0).sum()), r.quant_scale
+        assert r.max_abs_err_e4s == int(err.max()), r.quant_scale
+        assert r.sum_abs_err_e4s == int(err.sum()), r.quant_scale
+    # Monotone laws: finer scales are never less exact; e4 is lossless.
+    assert got["n_exact"].is_monotonic_increasing
+    assert got.iloc[-1]["n_exact"] == q4.size
+    assert got.iloc[-1]["sum_abs_err_e4s"] == 0

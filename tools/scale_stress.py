@@ -208,6 +208,8 @@ EXTRA_FNS_R10 = (
     "docs_contamination_attribution",
     "events_power_user_pareto",
     "orders_priority_sla",
+    "docs_curriculum_shard_manifest",
+    "embeddings_quantization_sweep",
 )
 
 
@@ -448,6 +450,11 @@ MAX_EXPONENT = {
     "docs_contamination_attribution": 1.35,
     "events_power_user_pareto": 1.35,
     "orders_priority_sla": 1.35,
+    # Curriculum is ONE shard-key partition sort (positions) + a
+    # bounded manifest rollup; the quantization sweep is a scan with a
+    # constant 4-way fan-out into a 4-group agg.
+    "docs_curriculum_shard_manifest": 1.35,
+    "embeddings_quantization_sweep": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
