@@ -6,7 +6,8 @@ live registry — the staged queries must clear the exact bar they will
 face when registered next round.
 
 Usage: python tools/staged_check.py [--module rN] [--only a,b] [sf_dir ...]
-(default module: the current candidate slate, r8)
+(default module: the first slate whose queries are not yet in the live
+registry — self-healing as slates get promoted round over round)
 """
 
 from __future__ import annotations
@@ -25,9 +26,26 @@ from python_nyc_taxi_data_pipeline_spark.catalog import FIXTURE_TABLES  # noqa: 
 from python_nyc_taxi_data_pipeline_spark.session import get_session  # noqa: E402
 
 
+def _default_module() -> str:
+    """First staged slate not yet promoted into the live registry."""
+    from python_nyc_taxi_data_pipeline_spark.registry import all_queries
+
+    live = set(all_queries())
+    for module in ("r8", "r9", "r10", "r11", "r12"):
+        try:
+            mod = importlib.import_module(
+                f"python_nyc_taxi_data_pipeline_spark.llm.staged_{module}"
+            )
+        except ModuleNotFoundError:
+            continue
+        if any(n not in live for n in mod.STAGED):
+            return module
+    return "r10"
+
+
 def main() -> int:
     argv = sys.argv[1:]
-    module = "r8"
+    module = _default_module()
     only: set[str] | None = None
     rest: list[str] = []
     i = 0
