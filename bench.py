@@ -364,13 +364,29 @@ def current_round(repo: str) -> int:
     return newest + 1
 
 
-def run_staged(sf_dir: str, module: str = "r8") -> int:
-    """Fresh-JVM warm timings for a STAGED slate (default r8, the
-    next-to-register; ``--staged r9`` times the r9 slate), written to
-    BENCH_staged.json / BENCH_staged_r9.json — the per-round cost
-    record the registration decision reads."""
+def run_staged(sf_dir: str, module_arg: str | None = None) -> int:
+    """Fresh-JVM warm timings for a STAGED slate (default: the first
+    slate not yet promoted into the live registry — self-healing as
+    slates register; ``--staged r9`` pins one), written to
+    BENCH_staged.json (next-to-register slate) / BENCH_staged_rN.json
+    — the per-round cost record the registration decision reads."""
     import importlib
     import subprocess
+
+    module = module_arg
+    if module is None:
+        live = set(all_queries())
+        module = "r10"
+        for cand in ("r8", "r9", "r10", "r11", "r12"):
+            try:
+                mod = importlib.import_module(
+                    f"python_nyc_taxi_data_pipeline_spark.llm.staged_{cand}"
+                )
+            except ModuleNotFoundError:
+                continue
+            if any(n not in live for n in mod.STAGED):
+                module = cand
+                break
 
     STAGED = importlib.import_module(
         f"python_nyc_taxi_data_pipeline_spark.llm.staged_{module}"
@@ -404,7 +420,13 @@ def run_staged(sf_dir: str, module: str = "r8") -> int:
         "round": current_round(repo),
         "queries": results,
     }
-    fname = "BENCH_staged.json" if module == "r8" else f"BENCH_staged_{module}.json"
+    # The auto-resolved next-to-register slate owns the canonical
+    # filename; explicitly pinned slates get suffixed snapshots.
+    fname = (
+        "BENCH_staged.json"
+        if module_arg is None
+        else f"BENCH_staged_{module}.json"
+    )
     with open(os.path.join(repo, fname), "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps({k: v.get("warm_min") for k, v in results.items()}))
@@ -445,7 +467,7 @@ def main() -> int:
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         return run_one(sys.argv[2], sf_dir)
     if len(sys.argv) >= 2 and sys.argv[1] == "--staged":
-        return run_staged(sf_dir, sys.argv[2] if len(sys.argv) >= 3 else "r8")
+        return run_staged(sf_dir, sys.argv[2] if len(sys.argv) >= 3 else None)
     if len(sys.argv) >= 2 and sys.argv[1] == "--isolated":
         arg = sys.argv[2] if len(sys.argv) >= 3 else "curated"
         names = (
