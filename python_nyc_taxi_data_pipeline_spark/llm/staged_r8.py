@@ -42,7 +42,7 @@ with no analog to any of these):
   syndication/mirror detection that tells mixture design when two
   sources are secretly one. Composes the registered verified-pair
   plan; its oracle re-proves the composition.
-- ``events_retention_cohorts``: weekly cohort retention matrix
+- ``events_weekly_retention_cohorts``: weekly cohort retention matrix
   (cohort = first-active week, per-offset distinct-user counts +
   retention rate) — the growth-analytics primitive.
 - ``events_user_lifecycle``: per-week new / retained / resurrected /
@@ -124,7 +124,7 @@ R8_BATCH: tuple[str, ...] = (
     "docs_quality_brier_reliability",
     "docs_source_distinctive_terms",
     "docs_cross_source_duplication",
-    "events_retention_cohorts",
+    "events_weekly_retention_cohorts",
     "events_user_lifecycle",
     "docs_rag_chunk_plan",
     "embeddings_dimension_stats",
@@ -847,11 +847,11 @@ def _retention_oracle() -> str:
 
 
 @stage(
-    "events_retention_cohorts",
+    "events_weekly_retention_cohorts",
     oracle=_retention_oracle(),
     tags=("events", "analytics", "report"),
 )
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: cohort = a user's first active
     week (weeks counted from the corpus min date — an integer day
     bucket, NOT an engine week-truncation, so Monday-vs-Sunday /

@@ -166,7 +166,7 @@ def test_retention_cohort_diagonal(spark):
     """Offset-0 cells are the cohort definition: n_active ==
     cohort_size and retention exactly 1e6; every other retention is
     ≤ 1e6; cohort sizes partition the user population."""
-    df = STAGED["events_retention_cohorts"].fn(spark, SF_DIR).toPandas()
+    df = STAGED["events_weekly_retention_cohorts"].fn(spark, SF_DIR).toPandas()
     diag = df[df["week_offset"] == 0]
     assert (diag["n_active"] == diag["cohort_size"]).all()
     assert (diag["retention_micro"] == 1_000_000).all()

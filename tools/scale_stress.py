@@ -245,7 +245,7 @@ EXTRA_FNS.update(
             "docs_quality_brier_reliability",
             "docs_source_distinctive_terms",
             "docs_cross_source_duplication",
-            "events_retention_cohorts",
+            "events_weekly_retention_cohorts",
             "events_user_lifecycle",
             "docs_rag_chunk_plan",
             "embeddings_dimension_stats",
@@ -402,7 +402,7 @@ MAX_EXPONENT = {
     "docs_quality_brier_reliability": 1.35,
     "docs_source_distinctive_terms": 1.35,
     "docs_cross_source_duplication": 1.35,
-    "events_retention_cohorts": 1.35,
+    "events_weekly_retention_cohorts": 1.35,
     "events_user_lifecycle": 1.35,
     "docs_rag_chunk_plan": 1.35,
     "embeddings_dimension_stats": 1.35,
