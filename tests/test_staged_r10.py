@@ -447,3 +447,27 @@ def test_quantization_sweep_replay(spark):
     assert got["n_exact"].is_monotonic_increasing
     assert got.iloc[-1]["n_exact"] == q4.size
     assert got.iloc[-1]["sum_abs_err_e4s"] == 0
+
+
+def test_no_name_collisions_across_slates_and_registry():
+    """Every staged slate must be disjoint from the live registry AND
+    from every other slate — a collision only explodes on promotion
+    day (register() raises 'duplicate'), which is exactly the wrong
+    time to find out. (This caught the weekly-retention query
+    shadowing the registered daily one in round 7.)"""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import (
+        STAGED as S8,
+    )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r9 import (
+        STAGED as S9,
+    )
+    from python_nyc_taxi_data_pipeline_spark.registry import all_queries
+
+    live = set(all_queries())
+    slates = {"r8": set(S8), "r9": set(S9), "r10": set(STAGED)}
+    for name, s in slates.items():
+        assert not (s & live), f"{name} collides with registry: {s & live}"
+    names = list(slates.items())
+    for i, (na, sa) in enumerate(names):
+        for nb, sb in names[i + 1:]:
+            assert not (sa & sb), f"{na}∩{nb}: {sa & sb}"
