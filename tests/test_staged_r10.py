@@ -471,3 +471,35 @@ def test_no_name_collisions_across_slates_and_registry():
     for i, (na, sa) in enumerate(names):
         for nb, sb in names[i + 1:]:
             assert not (sa & sb), f"{na}∩{nb}: {sa & sb}"
+
+
+def test_r11_seed_frame_sample_geometry(spark):
+    """The r11 seed's frame-sample contract: the sampler must emit
+    exactly the every-2nd frame indexes of each doc's (4 + id%5)
+    frames, each frame being 32 copies of its formula byte — replayed
+    in pure Python against the REAL mapInPandas pipeline output."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r11 import (
+        EVERY_NTH,
+        FRAME_BYTES,
+        N_VIDEO_DOCS,
+        STAGED as S11,
+    )
+
+    got = (
+        S11["docs_frame_sample_contract"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["doc_id", "frame_idx"], ignore_index=True)
+    )
+    doc_ids = sorted(
+        d for d in _pd("documents")["doc_id"] if d < N_VIDEO_DOCS
+    )
+    rows = []
+    for did in doc_ids:
+        for k in range(0, 4 + did % 5, EVERY_NTH):
+            v = (did * 131 + k * 17) % 256
+            rows.append((did, k, FRAME_BYTES, v * FRAME_BYTES, v))
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "frame_idx", "n_bytes", "byte_sum", "first_byte"]
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
