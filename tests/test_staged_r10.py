@@ -461,10 +461,14 @@ def test_no_name_collisions_across_slates_and_registry():
     from python_nyc_taxi_data_pipeline_spark.llm.staged_r9 import (
         STAGED as S9,
     )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r11 import (
+        STAGED as S11,
+    )
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
     live = set(all_queries())
-    slates = {"r8": set(S8), "r9": set(S9), "r10": set(STAGED)}
+    slates = {"r8": set(S8), "r9": set(S9), "r10": set(STAGED),
+              "r11": set(S11)}
     for name, s in slates.items():
         assert not (s & live), f"{name} collides with registry: {s & live}"
     names = list(slates.items())
