@@ -198,6 +198,17 @@ def _staged10(name: str):
     return fn
 
 
+def _staged11(name: str):
+    """Resolve a round-11 STAGED query (llm/staged_r11.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r11 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
 # round-10 staged candidates (llm/staged_r10.py)
 EXTRA_FNS_R10 = (
     "docs_doremi_reweight_step",
@@ -214,6 +225,11 @@ EXTRA_FNS_R10 = (
 
 
 EXTRA_FNS.update({name: _staged10(name) for name in EXTRA_FNS_R10})
+
+# round-11 seed (llm/staged_r11.py)
+EXTRA_FNS["docs_frame_sample_contract"] = _staged11(
+    "docs_frame_sample_contract"
+)
 
 # round-9 staged candidates (llm/staged_r9.py). orders_basket_lift is
 # deliberately absent: the key-shift inflater duplicates baskets, so
@@ -455,6 +471,10 @@ MAX_EXPONENT = {
     # constant 4-way fan-out into a 4-group agg.
     "docs_curriculum_shard_manifest": 1.35,
     "embeddings_quantization_sweep": 1.35,
+    # r11 seed: three chained Arrow map stages over a BOUNDED synthetic
+    # video block (doc_id < 200) — zero shuffle at every scale (the
+    # vacuous-pass class, like docs_rag_chunk_plan).
+    "docs_frame_sample_contract": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
