@@ -174,6 +174,26 @@ def _warm(spark, sf_dir: str) -> None:
     ).save()
 
 
+def _staged_modules() -> list[str]:
+    """Every staged slate module on disk (``llm/staged_rN.py``), oldest
+    first — discovered by glob so run_one/run_staged pick a new slate up
+    the day it lands instead of waiting for a hard-coded list edit."""
+    import glob as _glob
+    import re as _re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "python_nyc_taxi_data_pipeline_spark",
+        "llm",
+    )
+    nums = []
+    for p in _glob.glob(os.path.join(pkg, "staged_r*.py")):
+        m = _re.match(r"^staged_r(\d+)\.py$", os.path.basename(p))
+        if m:
+            nums.append(int(m.group(1)))
+    return [f"r{n}" for n in sorted(nums)]
+
+
 def run_one(name: str, sf_dir: str, repeats: int = 3) -> int:
     """Isolated mode: run ONE query in this (fresh) JVM after warmup.
     Prints a single JSON line with the cold time and min warm time —
@@ -212,22 +232,17 @@ def run_one(name: str, sf_dir: str, repeats: int = 3) -> int:
     if name in qs:
         q = qs[name]
     else:
-        # staged candidates are benchable too (--staged mode); r7 first
-        # (now registered, kept for provenance), then the live r8 slate
-        from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import (
-            STAGED as STAGED_R7,
-        )
-        from python_nyc_taxi_data_pipeline_spark.llm.staged_r8 import (
-            STAGED as STAGED_R8,
-        )
-        from python_nyc_taxi_data_pipeline_spark.llm.staged_r9 import (
-            STAGED as STAGED_R9,
-        )
-        from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import (
-            STAGED as STAGED_R10,
-        )
+        # staged candidates are benchable too (--staged mode). Discover
+        # slates the same way run_staged does — importlib over every
+        # staged_rN that exists — so a new slate module is benchable the
+        # day it lands (a hard-coded tuple here once dropped r11 and made
+        # `--staged r11` record error entries instead of timings).
+        import importlib
 
-        for slate in (STAGED_R7, STAGED_R8, STAGED_R9, STAGED_R10):
+        for cand in _staged_modules():
+            slate = importlib.import_module(
+                f"python_nyc_taxi_data_pipeline_spark.llm.staged_{cand}"
+            ).STAGED
             if name in slate:
                 q = slate[name]
                 break
@@ -358,9 +373,14 @@ def current_round(repo: str) -> int:
             pass
     newest = 0
     for p in glob.glob(os.path.join(repo, "*_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", p)
-        if m and "isolated" not in os.path.basename(p):
-            newest = max(newest, int(m.group(1)))
+        # Only the driver's round artifacts count. BENCH_isolated_rN /
+        # BENCH_staged_rN carry an N that is a snapshot-round or SLATE
+        # number respectively (e.g. BENCH_staged_r10.json was benched
+        # during round 7) — inferring from them mislabels every later
+        # unlabeled run.
+        m = re.match(r"^(BENCH|CORRECTNESS)_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            newest = max(newest, int(m.group(2)))
     return newest + 1
 
 
@@ -376,14 +396,12 @@ def run_staged(sf_dir: str, module_arg: str | None = None) -> int:
     module = module_arg
     if module is None:
         live = set(all_queries())
-        module = "r10"
-        for cand in ("r8", "r9", "r10", "r11", "r12"):
-            try:
-                mod = importlib.import_module(
-                    f"python_nyc_taxi_data_pipeline_spark.llm.staged_{cand}"
-                )
-            except ModuleNotFoundError:
-                continue
+        mods = _staged_modules()
+        module = mods[-1]
+        for cand in mods:
+            mod = importlib.import_module(
+                f"python_nyc_taxi_data_pipeline_spark.llm.staged_{cand}"
+            )
             if any(n not in live for n in mod.STAGED):
                 module = cand
                 break
@@ -470,11 +488,25 @@ def main() -> int:
         return run_staged(sf_dir, sys.argv[2] if len(sys.argv) >= 3 else None)
     if len(sys.argv) >= 2 and sys.argv[1] == "--isolated":
         arg = sys.argv[2] if len(sys.argv) >= 3 else "curated"
-        names = (
-            list(ISOLATED_QUERIES)
-            if arg == "curated"
-            else [n for n in arg.split(",") if n]
-        )
+        if arg == "curated":
+            names = list(ISOLATED_QUERIES)
+            # Auto-snapshot every >1.5× in-suite regressor the last
+            # suite run flagged (r7 VERDICT directive #2) — the curated
+            # set is chosen by cost, so a mid-pack regressor would
+            # otherwise never get a contention-free number.
+            try:
+                with open(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_local.json",
+                    )
+                ) as f:
+                    flagged = json.load(f).get("regressors_vs_prev", {}) or {}
+            except (OSError, ValueError):
+                flagged = {}
+            names.extend(sorted(n for n in flagged if n not in names))
+        else:
+            names = [n for n in arg.split(",") if n]
         return run_isolated(names, sf_dir)
     # Plan-regression tripwire (r6 VERDICT directive #8): compare every
     # headliner's physical-plan operator multiset against the previous
@@ -530,6 +562,28 @@ def main() -> int:
     )
     print(f"# medallion_e2e_nofastpath: {round(dist_sec, 3)}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    # In-suite regression radar (r7 VERDICT directive #2): any query
+    # whose in-suite time grew >1.5× vs the PREVIOUS suite run (the
+    # BENCH_local.json this run is about to overwrite) is recorded so
+    # `--isolated curated` auto-snapshots it — the curated top-N set
+    # alone lets a mid-pack regressor escape contention-free
+    # adjudication. Floor of 0.3 s on the prior time: below that the
+    # ratio is pure noise on this VM.
+    regressors: dict[str, list[float]] = {}
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    try:
+        with open(prev_path) as f:
+            prev_q = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        prev_q = {}
+    for qname, cur in timings.items():
+        prev = prev_q.get(qname)
+        if isinstance(prev, (int, float)) and prev >= 0.3 and cur > 1.5 * prev:
+            regressors[qname] = [round(prev, 3), round(cur, 3)]
+    if regressors:
+        print(f"# regressors_vs_prev: {regressors}", file=sys.stderr)
     line = json.dumps(
         {
             "metric": "query_suite_total",
@@ -541,6 +595,7 @@ def main() -> int:
             "medallion_rows_per_sec": round(med_rows / med_sec, 1),
             "medallion_nofastpath_rows_per_sec": round(dist_rows / dist_sec, 1),
             "plan_tripwire": tripwire,
+            "regressors_vs_prev": regressors,
         }
     )
     # The driver's stdout capture keeps only a 2000-char tail — persist
@@ -567,6 +622,7 @@ def main() -> int:
         "medallion_rows_per_sec": round(med_rows / med_sec, 1),
         "medallion_nofastpath_rows_per_sec": round(dist_rows / dist_sec, 1),
         "plan_tripwire": tripwire,
+        "regressors_vs_prev": regressors,
     }
     # Fold in the latest near-dup scale-stress verdict (tools/
     # scale_stress.py) when present: per-query worst shuffle-growth

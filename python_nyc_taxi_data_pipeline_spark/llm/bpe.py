@@ -151,16 +151,30 @@ def _apply_merges(
     return words
 
 
-def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    exact: bool | None = None,
+):
     """Default training entrypoint — gated on the merge budget:
     ``n_merges <= BPE_BATCH_THRESHOLD`` runs the exact serial loop
     (``bpe_train_serial``; one argmax per merge, what the DuckDB
     oracles replay), larger budgets run the batched top-m
     non-overlapping trainer (``bpe_train_batched``, batch=8) — the
     standard fast-BPE approximation production tokenizers use.
+
+    ``exact`` pins the path regardless of the budget gate: ``True``
+    forces the serial trainer (what an exact-replay DuckDB oracle
+    needs — pass it from any oracle-twinned caller so a future budget
+    bump can't silently cross the threshold into the approximation),
+    ``False`` forces the batched trainer, ``None`` (default) applies
+    the gate.
+
     Returns the ordered merge list ``[(round, left, right,
     pair_count)]`` plus the final distinct-word segmentation frame."""
-    if n_merges > BPE_BATCH_THRESHOLD:
+    batched = n_merges > BPE_BATCH_THRESHOLD if exact is None else not exact
+    if batched:
         return bpe_train_batched(spark, sf_dir, n_merges, batch=BPE_BATCH)
     return bpe_train_serial(spark, sf_dir, n_merges)
 
@@ -354,7 +368,7 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First {N_MERGES} BPE merge rules learned from the corpus: one
     row per round with the merged pair and its exact weighted count
     (see module docstring for the distributed loop)."""
-    merges, _ = bpe_train(spark, sf_dir)
+    merges, _ = bpe_train(spark, sf_dir, exact=True)
     return spark.createDataFrame(
         [(r, a, b, c) for r, a, b, c in merges],
         "round int, left_sym string, right_sym string, pair_count long",
@@ -418,7 +432,7 @@ def docs_bpe_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     source instead of doc: one join + one low-cardinality groupBy with
     map-side combine. Counts are exact integers; the two ratios are
     single IEEE divisions rounded to 4 dp — bit-identical cross-engine."""
-    _, vocab = bpe_train(spark, sf_dir)
+    _, vocab = bpe_train(spark, sf_dir, exact=True)
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
     )
@@ -457,7 +471,7 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized table, never re-running the merge fold per occurrence).
     One groupBy(doc_id) rollup; counts are exact integers, the only
     float is one division rounded to 4 dp."""
-    _, vocab = bpe_train(spark, sf_dir)
+    _, vocab = bpe_train(spark, sf_dir, exact=True)
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )

@@ -245,10 +245,12 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4  # subspaces
 PQ_K = 4  # codes per subspace (codebook = sub-vectors of the PQ_K lowest vec_ids)
 
-
-@register(
-    "embeddings_pq_codes",
-    oracle=f"""
+# Module-level so composing oracles (staged_r8's PQ distortion report)
+# can import it directly instead of reading it back through
+# `registry.all_queries()` at import time — that call re-enters the
+# registry load and breaks when the composing module itself is the one
+# being imported by `_ensure_loaded`.
+PQ_CODES_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -276,7 +278,12 @@ PQ_K = 4  # codes per subspace (codebook = sub-vectors of the PQ_K lowest vec_id
     FROM pairs
     QUALIFY row_number() OVER (PARTITION BY vec_id, m
                                ORDER BY dist_sq, code) = 1
-    """,
+    """
+
+
+@register(
+    "embeddings_pq_codes",
+    oracle=PQ_CODES_ORACLE,
     tags=("llm", "embedding", "quantization"),
 )
 def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:

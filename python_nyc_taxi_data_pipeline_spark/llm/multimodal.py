@@ -279,11 +279,16 @@ def resize_images(binary_df: DataFrame, width: int = 16, height: int = 16) -> Da
             return magic + f"\n{tw} {th}\n255\n".encode() + out.tobytes()
 
         def stride_resize(p: bytes) -> bytes:
+            # numpy gather, not a per-byte Python loop (r7 VERDICT
+            # finding #3): same int(i * step) index arithmetic,
+            # computed as one vectorized truncation.
             if not p:
                 return bytes(target)
             if len(p) >= target:
-                step = len(p) / target
-                return bytes(p[int(i * step)] for i in range(target))
+                idx = (
+                    np.arange(target, dtype=np.float64) * (len(p) / target)
+                ).astype(np.int64)
+                return np.frombuffer(p, dtype=np.uint8)[idx].tobytes()
             reps = (target + len(p) - 1) // len(p)
             return (p * reps)[:target]
 

@@ -265,7 +265,7 @@ def docs_token_space_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     The held-out side is eval-sized by construction."""
     from .bpe import bpe_train
 
-    _, vocab = bpe_train(spark, sf_dir)
+    _, vocab = bpe_train(spark, sf_dir, exact=True)
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         _split_hh(F.col("doc_id")).alias("hh"),
@@ -1740,9 +1740,12 @@ def events_conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _pq_distortion_oracle() -> str:
-    from ..registry import all_queries
+    # Imported directly (NOT via registry.all_queries()) — this runs at
+    # module-import time, and reading the registry here re-enters
+    # `_ensure_loaded` while THIS module is the one being imported,
+    # promoting a half-built STAGED dict.
+    from .kmeans import PQ_CODES_ORACLE as base
 
-    base = all_queries()["embeddings_pq_codes"].oracle
     return f"""
     WITH codes AS MATERIALIZED (
 {base}
@@ -1878,7 +1881,7 @@ def _rule_attribution_oracle() -> str:
            CAST(sum(CASE WHEN r.fail = 1 AND r.n_fails = 1
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_sole_fail,
            t.n_killed, t.n_docs,
-           CAST(sum(r.fail) * 1000000 // t.n_killed AS BIGINT)
+           CAST(sum(r.fail) * 1000000 // greatest(t.n_killed, 1) AS BIGINT)
              AS share_of_kills_micro
     FROM rules r CROSS JOIN tot t
     GROUP BY r.rule, t.n_killed, t.n_docs
@@ -1980,7 +1983,11 @@ def docs_gopher_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sole_fail",
             "n_killed",
             "n_docs",
-            F.expr("(n_fail * 1000000) DIV n_killed").alias(
+            # greatest(,1) in BOTH plans: Spark non-ANSI x/0 -> NULL but
+            # DuckDB // 0 RAISES, so an all-pass fixture would crash the
+            # oracle instead of comparing. n_fail is 0 whenever n_killed
+            # is 0, so the guarded result stays exact.
+            F.expr("(n_fail * 1000000) DIV greatest(n_killed, 1)").alias(
                 "share_of_kills_micro"
             ),
         )

@@ -185,7 +185,7 @@ def docs_bpe_roundtrip_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. No per-doc re-training, no sort."""
     from .bpe import EOW, bpe_train
 
-    _, vocab = bpe_train(spark, sf_dir)
+    _, vocab = bpe_train(spark, sf_dir, exact=True)
     usage = load(spark, sf_dir, "documents").select(
         "lang", F.explode(F.split("text", " ")).alias("word")
     )

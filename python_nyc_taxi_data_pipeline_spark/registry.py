@@ -124,10 +124,32 @@ _LOADED = False
 
 
 def _ensure_loaded() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Re-entrancy: staged slate modules compose some oracles from
+    already-registered queries via ``all_queries()`` AT IMPORT TIME
+    (e.g. ``staged_r8._pq_distortion_oracle`` reads the registered
+    ``embeddings_pq_codes`` oracle). When such a module is imported
+    from THIS function, the nested ``all_queries()`` must not restart
+    the load (double registration). ``_LOADED`` is therefore set
+    before the imports begin; the nested call sees the registry as
+    populated so far — every composed-from query registers ahead of
+    the slate that composes it (kmeans et al. are the first import
+    below; slates promote last)."""
     global _LOADED
     if _LOADED:
         return
+    _LOADED = True
+    try:
+        _load_all()
+    except BaseException:
+        # A failed load must stay retryable (and never present a
+        # half-registered registry as complete on the NEXT call).
+        _LOADED = False
+        raise
+
+
+def _load_all() -> None:
     # Imports are for their registration side effects. Import order no
     # longer determines the driver's 50-query window — `all_queries()`
     # re-orders by evidence.json (never-green first, stalest-green next),
@@ -148,4 +170,9 @@ def _ensure_loaded() -> None:
 
     staged_r7.promote_to_registry(list(staged_r7.R7_BATCH))
 
-    _LOADED = True
+    # Round-8 registration: exactly the 17-query R8_BATCH — window math
+    # (17 new + the 33 remaining r4-stale = 50) retires ALL r4 evidence
+    # this round; see staged_r8's module docstring.
+    from .llm import staged_r8
+
+    staged_r8.promote_to_registry(list(staged_r8.R8_BATCH))

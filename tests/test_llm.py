@@ -295,6 +295,44 @@ def test_multimodal_resize_shape_and_determinism(spark):
     assert all(again[r.doc_id] == bytes(r.payload) for r in rows)
 
 
+def test_stride_resize_fallback_matches_scalar_formula(spark):
+    """The non-PNM byte-stride fallback is a numpy gather (r7 VERDICT
+    finding #3); it must reproduce the original scalar kernel
+    ``bytes(p[int(i * (len(p)/target))] ...)`` byte-for-byte — the
+    truncation arithmetic is part of the stage's contract (the resize
+    feature queries hash over these bytes)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.multimodal import (
+        resize_images,
+    )
+
+    # Non-PNM payloads of assorted lengths, including > and < target
+    # (64 bytes at 8x8) and one that stresses float truncation edges.
+    payloads = [
+        bytes(range(256)),
+        b"xyz" * 100,
+        b"short",
+        bytes([7]) * 63,
+        bytes((i * 37) % 251 for i in range(1000)),
+    ]
+    binary = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: bytes(r.payload)
+        for r in resize_images(binary, width=8, height=8).collect()
+    }
+    target = 64
+    for i, p in enumerate(payloads):
+        if len(p) >= target:
+            step = len(p) / target
+            want = bytes(p[int(j * step)] for j in range(target))
+        else:
+            reps = (target + len(p) - 1) // len(p)
+            want = (p * reps)[:target]
+        assert got[i] == want, f"payload {i}"
+
+
 def test_multimodal_frame_sampling_fan_out(spark):
     from python_nyc_taxi_data_pipeline_spark.catalog import load
     from python_nyc_taxi_data_pipeline_spark.llm.multimodal import (

@@ -284,6 +284,32 @@ HEADLINERS = [
         "orders_zorder_skipping_contract",
         "Z-order skipping contract (staged r7): buckets + Morton codes are per-row integer expressions over the broadcast date anchor, pinned once by the `rz` localCheckpoint that feeds BOTH the zone-map build (stack -> (layout, file) HashAggregate, 128 groups) and the selected-row conditional aggregate; pruning evaluation is a broadcast cross of the 128-row stats frame with the 3-row predicate table.",
     ),
+    (
+        "embeddings_pca_power",
+        "PCA power iteration (registered r7): the ONLY corpus-side work "
+        "is one hash aggregate producing the 2145-cell integer moment "
+        "triangle (d(d+1)/2 cells at d=64); the 128 power-iteration "
+        "steps are driver-side numpy over that d x d matrix. Pinned so "
+        "a refactor can never push iteration back into per-step Spark "
+        "jobs or add a second corpus scan.",
+    ),
+    (
+        "part_copurchase_triangles",
+        "Co-purchase triangle count (registered r7): the support-pruned "
+        "edge list is built once (pair HashAggregate above the order "
+        "baskets), localCheckpoint-pinned, then self-joined with the "
+        "degree orientation (lo < hi) so each triangle is counted once; "
+        "the wedge-close join is the only exchange that scales with "
+        "edges. Tripwire pins the single-checkpoint, two-join shape.",
+    ),
+    (
+        "docs_minhash_incremental_pairs",
+        "Incremental MinHash band-index join (registered r5; pinned "
+        "after its r7 in-suite 2x move): new-batch signatures probe the "
+        "persisted band posting lists via an equi-join on (band, "
+        "band_hash) — never all-pairs; one exchange for the band join, "
+        "one for the exact-Jaccard verification aggregate.",
+    ),
 ]
 
 
@@ -361,12 +387,21 @@ def tripwire(prev: dict[str, Counter], new: dict[str, Counter]) -> list[str]:
 
 
 def build_plans(spark) -> dict[str, str]:
+    import glob as _glob
+    import importlib
+
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
-    from python_nyc_taxi_data_pipeline_spark.llm.staged_r7 import STAGED
-
     qs = dict(all_queries())
-    qs.update({n: q for n, q in STAGED.items() if n not in qs})
+    # Staged slates are headliner-eligible too — discover every
+    # llm/staged_rN.py (like bench.py does) instead of hard-coding one.
+    pkg = os.path.join(ROOT, "python_nyc_taxi_data_pipeline_spark", "llm")
+    for p in sorted(_glob.glob(os.path.join(pkg, "staged_r*.py"))):
+        mod = importlib.import_module(
+            "python_nyc_taxi_data_pipeline_spark.llm."
+            + os.path.basename(p)[: -len(".py")]
+        )
+        qs.update({n: q for n, q in mod.STAGED.items() if n not in qs})
     plans: dict[str, str] = {}
     for name, _ in HEADLINERS:
         df = qs[name].fn(spark, SF_DIR)
@@ -419,9 +454,23 @@ def main() -> int:
     notes = dict(HEADLINERS)
     for name, _ in HEADLINERS:
         out += [f"## {name}", "", notes[name], "", "```", plans[name], "```", ""]
+    # Hand-appended sections (staged-slate plans etc. — headings like
+    # `## name (staged r9)`) are preserved verbatim: regeneration must
+    # not delete audit trail it didn't author.
+    kept = 0
+    try:
+        with open(plans_path) as f:
+            old = f.read()
+    except OSError:
+        old = ""
+    gen_names = {name for name, _ in HEADLINERS}
+    for m in re.finditer(r"^## (\S+).*?(?=^## |\Z)", old, re.S | re.M):
+        if m.group(1) not in gen_names:
+            out += [m.group(0).rstrip(), ""]
+            kept += 1
     with open(plans_path, "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote PLANS.md ({len(HEADLINERS)} plans)")
+    print(f"wrote PLANS.md ({len(HEADLINERS)} plans + {kept} hand sections kept)")
     return 0
 
 
