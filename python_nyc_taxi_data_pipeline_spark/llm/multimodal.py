@@ -321,7 +321,10 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def sample_frames(
-    binary_df: DataFrame, frame_bytes: int = 64, every_nth: int = 4
+    binary_df: DataFrame,
+    frame_bytes: int = 64,
+    every_nth: int = 4,
+    include_partial: bool = False,
 ) -> DataFrame:
     """Video frame-sampling plumbing: one payload row fans out to N
     frame rows (every ``every_nth`` fixed-size chunk — the stub for a
@@ -329,14 +332,25 @@ def sample_frames(
     1→N mapInPandas shape: the output batch length is decoupled from
     the input batch length, which is how decode-explode stages keep
     memory bounded at 100 TB (frames stream out per Arrow batch rather
-    than materializing per-video lists)."""
+    than materializing per-video lists).
+
+    ``include_partial`` controls the SHORT FINAL FRAME — the case real
+    demuxers get subtly wrong (the r11 frame-sample contract docstring
+    names it): when True, a payload whose length is not a multiple of
+    ``frame_bytes`` emits its trailing remainder as one short frame
+    (frame count = ceil(len/frame_bytes)); when False (default, the
+    registered contract's geometry) the tail is dropped (floor, with a
+    1-frame minimum so a sub-frame payload still emits itself)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(payload)
-                n_frames = max(1, len(p) // frame_bytes)
+                if include_partial:
+                    n_frames = max(1, -(-len(p) // frame_bytes))
+                else:
+                    n_frames = max(1, len(p) // frame_bytes)
                 for k in range(0, n_frames, every_nth):
                     ids.append(doc_id)
                     idxs.append(k)

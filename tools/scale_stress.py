@@ -226,9 +226,26 @@ EXTRA_FNS_R10 = (
 
 EXTRA_FNS.update({name: _staged10(name) for name in EXTRA_FNS_R10})
 
-# round-11 seed (llm/staged_r11.py)
-EXTRA_FNS["docs_frame_sample_contract"] = _staged11(
-    "docs_frame_sample_contract"
+# round-11 staged candidates (llm/staged_r11.py). The bounded
+# synthetic-block contracts (frame/short-frame/audio: doc_id < 150-200,
+# zero shuffle) and the constant-bounded retrieval composition
+# (distillation labels: |probes|·k rows) are included for regression
+# cover even though their work does not grow with the corpus.
+EXTRA_FNS.update(
+    {
+        name: _staged11(name)
+        for name in (
+            "docs_frame_sample_contract",
+            "docs_short_frame_contract",
+            "docs_audio_window_features",
+            "retrieval_distillation_labels",
+            "docs_minhash_stream_batch_parity",
+            "docs_repetition_profile",
+            "docs_ngram_novelty",
+            "embeddings_ivf_recall_probe_curve",
+            "lineitem_salted_distinct_contract",
+        )
+    }
 )
 
 # round-9 staged candidates (llm/staged_r9.py). orders_basket_lift is
@@ -475,6 +492,25 @@ MAX_EXPONENT = {
     # video block (doc_id < 200) — zero shuffle at every scale (the
     # vacuous-pass class, like docs_rag_chunk_plan).
     "docs_frame_sample_contract": 1.35,
+    # r11 slate. Short-frame/audio are the same bounded zero-shuffle
+    # synthetic-block class as the seed; distillation labels ride the
+    # cascade's corpus-linear stage-1 scan (everything downstream is
+    # |probes|·k); stream-batch parity re-runs the incremental band
+    # probes to closure — the per-step index join is the registered
+    # incremental query's linear shape, ×4 steps; repetition is a
+    # doc-keyed window sort + (doc, tri) hash agg, both combinable;
+    # novelty is the Zipf-compressed (gram → min doc) agg + gram-key
+    # join (the contamination-index shape); the IVF curve streams the
+    # corpus twice vs broadcast constant frames; the salted contract's
+    # exchanges are constant-width by construction.
+    "docs_short_frame_contract": 1.35,
+    "docs_audio_window_features": 1.35,
+    "retrieval_distillation_labels": 1.35,
+    "docs_minhash_stream_batch_parity": 1.35,
+    "docs_repetition_profile": 1.35,
+    "docs_ngram_novelty": 1.35,
+    "embeddings_ivf_recall_probe_curve": 1.35,
+    "lineitem_salted_distinct_contract": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
