@@ -53,6 +53,14 @@ The slate:
   (true top-5 by quantized cosine vs the probe-rank of each
   neighbor's assigned centroid). The artifact that decides an ANN
   index's nprobe BEFORE committing it.
+- ``customer_t_closeness``: the privacy triad's third rung — per
+  QI class (the k-anonymity audit's nation × balance bucket), the
+  exact integer EMD (categorical ground distance = total variation)
+  between the class's market-segment mix and the global mix, rolled
+  up into 5%-wide t buckets (Li, Li & Venkatasubramanian, ICDE'07).
+  k-anonymity (r7) certifies size, l-diversity (staged r9) variety,
+  t-closeness skew — an l=5 class that is 96% one segment still
+  leaks, and this is the table that finds it.
 - ``lineitem_salted_distinct_contract``: the skew-mitigation pattern
   as an oracle-pinned contract — exact COUNT(DISTINCT supplier) per
   (3-value, maximally skewed) return flag via salted two-stage
@@ -86,6 +94,7 @@ class StagedQuery:
 STAGED: dict[str, StagedQuery] = {}
 
 R11_BATCH: tuple[str, ...] = (
+    "customer_t_closeness",
     "docs_audio_window_features",
     "docs_frame_sample_contract",
     "docs_minhash_stream_batch_parity",
@@ -1257,4 +1266,131 @@ def lineitem_salted_distinct_contract(
     return stage1.groupBy("l_returnflag").agg(
         F.sum("pd").cast("bigint").alias("n_distinct_suppliers"),
         F.sum("pn").cast("bigint").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------
+# t-closeness audit (the privacy triad's third rung)
+# --------------------------------------------------------------------
+
+TCL_BUCKET_MICRO = 50_000  # 5%-wide t buckets for the report rollup
+
+
+def _t_closeness_oracle() -> str:
+    return f"""
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_bucket,
+             c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_cs
+      FROM customer GROUP BY 1, 2, 3
+    ), class_tot AS (
+      SELECT c_nationkey, bal_bucket, CAST(sum(n_cs) AS BIGINT) AS n_c
+      FROM cls GROUP BY 1, 2
+    ), seg_tot AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS g_s
+      FROM customer GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+    ), pairs AS (
+      SELECT ct.c_nationkey, ct.bal_bucket, ct.n_c, st.c_mktsegment,
+             st.g_s, COALESCE(c.n_cs, 0) AS n_cs
+      FROM class_tot ct
+      CROSS JOIN seg_tot st
+      LEFT JOIN cls c
+        ON c.c_nationkey = ct.c_nationkey
+       AND c.bal_bucket = ct.bal_bucket
+       AND c.c_mktsegment = st.c_mktsegment
+    ), emd AS (
+      SELECT p.c_nationkey, p.bal_bucket,
+             max(p.n_c) AS n_c,
+             CAST(sum(abs(p.n_cs * t.n - p.g_s * p.n_c)) AS BIGINT) AS num,
+             max(t.n) AS n
+      FROM pairs p CROSS JOIN tot t
+      GROUP BY 1, 2
+    ), tval AS (
+      SELECT n_c, (1000000 * num) // (2 * n_c * n) AS t_micro FROM emd
+    )
+    SELECT CAST(t_micro // {TCL_BUCKET_MICRO} AS BIGINT) AS t_bucket,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n_c) AS BIGINT) AS n_customers,
+           CAST(max(t_micro) AS BIGINT) AS max_t_micro
+    FROM tval GROUP BY 1
+    """
+
+
+@stage(
+    "customer_t_closeness",
+    oracle=_t_closeness_oracle(),
+    tags=("analytics", "privacy", "report"),
+)
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness ladder over the SAME quasi-identifier classes the
+    registered k-anonymity audit and the staged l-diversity ladder use
+    (nation x 1000-unit balance bucket), sensitive attribute =
+    market segment: per class, t = the Earth Mover's Distance between
+    the class's segment distribution and the GLOBAL segment
+    distribution (categorical ground distance, so EMD = total
+    variation = half the L1 gap), rolled up into 5%-wide t buckets
+    with exposed-customer counts. Completes the privacy triad (Li,
+    Li & Venkatasubramanian, ICDE'07): k-anonymity certifies classes
+    are LARGE, l-diversity that they are VARIED, t-closeness that
+    their sensitive mix is not SKEWED vs the population - an l=5
+    class that is 96% one segment still leaks, and this finds it.
+
+    Exactness: |p_s - q_s| is computed as |n_cs*N - g_s*n_c| over the
+    common denominator n_c*N - pure BIGINT arithmetic, one integer
+    DIV at the end (micro units). Zero-count (class, segment) cells
+    are materialized by the class x segment cross join so the L1 sum
+    is over the full segment domain in both engines. (At extreme row
+    counts n_cs*N approaches int64 range; promote the numerator to
+    DECIMAL(38,0) in both engines - same expression shape.)
+
+    Scale (100 TB): ONE customer scan feeds a hash aggregate to the
+    (QI x segment) domain (~7k rows); the segment-total frame
+    (|segments| rows) and the scalar total broadcast; every join and
+    rollup downstream is QI-domain-sized."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    cls = c.groupBy("c_nationkey", "bal_bucket", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cs")
+    )
+    class_tot = cls.groupBy("c_nationkey", "bal_bucket").agg(
+        F.sum("n_cs").alias("n_c")
+    )
+    seg_tot = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("g_s"))
+    tot = c.agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        class_tot.crossJoin(F.broadcast(seg_tot))
+        .join(cls, ["c_nationkey", "bal_bucket", "c_mktsegment"], "left")
+        .withColumn("n_cs", F.coalesce("n_cs", F.lit(0)))
+    )
+    emd = (
+        pairs.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.max("n_c").alias("n_c"),
+            F.sum(
+                F.abs(F.col("n_cs") * F.col("n") - F.col("g_s") * F.col("n_c"))
+            ).alias("num"),
+            F.max("n").alias("n"),
+        )
+    )
+    tval = emd.select(
+        "n_c", F.expr("(1000000 * num) DIV (2 * n_c * n)").alias("t_micro")
+    )
+    return (
+        tval.groupBy(
+            F.expr(f"t_micro DIV {TCL_BUCKET_MICRO}")
+            .cast("bigint")
+            .alias("t_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("n_c").cast("bigint").alias("n_customers"),
+            F.max("t_micro").cast("bigint").alias("max_t_micro"),
+        )
     )

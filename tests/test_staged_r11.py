@@ -33,6 +33,10 @@ from python_nyc_taxi_data_pipeline_spark.llm.staged_r11 import (
     SFC_FRAME_BYTES,
     SFC_N_DOCS,
     STAGED,
+    TCL_BUCKET_MICRO,
+)
+from python_nyc_taxi_data_pipeline_spark.llm.staged_r9 import (
+    STAGED as STAGED_R9,
 )
 from tests.conftest import SF_DIR
 
@@ -65,7 +69,7 @@ def _write_docs_fixture(tmp_path, texts: list[str]) -> str:
 
 def test_r11_batch_matches_staged():
     assert sorted(R11_BATCH) == sorted(STAGED)
-    assert len(R11_BATCH) == 9
+    assert len(R11_BATCH) == 10
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -420,3 +424,67 @@ def test_salted_distinct_equals_direct(spark):
     assert (got["n_rows"] == direct["n"]).all()
     # the decomposition must actually use the declared salt space
     assert SALT_BUCKETS == 16
+
+
+# --------------------------------------------------------------------
+# t-closeness — pure-pandas EMD replay + triad consistency laws
+# --------------------------------------------------------------------
+
+
+def _t_closeness_replay(cust: pd.DataFrame) -> pd.DataFrame:
+    """Independent integer-EMD replay of customer_t_closeness."""
+    cust = cust.assign(
+        bal_bucket=np.floor(cust["c_acctbal"] / 1000.0).astype(int)
+    )
+    n = len(cust)
+    g = cust.groupby("c_mktsegment").size()
+    rows = []
+    for (_, _), grp in cust.groupby(["c_nationkey", "bal_bucket"]):
+        n_c = len(grp)
+        counts = grp.groupby("c_mktsegment").size()
+        num = sum(
+            abs(int(counts.get(s, 0)) * n - int(g[s]) * n_c) for s in g.index
+        )
+        rows.append((n_c, (1_000_000 * num) // (2 * n_c * n)))
+    df = pd.DataFrame(rows, columns=["n_c", "t_micro"])
+    df["t_bucket"] = df["t_micro"] // TCL_BUCKET_MICRO
+    out = (
+        df.groupby("t_bucket")
+        .agg(
+            n_classes=("n_c", "size"),
+            n_customers=("n_c", "sum"),
+            max_t_micro=("t_micro", "max"),
+        )
+        .reset_index()
+    )
+    return out.sort_values("t_bucket").reset_index(drop=True)
+
+
+def test_t_closeness_pandas_replay(spark):
+    got = (
+        STAGED["customer_t_closeness"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("t_bucket")
+        .reset_index(drop=True)
+    )
+    want = _t_closeness_replay(_pd("customer"))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
+
+
+def test_t_closeness_triad_consistency(spark):
+    """The t-closeness report covers the exact class universe the
+    l-diversity ladder sees (same QI), and every t is a valid total
+    variation: 0 <= t_micro <= 1e6."""
+    tcl = STAGED["customer_t_closeness"].fn(spark, SF_DIR).toPandas()
+    ldiv = STAGED_R9["customer_l_diversity"].fn(spark, SF_DIR).toPandas()
+    assert tcl["n_classes"].sum() == ldiv["n_classes"].sum()
+    assert tcl["n_customers"].sum() == ldiv["n_customers"].sum()
+    assert (tcl["max_t_micro"] >= 0).all()
+    assert (tcl["max_t_micro"] <= 1_000_000).all()
+    # buckets are consistent with their max member
+    assert (
+        tcl["max_t_micro"] // TCL_BUCKET_MICRO == tcl["t_bucket"]
+    ).all()

@@ -244,6 +244,7 @@ EXTRA_FNS.update(
             "docs_ngram_novelty",
             "embeddings_ivf_recall_probe_curve",
             "lineitem_salted_distinct_contract",
+            "customer_t_closeness",
         )
     }
 )
