@@ -603,3 +603,1000 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delta_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Audio VAD segments (energy-gate segmentation, gaps-and-islands)
+# --------------------------------------------------------------------
+
+VAD_N_DOCS = 150
+VAD_WIN = 16  # disjoint windows (clip lengths are multiples of 16)
+VAD_THRESH = 87000  # energy gate; ~48% of fixture windows are voiced
+
+
+def _vad_oracle() -> str:
+    return f"""
+    WITH clips AS (
+      SELECT doc_id, 64 + (doc_id % 7) * 16 AS len
+      FROM documents WHERE doc_id < {VAD_N_DOCS}
+    ), wins AS (
+      SELECT c.doc_id,
+             CAST(w.w AS BIGINT) AS win_idx,
+             list_reduce(list_transform(
+               range(w.w * {VAD_WIN}, (w.w + 1) * {VAD_WIN}),
+               t -> ((c.doc_id * 13 + t * 7) % 256 - 128)
+                    * ((c.doc_id * 13 + t * 7) % 256 - 128)),
+               (a, b) -> a + b) AS energy
+      FROM clips c, LATERAL (
+        SELECT unnest(range(0, c.len // {VAD_WIN})) AS w
+      ) w
+    ), voiced AS (
+      SELECT doc_id, win_idx,
+             win_idx - row_number() OVER (
+               PARTITION BY doc_id ORDER BY win_idx) AS isl
+      FROM wins WHERE energy > {VAD_THRESH}
+    ), runs AS (
+      SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS run_len
+      FROM voiced GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(max(run_len) AS BIGINT) AS longest_voiced_run,
+             CAST(sum(run_len) AS BIGINT) AS n_voiced
+      FROM runs GROUP BY 1
+    ), totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+      FROM wins GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_windows,
+           COALESCE(p.n_voiced, 0) AS n_voiced,
+           COALESCE(p.n_segments, 0) AS n_segments,
+           COALESCE(p.longest_voiced_run, 0) AS longest_voiced_run,
+           COALESCE(p.n_voiced, 0) * 1000000 // t.n_windows
+             AS voiced_share_micro
+    FROM totals t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """
+
+
+@stage(
+    "docs_audio_vad_segments",
+    oracle=_vad_oracle(),
+    tags=("llm", "multimodal", "audio"),
+)
+def docs_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gate voice-activity detection (VAD) over the r11 audio
+    clips (same deterministic PCM-ish synthesis: length
+    64 + (id%7)·16, byte t = (id·13 + t·7) mod 256): disjoint
+    {VAD_WIN}-byte windows, a window is VOICED when its centered
+    energy sum((byte−128)²) exceeds {VAD_THRESH} (≈ the fixture
+    median, so both classes occur), and segments are MAXIMAL VOICED
+    RUNS found by gaps-and-islands — the segmentation pass between
+    decode and feature extraction in every speech pipeline (the
+    frame-level energy gate of classical VAD, cf. webrtcvad's
+    tiering), reporting per clip: window/voiced counts, segment
+    count, longest run, voiced share.
+
+    Exactness: all integers (centered squares, counts, one micro
+    DIV); island ids use only relative position arithmetic so
+    0-based and 1-based row numbering agree.
+
+    Scale (100 TB): the synthesis+window+energy fan-out happens
+    inside one ``mapInPandas`` (numpy reshape, zero shuffle); the
+    only shuffles are a per-clip window sort (keyed, parallel across
+    clips) and two hash aggregates to clip granularity."""
+    doc_ids = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < VAD_N_DOCS
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win_idx", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+    win = VAD_WIN
+
+    def energize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                length = 64 + (did % 7) * 16
+                clip = (did * 13 + np.arange(length, dtype=np.int64) * 7) % 256
+                nw = length // win
+                energy = ((clip[: nw * win].reshape(nw, win) - 128) ** 2).sum(
+                    axis=1
+                )
+                out.extend((did, w, int(energy[w])) for w in range(nw))
+            yield pd.DataFrame(out, columns=["doc_id", "win_idx", "energy"])
+
+    wins = doc_ids.mapInPandas(energize, out_schema)
+    voiced = wins.filter(F.col("energy") > VAD_THRESH).select(
+        "doc_id",
+        (
+            F.col("win_idx")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("win_idx")
+            )
+        ).alias("isl"),
+    )
+    runs = voiced.groupBy("doc_id", "isl").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.max("run_len").cast("bigint").alias("longest_voiced_run"),
+        F.sum("run_len").cast("bigint").alias("n_voiced"),
+    )
+    totals = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_voiced", F.lit(0)).cast("bigint").alias("n_voiced"),
+            F.coalesce("n_segments", F.lit(0))
+            .cast("bigint")
+            .alias("n_segments"),
+            F.coalesce("longest_voiced_run", F.lit(0))
+            .cast("bigint")
+            .alias("longest_voiced_run"),
+        )
+        .withColumn(
+            "voiced_share_micro",
+            F.expr("n_voiced * 1000000 DIV n_windows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# ViT patchify contract (patch grid geometry, oracle-checked)
+# --------------------------------------------------------------------
+
+PAT_N_DOCS = 150
+PAT_IMG = 16  # synthetic image is PAT_IMG x PAT_IMG pixels
+PAT_P = 4  # patch side -> (PAT_IMG/PAT_P)^2 = 16 patches per image
+
+
+def _patchify_oracle() -> str:
+    g = PAT_IMG // PAT_P
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id FROM documents WHERE doc_id < {PAT_N_DOCS}
+    ), patches AS (
+      SELECT i.doc_id,
+             CAST(pr.pr AS BIGINT) AS patch_row,
+             CAST(pc.pc AS BIGINT) AS patch_col
+      FROM imgs i,
+           LATERAL (SELECT unnest(range(0, {g})) AS pr) pr,
+           LATERAL (SELECT unnest(range(0, {g})) AS pc) pc
+    )
+    SELECT doc_id, patch_row, patch_col,
+           patch_row * {g} + patch_col AS patch_id,
+           CAST(list_reduce(list_transform(range(0, {PAT_P * PAT_P}),
+                  t -> (doc_id * 131
+                        + (patch_col * {PAT_P} + t % {PAT_P}) * 7
+                        + (patch_row * {PAT_P} + t // {PAT_P}) * 13) % 256),
+                (a, b) -> a + b) AS BIGINT) AS pix_sum,
+           CAST(list_reduce(list_transform(range(0, {PAT_P * PAT_P}),
+                  t -> (doc_id * 131
+                        + (patch_col * {PAT_P} + t % {PAT_P}) * 7
+                        + (patch_row * {PAT_P} + t // {PAT_P}) * 13) % 256),
+                (a, b) -> a + b) // {PAT_P * PAT_P} AS BIGINT) AS mean_floor,
+           CAST((doc_id * 131 + patch_col * {PAT_P} * 7
+                 + patch_row * {PAT_P} * 13) % 256 AS BIGINT) AS first_pix
+    FROM patches
+    """
+
+
+@stage(
+    "docs_patchify_contract",
+    oracle=_patchify_oracle(),
+    tags=("llm", "multimodal", "contract"),
+)
+def docs_patchify_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ViT patch-embedding front end as an oracle-pinned
+    contract (Dosovitskiy et al. '21): a deterministic
+    {PAT_IMG}×{PAT_IMG} synthetic image per doc (pixel(x,y) =
+    (id·131 + x·7 + y·13) mod 256 — the multimodal fixture formula
+    family) is cut into the {PAT_P}×{PAT_P}-pixel patch grid, and
+    each patch is reduced to its exact integer pixel sum, floor
+    mean, top-left pixel, and RASTER-ORDER position id (row·grid +
+    col — the position-embedding index). The numpy kernel is the
+    real ViT patchify: reshape(grid, P, grid, P) + sum over axes
+    (1,3); the oracle replays the geometry in closed form, so a
+    transposed patch axis, a column-major raster, or an off-by-one
+    patch offset all hash-mismatch.
+
+    Exactness: all integers by construction.
+
+    Scale (100 TB): zero shuffle — synthesis, reshape and reduction
+    all happen inside ONE ``mapInPandas`` stage; output is a
+    constant 16 rows per image."""
+    doc_ids = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < PAT_N_DOCS
+    )
+    g = PAT_IMG // PAT_P
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("patch_row", T.LongType()),
+            T.StructField("patch_col", T.LongType()),
+            T.StructField("patch_id", T.LongType()),
+            T.StructField("pix_sum", T.LongType()),
+            T.StructField("mean_floor", T.LongType()),
+            T.StructField("first_pix", T.LongType()),
+        ]
+    )
+    img, p = PAT_IMG, PAT_P
+
+    def patchify(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        gg = img // p
+        xs = np.arange(img, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                # pixel(x, y) with x = column, y = row
+                grid = (did * 131 + xs[None, :] * 7 + xs[:, None] * 13) % 256
+                sums = grid.reshape(gg, p, gg, p).sum(axis=(1, 3))
+                for pr in range(gg):
+                    for pc in range(gg):
+                        s = int(sums[pr, pc])
+                        out.append(
+                            (
+                                did,
+                                pr,
+                                pc,
+                                pr * gg + pc,
+                                s,
+                                s // (p * p),
+                                int(grid[pr * p, pc * p]),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "patch_row",
+                    "patch_col",
+                    "patch_id",
+                    "pix_sum",
+                    "mean_floor",
+                    "first_pix",
+                ],
+            )
+
+    return doc_ids.mapInPandas(patchify, out_schema)
+
+
+# --------------------------------------------------------------------
+# Deletion propagation contract (GDPR tombstones through derived data)
+# --------------------------------------------------------------------
+
+DEL_MOD = 17  # tombstones: doc_id % 17 == 0
+DPC_CHUNK_W = 6  # derived chunk table: 6-word windows ...
+DPC_STRIDE = 3  # ... at stride 3 (full windows only)
+
+
+def _deletion_oracle() -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS nw,
+             CASE WHEN doc_id % {DEL_MOD} = 0 THEN 1 ELSE 0 END AS del
+      FROM documents
+    ), enriched AS (
+      SELECT doc_id, source, del,
+             CASE WHEN nw >= {DPC_CHUNK_W}
+                  THEN 1 + (nw - {DPC_CHUNK_W}) // {DPC_STRIDE}
+                  ELSE 0 END AS n_chunks
+      FROM docs
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_before,
+           CAST(sum(1 - del) AS BIGINT) AS n_docs_after,
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks_before,
+           CAST(sum(CASE WHEN del = 0 THEN n_chunks ELSE 0 END)
+                AS BIGINT) AS n_chunks_after,
+           CAST(0 AS BIGINT) AS n_orphan_chunks
+    FROM enriched GROUP BY source
+    """
+
+
+@stage(
+    "docs_deletion_propagation_contract",
+    oracle=_deletion_oracle(),
+    tags=("llm", "governance", "contract"),
+)
+def docs_deletion_propagation_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GDPR deletion propagation: a tombstone list (doc_id ≡ 0 mod
+    {DEL_MOD} — the right-to-be-forgotten batch) is applied to the
+    documents table AND to a derived chunk table ({DPC_CHUNK_W}-word
+    windows at stride {DPC_STRIDE}, the RAG-chunk shape) via
+    LEFT ANTI joins, then audited: per source, row counts before and
+    after on both tables plus the ORPHAN count — chunks that
+    survived although their parent doc was deleted — which the
+    oracle pins at ZERO. The Spark side does the real work (the
+    chunk frame is materialized by posexplode and the orphan count
+    comes from an actual anti-join of survivors against surviving
+    parents); the oracle prices the same counts in closed form, so
+    a propagation bug (deletes applied to one table, not the other;
+    key drift between the frames) breaks the hash.
+
+    Exactness: pure integer counts; chunk counts follow the
+    full-window formula 1 + (n_words − W) DIV stride.
+
+    Scale (100 TB): the tombstone side of every anti-join is the
+    deletion batch (bounded, broadcastable); the chunk fan-out is a
+    projection-side explode (no shuffle); the audit is one hash
+    aggregate per table to |sources| rows plus one anti-join whose
+    right side is doc-key metadata."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("nw")
+    )
+    tomb = d.filter(F.col("doc_id") % DEL_MOD == 0).select("doc_id")
+    chunks = d.filter(F.col("nw") >= DPC_CHUNK_W).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("nw") - DPC_CHUNK_W) / DPC_STRIDE).cast("int"),
+            )
+        ).alias("chunk_idx"),
+    )
+    docs_after = d.join(tomb, "doc_id", "left_anti")
+    chunks_after = chunks.join(tomb, "doc_id", "left_anti")
+    orphans = chunks_after.join(
+        docs_after.select("doc_id"), "doc_id", "left_anti"
+    )
+
+    docs_stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_before")
+    )
+    docs_after_stats = docs_after.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_after")
+    )
+    chunk_stats = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks_before")
+    )
+    chunk_after_stats = chunks_after.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks_after")
+    )
+    orphan_stats = orphans.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orphan_chunks")
+    )
+    return (
+        docs_stats.join(docs_after_stats, "source", "left")
+        .join(chunk_stats, "source", "left")
+        .join(chunk_after_stats, "source", "left")
+        .join(orphan_stats, "source", "left")
+        .select(
+            "source",
+            "n_docs_before",
+            F.coalesce("n_docs_after", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_after"),
+            F.coalesce("n_chunks_before", F.lit(0))
+            .cast("bigint")
+            .alias("n_chunks_before"),
+            F.coalesce("n_chunks_after", F.lit(0))
+            .cast("bigint")
+            .alias("n_chunks_after"),
+            F.coalesce("n_orphan_chunks", F.lit(0))
+            .cast("bigint")
+            .alias("n_orphan_chunks"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# nDCG@10 of the IVF candidate ranking (graded-relevance retrieval eval)
+# --------------------------------------------------------------------
+
+NDCG_K = 10
+NDCG_N_CENTROIDS = 8  # deterministic codebook: vec_id < 8 (PQ convention)
+NDCG_N_PROBES = 10  # bounded probe block (md5 >= 'e6', the split)
+NDCG_NPROBE = 2  # lists visited by the evaluated IVF configuration
+
+# Discount table round(1e6 / log2(i+1)), i = 1..K — computed ONCE in
+# Python and embedded as integer literals in BOTH engines, so no
+# runtime transcendental ever crosses the oracle boundary.
+NDCG_DISC_MICRO: tuple[int, ...] = tuple(
+    round(1_000_000 / math.log2(i + 1)) for i in range(1, NDCG_K + 1)
+)
+# Ideal grades: exact ranks 1-2 -> 3, 3-5 -> 2, 6-10 -> 1 (fixed), so
+# the ideal DCG is a CONSTANT for every probe.
+NDCG_GRADES: tuple[int, ...] = (3, 3, 2, 2, 2, 1, 1, 1, 1, 1)
+NDCG_IDCG_MICRO: int = sum(
+    g * d for g, d in zip(NDCG_GRADES, NDCG_DISC_MICRO)
+)
+
+
+def _ndcg_oracle() -> str:
+    from .staged_r11 import _COS_MICRO_SQL
+
+    hh = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 2)"
+    cos_pc = _COS_MICRO_SQL.format(a="p", b="c")
+    cos_pn = _COS_MICRO_SQL.format(a="p", b="n")
+    cos_vc = _COS_MICRO_SQL.format(a="v", b="c")
+    disc_rows = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(NDCG_DISC_MICRO)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {hh} AS hh,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), vecs AS (
+      SELECT vec_id, hh, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM e
+    ), cents AS (
+      SELECT vec_id AS cid, v, nrm FROM vecs
+      WHERE vec_id < {NDCG_N_CENTROIDS}
+    ), probes AS (
+      SELECT vec_id AS probe_id, v, nrm FROM vecs
+      WHERE hh >= 'e6' ORDER BY vec_id LIMIT {NDCG_N_PROBES}
+    ), assign AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY {cos_vc} DESC, c.cid) AS rn
+      FROM vecs v CROSS JOIN cents c
+    ), cluster_of AS (
+      SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1
+    ), probed AS (
+      SELECT p.probe_id, c.cid
+      FROM probes p CROSS JOIN cents c
+      QUALIFY row_number() OVER (PARTITION BY p.probe_id
+                                 ORDER BY {cos_pc} DESC, c.cid)
+              <= {NDCG_NPROBE}
+    ), truth AS (
+      SELECT p.probe_id, n.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY {cos_pn} DESC, n.vec_id) AS rk
+      FROM probes p JOIN vecs n ON n.vec_id <> p.probe_id
+      QUALIFY rk <= {NDCG_K}
+    ), grades AS (
+      SELECT probe_id, neighbor_id,
+             CASE WHEN rk <= 2 THEN 3 WHEN rk <= 5 THEN 2 ELSE 1 END AS g
+      FROM truth
+    ), cands AS (
+      SELECT pr.probe_id, co.vec_id,
+             row_number() OVER (PARTITION BY pr.probe_id
+                                ORDER BY {cos_pn} DESC, co.vec_id) AS pos,
+             count(*) OVER (PARTITION BY pr.probe_id) AS n_candidates
+      FROM probed pr
+      JOIN cluster_of co ON co.cluster = pr.cid
+      JOIN probes p ON p.probe_id = pr.probe_id
+      JOIN vecs n ON n.vec_id = co.vec_id
+      WHERE co.vec_id <> pr.probe_id
+    ), top AS (
+      SELECT c.probe_id, c.pos, c.n_candidates,
+             COALESCE(g.g, 0) AS g
+      FROM cands c
+      LEFT JOIN grades g ON g.probe_id = c.probe_id
+                        AND g.neighbor_id = c.vec_id
+      WHERE c.pos <= {NDCG_K}
+    )
+    SELECT t.probe_id,
+           CAST(max(t.n_candidates) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN t.g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(sum(t.g * d.disc) AS BIGINT) AS dcg_micro,
+           CAST(sum(t.g * d.disc) * 1000000 // {NDCG_IDCG_MICRO}
+                AS BIGINT) AS ndcg_micro
+    FROM top t
+    JOIN (VALUES {disc_rows}) AS d(pos, disc) ON d.pos = t.pos
+    GROUP BY t.probe_id
+    """
+
+
+@stage(
+    "retrieval_ndcg_eval",
+    oracle=_ndcg_oracle(),
+    tags=("llm", "retrieval", "eval"),
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance nDCG@{NDCG_K} of the IVF (nprobe={NDCG_NPROBE})
+    candidate ranking against the exact-cosine ideal: per probe, the
+    true top-{NDCG_K} by exact quantized cosine carry graded
+    relevance (ranks 1-2 -> 3, 3-5 -> 2, 6-10 -> 1 — the
+    Jarvelin-Kekalainen graded-gain shape), the IVF configuration's
+    candidate list (corpus vectors in the probe's top-{NDCG_NPROBE}
+    inverted lists) is ranked by the same exact cosine, and DCG sums
+    grade x discount over the first {NDCG_K} positions. Recall
+    (registered ``embeddings_ivf_recall_probe_curve``) counts hits;
+    nDCG weights them by RANK - the number a retrieval deployment
+    actually optimizes. Because the ideal grade vector is fixed, the
+    ideal DCG is the constant {NDCG_IDCG_MICRO} (micro), and
+    ndcg_micro = dcg x 1e6 DIV that constant.
+
+    Exactness: cosines are 6-dp-rounded micro ints (the established
+    margin-mining pattern); the log2 discount table is
+    round(1e6/log2(i+1)) embedded as INTEGER LITERALS in both
+    engines - no runtime transcendentals cross the oracle boundary.
+
+    Scale (100 TB): the corpus is touched exactly twice, both times
+    streaming against broadcast constant-size frames (the codebook;
+    the probe block) - the registered IVF-recall shape; candidate
+    ranking is a per-probe top-k window over the probed lists'
+    members only."""
+    from .similarity import _dot, _norm
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2).alias("hh"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select("vec_id", "hh", "v", _norm(F.col("v")).alias("nrm"))
+
+    def cos_micro(av, anrm, bv, bnrm) -> Column:
+        return F.round(
+            F.round(_dot(av, bv) / (anrm * bnrm), 6) * 1e6, 0
+        ).cast("bigint")
+
+    cents = vecs.filter(F.col("vec_id") < NDCG_N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    probes = (
+        vecs.filter(F.col("hh") >= "e6")
+        .orderBy("vec_id")
+        .limit(NDCG_N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pnrm"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_micro"), F.asc("cid")
+    )
+    cluster_of = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            cos_micro(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cnrm"))
+            .alias("c_micro"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    w_probe = Window.partitionBy("probe_id").orderBy(
+        F.desc("c_micro"), F.asc("cid")
+    )
+    probed = (
+        probes.crossJoin(F.broadcast(cents))
+        .select(
+            "probe_id",
+            "cid",
+            cos_micro(F.col("pv"), F.col("pnrm"), F.col("cv"), F.col("cnrm"))
+            .alias("c_micro"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NDCG_NPROBE)
+        .select("probe_id", F.col("cid").alias("cluster"))
+    )
+    w_truth = Window.partitionBy("probe_id").orderBy(
+        F.desc("c_micro"), F.asc("vec_id")
+    )
+    truth = (
+        vecs.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cos_micro(F.col("pv"), F.col("pnrm"), F.col("v"), F.col("nrm"))
+            .alias("c_micro"),
+        )
+        .withColumn("rk", F.row_number().over(w_truth))
+        .filter(F.col("rk") <= NDCG_K)
+    )
+    grades = truth.select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.when(F.col("rk") <= 2, 3)
+        .when(F.col("rk") <= 5, 2)
+        .otherwise(1)
+        .alias("g"),
+    )
+    # candidate set: members of the probed inverted lists, ranked by
+    # the SAME exact cosine (broadcast the bounded probe block)
+    w_cand = Window.partitionBy("probe_id").orderBy(
+        F.desc("c_micro"), F.asc("vec_id")
+    )
+    cands = (
+        cluster_of.join(F.broadcast(probed), "cluster")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(
+            F.broadcast(
+                probes.select("probe_id", "pv", "pnrm")
+            ),
+            "probe_id",
+        )
+        .join(vecs.select("vec_id", "v", "nrm"), "vec_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            cos_micro(F.col("pv"), F.col("pnrm"), F.col("v"), F.col("nrm"))
+            .alias("c_micro"),
+        )
+        .withColumn("pos", F.row_number().over(w_cand))
+        .withColumn(
+            "n_candidates",
+            F.count(F.lit(1)).over(Window.partitionBy("probe_id")),
+        )
+    )
+    disc = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(NDCG_DISC_MICRO)],
+        "pos int, disc long",
+    )
+    top = (
+        cands.filter(F.col("pos") <= NDCG_K)
+        .join(
+            grades,
+            (cands["probe_id"] == grades["probe_id"])
+            & (cands["vec_id"] == grades["neighbor_id"]),
+            "left",
+        )
+        .select(
+            cands["probe_id"].alias("probe_id"),
+            "pos",
+            "n_candidates",
+            F.coalesce(grades["g"], F.lit(0)).alias("g"),
+        )
+        .join(F.broadcast(disc), "pos")
+    )
+    return (
+        top.groupBy("probe_id")
+        .agg(
+            F.max("n_candidates").cast("bigint").alias("n_candidates"),
+            F.sum((F.col("g") > 0).cast("int")).cast("bigint").alias("n_hits"),
+            F.sum(F.col("g") * F.col("disc")).cast("bigint").alias("dcg_micro"),
+        )
+        .withColumn(
+            "ndcg_micro",
+            F.expr(f"dcg_micro * 1000000 DIV {NDCG_IDCG_MICRO}").cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Source novelty curve (data-mixing Pareto frontier)
+# --------------------------------------------------------------------
+
+
+def _novelty_curve_oracle() -> str:
+    return """
+    WITH stot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) * 1000000
+               // CAST(count(*) AS BIGINT) AS mean_chars_micro
+      FROM documents GROUP BY 1
+    ), ranked AS (
+      SELECT a.source, a.n_docs, a.mean_chars_micro,
+             CAST(1 + count(b.source) AS BIGINT) AS source_rank
+      FROM stot a
+      LEFT JOIN stot b
+        ON b.mean_chars_micro > a.mean_chars_micro
+        OR (b.mean_chars_micro = a.mean_chars_micro
+            AND b.source < a.source)
+      GROUP BY 1, 2, 3
+    ), ws AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), tris AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+      FROM ws
+    ), first_rank AS (
+      SELECT t.tri, min(r.source_rank) AS fr
+      FROM tris t JOIN ranked r USING (source) GROUP BY t.tri
+    ), novel AS (
+      SELECT fr AS source_rank, CAST(count(*) AS BIGINT) AS n_novel
+      FROM first_rank GROUP BY 1
+    ), pres AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tris
+      FROM tris GROUP BY 1
+    )
+    SELECT r.source_rank, r.source, r.n_docs, r.mean_chars_micro,
+           p.n_tris,
+           COALESCE(n.n_novel, 0) AS n_novel,
+           CAST(sum(COALESCE(n.n_novel, 0)) OVER (
+             ORDER BY r.source_rank) AS BIGINT) AS cum_distinct
+    FROM ranked r
+    JOIN pres p USING (source)
+    LEFT JOIN novel n ON n.source_rank = r.source_rank
+    """
+
+
+@stage(
+    "corpus_source_novelty_curve",
+    oracle=_novelty_curve_oracle(),
+    tags=("llm", "mixture", "novelty"),
+)
+def corpus_source_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing Pareto frontier: sources ordered by mean
+    document length (micro-exact integer, ties by name — the
+    quality-proxy ordering a mixture designer walks), then for each
+    prefix of that order, the cumulative count of distinct word
+    trigrams and each source's MARGINAL novel-trigram contribution
+    (trigrams whose best — minimum — source rank is that source).
+    The corpus-level complement of the registered per-doc
+    ``docs_ngram_novelty``: that curve prices adding a DOC, this one
+    prices adding a SOURCE, which is the granularity mixture weights
+    are chosen at (cf. the source-level dedup/novelty accounting in
+    RefinedWeb and Dolma).
+
+    Exactness: counts, integer micro mean, min-rank first-seen; the
+    trailing cumulative window runs ORDER BY source_rank over a
+    |sources|-row frame in both engines (deterministic: rank is a
+    bijection); the rank itself is a broadcast theta self-join
+    count, NOT a global window, so no corpus-scale single-partition
+    exchange exists in the plan.
+
+    Scale (100 TB): one scan to a (source, tri) DISTINCT hash
+    aggregate (Zipf-compressed), one (tri -> min rank) aggregate,
+    then everything is |sources|-sized. The final cumulative window
+    IS single-partition — over exactly |sources| rows of source
+    metadata, the planner frame, never row data."""
+    d = load(spark, sf_dir, "documents")
+    stot = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(n_chars) * 1000000 DIV count(*)")
+        .cast("bigint")
+        .alias("mean_chars_micro"),
+    )
+    a = stot.alias("a")
+    b = stot.select(
+        F.col("source").alias("b_source"),
+        F.col("mean_chars_micro").alias("b_mean"),
+    )
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b_mean") > F.col("mean_chars_micro"))
+            | (
+                (F.col("b_mean") == F.col("mean_chars_micro"))
+                & (F.col("b_source") < F.col("source"))
+            ),
+            "left",
+        )
+        .groupBy("source", "n_docs", "mean_chars_micro")
+        .agg((F.count("b_source") + 1).cast("bigint").alias("source_rank"))
+    )
+    ws = d.filter(F.size(F.split("text", " ")) >= 3).select(
+        "source", F.split("text", " ").alias("w")
+    )
+    tris = ws.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                )
+            )
+        ).alias("tri"),
+    ).distinct()
+    first_rank = (
+        tris.join(F.broadcast(ranked.select("source", "source_rank")), "source")
+        .groupBy("tri")
+        .agg(F.min("source_rank").alias("fr"))
+    )
+    novel = first_rank.groupBy(F.col("fr").alias("source_rank")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    pres = tris.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tris")
+    )
+    curve = (
+        ranked.join(pres, "source")
+        .join(F.broadcast(novel), "source_rank", "left")
+        .withColumn(
+            "n_novel", F.coalesce("n_novel", F.lit(0)).cast("bigint")
+        )
+    )
+    # cumulative over the |sources|-row metadata frame (benign by
+    # construction; see docstring) — via a second theta self-join to
+    # keep the plan free of ANY single-partition window exchange.
+    cum_src = curve.select(
+        F.col("source_rank").alias("c_rank"),
+        F.col("n_novel").alias("c_novel"),
+    )
+    return (
+        curve.join(
+            F.broadcast(cum_src), F.col("c_rank") <= F.col("source_rank")
+        )
+        .groupBy(
+            "source_rank", "source", "n_docs", "mean_chars_micro",
+            "n_tris", "n_novel",
+        )
+        .agg(F.sum("c_novel").cast("bigint").alias("cum_distinct"))
+    )
+
+
+# --------------------------------------------------------------------
+# Mutual-kNN fraction (kNN-graph symmetry probe)
+# --------------------------------------------------------------------
+
+MKNN_BLOCK = 128  # constant-size hash-selected node block
+MKNN_KS = (1, 2, 3)
+
+
+def _mutual_knn_oracle() -> str:
+    from .staged_r11 import _COS_MICRO_SQL
+
+    hh = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 2)"
+    cos_ab = _COS_MICRO_SQL.format(a="a", b="b")
+    ks = ", ".join(str(k) for k in MKNN_KS)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {hh} AS hh,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), vecs AS (
+      SELECT vec_id, hh, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM e
+    ), block AS (
+      SELECT vec_id, v, nrm FROM vecs
+      WHERE hh >= 'a0' ORDER BY vec_id LIMIT {MKNN_BLOCK}
+    ), knn AS (
+      SELECT a.vec_id AS u, b.vec_id AS nb,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cos_ab} DESC, b.vec_id) AS rk
+      FROM block a JOIN block b ON b.vec_id <> a.vec_id
+    ), paired AS (
+      SELECT f.u, f.nb, f.rk AS rk_uv, r.rk AS rk_vu
+      FROM knn f JOIN knn r ON r.u = f.nb AND r.nb = f.u
+    )
+    SELECT CAST(kk.k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN p.rk_uv <= kk.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN p.rk_uv <= kk.k AND p.rk_vu <= kk.k
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual,
+           CAST(sum(CASE WHEN p.rk_uv <= kk.k AND p.rk_vu <= kk.k
+                    THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // CAST(sum(CASE WHEN p.rk_uv <= kk.k THEN 1 ELSE 0 END)
+                     AS BIGINT) AS mutual_share_micro
+    FROM paired p
+    CROSS JOIN (SELECT unnest([{ks}]) AS k) kk
+    GROUP BY kk.k
+    """
+
+
+@stage(
+    "embeddings_mutual_knn_fraction",
+    oracle=_mutual_knn_oracle(),
+    tags=("llm", "similarity", "graph"),
+)
+def embeddings_mutual_knn_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """kNN-graph symmetry probe: on a constant-size hash-selected
+    node block ({MKNN_BLOCK} vectors, md5 ≥ 'a0' — the established
+    hash-split), the share of directed kNN edges that are MUTUAL
+    (u ∈ kNN(v) AND v ∈ kNN(u)) for k ∈ {MKNN_KS}. Mutual-kNN is
+    the edge rule of choice for graph dedup and agglomerative
+    embedding clustering precisely because asymmetric edges mark
+    HUBS (a vector that is everyone's neighbor while reciprocating
+    none) — a low mutual share at small k says the space is hubby
+    and k must grow (or hubness-normalize, as the registered
+    margin-mining query does). This is the number you read before
+    building the graph.
+
+    Exactness: 6-dp-rounded micro-quantized cosines with vec_id
+    tie-breaks (the margin-mining pattern); counts; one micro DIV.
+
+    Scale (100 TB): the block is CONSTANT-SIZE (a statistical probe
+    of graph symmetry, not a corpus enumeration — the sample
+    estimates the mutual share the way the registered LSH recall
+    eval estimates recall); all-pairs work is {MKNN_BLOCK}² rows
+    inside one broadcast self-join, independent of corpus size."""
+    from .similarity import _dot, _norm
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2).alias("hh"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select("vec_id", "hh", "v", _norm(F.col("v")).alias("nrm"))
+    block = (
+        vecs.filter(F.col("hh") >= "a0")
+        .orderBy("vec_id")
+        .limit(MKNN_BLOCK)
+        .select("vec_id", "v", "nrm")
+    )
+    other = block.select(
+        F.col("vec_id").alias("nb"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    w_rank = Window.partitionBy("u").orderBy(F.desc("c_micro"), F.asc("nb"))
+    knn = (
+        block.select(
+            F.col("vec_id").alias("u"), F.col("v").alias("av"),
+            F.col("nrm").alias("anrm"),
+        )
+        .join(F.broadcast(other), F.col("nb") != F.col("u"))
+        .select(
+            "u",
+            "nb",
+            F.round(
+                F.round(
+                    _dot(F.col("av"), F.col("bv"))
+                    / (F.col("anrm") * F.col("bnrm")),
+                    6,
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("c_micro"),
+        )
+        .withColumn("rk", F.row_number().over(w_rank))
+        .select("u", "nb", "rk")
+    )
+    rev = knn.select(
+        F.col("nb").alias("u"),
+        F.col("u").alias("nb"),
+        F.col("rk").alias("rk_vu"),
+    )
+    paired = knn.join(rev, ["u", "nb"]).select(
+        F.col("rk").alias("rk_uv"), "rk_vu"
+    )
+    ladder = spark.createDataFrame([(k,) for k in MKNN_KS], "k long")
+    return (
+        paired.crossJoin(F.broadcast(ladder))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("rk_uv") <= F.col("k")).cast("int"))
+            .cast("bigint")
+            .alias("n_edges"),
+            F.sum(
+                (
+                    (F.col("rk_uv") <= F.col("k"))
+                    & (F.col("rk_vu") <= F.col("k"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_mutual"),
+        )
+        .select(
+            "k",
+            "n_edges",
+            "n_mutual",
+            F.expr("n_mutual * 1000000 DIV n_edges").alias(
+                "mutual_share_micro"
+            ),
+        )
+    )

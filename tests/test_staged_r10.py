@@ -461,12 +461,20 @@ def test_no_name_collisions_across_slates_and_registry():
     from python_nyc_taxi_data_pipeline_spark.llm.staged_r11 import (
         STAGED as S11,
     )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r12 import (
+        STAGED as S12,
+    )
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
     live = set(all_queries())
     # staged_r8 promoted into the registry in round 8 — it is now part
     # of `live`, so only the still-pending slates are checked here.
-    slates = {"r9": set(S9), "r10": set(STAGED), "r11": set(S11)}
+    slates = {
+        "r9": set(S9),
+        "r10": set(STAGED),
+        "r11": set(S11),
+        "r12": set(S12),
+    }
     for name, s in slates.items():
         assert not (s & live), f"{name} collides with registry: {s & live}"
     names = list(slates.items())

@@ -209,6 +209,17 @@ def _staged11(name: str):
     return fn
 
 
+def _staged12(name: str):
+    """Resolve a round-12 STAGED query (llm/staged_r12.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r12 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
 # round-10 staged candidates (llm/staged_r10.py)
 EXTRA_FNS_R10 = (
     "docs_doremi_reweight_step",
@@ -245,6 +256,34 @@ EXTRA_FNS.update(
             "embeddings_ivf_recall_probe_curve",
             "lineitem_salted_distinct_contract",
             "customer_t_closeness",
+        )
+    }
+)
+
+# round-12 staged candidates (llm/staged_r12.py). The synthetic-block
+# multimodal contracts (VAD, patchify: doc_id < 150, zero/keyed
+# shuffle) and the constant-block probes (mutual-kNN: 128² in one
+# broadcast self-join; nDCG: the bounded IVF probe battery) are
+# included for regression cover even though their work does not grow
+# with the corpus; the corpus-scaling members are the KS drift
+# (value-domain aggregate), the watermark sweep (keyed window), the
+# compaction planner (metadata aggregate), the Markov chain (per-user
+# window + |states|² iterations), the novelty curve (gram aggregate)
+# and the deletion contract (anti-joins).
+EXTRA_FNS.update(
+    {
+        name: _staged12(name)
+        for name in (
+            "docs_length_ks_drift",
+            "events_late_arrival_watermark_sweep",
+            "lineitem_compaction_plan",
+            "events_markov_stationary",
+            "docs_audio_vad_segments",
+            "docs_patchify_contract",
+            "docs_deletion_propagation_contract",
+            "retrieval_ndcg_eval",
+            "corpus_source_novelty_curve",
+            "embeddings_mutual_knn_fraction",
         )
     }
 )
@@ -512,6 +551,27 @@ MAX_EXPONENT = {
     "docs_ngram_novelty": 1.35,
     "embeddings_ivf_recall_probe_curve": 1.35,
     "lineitem_salted_distinct_contract": 1.35,
+    # r11 closer: t-closeness is one corpus scan to the (QI × segment)
+    # hash aggregate; everything downstream is QI-domain metadata.
+    "customer_t_closeness": 1.35,
+    # r12 slate: all claimed linear-or-better shuffle designs — the KS
+    # drift aggregates to the (source × length-value) domain; the
+    # watermark sweep is a keyed window + |sources|-row rollup; the
+    # compaction planner and novelty curve reduce to metadata frames;
+    # the Markov chain is a per-user window + |states|² iterations; the
+    # deletion contract is anti-joins with a bounded tombstone side;
+    # VAD/patchify are synthetic-block Arrow maps (zero/keyed shuffle);
+    # nDCG and mutual-kNN stream the corpus against constant frames.
+    "docs_length_ks_drift": 1.35,
+    "events_late_arrival_watermark_sweep": 1.35,
+    "lineitem_compaction_plan": 1.35,
+    "events_markov_stationary": 1.35,
+    "docs_audio_vad_segments": 1.35,
+    "docs_patchify_contract": 1.35,
+    "docs_deletion_propagation_contract": 1.35,
+    "retrieval_ndcg_eval": 1.35,
+    "corpus_source_novelty_curve": 1.35,
+    "embeddings_mutual_knn_fraction": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
