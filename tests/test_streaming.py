@@ -329,3 +329,99 @@ def test_streaming_neardup_hot_bucket_cap_contract(spark, tmp_path, monkeypatch)
     rows2 = spark.read.parquet(out).collect()
     assert {(r.doc_a, r.doc_b) for r in rows2} == expected
     assert not any(r.doc_a == 1000 or r.doc_b == 1000 for r in rows2)
+
+
+def test_stream_watermark_drop_parity_with_simulation(spark, tmp_path):
+    """Watermark LATE-DATA DROP parity: a crafted out-of-order event
+    replay (one file per micro-batch via processAllAvailable) through
+    the REAL ``tumbling_counts`` watermarked aggregation must drop
+    exactly the rows an exact simulation of Spark's watermark
+    semantics predicts — wm := max(wm, batch_max_ts − delay) at batch
+    boundaries, a row dropped iff its WINDOW END ≤ wm at arrival.
+    This is the engine-behavior anchor for the (registration-staged)
+    ``events_late_arrival_watermark_sweep`` pricing table: the sweep
+    prices candidate delays from history; this test proves the engine
+    the price list is for actually drops what the model says."""
+    import time
+    from datetime import datetime, timedelta
+
+    from python_nyc_taxi_data_pipeline_spark.streaming.jobs import (
+        read_event_stream,
+        tumbling_counts,
+    )
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    delay_s = 3600  # 1h watermark on 1h tumbling windows
+    win_s = 3600
+    # arrival batches: batch 1 advances event time far ahead; batches
+    # 2-4 mix on-time rows with stragglers 1-4 hours behind the max.
+    batches = [
+        [0, 600, 1200, 7200],                      # max ts = 2h
+        [7800, 3600, 1800, 300],                   # 300/1800 are late-ish
+        [14400, 9000, 4000, 100],                  # 100 is 4h behind
+        [15000, 14990, 600, 10700],                # 600 is hours behind
+    ]
+    src = tmp_path / "wm_src"
+    src.mkdir()
+
+    stream = read_event_stream(spark, str(src))
+    agg = tumbling_counts(stream, delay=f"{delay_s} seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_parity")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        eid = 0
+        for i, offs in enumerate(batches):
+            rows = []
+            for o in offs:
+                rows.append(
+                    (eid, base + timedelta(seconds=o), 1, "click", 1.0, "{}")
+                )
+                eid += 1
+            stage = tmp_path / f"stage_b{i}"
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp_ntz, user_id long,"
+                " event_type string, value double, props string",
+            ).coalesce(1).write.parquet(str(stage))
+            part = next(stage.glob("part-*.parquet"))
+            part.rename(src / f"b{i}.parquet")
+            q.processAllAvailable()
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.sql(
+            "SELECT window_start, max(n_events) AS n FROM wm_parity"
+            " GROUP BY window_start"
+        )
+        .toPandas()
+        .set_index("window_start")["n"]
+        .to_dict()
+    )
+
+    # exact simulation of the engine's semantics
+    wm = None  # watermark in seconds-offset space
+    kept: dict[int, int] = {}
+    dropped = 0
+    for offs in batches:
+        for o in offs:
+            win_end = (o // win_s + 1) * win_s
+            if wm is not None and win_end <= wm:
+                dropped += 1
+            else:
+                kept[(o // win_s) * win_s] = kept.get((o // win_s) * win_s, 0) + 1
+        batch_max = max(offs)
+        wm = max(wm or -(10**9), batch_max - delay_s)
+
+    want = {
+        base + timedelta(seconds=ws): n for ws, n in kept.items()
+    }
+    assert {pd_ts.to_pydatetime(): int(n) for pd_ts, n in got.items()} == want
+    # the scenario must actually exercise drops, or the test is vacuous
+    assert dropped > 0
+    assert sum(kept.values()) + dropped == sum(len(b) for b in batches)
