@@ -464,6 +464,9 @@ def test_no_name_collisions_across_slates_and_registry():
     from python_nyc_taxi_data_pipeline_spark.llm.staged_r12 import (
         STAGED as S12,
     )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r13 import (
+        STAGED as S13,
+    )
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
     live = set(all_queries())
@@ -474,6 +477,7 @@ def test_no_name_collisions_across_slates_and_registry():
         "r10": set(STAGED),
         "r11": set(S11),
         "r12": set(S12),
+        "r13": set(S13),
     }
     for name, s in slates.items():
         assert not (s & live), f"{name} collides with registry: {s & live}"

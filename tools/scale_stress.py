@@ -220,6 +220,17 @@ def _staged12(name: str):
     return fn
 
 
+def _staged13(name: str):
+    """Resolve a round-13 STAGED query (llm/staged_r13.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r13 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
 # round-10 staged candidates (llm/staged_r10.py)
 EXTRA_FNS_R10 = (
     "docs_doremi_reweight_step",
@@ -284,6 +295,21 @@ EXTRA_FNS.update(
             "retrieval_ndcg_eval",
             "corpus_source_novelty_curve",
             "embeddings_mutual_knn_fraction",
+        )
+    }
+)
+
+# round-13 staged candidates (llm/staged_r13.py): the AUC's two-level
+# prefix sum and the manifest digests are one-hash-aggregate shapes;
+# the BT step's duel join is id-adjacent and everything after is
+# |sources|²-bounded.
+EXTRA_FNS.update(
+    {
+        name: _staged13(name)
+        for name in (
+            "docs_quality_auc_rank",
+            "corpus_shard_manifest_digests",
+            "orders_bradley_terry_step",
         )
     }
 )
@@ -572,6 +598,12 @@ MAX_EXPONENT = {
     "retrieval_ndcg_eval": 1.35,
     "corpus_source_novelty_curve": 1.35,
     "embeddings_mutual_knn_fraction": 1.35,
+    # r13 seed: AUC = (source, score)-domain hash agg + two-level
+    # prefix sum; manifest = one map-side-combinable aggregate; BT =
+    # id-adjacent duel join + |sources|²-bounded fit.
+    "docs_quality_auc_rank": 1.35,
+    "corpus_shard_manifest_digests": 1.35,
+    "orders_bradley_terry_step": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 

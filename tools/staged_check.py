@@ -27,20 +27,37 @@ from python_nyc_taxi_data_pipeline_spark.session import get_session  # noqa: E40
 
 
 def _default_module() -> str:
-    """First staged slate not yet promoted into the live registry."""
+    """First staged slate not yet promoted into the live registry —
+    slates discovered by glob (llm/staged_rN.py, ascending N), the
+    same rule bench.py's _staged_modules uses, so a brand-new slate
+    module is checkable without touching this list."""
+    import glob
+    import re
+
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
     live = set(all_queries())
-    for module in ("r8", "r9", "r10", "r11", "r12"):
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "python_nyc_taxi_data_pipeline_spark",
+        "llm",
+    )
+    slates = sorted(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(pkg, "staged_r*.py"))
+        if (m := re.match(r"^staged_r(\d+)\.py$", os.path.basename(p)))
+    )
+    for n in slates:
+        module = f"r{n}"
         try:
             mod = importlib.import_module(
                 f"python_nyc_taxi_data_pipeline_spark.llm.staged_{module}"
             )
         except ModuleNotFoundError:
             continue
-        if any(n not in live for n in mod.STAGED):
+        if any(q not in live for q in mod.STAGED):
             return module
-    return "r10"
+    return f"r{slates[-1]}" if slates else "r10"
 
 
 def main() -> int:
