@@ -27,6 +27,21 @@ The seed slate:
   same TTR quality score, wins are aggregated to source-vs-source
   game counts, and one integer-exact BT iteration from the uniform
   start produces normalized source strengths.
+- ``docs_dup_cluster_stability``: the dedup-threshold sensitivity
+  table — edges / components / clustered docs / max cluster size at
+  τ ∈ {0.30, 0.50, 0.70}, composing the registered pair generator and
+  label-prop CC; finds the percolation point where transitive closure
+  starts chaining unrelated documents.
+- ``embeddings_label_centroid_shift``: pairwise label-centroid cosine
+  (micro-quantized integer element sums, so centroids are exact in
+  any aggregation order) — the embedding-space collapse/drift check
+  run when a new encoder ships.
+- ``embeddings_matryoshka_recall_curve``: recall@5 of truncated-dim
+  cosine (m ∈ {8,16,32}) vs full-dim truth over the bounded probe
+  block — the MRL prefix-length design table (Kusupati et al. '22).
+- ``events_stream_state_size_sweep``: rows a stateful streaming dedup
+  must RETAIN per candidate watermark delay — the state axis of the
+  watermark tradeoff, paired with the r12 late-arrival sweep.
 """
 
 from __future__ import annotations
@@ -52,7 +67,11 @@ STAGED: dict[str, StagedQuery] = {}
 
 R13_BATCH: tuple[str, ...] = (
     "corpus_shard_manifest_digests",
+    "docs_dup_cluster_stability",
     "docs_quality_auc_rank",
+    "embeddings_label_centroid_shift",
+    "embeddings_matryoshka_recall_curve",
+    "events_stream_state_size_sweep",
     "orders_bradley_terry_step",
 )
 
@@ -455,5 +474,555 @@ def orders_bradley_terry_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("s1 * 1000000 DIV greatest(z, 1)")
             .cast("bigint")
             .alias("bt_score_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Dup-cluster stability across Jaccard thresholds
+# --------------------------------------------------------------------
+
+DCS_THRESHOLDS_CENTI = (30, 50, 70)  # tau ladder in centi units
+
+
+def _cluster_stability_oracle() -> str:
+    from .dedup import GRAMS_CTE_SQL, JACCARD_PAIRS_SQL
+
+    branches = []
+    for tc in DCS_THRESHOLDS_CENTI:
+        branches.append(
+            f"""
+    sel_{tc} AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {tc} / 100.0
+    ),
+    edges_{tc} AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM sel_{tc}
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM sel_{tc}
+    ),
+    reach_{tc}(node, lbl) AS (
+      SELECT src, src FROM edges_{tc}
+      UNION
+      SELECT e.dst, r.lbl
+      FROM reach_{tc} r JOIN edges_{tc} e ON e.src = r.node
+      WHERE r.lbl < e.dst
+    ),
+    comp_{tc} AS (
+      SELECT node, min(lbl) AS component FROM reach_{tc} GROUP BY node
+    ),
+    sizes_{tc} AS (
+      SELECT component, count(*) AS sz FROM comp_{tc} GROUP BY component
+    ),
+    row_{tc} AS (
+      SELECT CAST({tc} AS BIGINT) AS threshold_centi,
+             CAST((SELECT count(*) FROM sel_{tc}) AS BIGINT) AS n_edges,
+             CAST(COALESCE(count(*), 0) AS BIGINT) AS n_clusters,
+             CAST(COALESCE(sum(sz), 0) AS BIGINT) AS n_docs_clustered,
+             CAST(COALESCE(max(sz), 0) AS BIGINT) AS max_cluster_size
+      FROM sizes_{tc}
+    )"""
+        )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM row_{tc}" for tc in DCS_THRESHOLDS_CENTI
+    )
+    return f"""
+    WITH RECURSIVE g AS MATERIALIZED (
+{GRAMS_CTE_SQL}
+    ),
+    pairs AS MATERIALIZED (
+{JACCARD_PAIRS_SQL}
+    ),{",".join(branches)}
+    {unions}
+    """
+
+
+@stage(
+    "docs_dup_cluster_stability",
+    oracle=_cluster_stability_oracle(),
+    tags=("llm", "dedup", "iterative", "eval"),
+)
+def docs_dup_cluster_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster structure as a function of the Jaccard
+    threshold — for τ ∈ {DCS_THRESHOLDS_CENTI} (centi), the edge
+    count, connected-component count, clustered-doc count, and max
+    cluster size. This is the knob-sensitivity table read before
+    committing a dedup threshold: a max cluster that EXPLODES between
+    two τ rungs marks the percolation point where near-dup transitive
+    closure starts chaining unrelated documents (the known failure
+    mode of aggressive fuzzy dedup — cf. the cluster-size blowups
+    documented in large web-dedup reports), while stable counts mean
+    the threshold sits on a plateau.
+
+    Composes the registered pair generator verbatim (one
+    checkpointed pair materialization feeds all rungs — pairs are
+    computed ONCE at the permissive base τ=0.30 and re-filtered) and
+    the registered min-label-propagation ``connected_components``
+    per rung; the DuckDB twin re-walks each rung with a recursive
+    CTE over the same deterministic edges.
+
+    Exactness: integer counts; τ compares 6-dp-rounded jaccard
+    against exact centi literals in both engines.
+
+    Scale (100 TB): pair generation is the registered posting-list
+    plan (never all-pairs); each rung's CC runs on the EDGE frame
+    (near-dups are rare — edge count ≪ corpus), label-prop rounds
+    are edge-frame joins with per-round checkpoints, the registered
+    ``docs_dup_clusters`` shape ×|ladder|."""
+    from .clusters import connected_components
+    from .dedup import docs_ngram_jaccard_pairs
+
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    out = None
+    for tc in DCS_THRESHOLDS_CENTI:
+        sel = pairs.filter(F.col("jaccard") >= tc / 100.0)
+        n_edges = sel.select(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges")
+        )
+        comp = connected_components(
+            sel.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        )
+        sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        row = (
+            sizes.agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0))
+                .cast("bigint")
+                .alias("n_clusters"),
+                F.coalesce(F.sum("sz"), F.lit(0))
+                .cast("bigint")
+                .alias("n_docs_clustered"),
+                F.coalesce(F.max("sz"), F.lit(0))
+                .cast("bigint")
+                .alias("max_cluster_size"),
+            )
+            .crossJoin(F.broadcast(n_edges))
+            .select(
+                F.lit(tc).cast("bigint").alias("threshold_centi"),
+                "n_edges",
+                "n_clusters",
+                "n_docs_clustered",
+                "max_cluster_size",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------
+# Label-centroid shift (embedding-space monitoring)
+# --------------------------------------------------------------------
+
+
+def _centroid_shift_oracle() -> str:
+    return """
+    WITH q AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0, 0)
+               AS BIGINT) AS qv
+      FROM embeddings
+    ), sums AS (
+      SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s
+      FROM q GROUP BY 1, 2
+    ), cents AS (
+      SELECT label,
+             list(CAST(s AS DOUBLE) ORDER BY dim) AS v,
+             sqrt(list_reduce(list_transform(
+               list(CAST(s AS DOUBLE) ORDER BY dim), x -> x * x),
+               (a, b) -> a + b)) AS nrm
+      FROM sums GROUP BY 1
+    ), counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ca.n AS n_a, cb.n AS n_b,
+           CAST(round(round(
+             list_reduce(list_transform(list_zip(a.v, b.v),
+                                        z -> z[1] * z[2]),
+                         (acc, x) -> acc + x) / (a.nrm * b.nrm), 6)
+             * 1000000.0, 0) AS BIGINT) AS centroid_cos_micro
+    FROM cents a
+    JOIN cents b ON a.label < b.label
+    JOIN counts ca ON ca.label = a.label
+    JOIN counts cb ON cb.label = b.label
+    """
+
+
+@stage(
+    "embeddings_label_centroid_shift",
+    oracle=_centroid_shift_oracle(),
+    tags=("llm", "similarity", "monitoring"),
+)
+def embeddings_label_centroid_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space monitoring: the pairwise cosine between LABEL
+    CENTROIDS (all label pairs a < b, with group sizes). Centroid
+    cosine is the collapse detector for an embedding space — labels
+    whose centroids exceed ~0.9 are inseparable to a linear probe,
+    and a centroid matrix drifting upward release-over-release means
+    the space is degenerating (the embedding-drift check run when a
+    new encoder version ships).
+
+    Exactness: elements are micro-quantized to BIGINT FIRST, so the
+    per-(label, dim) sums are exact integers in any aggregation
+    order; cosine is scale-invariant, so SUM vectors stand in for
+    means exactly; the final cosine is the 6-dp-round micro pattern
+    over integer-valued doubles folded in the same left-to-right
+    order in both engines (the margin-mining convention).
+
+    Scale (100 TB): one corpus scan explodes to (label, dim) — a
+    |labels|·d hash aggregate with map-side combine (the PCA moment
+    shape); everything after is |labels|-sized. No window, no
+    all-pairs over rows."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1e6, 0).cast("bigint"),
+            )
+        ).alias("dim0", "qv"),
+    )
+    sums = q.groupBy("label", "dim0").agg(F.sum("qv").alias("s"))
+    cents = (
+        sums.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim0", F.col("s")))
+                ),
+                lambda st: st["s"].cast("double"),
+            ).alias("v")
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    a = cents.select(
+        F.col("label").alias("label_a"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ca = counts.select(
+        F.col("label").alias("label_a"), F.col("n").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("label").alias("label_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.round(dot / (F.col("anrm") * F.col("bnrm")), 6) * 1e6, 0)
+            .cast("bigint")
+            .alias("centroid_cos_micro"),
+        )
+        .join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .select(
+            "label_a", "label_b", "n_a", "n_b", "centroid_cos_micro"
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Matryoshka truncation recall curve (dimension-vs-recall design table)
+# --------------------------------------------------------------------
+
+MRC_K = 5
+MRC_N_PROBES = 10
+MRC_DIMS = (8, 16, 32)
+
+
+def _matryoshka_recall_oracle() -> str:
+    from .staged_r11 import _COS_MICRO_SQL
+
+    hh = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 2)"
+    cos_full = _COS_MICRO_SQL.format(a="p", b="n")
+
+    def trunc_block(m: int) -> str:
+        return f"""
+    t{m} AS (
+      SELECT p.probe_id, n.vec_id,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY CAST(round(round(
+                 list_reduce(list_transform(
+                   list_zip(p.v[1:{m}], n.v[1:{m}]), z -> z[1] * z[2]),
+                   (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(p.v[1:{m}],
+                      x -> x * x), (a, b) -> a + b))
+                    * sqrt(list_reduce(list_transform(n.v[1:{m}],
+                        x -> x * x), (a, b) -> a + b))), 6)
+                 * 1000000.0, 0) AS BIGINT) DESC, n.vec_id
+             ) AS rk
+      FROM probes p JOIN vecs n ON n.vec_id <> p.probe_id
+      QUALIFY rk <= {MRC_K}
+    ),
+    r{m} AS (
+      SELECT CAST({m} AS BIGINT) AS m_dims,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_found
+      FROM truth tr
+      LEFT JOIN t{m} t ON t.probe_id = tr.probe_id
+                      AND t.vec_id = tr.neighbor_id
+    )"""
+
+    blocks = ",".join(trunc_block(m) for m in MRC_DIMS)
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT m_dims, n_true, n_found,"
+        f" n_found * 1000000 // n_true AS recall_micro FROM r{m}"
+        for m in MRC_DIMS
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {hh} AS hh,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), vecs AS (
+      SELECT vec_id, hh, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM e
+    ), probes AS (
+      SELECT vec_id AS probe_id, v, nrm FROM vecs
+      WHERE hh >= 'e6' ORDER BY vec_id LIMIT {MRC_N_PROBES}
+    ), truth AS (
+      SELECT p.probe_id, n.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY {cos_full} DESC, n.vec_id) AS rk
+      FROM probes p JOIN vecs n ON n.vec_id <> p.probe_id
+      QUALIFY rk <= {MRC_K}
+    ),{blocks}
+    {unions}
+    """
+
+
+@stage(
+    "embeddings_matryoshka_recall_curve",
+    oracle=_matryoshka_recall_oracle(),
+    tags=("llm", "similarity", "ann", "matryoshka"),
+)
+def embeddings_matryoshka_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Matryoshka truncation design table: recall@{MRC_K} of
+    TRUNCATED-dimension cosine ranking (first m dims, m ∈ {MRC_DIMS})
+    against the full-dimension truth, over the bounded probe block —
+    the dimension-vs-recall curve an MRL deployment reads to pick its
+    prefix length (Kusupati et al. '22: nested representations let
+    one index serve many dims; this prices each rung). The registered
+    ``knn_matryoshka_rerank`` USES a truncated prefix; this measures
+    what each prefix costs in recall, the same relationship the IVF
+    nprobe curve has to the IVF queries.
+
+    Exactness: all comparisons on 6-dp-round micro cosines (each
+    truncation with its OWN prefix norms) with vec_id tie-breaks;
+    recall is integer micro DIV.
+
+    Scale (100 TB): the corpus streams ONCE per rung against the
+    broadcast constant probe block (per-probe top-k windows) — the
+    registered brute-force-kNN shape ×|ladder|; no corpus-side
+    all-pairs."""
+    from .similarity import _dot, _norm
+
+    e = load(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2).alias("hh"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select("vec_id", "v", "hh", _norm(F.col("v")).alias("nrm"))
+    probes = (
+        vecs.filter(F.col("hh") >= "e6")
+        .orderBy("vec_id")
+        .limit(MRC_N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pnrm"),
+        )
+    )
+
+    def cos_micro(av, anrm, bv, bnrm):
+        return F.round(
+            F.round(_dot(av, bv) / (anrm * bnrm), 6) * 1e6, 0
+        ).cast("bigint")
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("c_micro"), F.asc("vec_id")
+    )
+    base = vecs.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    truth = (
+        base.select(
+            "probe_id",
+            "vec_id",
+            cos_micro(
+                F.col("pv"), F.col("pnrm"), F.col("v"), F.col("nrm")
+            ).alias("c_micro"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MRC_K)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for m in MRC_DIMS:
+        pv_m = F.slice("pv", 1, m)
+        v_m = F.slice("v", 1, m)
+        trunc = (
+            base.select(
+                "probe_id",
+                "vec_id",
+                cos_micro(pv_m, _norm(pv_m), v_m, _norm(v_m)).alias(
+                    "c_micro"
+                ),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= MRC_K)
+            .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        row = (
+            truth.join(
+                trunc.withColumn("hit", F.lit(1)),
+                ["probe_id", "neighbor_id"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_true"),
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("bigint")
+                .alias("n_found"),
+            )
+            .select(
+                F.lit(m).cast("bigint").alias("m_dims"),
+                "n_true",
+                "n_found",
+                F.expr("n_found * 1000000 DIV n_true").alias(
+                    "recall_micro"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------
+# Stream-state size pricing (the other half of the watermark tradeoff)
+# --------------------------------------------------------------------
+
+SSS_DELAYS_S = (0, 60, 300, 1800)
+
+
+def _state_size_oracle() -> str:
+    delays = ", ".join(str(s) for s in SSS_DELAYS_S)
+    return f"""
+    WITH e AS (
+      SELECT event_type,
+             date_diff('microsecond',
+                       TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+      FROM events
+    ), mx AS (
+      SELECT event_type, max(ts_us) AS max_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM e GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(l.delay_s AS BIGINT) AS delay_s,
+           m.n_events,
+           CAST(sum(CASE WHEN e.ts_us >= m.max_us - l.delay_s * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_state_rows,
+           CAST(sum(CASE WHEN e.ts_us >= m.max_us - l.delay_s * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // m.n_events AS state_share_micro
+    FROM e
+    JOIN mx m USING (event_type)
+    CROSS JOIN (SELECT unnest([{delays}]) AS delay_s) l
+    GROUP BY 1, 2, 3
+    """
+
+
+@stage(
+    "events_stream_state_size_sweep",
+    oracle=_state_size_oracle(),
+    tags=("streaming", "events", "contract"),
+)
+def events_stream_state_size_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OTHER half of the watermark tradeoff: for each candidate
+    delay, the exact count of rows a stateful streaming dedup
+    (``dropDuplicatesWithinWatermark``) would have to RETAIN at the
+    head of this stream — rows within `delay` of the per-source max
+    event time. Together with the staged late-arrival sweep this
+    completes the pricing pair: delay up → fewer drops but more
+    state; this table is the state axis. (The retention rule is
+    exactly the state-eviction bound: a row older than
+    max_event_time − delay can no longer collide with an admissible
+    arrival, so the store evicts it.)
+
+    Exactness: micros since the naive epoch anchor (the established
+    timestampdiff pattern); counts; one micro DIV.
+
+    Scale (100 TB): one scan to a per-source max (scalar per
+    source, broadcastable), one re-scan with the constant delay
+    ladder fanout into a per-(source, delay) count — both hash
+    aggregates map-side combinable; no window at all."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    mx = e.groupBy("event_type").agg(
+        F.max("ts_us").alias("max_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    ladder = spark.createDataFrame(
+        [(s,) for s in SSS_DELAYS_S], "delay_s long"
+    )
+    in_state = (
+        F.col("ts_us") >= F.col("max_us") - F.col("delay_s") * 1000000
+    ).cast("int")
+    return (
+        e.join(F.broadcast(mx), "event_type")
+        .crossJoin(F.broadcast(ladder))
+        .groupBy("event_type", "delay_s", "n_events")
+        .agg(F.sum(in_state).cast("bigint").alias("n_state_rows"))
+        .select(
+            "event_type",
+            "delay_s",
+            "n_events",
+            "n_state_rows",
+            F.expr("n_state_rows * 1000000 DIV n_events").alias(
+                "state_share_micro"
+            ),
         )
     )

@@ -148,7 +148,9 @@ def test_watermark_sweep_monotone_and_replay(spark):
     ev = _pd("events")
     et = sorted(ev["event_type"].unique())[0]
     sub = ev[ev["event_type"] == et].sort_values("event_id")
-    ts_us = (sub["ts"].astype("int64").values) // 1000  # ns -> us
+    # duckdb returns datetime64[us]; go through ns explicitly so the
+    # unit is pinned regardless of the source resolution
+    ts_us = sub["ts"].astype("datetime64[ns]").astype("int64").values // 1000
     run_max = np.maximum.accumulate(ts_us)
     prev_max = np.concatenate(([np.iinfo(np.int64).min], run_max[:-1]))
     for d in WM_DELAYS_S:

@@ -59,7 +59,7 @@ def _ttr(text: str) -> int:
 
 def test_r13_batch_matches_staged():
     assert sorted(R13_BATCH) == sorted(STAGED)
-    assert len(R13_BATCH) == 3
+    assert len(R13_BATCH) == 7
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -290,3 +290,145 @@ def test_bradley_terry_python_replay(spark):
     assert sorted(got.index) == sorted(step)
     # normalization: scores sum to ~1e6 (integer-DIV losses only)
     assert 0 < got["bt_score_micro"].sum() <= 1_000_000
+
+
+# --------------------------------------------------------------------
+# Cluster stability — laws vs the registered cluster map
+# --------------------------------------------------------------------
+
+
+def test_cluster_stability_monotone_and_consistent(spark):
+    got = (
+        STAGED["docs_dup_cluster_stability"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("threshold_centi", ignore_index=True)
+    )
+    # tightening tau can only remove edges and shrink/split clusters
+    assert got["n_edges"].is_monotonic_decreasing
+    assert got["n_docs_clustered"].is_monotonic_decreasing
+    assert got["max_cluster_size"].is_monotonic_decreasing
+    # every clustered doc sits in a >=2-doc component
+    assert (got["n_docs_clustered"] >= 2 * got["n_clusters"]).all()
+    # the permissive rung must reproduce the registered cluster map
+    from python_nyc_taxi_data_pipeline_spark.registry import all_queries
+
+    clusters = all_queries()["docs_dup_clusters"].fn(spark, SF_DIR).toPandas()
+    sizes = clusters.groupby("cluster_rep").size()
+    multi = sizes[sizes >= 2]
+    base = got[got["threshold_centi"] == 30].iloc[0]
+    assert base["n_clusters"] == len(multi)
+    assert base["n_docs_clustered"] == int(multi.sum())
+    assert base["max_cluster_size"] == int(multi.max())
+
+
+# --------------------------------------------------------------------
+# Label-centroid shift — numpy replay
+# --------------------------------------------------------------------
+
+
+def test_label_centroid_shift_numpy_replay(spark):
+    import numpy as np
+
+    got = (
+        STAGED["embeddings_label_centroid_shift"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index(["label_a", "label_b"])
+        .sort_index()
+    )
+    emb = _pd("embeddings")
+    sums = {}
+    counts = {}
+    for lab, grp in emb.groupby("label"):
+        q = np.array(
+            [
+                np.round(np.asarray(v, dtype=np.float64) * 1e6)
+                for v in grp["embedding"]
+            ],
+            dtype=np.int64,
+        )
+        sums[lab] = q.sum(axis=0)
+        counts[lab] = len(grp)
+    labels = sorted(sums)
+    n_pairs = 0
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            va, vb = sums[a].astype(np.float64), sums[b].astype(np.float64)
+            # sequential left fold, matching both engines
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(va, vb):
+                dot += x * y
+                na += x * x
+                nb += y * y
+            cos = round(dot / (na**0.5 * nb**0.5), 6)
+            want = int(round(cos * 1e6))
+            row = got.loc[(a, b)]
+            assert row["n_a"] == counts[a]
+            assert row["n_b"] == counts[b]
+            assert row["centroid_cos_micro"] == want, (a, b)
+            n_pairs += 1
+    assert len(got) == n_pairs
+
+
+# --------------------------------------------------------------------
+# Matryoshka recall — curve laws
+# --------------------------------------------------------------------
+
+
+def test_matryoshka_recall_curve_laws(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r13 import (
+        MRC_DIMS,
+        MRC_K,
+        MRC_N_PROBES,
+    )
+
+    got = (
+        STAGED["embeddings_matryoshka_recall_curve"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("m_dims", ignore_index=True)
+    )
+    assert list(got["m_dims"]) == list(MRC_DIMS)
+    assert (got["n_true"] == MRC_K * MRC_N_PROBES).all()
+    assert (got["n_found"] <= got["n_true"]).all()
+    assert (got["recall_micro"] <= 1_000_000).all()
+    # more dims cannot hurt recall on this fixture's clean geometry;
+    # allow equality (plateaus) but never an inversion > one hit
+    deltas = got["n_found"].diff().dropna()
+    assert (deltas >= -1).all(), list(got["n_found"])
+
+
+# --------------------------------------------------------------------
+# Stream-state sweep — pandas replay + pairing law with late sweep
+# --------------------------------------------------------------------
+
+
+def test_state_size_sweep_replay_and_monotone(spark):
+    import numpy as np
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r13 import (
+        SSS_DELAYS_S,
+    )
+
+    got = (
+        STAGED["events_stream_state_size_sweep"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+    )
+    ev = _pd("events")
+    ev["ts_us"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    for (et, d), row in got.set_index(["event_type", "delay_s"]).iterrows():
+        sub = ev[ev["event_type"] == et]
+        mx = sub["ts_us"].max()
+        want = int((sub["ts_us"] >= mx - d * 1_000_000).sum())
+        assert row["n_state_rows"] == want, (et, d)
+        assert row["n_events"] == len(sub)
+    # state grows with delay; delay=0 retains at least the max row
+    for _, grp in got.groupby("event_type"):
+        grp = grp.sort_values("delay_s")
+        assert list(grp["delay_s"]) == list(SSS_DELAYS_S)
+        assert grp["n_state_rows"].is_monotonic_increasing
+        assert grp.iloc[0]["n_state_rows"] >= 1

@@ -310,6 +310,10 @@ EXTRA_FNS.update(
             "docs_quality_auc_rank",
             "corpus_shard_manifest_digests",
             "orders_bradley_terry_step",
+            "docs_dup_cluster_stability",
+            "embeddings_label_centroid_shift",
+            "embeddings_matryoshka_recall_curve",
+            "events_stream_state_size_sweep",
         )
     }
 )
@@ -604,6 +608,15 @@ MAX_EXPONENT = {
     "docs_quality_auc_rank": 1.35,
     "corpus_shard_manifest_digests": 1.35,
     "orders_bradley_terry_step": 1.35,
+    # cluster stability composes the posting-list pair plan (bounded
+    # by the registered docs_dup_clusters behavior) x 3 CC rungs;
+    # centroid shift is the (label x dim) moment shape; matryoshka
+    # streams the corpus per rung vs the broadcast probe block; the
+    # state sweep is two keyed hash aggregates.
+    "docs_dup_cluster_stability": 1.35,
+    "embeddings_label_centroid_shift": 1.35,
+    "embeddings_matryoshka_recall_curve": 1.35,
+    "events_stream_state_size_sweep": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
