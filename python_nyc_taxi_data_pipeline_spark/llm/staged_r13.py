@@ -42,6 +42,16 @@ The seed slate:
 - ``events_stream_state_size_sweep``: rows a stateful streaming dedup
   must RETAIN per candidate watermark delay — the state axis of the
   watermark tradeoff, paired with the r12 late-arrival sweep.
+- ``events_funnel_attribution_models``: first-touch / last-touch /
+  linear conversion credit side by side, exact-conservation integer
+  remainders — the model-sensitivity report behind budget allocation.
+- ``corpus_token_budget_ladder``: the r10 water-fill evaluated at a
+  budget ladder in one pass — the quality-vs-quantity tradeoff curve
+  (kept mass's token-weighted quality index per budget rung).
+- ``docs_dedup_roi_curve``: exact vs near-dup-cluster vs segment
+  dedup summarized to one comparison table (docs/words before/after,
+  removed share) — the aggressiveness ROI report, composing the
+  three registered queries verbatim on both engines.
 """
 
 from __future__ import annotations
@@ -67,10 +77,13 @@ STAGED: dict[str, StagedQuery] = {}
 
 R13_BATCH: tuple[str, ...] = (
     "corpus_shard_manifest_digests",
+    "corpus_token_budget_ladder",
+    "docs_dedup_roi_curve",
     "docs_dup_cluster_stability",
     "docs_quality_auc_rank",
     "embeddings_label_centroid_shift",
     "embeddings_matryoshka_recall_curve",
+    "events_funnel_attribution_models",
     "events_stream_state_size_sweep",
     "orders_bradley_terry_step",
 )
@@ -1024,5 +1037,457 @@ def events_stream_state_size_sweep(
             F.expr("n_state_rows * 1000000 DIV n_events").alias(
                 "state_share_micro"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Funnel attribution models (first / last / linear credit)
+# --------------------------------------------------------------------
+
+ATTR_CONVERSION = "purchase"
+
+
+def _attribution_oracle() -> str:
+    return f"""
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id FROM events
+      WHERE event_type = '{ATTR_CONVERSION}'
+    ), touches AS (
+      SELECT c.conv_id, e.event_id, e.event_type AS channel
+      FROM conv c
+      JOIN events e ON e.user_id = c.user_id
+                   AND e.event_id < c.conv_id
+                   AND e.event_type <> '{ATTR_CONVERSION}'
+    ), stats AS (
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_touch,
+             min(event_id) AS first_id,
+             max(event_id) AS last_id
+      FROM touches GROUP BY 1
+    ), credited AS (
+      SELECT t.channel, 'first_touch' AS model,
+             CASE WHEN t.event_id = s.first_id THEN 1000000 ELSE 0 END
+               AS credit,
+             t.conv_id
+      FROM touches t JOIN stats s USING (conv_id)
+      UNION ALL
+      SELECT t.channel, 'last_touch' AS model,
+             CASE WHEN t.event_id = s.last_id THEN 1000000 ELSE 0 END
+               AS credit,
+             t.conv_id
+      FROM touches t JOIN stats s USING (conv_id)
+      UNION ALL
+      SELECT t.channel, 'linear' AS model,
+             1000000 // s.n_touch
+               + CASE WHEN t.event_id = s.last_id
+                      THEN 1000000 % s.n_touch ELSE 0 END AS credit,
+             t.conv_id
+      FROM touches t JOIN stats s USING (conv_id)
+    )
+    SELECT model, channel,
+           CAST(sum(credit) AS BIGINT) AS credit_micro,
+           CAST(count(DISTINCT CASE WHEN credit > 0 THEN conv_id END)
+             AS BIGINT) AS n_conversions
+    FROM credited GROUP BY 1, 2
+    """
+
+
+@stage(
+    "events_funnel_attribution_models",
+    oracle=_attribution_oracle(),
+    tags=("events", "analytics", "attribution"),
+)
+def events_funnel_attribution_models(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Marketing-attribution model comparison over the event stream:
+    every '{ATTR_CONVERSION}' conversion credits its user's PRIOR
+    touches (arrival order = event_id) under three standard models —
+    first-touch (1e6 to the earliest touch), last-touch (1e6 to the
+    latest — the registered ``asof_last_click`` convention), and
+    linear (1e6 DIV n split evenly, integer remainder assigned to the
+    last touch so每 conversion's credit sums to EXACTLY 1e6). The
+    per-(model, channel) credit totals are the budget-allocation
+    table; running all three side-by-side is the standard
+    model-sensitivity report.
+
+    Exactness: integer micro credits with an exact-conservation
+    remainder rule; counts.
+
+    Scale (100 TB): the touch join is user-keyed (conversions and
+    touches co-partition on user_id — one shuffle each side; per-user
+    fan-out is bounded by per-user activity, the sessionization
+    assumption); stats and credit rollups are hash aggregates with
+    map-side combine. No windows over the full stream."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    conv = e.filter(F.col("event_type") == ATTR_CONVERSION).select(
+        "user_id", F.col("event_id").alias("conv_id")
+    )
+    touches = (
+        conv.join(e, "user_id")
+        .filter(
+            (F.col("event_id") < F.col("conv_id"))
+            & (F.col("event_type") != ATTR_CONVERSION)
+        )
+        .select("conv_id", "event_id", F.col("event_type").alias("channel"))
+    )
+    stats = touches.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_touch"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+    t = touches.join(stats, "conv_id")
+    first = t.select(
+        "channel",
+        F.lit("first_touch").alias("model"),
+        F.when(F.col("event_id") == F.col("first_id"), 1000000)
+        .otherwise(0)
+        .alias("credit"),
+        "conv_id",
+    )
+    last = t.select(
+        "channel",
+        F.lit("last_touch").alias("model"),
+        F.when(F.col("event_id") == F.col("last_id"), 1000000)
+        .otherwise(0)
+        .alias("credit"),
+        "conv_id",
+    )
+    linear = t.select(
+        "channel",
+        F.lit("linear").alias("model"),
+        (
+            F.expr("1000000 DIV n_touch")
+            + F.when(
+                F.col("event_id") == F.col("last_id"),
+                F.expr("1000000 % n_touch"),
+            ).otherwise(0)
+        ).alias("credit"),
+        "conv_id",
+    )
+    return (
+        first.unionByName(last)
+        .unionByName(linear)
+        .groupBy("model", "channel")
+        .agg(
+            F.sum("credit").cast("bigint").alias("credit_micro"),
+            F.countDistinct(
+                F.when(F.col("credit") > 0, F.col("conv_id"))
+            )
+            .cast("bigint")
+            .alias("n_conversions"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Token-budget ladder (quality-vs-budget tradeoff curve)
+# --------------------------------------------------------------------
+
+TBL_SHARES_PPM = (125_000, 250_000, 500_000)
+
+
+def _budget_ladder_oracle() -> str:
+    from .quality import REQUIRED_STOPWORDS
+
+    shares = ", ".join(str(s) for s in TBL_SHARES_PPM)
+    return f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             least(9000 * len(list_distinct(string_split(text, ' ')))
+                   + 30000 * len(list_filter(string_split(text, ' '),
+                                             x -> x IN {REQUIRED_STOPWORDS!r})),
+                   1000000) AS p_micro
+      FROM documents
+    ), buckets AS (
+      SELECT least(p_micro // 100000, 9) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM feat GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS t_all FROM buckets
+    ), cum AS (
+      SELECT a.bucket, a.n_docs, a.tokens,
+             CAST(sum(CASE WHEN b.bucket > a.bucket THEN b.tokens
+                           ELSE 0 END) AS BIGINT) AS cum_above
+      FROM buckets a CROSS JOIN buckets b
+      GROUP BY a.bucket, a.n_docs, a.tokens
+    ), ladder AS (
+      SELECT unnest([{shares}]) AS share_ppm
+    ), taken AS (
+      SELECT l.share_ppm, c.bucket, c.tokens,
+             t.t_all * l.share_ppm // 1000000 AS budget_tokens,
+             CAST(CASE
+               WHEN c.cum_above >= t.t_all * l.share_ppm // 1000000 THEN 0
+               WHEN c.cum_above + c.tokens
+                    <= t.t_all * l.share_ppm // 1000000 THEN c.tokens
+               ELSE t.t_all * l.share_ppm // 1000000 - c.cum_above
+             END AS BIGINT) AS take
+      FROM cum c CROSS JOIN ladder l CROSS JOIN tot t
+    )
+    SELECT CAST(share_ppm AS BIGINT) AS share_ppm,
+           CAST(max(budget_tokens) AS BIGINT) AS budget_tokens,
+           CAST(sum(take) AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN take = tokens AND tokens > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_buckets,
+           CAST(min(CASE WHEN take > 0 THEN bucket END) AS BIGINT)
+             AS marginal_bucket,
+           CAST(sum(bucket * take) * 1000000
+                // greatest(sum(take), 1) AS BIGINT)
+             AS quality_index_micro
+    FROM taken GROUP BY 1
+    """
+
+
+@stage(
+    "corpus_token_budget_ladder",
+    oracle=_budget_ladder_oracle(),
+    tags=("llm", "selection", "mixture"),
+)
+def corpus_token_budget_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-vs-budget TRADEOFF CURVE: the staged-r10 water-fill
+    (keep the best X tokens, filling quality buckets from the top,
+    the marginal bucket taking the exact remainder) evaluated at
+    {TBL_SHARES_PPM} ppm of corpus tokens IN ONE PASS — per budget
+    rung: the exact budget, kept tokens (== budget by the fill
+    invariant), fully-taken bucket count, the marginal bucket, and
+    the token-weighted mean quality-bucket index of the kept mass.
+    This is the table a data-constrained run reads to price "how much
+    average quality do I buy by training on less" (the
+    quality-quantity tradeoff of Gadre et al./DataComp and the
+    data-constrained scaling analyses).
+
+    Exactness: the proven sortless histogram-cut machinery (bucket
+    table ≤ 10 rows) × a constant ladder; integer micro arithmetic
+    with the established greatest(,1) guard.
+
+    Scale (100 TB): identical to the registered water-fill — ONE
+    corpus scan to a ≤10-row bucket histogram; the ladder fan-out and
+    fill arithmetic run on bucket×ladder metadata."""
+    from .quality import REQUIRED_STOPWORDS
+
+    d = load(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in REQUIRED_STOPWORDS)
+    feat = d.select(
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(
+            "least(9000 * size(array_distinct(split(text, ' ')))"
+            f" + 30000 * size(filter(split(text, ' '), x -> x IN ({sw}))),"
+            " 1000000)"
+        ).alias("p_micro"),
+    )
+    buckets = feat.groupBy(
+        F.expr("least(p_micro DIV 100000, 9)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )
+    tot = buckets.agg(F.sum("tokens").alias("t_all"))
+    above = buckets.select(
+        F.col("bucket").alias("b_bucket"), F.col("tokens").alias("b_tokens")
+    )
+    cum = (
+        buckets.crossJoin(F.broadcast(above))
+        .groupBy("bucket", "n_docs", "tokens")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b_bucket") > F.col("bucket"), F.col("b_tokens")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cum_above")
+        )
+    )
+    ladder = spark.createDataFrame(
+        [(s,) for s in TBL_SHARES_PPM], "share_ppm long"
+    )
+    taken = (
+        cum.crossJoin(F.broadcast(ladder))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget_tokens", F.expr("t_all * share_ppm DIV 1000000")
+        )
+        .withColumn(
+            "take",
+            F.when(F.col("cum_above") >= F.col("budget_tokens"), 0)
+            .when(
+                F.col("cum_above") + F.col("tokens")
+                <= F.col("budget_tokens"),
+                F.col("tokens"),
+            )
+            .otherwise(F.col("budget_tokens") - F.col("cum_above"))
+            .cast("bigint"),
+        )
+    )
+    return taken.groupBy("share_ppm").agg(
+        F.max("budget_tokens").cast("bigint").alias("budget_tokens"),
+        F.sum("take").cast("bigint").alias("kept_tokens"),
+        F.sum(
+            F.when(
+                (F.col("take") == F.col("tokens")) & (F.col("tokens") > 0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_full_buckets"),
+        F.min(F.when(F.col("take") > 0, F.col("bucket")))
+        .cast("bigint")
+        .alias("marginal_bucket"),
+        F.expr(
+            "CAST(sum(bucket * take) * 1000000"
+            " DIV greatest(sum(take), 1) AS BIGINT)"
+        ).alias("quality_index_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Dedup ROI curve (method comparison table)
+# --------------------------------------------------------------------
+
+
+def _dedup_roi_oracle() -> str:
+    from .clusters import _clusters_oracle
+    from .segdedup import _SEGDEDUP_ORACLE
+
+    return f"""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS docs_before,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS words_before
+      FROM documents
+    ), exact_kept AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), exact_row AS (
+      SELECT 'exact' AS method,
+             CAST(count(*) AS BIGINT) AS docs_after,
+             CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+               AS words_after
+      FROM exact_kept k JOIN documents d USING (doc_id)
+    ), clusters AS ({_clusters_oracle()}
+    ), neardup_row AS (
+      SELECT 'neardup_cluster' AS method,
+             CAST(count(*) AS BIGINT) AS docs_after,
+             CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+               AS words_after
+      FROM clusters c JOIN documents d USING (doc_id)
+      WHERE c.doc_id = c.cluster_rep
+    ), seg AS ({_SEGDEDUP_ORACLE}
+    ), segment_row AS (
+      SELECT 'segment' AS method,
+             CAST(count(*) AS BIGINT) AS docs_after,
+             CAST(sum(CASE WHEN clean_text = '' THEN 0
+                      ELSE len(string_split(clean_text, ' ')) END)
+               AS BIGINT) AS words_after
+      FROM seg
+    ), rows_u AS (
+      SELECT * FROM exact_row
+      UNION ALL SELECT * FROM neardup_row
+      UNION ALL SELECT * FROM segment_row
+    )
+    SELECT r.method, b.docs_before, r.docs_after,
+           b.words_before, r.words_after,
+           CAST((b.words_before - r.words_after) * 1000000
+                // b.words_before AS BIGINT) AS removed_share_micro
+    FROM rows_u r CROSS JOIN base b
+    """
+
+
+@stage(
+    "docs_dedup_roi_curve",
+    oracle=_dedup_roi_oracle(),
+    tags=("llm", "dedup", "eval", "report"),
+)
+def docs_dedup_roi_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup METHOD-COMPARISON table: exact (content-hash),
+    near-dup cluster apply (MinHash-family transitive closure, keep
+    the min-id representative), and aligned-segment dedup
+    (CCNet-style sub-document removal) run side by side over the same
+    corpus, each summarized to docs/words before/after and the
+    removed-word share. This is the ROI report a curation pipeline
+    reads to decide how aggressive to be: exact is free and safe,
+    cluster apply removes whole near-dup docs, segment dedup removes
+    boilerplate INSIDE surviving docs — the three rungs of the
+    standard dedup ladder (cf. the deduplication ablations of Lee et
+    al. '22 and CCNet).
+
+    Composes the three REGISTERED queries verbatim on both sides
+    (Spark: the registered fns; oracle: the registered oracle SQL
+    imported from their modules — the staged-r8 composition rule).
+
+    Exactness: counts and one micro DIV; word counts on the same
+    single-space split in both engines (empty reassembled docs
+    guarded to 0).
+
+    Scale (100 TB): the members' own proven plans plus three scalar
+    summaries; the union is 3 rows."""
+    from ..plans.curation import docs_dedup_apply
+    from .dedup import docs_exact_dedup
+    from .segdedup import docs_segment_dedup_apply
+
+    d = load(spark, sf_dir, "documents")
+    words = F.expr("size(split(text, ' '))")
+    base = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_before"),
+        F.sum(words).cast("bigint").alias("words_before"),
+    )
+    exact_row = (
+        docs_exact_dedup(spark, sf_dir)
+        .select("doc_id")
+        .join(d, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_after"),
+            F.sum(words).cast("bigint").alias("words_after"),
+        )
+        .select(F.lit("exact").alias("method"), "docs_after", "words_after")
+    )
+    neardup_row = (
+        docs_dedup_apply(spark, sf_dir)
+        .select("doc_id")
+        .join(d, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_after"),
+            F.sum(words).cast("bigint").alias("words_after"),
+        )
+        .select(
+            F.lit("neardup_cluster").alias("method"),
+            "docs_after",
+            "words_after",
+        )
+    )
+    segment_row = (
+        docs_segment_dedup_apply(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_after"),
+            F.sum(
+                F.when(F.col("clean_text") == "", 0).otherwise(
+                    F.expr("size(split(clean_text, ' '))")
+                )
+            )
+            .cast("bigint")
+            .alias("words_after"),
+        )
+        .select(
+            F.lit("segment").alias("method"), "docs_after", "words_after"
+        )
+    )
+    return (
+        exact_row.unionByName(neardup_row)
+        .unionByName(segment_row)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "method",
+            "docs_before",
+            "docs_after",
+            "words_before",
+            "words_after",
+            F.expr(
+                "(words_before - words_after) * 1000000 DIV words_before"
+            )
+            .cast("bigint")
+            .alias("removed_share_micro"),
         )
     )

@@ -59,7 +59,7 @@ def _ttr(text: str) -> int:
 
 def test_r13_batch_matches_staged():
     assert sorted(R13_BATCH) == sorted(STAGED)
-    assert len(R13_BATCH) == 7
+    assert len(R13_BATCH) == 10
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -432,3 +432,110 @@ def test_state_size_sweep_replay_and_monotone(spark):
         assert list(grp["delay_s"]) == list(SSS_DELAYS_S)
         assert grp["n_state_rows"].is_monotonic_increasing
         assert grp.iloc[0]["n_state_rows"] >= 1
+
+
+# --------------------------------------------------------------------
+# Attribution models — conservation + pandas replay
+# --------------------------------------------------------------------
+
+
+def test_attribution_conservation_and_replay(spark):
+    got = (
+        STAGED["events_funnel_attribution_models"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+    )
+    ev = _pd("events")
+    conv = ev[ev["event_type"] == "purchase"]
+    # conversions with at least one prior non-purchase touch
+    n_credited = 0
+    first_credit: dict[str, int] = {}
+    for _, p in conv.iterrows():
+        touches = ev[
+            (ev["user_id"] == p["user_id"])
+            & (ev["event_id"] < p["event_id"])
+            & (ev["event_type"] != "purchase")
+        ]
+        if len(touches):
+            n_credited += 1
+            ch = touches.sort_values("event_id").iloc[0]["event_type"]
+            first_credit[ch] = first_credit.get(ch, 0) + 1_000_000
+    # per model, total credit is conserved exactly
+    for model, grp in got.groupby("model"):
+        assert grp["credit_micro"].sum() == n_credited * 1_000_000, model
+    # first-touch replay matches channel-by-channel
+    ft = (
+        got[got["model"] == "first_touch"]
+        .set_index("channel")["credit_micro"]
+        .to_dict()
+    )
+    assert {k: v for k, v in ft.items() if v > 0} == first_credit
+
+
+# --------------------------------------------------------------------
+# Budget ladder — consistency with the registered single-point plan
+# --------------------------------------------------------------------
+
+
+def test_budget_ladder_laws(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r13 import (
+        TBL_SHARES_PPM,
+    )
+
+    got = (
+        STAGED["corpus_token_budget_ladder"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("share_ppm", ignore_index=True)
+    )
+    assert list(got["share_ppm"]) == list(TBL_SHARES_PPM)
+    # the fill invariant: kept == budget exactly at every rung
+    assert (got["kept_tokens"] == got["budget_tokens"]).all()
+    # a bigger budget keeps more and reaches DOWN the quality axis
+    assert got["kept_tokens"].is_monotonic_increasing
+    assert got["marginal_bucket"].is_monotonic_decreasing
+    # quality of the kept mass can only fall as the budget grows
+    assert got["quality_index_micro"].is_monotonic_decreasing
+    # the 250k rung must agree with the registered water-fill plan
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import (
+        BUDGET_SHARE_MICRO,
+        STAGED as S10,
+    )
+
+    if BUDGET_SHARE_MICRO in TBL_SHARES_PPM:
+        plan = S10["corpus_token_budget_plan"].fn(spark, SF_DIR).toPandas()
+        rung = got[got["share_ppm"] == BUDGET_SHARE_MICRO].iloc[0]
+        assert rung["kept_tokens"] == plan["take_tokens"].sum()
+
+
+# --------------------------------------------------------------------
+# Dedup ROI — consistency with the composed registered queries
+# --------------------------------------------------------------------
+
+
+def test_dedup_roi_matches_members(spark):
+    got = (
+        STAGED["docs_dedup_roi_curve"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("method")
+    )
+    docs = _pd("documents")
+    n = len(docs)
+    words_before = int(docs["text"].str.split(" ").str.len().sum())
+    assert (got["docs_before"] == n).all()
+    assert (got["words_before"] == words_before).all()
+    # exact: one doc per distinct text
+    assert got.loc["exact", "docs_after"] == docs["text"].nunique()
+    # ordering law: exact removes the least words, segment-level dedup
+    # at least as much as whole-doc near-dup on this fixture's
+    # boilerplate-heavy corpus is NOT guaranteed — only bounds are:
+    for m in got.index:
+        assert 0 <= got.loc[m, "words_after"] <= words_before
+        assert got.loc[m, "docs_after"] <= n
+    assert (
+        got.loc["neardup_cluster", "docs_after"]
+        <= got.loc["exact", "docs_after"]
+    )
+    # segment dedup keeps every doc row
+    assert got.loc["segment", "docs_after"] == n

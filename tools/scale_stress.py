@@ -314,6 +314,9 @@ EXTRA_FNS.update(
             "embeddings_label_centroid_shift",
             "embeddings_matryoshka_recall_curve",
             "events_stream_state_size_sweep",
+            "events_funnel_attribution_models",
+            "corpus_token_budget_ladder",
+            "docs_dedup_roi_curve",
         )
     }
 )
@@ -617,6 +620,12 @@ MAX_EXPONENT = {
     "embeddings_label_centroid_shift": 1.35,
     "embeddings_matryoshka_recall_curve": 1.35,
     "events_stream_state_size_sweep": 1.35,
+    # attribution's touch join fans out per user (bounded activity);
+    # the budget ladder and ROI curve reduce to metadata frames on top
+    # of registered member plans.
+    "events_funnel_attribution_models": 1.35,
+    "corpus_token_budget_ladder": 1.35,
+    "docs_dedup_roi_curve": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
