@@ -92,8 +92,20 @@ def run_one(name: str, sf_dir: str) -> dict:
 
 
 def main() -> int:
+    global INFLATION
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    rung_dir = args[0] if args else DEFAULT_RUNG_DIR
+    for a in sys.argv[1:]:
+        if a.startswith("--inflation="):
+            INFLATION = int(a[len("--inflation=") :])
+    rung_dir = (
+        args[0]
+        if args
+        else (
+            DEFAULT_RUNG_DIR
+            if INFLATION == 8
+            else f"/tmp/sf_rung_{INFLATION}x"
+        )
+    )
     if "--build" in sys.argv[1:] or not os.path.exists(
         os.path.join(rung_dir, "documents.parquet")
     ):
@@ -171,7 +183,12 @@ def main() -> int:
         "flagged": flagged,
         "ok": not flagged,
     }
-    with open(os.path.join(ROOT, "BENCH_rung.json"), "w") as f:
+    out_name = (
+        "BENCH_rung.json"
+        if INFLATION == 8
+        else f"BENCH_rung_{INFLATION}x.json"
+    )
+    with open(os.path.join(ROOT, out_name), "w") as f:
         f.write(json.dumps(payload, indent=1) + "\n")
     print(json.dumps({k: payload[k] for k in ("metric", "inflation", "ok", "flagged")}))
     return 1 if flagged else 0
