@@ -231,6 +231,17 @@ def _staged13(name: str):
     return fn
 
 
+def _staged14(name: str):
+    """Resolve a round-14 STAGED query (llm/staged_r14.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r14 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
 # round-10 staged candidates (llm/staged_r10.py)
 EXTRA_FNS_R10 = (
     "docs_doremi_reweight_step",
@@ -317,6 +328,21 @@ EXTRA_FNS.update(
             "events_funnel_attribution_models",
             "corpus_token_budget_ladder",
             "docs_dedup_roi_curve",
+        )
+    }
+)
+
+# round-14 staged candidates (llm/staged_r14.py): the PQ curve
+# streams the corpus vs broadcast codebooks per rung; the pruning
+# contract is per-file footers + a predicate-ladder fanout; license
+# propagation rides the registered cluster map's plan.
+EXTRA_FNS.update(
+    {
+        name: _staged14(name)
+        for name in (
+            "embeddings_pq_adc_recall_curve",
+            "docs_string_pruning_contract",
+            "docs_license_propagation_contract",
         )
     }
 )
@@ -626,6 +652,11 @@ MAX_EXPONENT = {
     "events_funnel_attribution_models": 1.35,
     "corpus_token_budget_ladder": 1.35,
     "docs_dedup_roi_curve": 1.35,
+    # r14 seed: linear-or-better by construction (broadcast codebooks,
+    # footer metadata, cluster-map composition).
+    "embeddings_pq_adc_recall_curve": 1.35,
+    "docs_string_pruning_contract": 1.35,
+    "docs_license_propagation_contract": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
