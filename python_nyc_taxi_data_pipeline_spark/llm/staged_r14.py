@@ -28,6 +28,18 @@ The seed slate:
   document into a permissive representative is a legal bug, and this
   is the audit that catches it. Composes the registered cluster map
   verbatim on both engines.
+- ``docs_bpe_vocab_size_curve``: corpus tokens + fertility as a
+  function of the BPE merge budget (0/2/4/6, exact serial trainer) —
+  the compression-vs-vocab curve; the oracle replays one training
+  trajectory and summarizes its intermediate word tables.
+- ``docs_image_text_alignment_contract``: cross-modal retrieval
+  plumbing — deterministic image (patch-sum) and text (word-hash
+  histogram) feature stubs, integer dot score matrix, per-text top-1
+  with exact tie-breaks; the eval shape CLIP-style pairing uses.
+- ``events_session_survival_curve``: session-duration CCDF at a
+  threshold ladder over the registered 30-min-gap sessionization —
+  the engagement survival table (exact Kaplan–Meier special case,
+  no censoring in a bounded replay).
 """
 
 from __future__ import annotations
@@ -52,9 +64,12 @@ class StagedQuery:
 STAGED: dict[str, StagedQuery] = {}
 
 R14_BATCH: tuple[str, ...] = (
+    "docs_bpe_vocab_size_curve",
+    "docs_image_text_alignment_contract",
     "docs_license_propagation_contract",
     "docs_string_pruning_contract",
     "embeddings_pq_adc_recall_curve",
+    "events_session_survival_curve",
 )
 
 
@@ -580,5 +595,351 @@ def docs_license_propagation_contract(
             F.sum(F.col("n_members") - 1)
             .cast("bigint")
             .alias("n_members_absorbed"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# BPE vocab-size curve (tokens-vs-merge-budget design table)
+# --------------------------------------------------------------------
+
+BVC_BUDGETS = (0, 2, 4, 6)  # merge budgets; 0 = character baseline
+
+
+def _bpe_vocab_curve_oracle() -> str:
+    from .bpe import N_MERGES, _bpe_oracle
+
+    assert max(BVC_BUDGETS) <= N_MERGES
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({m} AS BIGINT) AS n_merges_budget,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(freq) AS BIGINT) AS corpus_words,
+           CAST(sum(freq * len(syms)) AS BIGINT) AS corpus_tokens,
+           CAST(sum(freq * len(syms)) * 1000000 // sum(freq) AS BIGINT)
+             AS fertility_micro
+    FROM r{m}_words"""
+        for m in BVC_BUDGETS
+    )
+    return _bpe_oracle(max(BVC_BUDGETS)) + f"\n    {rows}"
+
+
+@stage(
+    "docs_bpe_vocab_size_curve",
+    oracle=_bpe_vocab_curve_oracle(),
+    tags=("llm", "tokenizer", "eval"),
+)
+def docs_bpe_vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer vocab-size design table: corpus token count and
+    fertility (tokens per word, micro) as a function of the BPE merge
+    budget m ∈ {BVC_BUDGETS} — m=0 is the character baseline, each
+    rung replays the EXACT serial trainer (the registered
+    ``docs_bpe_merges`` algorithm) to its budget and measures what
+    the corpus costs to encode under that vocabulary. This is the
+    curve read when sizing a vocabulary: fertility falls
+    monotonically with merges, and the knee prices each additional
+    merge in saved tokens (the compression-vs-vocab tradeoff every
+    tokenizer paper plots; registered ``docs_bpe_fertility_report``
+    is one point of it).
+
+    Exactness: the oracle replays the identical training trajectory
+    (one CTE chain to the max budget; each rung summarizes that
+    chain's intermediate word table), so merges, segmentations and
+    counts are bit-identical; outputs are integer counts + micro DIV.
+
+    Scale (100 TB): training cost is the registered serial trainer's
+    (per merge: one pair-count shuffle over the DISTINCT-word frame —
+    Zipf-compressed vs the corpus — and a driver argmax scalar);
+    the curve adds only per-rung scalar aggregates of that frame."""
+    from .bpe import _base_words, bpe_train
+
+    out = None
+    for m in BVC_BUDGETS:
+        if m == 0:
+            words = _base_words(spark, sf_dir)
+        else:
+            _, words = bpe_train(spark, sf_dir, n_merges=m, exact=True)
+        row = words.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+            F.sum("freq").cast("bigint").alias("corpus_words"),
+            F.sum(F.col("freq") * F.size("syms"))
+            .cast("bigint")
+            .alias("corpus_tokens"),
+        ).select(
+            F.lit(m).cast("bigint").alias("n_merges_budget"),
+            "n_distinct_words",
+            "corpus_words",
+            "corpus_tokens",
+            F.expr("corpus_tokens * 1000000 DIV corpus_words").alias(
+                "fertility_micro"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --------------------------------------------------------------------
+# Image-text alignment contract (cross-modal retrieval plumbing)
+# --------------------------------------------------------------------
+
+ITA_N_DOCS = 120
+ITA_DIM = 16  # feature dimension: 16 patch sums / 16 text-hash bins
+ITA_BUCKET = 30  # report granularity (4 buckets of 30 docs)
+
+
+def _alignment_oracle() -> str:
+    # image feature d of doc j: sum of the 4x4 patch at raster pos d
+    # of the synthetic image pixel(x,y) = (j*131 + x*7 + y*13) % 256
+    img_feat = (
+        "[ list_reduce([ (j.doc_id * 131"
+        "   + ((d - 1) % 4 * 4 + (t - 1) % 4) * 7"
+        "   + ((d - 1) // 4 * 4 + (t - 1) // 4) * 13) % 256"
+        "   for t in generate_series(1, 16) ], (a, b) -> a + b)"
+        " for d in generate_series(1, 16) ]"
+    )
+    txt_feat = (
+        "[ len(list_filter(string_split(i.text, ' '),"
+        "   w -> (len(w) * 7 + ord(w[1])) % 16 = d - 1))"
+        " for d in generate_series(1, 16) ]"
+    )
+    return f"""
+    WITH block AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {ITA_N_DOCS}
+    ), tf AS (
+      SELECT i.doc_id, {txt_feat} AS tv FROM block i
+    ), imf AS (
+      SELECT j.doc_id, {img_feat} AS iv FROM block j
+    ), scores AS (
+      SELECT t.doc_id AS text_id, m.doc_id AS img_id,
+             CAST(list_reduce(list_transform(list_zip(t.tv, m.iv),
+               z -> z[1] * z[2]), (a, b) -> a + b) AS BIGINT) AS score
+      FROM tf t CROSS JOIN imf m
+    ), ranked AS (
+      SELECT text_id, img_id, score,
+             row_number() OVER (PARTITION BY text_id
+                                ORDER BY score DESC, img_id) AS rk
+      FROM scores
+    )
+    SELECT CAST(text_id // {ITA_BUCKET} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_texts,
+           CAST(sum(CASE WHEN img_id = text_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_top1_self,
+           CAST(sum(score) AS BIGINT) AS sum_top1_score
+    FROM ranked WHERE rk = 1
+    GROUP BY 1
+    """
+
+
+@stage(
+    "docs_image_text_alignment_contract",
+    oracle=_alignment_oracle(),
+    tags=("llm", "multimodal", "retrieval", "contract"),
+)
+def docs_image_text_alignment_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal retrieval PLUMBING, oracle-pinned: each doc in the
+    bounded block carries an image-side feature vector (the 16 patch
+    sums of its synthetic image — the patchify contract's reduction)
+    and a text-side vector (a 16-bin word-hash histogram); the
+    text→image score matrix is the integer dot product, and per
+    text the top-1 image is retrieved (score desc, id tie-break).
+    The features are DETERMINISTIC STUBS (per the multimodal-stub
+    convention — a real deployment swaps in CLIP embeddings), but
+    the plan is the real cross-modal eval: per-query top-1 over a
+    dense score matrix with exact tie-breaks, the shape of every
+    retrieval-accuracy eval. The oracle replays both feature
+    constructions and the argmax closed-form, so a transposed
+    patch axis, a shifted hash bin, or an unstable tie-break all
+    hash-mismatch.
+
+    Exactness: all-integer features, scores, counts.
+
+    Scale (100 TB): the block is constant-size (a retrieval EVAL is
+    query-side-bounded by construction); production would broadcast
+    the query block against the corpus-side feature table — the
+    registered kNN shape."""
+    block = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < ITA_N_DOCS
+    )
+    tf = block.select(
+        F.col("doc_id").alias("text_id"),
+        F.expr(
+            "transform(sequence(1, 16), d ->"
+            " size(filter(split(text, ' '),"
+            " w -> (length(w) * 7 + ascii(substring(w, 1, 1))) % 16"
+            " = d - 1)))"
+        ).alias("tv"),
+    )
+    imf = block.select(
+        F.col("doc_id").alias("img_id"),
+        F.expr(
+            "transform(sequence(1, 16), d ->"
+            " aggregate(transform(sequence(1, 16), t ->"
+            "   (img_id * 131"
+            "    + ((d - 1) % 4 * 4 + (t - 1) % 4) * 7"
+            "    + ((d - 1) DIV 4 * 4 + (t - 1) DIV 4) * 13) % 256),"
+            "  0L, (a, b) -> a + b))"
+        ).alias("iv"),
+    )
+    w = Window.partitionBy("text_id").orderBy(
+        F.desc("score"), F.asc("img_id")
+    )
+    scores = (
+        tf.crossJoin(F.broadcast(imf))
+        .select(
+            "text_id",
+            "img_id",
+            F.aggregate(
+                F.zip_with("tv", "iv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        scores.groupBy(
+            F.expr(f"text_id DIV {ITA_BUCKET}").cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_texts"),
+            F.sum((F.col("img_id") == F.col("text_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_top1_self"),
+            F.sum("score").cast("bigint").alias("sum_top1_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Session survival curve (duration CCDF over the sessionized stream)
+# --------------------------------------------------------------------
+
+SSC_GAP_S = 1800  # the registered 30-minute session gap
+SSC_THRESH_S = (0, 60, 300, 1800)
+
+
+def _session_survival_oracle() -> str:
+    th = ", ".join(str(t) for t in SSC_THRESH_S)
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             date_diff('microsecond',
+                       TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  > {SSC_GAP_S} * 1000000 OR lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ), sess AS (
+      SELECT user_id, ts_us,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    ), durations AS (
+      SELECT user_id, sess_id,
+             max(ts_us) - min(ts_us) AS dur_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(l.t AS BIGINT) AS threshold_s,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN d.dur_us >= l.t * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+           CAST(sum(CASE WHEN d.dur_us >= l.t * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             // CAST(count(*) AS BIGINT) AS survival_micro
+    FROM durations d
+    CROSS JOIN (SELECT unnest([{th}]) AS t) l
+    GROUP BY 1
+    """
+
+
+@stage(
+    "events_session_survival_curve",
+    oracle=_session_survival_oracle(),
+    tags=("events", "analytics", "sessions"),
+)
+def events_session_survival_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-duration SURVIVAL curve: sessions cut at the
+    registered {SSC_GAP_S}-second gap (the ``window_session_30m``
+    convention, keyed per user), then for each duration threshold in
+    {SSC_THRESH_S} seconds, the exact count and share of sessions
+    lasting at least that long — the complementary CDF an engagement
+    dashboard plots (no censoring in a bounded replay, so this is
+    the Kaplan–Meier curve's exact special case). Threshold 0 is the
+    all-sessions row (share = 1e6 by construction — a built-in
+    sanity anchor for the hash).
+
+    Exactness: micros since the naive anchor, integer counts, one
+    micro DIV.
+
+    Scale (100 TB): one per-user window pass (gap marking + running
+    session id — keyed, parallel across users), one hash aggregate
+    to sessions, one constant-ladder fanout over the session frame.
+    The session frame is the corpus compressed ~events-per-session
+    fold."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(w_order).isNull()
+            | (
+                F.col("ts_us") - F.lag("ts_us").over(w_order)
+                > SSC_GAP_S * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("sess_id", F.sum("new_sess").over(w_cum))
+    durations = sess.groupBy("user_id", "sess_id").agg(
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us")
+    )
+    ladder = spark.createDataFrame(
+        [(t,) for t in SSC_THRESH_S], "t long"
+    )
+    return (
+        durations.crossJoin(F.broadcast(ladder))
+        .groupBy(F.col("t").alias("threshold_s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(
+                (F.col("dur_us") >= F.col("t") * 1000000).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_surviving"),
+        )
+        .select(
+            "threshold_s",
+            "n_sessions",
+            "n_surviving",
+            F.expr("n_surviving * 1000000 DIV n_sessions").alias(
+                "survival_micro"
+            ),
         )
     )

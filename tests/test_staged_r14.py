@@ -40,7 +40,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r14_batch_matches_staged():
     assert sorted(R14_BATCH) == sorted(STAGED)
-    assert len(R14_BATCH) == 3
+    assert len(R14_BATCH) == 6
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -277,3 +277,134 @@ def test_license_propagation_replay_and_conservation(spark):
     assert (
         got.loc[got["n_members_absorbed"] == 0, "n_escalated"] == 0
     ).all()
+
+
+# --------------------------------------------------------------------
+# BPE vocab curve — monotone laws + prefix-consistency with merges
+# --------------------------------------------------------------------
+
+
+def test_bpe_vocab_curve_laws(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r14 import (
+        BVC_BUDGETS,
+    )
+
+    got = (
+        STAGED["docs_bpe_vocab_size_curve"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("n_merges_budget", ignore_index=True)
+    )
+    assert list(got["n_merges_budget"]) == list(BVC_BUDGETS)
+    # the word universe never changes; only segmentation does
+    assert got["n_distinct_words"].nunique() == 1
+    assert got["corpus_words"].nunique() == 1
+    # every merge can only shrink the token count
+    assert got["corpus_tokens"].is_monotonic_decreasing
+    assert got["fertility_micro"].is_monotonic_decreasing
+    # m=0 baseline: tokens = chars + one EOW marker per word
+    docs = _pd("documents")
+    words = docs["text"].str.split(" ").explode()
+    base_tokens = int(words.str.len().sum() + len(words))
+    assert got.iloc[0]["corpus_tokens"] == base_tokens
+    # each merge round with pair_count c removes exactly c tokens
+    from python_nyc_taxi_data_pipeline_spark.llm.bpe import bpe_train
+
+    merges, _ = bpe_train(
+        spark, SF_DIR, n_merges=int(got["n_merges_budget"].max()), exact=True
+    )
+    counts = {m: c for (m, _, _, c) in merges}
+    for lo, hi in zip(
+        got.itertuples(), got.iloc[1:].itertuples()
+    ):
+        removed = sum(
+            counts[r]
+            for r in range(lo.n_merges_budget + 1, hi.n_merges_budget + 1)
+        )
+        assert lo.corpus_tokens - hi.corpus_tokens == removed
+
+
+# --------------------------------------------------------------------
+# Image-text alignment — numpy replay of both feature stubs
+# --------------------------------------------------------------------
+
+
+def test_alignment_numpy_replay(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r14 import (
+        ITA_BUCKET,
+        ITA_N_DOCS,
+    )
+
+    got = (
+        STAGED["docs_image_text_alignment_contract"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    docs = _pd("documents")
+    block = docs[docs["doc_id"] < ITA_N_DOCS].sort_values("doc_id")
+    xs = np.arange(16)
+    tvs, ivs, ids = [], [], []
+    for _, r in block.iterrows():
+        j = int(r["doc_id"])
+        tv = np.zeros(16, dtype=np.int64)
+        for w in r["text"].split(" "):
+            tv[(len(w) * 7 + ord(w[0])) % 16] += 1
+        grid = (j * 131 + xs[None, :] * 7 + xs[:, None] * 13) % 256
+        iv = grid.reshape(4, 4, 4, 4).sum(axis=(1, 3)).reshape(16)
+        tvs.append(tv)
+        ivs.append(iv)
+        ids.append(j)
+    T, I = np.stack(tvs), np.stack(ivs)
+    ids = np.array(ids)
+    S = T @ I.T  # text x image integer scores
+    buckets: dict[int, list] = {}
+    for qi in range(len(ids)):
+        order = np.lexsort((ids, -S[qi]))
+        top = order[0]
+        buckets.setdefault(int(ids[qi]) // ITA_BUCKET, []).append(
+            (int(ids[top] == ids[qi]), int(S[qi, top]))
+        )
+    for b, rows in buckets.items():
+        row = got.loc[b]
+        assert row["n_texts"] == len(rows)
+        assert row["n_top1_self"] == sum(h for h, _ in rows)
+        assert row["sum_top1_score"] == sum(s for _, s in rows)
+
+
+# --------------------------------------------------------------------
+# Session survival — replay + anchor laws
+# --------------------------------------------------------------------
+
+
+def test_session_survival_replay(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r14 import (
+        SSC_GAP_S,
+        SSC_THRESH_S,
+    )
+
+    got = (
+        STAGED["events_session_survival_curve"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("threshold_s", ignore_index=True)
+    )
+    assert list(got["threshold_s"]) == list(SSC_THRESH_S)
+    # threshold 0 anchors at survival == 1
+    assert got.iloc[0]["survival_micro"] == 1_000_000
+    assert got["n_sessions"].nunique() == 1
+    assert got["n_surviving"].is_monotonic_decreasing
+    # pandas replay of sessionization + durations
+    ev = _pd("events")
+    ev["ts_us"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    gap = ev.groupby("user_id")["ts_us"].diff()
+    ev["new_sess"] = (gap.isna() | (gap > SSC_GAP_S * 1_000_000)).astype(int)
+    ev["sess_id"] = ev.groupby("user_id")["new_sess"].cumsum()
+    dur = ev.groupby(["user_id", "sess_id"])["ts_us"].agg(["min", "max"])
+    dur_us = (dur["max"] - dur["min"]).to_numpy()
+    for t in SSC_THRESH_S:
+        row = got[got["threshold_s"] == t].iloc[0]
+        assert row["n_sessions"] == len(dur_us)
+        assert row["n_surviving"] == int((dur_us >= t * 1_000_000).sum()), t

@@ -343,6 +343,9 @@ EXTRA_FNS.update(
             "embeddings_pq_adc_recall_curve",
             "docs_string_pruning_contract",
             "docs_license_propagation_contract",
+            "docs_bpe_vocab_size_curve",
+            "docs_image_text_alignment_contract",
+            "events_session_survival_curve",
         )
     }
 )
@@ -657,6 +660,12 @@ MAX_EXPONENT = {
     "embeddings_pq_adc_recall_curve": 1.35,
     "docs_string_pruning_contract": 1.35,
     "docs_license_propagation_contract": 1.35,
+    # BPE curve rides the serial trainer's Zipf-compressed word frame;
+    # alignment is a constant block; survival is keyed windows + a
+    # session-frame ladder.
+    "docs_bpe_vocab_size_curve": 1.35,
+    "docs_image_text_alignment_contract": 1.35,
+    "events_session_survival_curve": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
