@@ -40,6 +40,14 @@ The seed slate:
   threshold ladder over the registered 30-min-gap sessionization —
   the engagement survival table (exact Kaplan–Meier special case,
   no censoring in a bounded replay).
+- ``lineitem_salted_join_contract``: the salted-JOIN skew pattern —
+  fact side salted, dim side replicated per salt, joined on
+  (key, salt); the plain three-table join is the oracle, proving the
+  decomposition loses and duplicates nothing. The join-side twin of
+  the registered salted-distinct contract.
+- ``orders_temporal_dim_join``: SCD2 as-of dimension lookup — every
+  order joins the dim version whose half-open validity interval
+  contains its date; the oracle pins the boundary convention.
 """
 
 from __future__ import annotations
@@ -70,6 +78,8 @@ R14_BATCH: tuple[str, ...] = (
     "docs_string_pruning_contract",
     "embeddings_pq_adc_recall_curve",
     "events_session_survival_curve",
+    "lineitem_salted_join_contract",
+    "orders_temporal_dim_join",
 )
 
 
@@ -940,6 +950,192 @@ def events_session_survival_curve(
             "n_surviving",
             F.expr("n_surviving * 1000000 DIV n_sessions").alias(
                 "survival_micro"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Salted broadcast-replicated JOIN contract (the other skew half)
+# --------------------------------------------------------------------
+
+SJC_SALTS = 16
+
+
+def _salted_join_oracle() -> str:
+    return """
+    SELECT l.l_returnflag,
+           n.n_name AS supplier_nation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """
+
+
+@stage(
+    "lineitem_salted_join_contract",
+    oracle=_salted_join_oracle(),
+    tags=("tpch", "skew", "contract"),
+)
+def lineitem_salted_join_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The skew-mitigation SALTED JOIN as an oracle-pinned contract —
+    the join-side twin of the registered salted-distinct contract:
+    the fact side gets a random-free salt (pmod(xxhash64(orderkey),
+    {SJC_SALTS})), the dim side (supplier⋈nation, pre-joined small)
+    is REPLICATED once per salt value, and the join key becomes
+    (suppkey, salt) — so a hot supplier's rows spread over
+    {SJC_SALTS} reducers instead of one, while the replicated dim
+    adds only |dim|·{SJC_SALTS} rows. The oracle is the PLAIN
+    three-table join aggregate, so the hash proves the
+    salt-replicate-join decomposition loses and duplicates nothing.
+    (AQE's skew-join split does this adaptively for sort-merge
+    joins; the explicit form is how you write it when the dim is
+    broadcastable and the skew is known — the documented pattern for
+    hot-key fact-dim joins.)
+
+    Exactness: integer counts and BIGINT quantity sums.
+
+    Scale (100 TB): the dim side is |suppliers|·{SJC_SALTS} rows
+    (still broadcast-sized for a real dim); the fact side shuffles
+    once on the salted key with bounded per-reducer skew — the whole
+    point. The final rollup is a |flags|·|nations| hash aggregate."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_suppkey",
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(SJC_SALTS)).alias("salt"),
+    )
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supplier_nation"))
+    )
+    salts = spark.createDataFrame(
+        [(s,) for s in range(SJC_SALTS)], "salt long"
+    )
+    dim_rep = dim.crossJoin(F.broadcast(salts))
+    return (
+        li.join(
+            F.broadcast(dim_rep),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (li["salt"] == dim_rep["salt"]),
+        )
+        .groupBy("l_returnflag", "supplier_nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Temporal (as-of) dimension join — SCD2 lookup without equality keys
+# --------------------------------------------------------------------
+
+# Synthetic SCD2 dim: each order priority gets 3 tariff versions with
+# contiguous validity epochs over the order-date span.
+TDJ_EPOCHS = (
+    ("1995-01-01", "1997-01-01", 100),
+    ("1997-01-01", "1999-06-01", 150),
+    ("1999-06-01", "2002-01-01", 175),
+)
+
+
+def _temporal_join_oracle() -> str:
+    rows = ", ".join(
+        f"(DATE '{a}', DATE '{b}', {r})" for a, b, r in TDJ_EPOCHS
+    )
+    return f"""
+    WITH dim AS (
+      SELECT * FROM (VALUES {rows}) AS d(valid_from, valid_to, tariff)
+    )
+    SELECT d.valid_from,
+           CAST(d.tariff AS BIGINT) AS tariff,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             AS BIGINT) AS sum_price_cents,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                * d.tariff // 10000 AS BIGINT) AS tariffed_cents
+    FROM orders o
+    JOIN dim d ON CAST(o.o_orderdate AS DATE) >= d.valid_from
+              AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    GROUP BY d.valid_from, d.tariff
+    """
+
+
+@stage(
+    "orders_temporal_dim_join",
+    oracle=_temporal_join_oracle(),
+    tags=("warehouse", "scd2", "range-join"),
+)
+def orders_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) dimension lookup — the SCD2 consumption
+    pattern: every order joins the dim VERSION whose validity
+    interval contains its order date (half-open [from, to)), here a
+    3-epoch tariff table, then a per-epoch rollup applies the
+    epoch's tariff to the epoch's order volume in exact cents. This
+    is the join every type-2 dimension exists for; its correctness
+    hazards are the interval boundary conventions (half-open vs
+    closed — an order ON a version boundary must land in exactly one
+    epoch), which is precisely what the oracle's hash pins.
+
+    Exactness: DATE comparisons, cent-quantized money (round half-up
+    at 2 dp on both engines — the established DECIMAL convention),
+    integer tariff basis points with one integer DIV.
+
+    Scale (100 TB): the dim is a version table (tiny — broadcast);
+    the range join is a broadcast-nested-loop against ≤|versions|
+    intervals with each fact row matching exactly one — no shuffle
+    beyond the final |versions|-row rollup. For a large dim,
+    bucketize by (natural key) first and range-join within key — the
+    registered as-of join's shape."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    dim = spark.createDataFrame(
+        [(a, b, r) for a, b, r in TDJ_EPOCHS],
+        "valid_from string, valid_to string, tariff long",
+    ).select(
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "tariff",
+    )
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("od") >= F.col("valid_from"))
+            & (F.col("od") < F.col("valid_to")),
+        )
+        .groupBy("valid_from", "tariff")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price_cents").cast("bigint").alias("sum_price_cents"),
+        )
+        .select(
+            "valid_from",
+            "tariff",
+            "n_orders",
+            "sum_price_cents",
+            F.expr("sum_price_cents * tariff DIV 10000").alias(
+                "tariffed_cents"
             ),
         )
     )

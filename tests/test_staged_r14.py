@@ -40,7 +40,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r14_batch_matches_staged():
     assert sorted(R14_BATCH) == sorted(STAGED)
-    assert len(R14_BATCH) == 6
+    assert len(R14_BATCH) == 8
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -408,3 +408,74 @@ def test_session_survival_replay(spark):
         row = got[got["threshold_s"] == t].iloc[0]
         assert row["n_sessions"] == len(dur_us)
         assert row["n_surviving"] == int((dur_us >= t * 1_000_000).sum()), t
+
+
+# --------------------------------------------------------------------
+# Salted join — equivalence with the plain join + salt-space law
+# --------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from python_nyc_taxi_data_pipeline_spark.catalog import load
+
+    got = (
+        STAGED["lineitem_salted_join_contract"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index(["l_returnflag", "supplier_nation"])
+        .sort_index()
+    )
+    li = load(spark, SF_DIR, "lineitem")
+    s = load(spark, SF_DIR, "supplier")
+    n = load(spark, SF_DIR, "nation")
+    plain = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_returnflag", F.col("n_name").alias("supplier_nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .toPandas()
+        .set_index(["l_returnflag", "supplier_nation"])
+        .sort_index()
+    )
+    assert (got["n_rows"] == plain["n_rows"]).all()
+    assert (got["sum_qty"] == plain["sum_qty"]).all()
+    # total row conservation: nothing dropped, nothing duplicated
+    assert got["n_rows"].sum() == li.count()
+
+
+# --------------------------------------------------------------------
+# Temporal dim join — boundary convention + conservation
+# --------------------------------------------------------------------
+
+
+def test_temporal_join_partitions_orders_exactly(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r14 import (
+        TDJ_EPOCHS,
+    )
+
+    got = (
+        STAGED["orders_temporal_dim_join"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("valid_from", ignore_index=True)
+    )
+    orders = _pd("orders")
+    # every order lands in exactly one epoch
+    assert got["n_orders"].sum() == len(orders)
+    assert len(got) == len(TDJ_EPOCHS)
+    # boundary convention: an order ON a version boundary joins the
+    # NEWER version (half-open [from, to))
+    od = pd.to_datetime(orders["o_orderdate"])
+    for (a, b, tariff), row in zip(TDJ_EPOCHS, got.itertuples()):
+        n = int(((od >= a) & (od < b)).sum())
+        assert row.n_orders == n, a
+        assert row.tariff == tariff
+        assert (
+            row.tariffed_cents
+            == row.sum_price_cents * tariff // 10000
+        )

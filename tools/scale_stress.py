@@ -346,6 +346,8 @@ EXTRA_FNS.update(
             "docs_bpe_vocab_size_curve",
             "docs_image_text_alignment_contract",
             "events_session_survival_curve",
+            "lineitem_salted_join_contract",
+            "orders_temporal_dim_join",
         )
     }
 )
@@ -666,6 +668,10 @@ MAX_EXPONENT = {
     "docs_bpe_vocab_size_curve": 1.35,
     "docs_image_text_alignment_contract": 1.35,
     "events_session_survival_curve": 1.35,
+    # salted join shuffles the fact once on the salted key; temporal
+    # join is a broadcast interval BNLJ + |versions|-row rollup.
+    "lineitem_salted_join_contract": 1.35,
+    "orders_temporal_dim_join": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
