@@ -48,6 +48,10 @@ The seed slate:
 - ``orders_temporal_dim_join``: SCD2 as-of dimension lookup — every
   order joins the dim version whose half-open validity interval
   contains its date; the oracle pins the boundary convention.
+- ``nation_trade_reciprocity``: weighted reciprocity per exporter
+  over the registered PageRank's trade edges (Σ min(w_ij, w_ji) /
+  Σ w_ij) — hub-and-spoke vs balanced bilateral trade, the
+  complementary structural read to PageRank's importance ranking.
 """
 
 from __future__ import annotations
@@ -79,6 +83,7 @@ R14_BATCH: tuple[str, ...] = (
     "embeddings_pq_adc_recall_curve",
     "events_session_survival_curve",
     "lineitem_salted_join_contract",
+    "nation_trade_reciprocity",
     "orders_temporal_dim_join",
 )
 
@@ -1138,4 +1143,136 @@ def orders_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tariffed_cents"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Trade-flow reciprocity (directed-graph symmetry metric)
+# --------------------------------------------------------------------
+
+
+def _reciprocity_oracle() -> str:
+    return """
+    WITH edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS w_e4
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ), paired AS (
+      SELECT e.src, e.dst, e.w_e4,
+             COALESCE(r.w_e4, 0) AS w_rev
+      FROM edges e
+      LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    ), per_src AS (
+      SELECT src,
+             CAST(count(*) AS BIGINT) AS n_out_edges,
+             CAST(sum(CASE WHEN w_rev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reciprocated,
+             CAST(sum(w_e4) AS BIGINT) AS w_out_e4,
+             CAST(sum(least(w_e4, w_rev)) AS BIGINT) AS w_balanced_e4
+      FROM paired GROUP BY src
+    )
+    SELECT n.n_name AS nation,
+           p.n_out_edges, p.n_reciprocated,
+           p.w_out_e4, p.w_balanced_e4,
+           CAST((p.w_balanced_e4 // 10000) * 1000000
+                // greatest(p.w_out_e4 // 10000, 1) AS BIGINT)
+             AS reciprocity_micro
+    FROM per_src p JOIN nation n ON n.n_nationkey = p.src
+    """
+
+
+@stage(
+    "nation_trade_reciprocity",
+    oracle=_reciprocity_oracle(),
+    tags=("tpch", "graph", "report"),
+)
+def nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph RECIPROCITY over the nation trade graph — the
+    same supplier-nation → customer-nation revenue edges the
+    registered ``nation_trade_pagerank`` walks (self-loops excluded),
+    asking the complementary structural question: per exporter, how
+    much of its outbound flow is BALANCED by a reverse flow
+    (weighted reciprocity = Σ min(w_ij, w_ji) / Σ w_ij — the
+    Squartini/Garlaschelli weighted form), plus the unweighted
+    reciprocated-edge count. PageRank ranks importance; reciprocity
+    separates hub-and-spoke trade (low) from balanced bilateral trade
+    (high) — together they are the two standard first looks at any
+    directed flow graph.
+
+    Exactness: the edge weight is the proven PageRank convention
+    (DECIMAL(18,4)-accumulated revenue ×1e4 → BIGINT); min/sum on
+    those integers. The micro ratio first scales BOTH operands to
+    whole currency units with integer DIV (identical positive-value
+    truncation in both engines) so the ×1e6 product stays inside
+    int64 out to ~9e12 per-nation revenue; past that, promote the
+    ratio to DECIMAL(38,0) — the reported w_*_e4 columns stay
+    exact regardless.
+
+    Scale (100 TB): the corpus-sized work is the SAME two-join edge
+    aggregate the registered PageRank runs (nation-pair domain ≤
+    |nations|²); the reverse-edge pairing is a self-join of that
+    ≤625-row frame."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("w_e4")
+        )
+        .localCheckpoint(eager=True)
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("w_e4").alias("w_rev"),
+    )
+    paired = edges.join(F.broadcast(rev), ["src", "dst"], "left").withColumn(
+        "w_rev", F.coalesce("w_rev", F.lit(0))
+    )
+    per_src = paired.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_out_edges"),
+        F.sum((F.col("w_rev") > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_reciprocated"),
+        F.sum("w_e4").cast("bigint").alias("w_out_e4"),
+        F.sum(F.least("w_e4", "w_rev")).cast("bigint").alias("w_balanced_e4"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("src"), F.col("n_name").alias("nation")
+    )
+    return per_src.join(F.broadcast(n), "src").select(
+        "nation",
+        "n_out_edges",
+        "n_reciprocated",
+        "w_out_e4",
+        "w_balanced_e4",
+        F.expr(
+            "(w_balanced_e4 DIV 10000) * 1000000"
+            " DIV greatest(w_out_e4 DIV 10000, 1)"
+        ).alias("reciprocity_micro"),
     )

@@ -40,7 +40,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r14_batch_matches_staged():
     assert sorted(R14_BATCH) == sorted(STAGED)
-    assert len(R14_BATCH) == 8
+    assert len(R14_BATCH) == 9
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -478,4 +478,64 @@ def test_temporal_join_partitions_orders_exactly(spark):
         assert (
             row.tariffed_cents
             == row.sum_price_cents * tariff // 10000
+        )
+
+
+# --------------------------------------------------------------------
+# Trade reciprocity — symmetry laws + pandas replay
+# --------------------------------------------------------------------
+
+
+def test_reciprocity_laws_and_replay(spark):
+    got = (
+        STAGED["nation_trade_reciprocity"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("nation")
+        .sort_index()
+    )
+    assert (got["reciprocity_micro"] <= 1_000_000).all()
+    assert (got["n_reciprocated"] <= got["n_out_edges"]).all()
+    assert (got["w_balanced_e4"] <= got["w_out_e4"]).all()
+    # global symmetry: sum of balanced flow is symmetric by
+    # construction, so the balanced total is even in min-pair terms —
+    # replay the whole frame from the raw tables instead
+    li = _pd("lineitem")
+    s = _pd("supplier").set_index("s_suppkey")["s_nationkey"]
+    o = _pd("orders").set_index("o_orderkey")["o_custkey"]
+    c = _pd("customer").set_index("c_custkey")["c_nationkey"]
+    n = _pd("nation").set_index("n_nationkey")["n_name"]
+    li["src"] = li["l_suppkey"].map(s)
+    li["dst"] = li["l_orderkey"].map(o).map(c)
+    li = li[li["src"] != li["dst"]]
+    import decimal
+
+    li["rev"] = [
+        (
+            decimal.Decimal(str(p)) * (1 - decimal.Decimal(str(d)))
+        ).quantize(decimal.Decimal("0.0001"))
+        for p, d in zip(li["l_extendedprice"], li["l_discount"])
+    ]
+    w = (
+        li.groupby(["src", "dst"])["rev"]
+        .sum()
+        .map(lambda x: int(x * 10000))
+    )
+    rows = {}
+    for (src, dst), we in w.items():
+        wr = int(w.get((dst, src), 0))
+        r = rows.setdefault(src, [0, 0, 0, 0])
+        r[0] += 1
+        r[1] += 1 if wr > 0 else 0
+        r[2] += we
+        r[3] += min(we, wr)
+    for src, (ne, nr, wo, wb) in rows.items():
+        row = got.loc[n[src]]
+        assert row["n_out_edges"] == ne
+        assert row["n_reciprocated"] == nr
+        assert row["w_out_e4"] == wo, n[src]
+        assert row["w_balanced_e4"] == wb
+        assert (
+            row["reciprocity_micro"]
+            == (wb // 10000) * 1_000_000 // max(wo // 10000, 1)
         )

@@ -348,6 +348,7 @@ EXTRA_FNS.update(
             "events_session_survival_curve",
             "lineitem_salted_join_contract",
             "orders_temporal_dim_join",
+            "nation_trade_reciprocity",
         )
     }
 )
@@ -672,6 +673,9 @@ MAX_EXPONENT = {
     # join is a broadcast interval BNLJ + |versions|-row rollup.
     "lineitem_salted_join_contract": 1.35,
     "orders_temporal_dim_join": 1.35,
+    # reciprocity = the PageRank edge aggregate + a ≤|nations|²
+    # self-join on the aggregated frame.
+    "nation_trade_reciprocity": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
