@@ -1,0 +1,111 @@
+"""Tests for llm/staged_r15.py — the round-15 seed (Fano burstiness)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from python_nyc_taxi_data_pipeline_spark.catalog import FIXTURE_TABLES
+from python_nyc_taxi_data_pipeline_spark.llm.staged_r15 import (
+    R15_BATCH,
+    STAGED,
+)
+from tests.conftest import SF_DIR
+
+
+def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
+    return duckdb.sql(
+        f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+    ).fetchdf()
+
+
+def test_r15_batch_matches_staged():
+    assert sorted(R15_BATCH) == sorted(STAGED)
+    assert len(R15_BATCH) == 1
+
+
+def test_staged_plans_carry_no_antipatterns(spark):
+    from tests.test_plans import (
+        _benign_single_partition,
+        _single_partition_exchange_ids,
+        plan_of,
+    )
+
+    flagged = {}
+    for name, q in STAGED.items():
+        p = plan_of(q.fn(spark, SF_DIR))
+        bad = []
+        if "CartesianProduct" in p:
+            bad.append("cartesian")
+        if "BatchEvalPython" in p:
+            bad.append("row-udf")
+        sp = [
+            i
+            for i in _single_partition_exchange_ids(p)
+            if not _benign_single_partition(p, i)
+        ]
+        if sp:
+            bad.append(f"single-partition {sp}")
+        if bad:
+            flagged[name] = bad
+    assert flagged == {}
+
+
+def test_staged_oracle_parity_sf0001(spark):
+    from tools.oracle_check import compare
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    for name, q in STAGED.items():
+        sdf = q.fn(spark, SF_DIR).toPandas()
+        ddf = con.execute(q.oracle).fetchdf()
+        problems = compare(name, sdf, ddf)
+        assert not problems, f"{name}: {problems}"
+        assert len(sdf) > 0, f"{name}: degenerate empty result"
+    con.close()
+
+
+def test_fano_numpy_replay_with_zero_hours(spark):
+    got = (
+        STAGED["events_burstiness_fano"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = _pd("events")
+    hour = (
+        ev["ts"].astype("datetime64[ns]").astype("int64")
+        // (3_600 * 10**9)
+    )
+    h0, h1 = int(hour.min()), int(hour.max())
+    n = h1 - h0 + 1
+    for et, grp in hour.groupby(ev["event_type"]):
+        x = np.zeros(n, dtype=np.int64)
+        for h, c in grp.value_counts().items():
+            x[int(h) - h0] = c
+        s1, s2 = int(x.sum()), int((x * x).sum())
+        row = got.loc[et]
+        assert row["n_hours"] == n
+        assert row["n_events"] == s1
+        assert row["mean_micro"] == s1 * 1_000_000 // n
+        assert (
+            row["fano_micro"]
+            == (n * s2 - s1 * s1) * 1_000_000 // (n * max(s1, 1))
+        ), et
+        # the zero-hour pitfall: recomputing WITHOUT empty hours must
+        # give a different (deflated-variance) answer on this fixture
+        xz = x[x > 0]
+        nz, s1z, s2z = len(xz), int(xz.sum()), int((xz * xz).sum())
+        if nz < n:
+            assert (
+                (nz * s2z - s1z * s1z) * 1_000_000 // (nz * max(s1z, 1))
+                != row["fano_micro"]
+            )
+    # every type's Fano is non-negative (population variance >= 0)
+    assert (got["fano_micro"] >= 0).all()

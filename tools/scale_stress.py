@@ -242,6 +242,17 @@ def _staged14(name: str):
     return fn
 
 
+def _staged15(name: str):
+    """Resolve a round-15 STAGED query (llm/staged_r15.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r15 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
 # round-10 staged candidates (llm/staged_r10.py)
 EXTRA_FNS_R10 = (
     "docs_doremi_reweight_step",
@@ -352,6 +363,9 @@ EXTRA_FNS.update(
         )
     }
 )
+
+# round-15 staged seed (llm/staged_r15.py)
+EXTRA_FNS.update({"events_burstiness_fano": _staged15("events_burstiness_fano")})
 
 # round-9 staged candidates (llm/staged_r9.py). orders_basket_lift is
 # deliberately absent: the key-shift inflater duplicates baskets, so
@@ -676,6 +690,8 @@ MAX_EXPONENT = {
     # reciprocity = the PageRank edge aggregate + a ≤|nations|²
     # self-join on the aggregated frame.
     "nation_trade_reciprocity": 1.35,
+    # r15 seed: one (type, hour) hash aggregate + calendar spine.
+    "events_burstiness_fano": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
