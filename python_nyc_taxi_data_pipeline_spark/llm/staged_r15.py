@@ -14,6 +14,10 @@ The seed:
   entropy reads burstiness from gap digits; Fano reads it from
   count dispersion — the two standard, complementary burstiness
   lenses.
+- ``part_type_brand_hhi``: Herfindahl–Hirschman market concentration
+  per part-type market (brand revenue shares, HHI = Σ share², top
+  share) — the market-structure statistic; swap part→source for the
+  data-mixture source-concentration check.
 """
 
 from __future__ import annotations
@@ -37,7 +41,10 @@ class StagedQuery:
 
 STAGED: dict[str, StagedQuery] = {}
 
-R15_BATCH: tuple[str, ...] = ("events_burstiness_fano",)
+R15_BATCH: tuple[str, ...] = (
+    "events_burstiness_fano",
+    "part_type_brand_hhi",
+)
 
 
 def promote_to_registry(names: list[str]) -> list[str]:
@@ -183,4 +190,112 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("fano_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Herfindahl–Hirschman concentration per part type (market structure)
+# --------------------------------------------------------------------
+
+
+def _hhi_oracle() -> str:
+    return """
+    WITH rev AS (
+      SELECT p.p_type, p.p_brand,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS w_e4
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT p_type, CAST(sum(w_e4) AS BIGINT) AS t_e4,
+             CAST(count(*) AS BIGINT) AS n_brands
+      FROM rev GROUP BY 1
+    ), shares AS (
+      SELECT r.p_type, t.n_brands, t.t_e4,
+             CAST((r.w_e4 // 10000) * 1000000
+                  // greatest(t.t_e4 // 10000, 1) AS BIGINT) AS share_micro
+      FROM rev r JOIN tot t USING (p_type)
+    )
+    SELECT p_type,
+           CAST(max(n_brands) AS BIGINT) AS n_brands,
+           CAST(max(t_e4) AS BIGINT) AS revenue_e4,
+           CAST(max(share_micro) AS BIGINT) AS top_share_micro,
+           CAST(sum(share_micro * share_micro) // 1000000 AS BIGINT)
+             AS hhi_micro
+    FROM shares GROUP BY p_type
+    """
+
+
+@stage(
+    "part_type_brand_hhi",
+    oracle=_hhi_oracle(),
+    tags=("tpch", "analytics", "report"),
+)
+def part_type_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per part-type market:
+    brand revenue shares in micro units, HHI = Σ share² (re-scaled to
+    micro — 1e6 = monopoly, 1e6/n = perfectly even over n brands),
+    plus the top brand's share. The market-structure statistic
+    antitrust analysis and category-management dashboards both read;
+    on the corpus side the same index is the SOURCE-concentration
+    check a data-mixture review runs (one dominant source = a
+    concentration risk — swap part→source to reuse the plan).
+
+    Exactness: the proven DECIMAL(18,4)→e4-BIGINT revenue
+    convention; the share ratio integer-DIV-scales BOTH operands to
+    whole currency units first (identical positive-value truncation
+    in both engines — the reciprocity-contract overflow rule, which
+    the 4× stress sweep enforced here too) so the ×1e6 product stays
+    inside int64 out to ~9e12 per-market revenue; share ≤ 1e6 →
+    share² ≤ 1e12, summed over ≤ |brands|. Quantize-then-square on
+    BOTH engines, so each share rounds before the square
+    identically.
+
+    Scale (100 TB): one lineitem scan joined to the broadcast part
+    dim, hash-aggregated to the (type, brand) domain (≤ 150·25 rows
+    at any SF — part types and brands are fixed vocabularies);
+    everything after is metadata arithmetic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type", "p_brand")
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("w_e4")
+        )
+    )
+    tot = rev.groupBy("p_type").agg(
+        F.sum("w_e4").cast("bigint").alias("t_e4"),
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+    )
+    shares = rev.join(tot, "p_type").select(
+        "p_type",
+        "n_brands",
+        "t_e4",
+        F.expr(
+            "(w_e4 DIV 10000) * 1000000"
+            " DIV greatest(t_e4 DIV 10000, 1)"
+        )
+        .cast("bigint")
+        .alias("share_micro"),
+    )
+    return shares.groupBy("p_type").agg(
+        F.max("n_brands").cast("bigint").alias("n_brands"),
+        F.max("t_e4").cast("bigint").alias("revenue_e4"),
+        F.max("share_micro").cast("bigint").alias("top_share_micro"),
+        F.expr("CAST(sum(share_micro * share_micro) DIV 1000000 AS BIGINT)")
+        .alias("hhi_micro"),
     )

@@ -22,7 +22,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r15_batch_matches_staged():
     assert sorted(R15_BATCH) == sorted(STAGED)
-    assert len(R15_BATCH) == 1
+    assert len(R15_BATCH) == 2
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -109,3 +109,43 @@ def test_fano_numpy_replay_with_zero_hours(spark):
             )
     # every type's Fano is non-negative (population variance >= 0)
     assert (got["fano_micro"] >= 0).all()
+
+
+def test_hhi_replay_and_bounds(spark):
+    got = (
+        STAGED["part_type_brand_hhi"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("p_type")
+        .sort_index()
+    )
+    import decimal
+
+    li = _pd("lineitem")
+    part = _pd("part").set_index("p_partkey")
+    li["p_type"] = li["l_partkey"].map(part["p_type"])
+    li["p_brand"] = li["l_partkey"].map(part["p_brand"])
+    li["rev"] = [
+        (
+            decimal.Decimal(str(p)) * (1 - decimal.Decimal(str(d)))
+        ).quantize(decimal.Decimal("0.0001"))
+        for p, d in zip(li["l_extendedprice"], li["l_discount"])
+    ]
+    for ptype, grp in li.groupby("p_type"):
+        w = grp.groupby("p_brand")["rev"].sum().map(
+            lambda x: int(x * 10000)
+        )
+        t = int(w.sum())
+        shares = [
+            (int(we) // 10000) * 1_000_000 // max(t // 10000, 1)
+            for we in w
+        ]
+        row = got.loc[ptype]
+        assert row["n_brands"] == len(w)
+        assert row["revenue_e4"] == t
+        assert row["top_share_micro"] == max(shares)
+        assert row["hhi_micro"] == sum(s * s for s in shares) // 1_000_000
+        # bounds: 1e6/n <= HHI <= 1e6 (up to integer-DIV loss)
+        assert row["hhi_micro"] <= 1_000_000
+        assert row["hhi_micro"] >= 1_000_000 // len(w) - len(w)
+        assert row["top_share_micro"] <= 1_000_000

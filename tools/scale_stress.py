@@ -365,7 +365,12 @@ EXTRA_FNS.update(
 )
 
 # round-15 staged seed (llm/staged_r15.py)
-EXTRA_FNS.update({"events_burstiness_fano": _staged15("events_burstiness_fano")})
+EXTRA_FNS.update(
+    {
+        name: _staged15(name)
+        for name in ("events_burstiness_fano", "part_type_brand_hhi")
+    }
+)
 
 # round-9 staged candidates (llm/staged_r9.py). orders_basket_lift is
 # deliberately absent: the key-shift inflater duplicates baskets, so
@@ -690,8 +695,10 @@ MAX_EXPONENT = {
     # reciprocity = the PageRank edge aggregate + a ≤|nations|²
     # self-join on the aggregated frame.
     "nation_trade_reciprocity": 1.35,
-    # r15 seed: one (type, hour) hash aggregate + calendar spine.
+    # r15 seed: one (type, hour) hash aggregate + calendar spine;
+    # HHI = one broadcast-dim join to a fixed-vocabulary domain.
     "events_burstiness_fano": 1.35,
+    "part_type_brand_hhi": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
