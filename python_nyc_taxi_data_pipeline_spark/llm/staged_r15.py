@@ -18,6 +18,11 @@ The seed:
   per part-type market (brand revenue shares, HHI = Σ share², top
   share) — the market-structure statistic; swap part→source for the
   data-mixture source-concentration check.
+- ``orders_backlog_timeseries``: open-order backlog per day (the
+  +1/−1 event-difference array over [order date, last ship + 1)),
+  rolled up monthly with peak and end-of-month levels — the WIP
+  curve, with the global cumulative computed on the two-level
+  prefix-sum scaffold (no global-order window).
 """
 
 from __future__ import annotations
@@ -43,6 +48,7 @@ STAGED: dict[str, StagedQuery] = {}
 
 R15_BATCH: tuple[str, ...] = (
     "events_burstiness_fano",
+    "orders_backlog_timeseries",
     "part_type_brand_hhi",
 )
 
@@ -298,4 +304,181 @@ def part_type_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("share_micro").cast("bigint").alias("top_share_micro"),
         F.expr("CAST(sum(share_micro * share_micro) DIV 1000000 AS BIGINT)")
         .alias("hhi_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Order-backlog time series (open-interval counting, two-level prefix)
+# --------------------------------------------------------------------
+
+BKL_BAND_DAYS = 32  # prefix-sum bands over the day spine
+
+
+def _backlog_oracle() -> str:
+    return """
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o.o_orderdate AS DATE)) AS open_day,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(max(l.l_shipdate) AS DATE)) + 1 AS close_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), bounds AS (
+      SELECT min(open_day) AS d0, max(close_day) AS d1 FROM spans
+    ), deltas AS (
+      SELECT day, CAST(sum(d) AS BIGINT) AS delta,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS opened,
+             CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS closed
+      FROM (
+        SELECT open_day AS day, 1 AS d FROM spans
+        UNION ALL
+        SELECT close_day AS day, -1 AS d FROM spans
+      ) GROUP BY day
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds))) AS day
+    ), daily AS (
+      SELECT s.day,
+             COALESCE(d.delta, 0) AS delta,
+             COALESCE(d.opened, 0) AS opened,
+             COALESCE(d.closed, 0) AS closed
+      FROM spine s LEFT JOIN deltas d ON d.day = s.day
+    ), cum AS (
+      SELECT day, opened, closed,
+             CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS backlog
+      FROM daily
+    )
+    SELECT CAST(date_trunc('month', DATE '1970-01-01'
+                 + to_days(CAST(day AS INT))) AS DATE) AS month_start,
+           CAST(sum(opened) AS BIGINT) AS opened,
+           CAST(sum(closed) AS BIGINT) AS closed,
+           CAST(max(backlog) AS BIGINT) AS peak_backlog,
+           CAST(arg_max(backlog, day) AS BIGINT) AS end_backlog
+    FROM cum GROUP BY 1
+    """
+
+
+@stage(
+    "orders_backlog_timeseries",
+    oracle=_backlog_oracle(),
+    tags=("warehouse", "timeseries", "report"),
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order BACKLOG over time — the interval-counting staple
+    (how many orders are open each day, where an order is open from
+    its order date until the day after its LAST line ships), rolled
+    up monthly: orders opened, orders closed, peak backlog, and
+    end-of-month backlog. This is the WIP/inventory curve every
+    operations dashboard draws, and the computation is the classic
+    +1/−1 event-difference array: deltas per day, then a cumulative
+    sum over the day spine.
+
+    The cumulative is the banned global-order window — so it runs on
+    the TWO-LEVEL PREFIX SUM scaffold the rank-AUC query established
+    (bands of {BKL_BAND_DAYS} days: intra-band partitioned window +
+    broadcast band offsets); DuckDB's oracle uses its plain
+    single-node cumulative window, so the hash again pins the
+    decomposition's exactness. End-of-month = max_by(backlog, day)
+    (the spine is dense, so the month's last day is always present).
+
+    Exactness: integer day indexing from the epoch anchor (DATE
+    arithmetic, identical in both engines); counts and sums only.
+
+    Scale (100 TB): one orders⋈lineitem aggregate to per-order spans
+    (the join is orderkey-co-partitioned), one hash aggregate to the
+    DAY domain (calendar-bounded — a century is 36.5k rows), and all
+    prefix machinery runs on that day-domain frame. No global
+    window, no collect."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .alias("open_day"),
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "open_day")
+        .agg(
+            (
+                F.datediff(
+                    F.max("l_shipdate").cast("date"), F.lit("1970-01-01")
+                )
+                + 1
+            ).alias("close_day")
+        )
+    )
+    opens = spans.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
+    closes = spans.select(
+        F.col("close_day").alias("day"), F.lit(-1).alias("d")
+    )
+    deltas = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(
+            F.sum("d").cast("bigint").alias("delta"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("opened"),
+            F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("closed"),
+        )
+    )
+    bounds = spans.agg(
+        F.min("open_day").alias("d0"), F.max("close_day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    daily = (
+        spine.join(deltas, "day", "left")
+        .select(
+            "day",
+            F.coalesce("delta", F.lit(0)).alias("delta"),
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("closed", F.lit(0)).alias("closed"),
+        )
+        .withColumn("band", F.expr(f"day DIV {BKL_BAND_DAYS}"))
+    )
+    from pyspark.sql import Window
+
+    intra = daily.withColumn(
+        "in_band_cum",
+        F.sum("delta").over(
+            Window.partitionBy("band")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    band_tot = daily.groupBy("band").agg(F.sum("delta").alias("bd"))
+    lower = band_tot.select(
+        F.col("band").alias("l_band"), F.col("bd").alias("l_bd")
+    )
+    offsets = (
+        band_tot.join(
+            F.broadcast(lower), F.col("l_band") < F.col("band"), "left"
+        )
+        .groupBy("band")
+        .agg(F.coalesce(F.sum("l_bd"), F.lit(0)).alias("offset"))
+    )
+    cum = intra.join(offsets, "band").withColumn(
+        "backlog",
+        (F.col("offset") + F.col("in_band_cum")).cast("bigint"),
+    )
+    month = F.trunc(
+        F.expr("date_add(DATE '1970-01-01', CAST(day AS INT))"), "month"
+    )
+    return (
+        cum.groupBy(month.alias("month_start"))
+        .agg(
+            F.sum("opened").cast("bigint").alias("opened"),
+            F.sum("closed").cast("bigint").alias("closed"),
+            F.max("backlog").cast("bigint").alias("peak_backlog"),
+            F.expr("max_by(backlog, day)").cast("bigint").alias(
+                "end_backlog"
+            ),
+        )
     )

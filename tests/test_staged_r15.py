@@ -22,7 +22,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r15_batch_matches_staged():
     assert sorted(R15_BATCH) == sorted(STAGED)
-    assert len(R15_BATCH) == 2
+    assert len(R15_BATCH) == 3
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -149,3 +149,65 @@ def test_hhi_replay_and_bounds(spark):
         assert row["hhi_micro"] <= 1_000_000
         assert row["hhi_micro"] >= 1_000_000 // len(w) - len(w)
         assert row["top_share_micro"] <= 1_000_000
+
+
+def test_backlog_timeseries_replay_and_conservation(spark):
+    got = (
+        STAGED["orders_backlog_timeseries"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("month_start", ignore_index=True)
+    )
+    orders = _pd("orders").set_index("o_orderkey")
+    li = _pd("lineitem")
+    last_ship = li.groupby("l_orderkey")["l_shipdate"].max()
+    spans = pd.DataFrame(
+        {
+            "open": pd.to_datetime(
+                orders.loc[last_ship.index, "o_orderdate"]
+            ).dt.normalize(),
+            "close": pd.to_datetime(last_ship).dt.normalize()
+            + pd.Timedelta(days=1),
+        }
+    )
+    d0, d1 = spans["open"].min(), spans["close"].max()
+    days = pd.date_range(d0, d1, freq="D")
+    delta = np.zeros(len(days), dtype=np.int64)
+    opened = np.zeros(len(days), dtype=np.int64)
+    closed = np.zeros(len(days), dtype=np.int64)
+    for _, r in spans.iterrows():
+        delta[(r["open"] - d0).days] += 1
+        opened[(r["open"] - d0).days] += 1
+        delta[(r["close"] - d0).days] -= 1
+        closed[(r["close"] - d0).days] += 1
+    backlog = delta.cumsum()
+    frame = pd.DataFrame(
+        {
+            "month": days.to_period("M").to_timestamp(),
+            "opened": opened,
+            "closed": closed,
+            "backlog": backlog,
+        }
+    )
+    want = (
+        frame.groupby("month")
+        .agg(
+            opened=("opened", "sum"),
+            closed=("closed", "sum"),
+            peak_backlog=("backlog", "max"),
+            end_backlog=("backlog", "last"),
+        )
+        .reset_index()
+    )
+    got["month_start"] = pd.to_datetime(got["month_start"])
+    merged = got.merge(
+        want, left_on="month_start", right_on="month", suffixes=("", "_w")
+    )
+    assert len(merged) == len(got) == len(want)
+    for col in ("opened", "closed", "peak_backlog", "end_backlog"):
+        assert (merged[col] == merged[f"{col}_w"]).all(), col
+    # conservation: every span opens once and closes once, and the
+    # backlog returns to zero at the end of the spine
+    assert got["opened"].sum() == len(spans)
+    assert got["closed"].sum() == len(spans)
+    assert int(got.iloc[-1]["end_backlog"]) == 0

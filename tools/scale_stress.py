@@ -368,7 +368,11 @@ EXTRA_FNS.update(
 EXTRA_FNS.update(
     {
         name: _staged15(name)
-        for name in ("events_burstiness_fano", "part_type_brand_hhi")
+        for name in (
+            "events_burstiness_fano",
+            "part_type_brand_hhi",
+            "orders_backlog_timeseries",
+        )
     }
 )
 
@@ -699,6 +703,8 @@ MAX_EXPONENT = {
     # HHI = one broadcast-dim join to a fixed-vocabulary domain.
     "events_burstiness_fano": 1.35,
     "part_type_brand_hhi": 1.35,
+    # backlog = per-order span aggregate + day-domain prefix scaffold.
+    "orders_backlog_timeseries": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
