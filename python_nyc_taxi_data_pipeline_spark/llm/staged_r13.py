@@ -1107,7 +1107,7 @@ def events_funnel_attribution_models(
     first-touch (1e6 to the earliest touch), last-touch (1e6 to the
     latest — the registered ``asof_last_click`` convention), and
     linear (1e6 DIV n split evenly, integer remainder assigned to the
-    last touch so每 conversion's credit sums to EXACTLY 1e6). The
+    last touch so each conversion's credit sums to EXACTLY 1e6). The
     per-(model, channel) credit totals are the budget-allocation
     table; running all three side-by-side is the standard
     model-sensitivity report.

@@ -713,7 +713,7 @@ def _alignment_oracle() -> str:
     )
     txt_feat = (
         "[ len(list_filter(string_split(i.text, ' '),"
-        "   w -> (len(w) * 7 + ord(w[1])) % 16 = d - 1))"
+        "   w -> w <> '' AND (len(w) * 7 + ord(w[1])) % 16 = d - 1))"
         " for d in generate_series(1, 16) ]"
     )
     return f"""
@@ -781,7 +781,8 @@ def docs_image_text_alignment_contract(
         F.expr(
             "transform(sequence(1, 16), d ->"
             " size(filter(split(text, ' '),"
-            " w -> (length(w) * 7 + ascii(substring(w, 1, 1))) % 16"
+            " w -> w <> '' AND"
+            " (length(w) * 7 + ascii(substring(w, 1, 1))) % 16"
             " = d - 1)))"
         ).alias("tv"),
     )
@@ -844,7 +845,7 @@ def _session_survival_oracle() -> str:
                        TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
       FROM events
     ), marked AS (
-      SELECT user_id, ts_us,
+      SELECT user_id, event_id, ts_us,
              CASE WHEN ts_us - lag(ts_us) OVER (
                     PARTITION BY user_id ORDER BY ts_us, event_id)
                   > {SSC_GAP_S} * 1000000 OR lag(ts_us) OVER (
@@ -854,7 +855,7 @@ def _session_survival_oracle() -> str:
     ), sess AS (
       SELECT user_id, ts_us,
              sum(new_sess) OVER (
-               PARTITION BY user_id ORDER BY ts_us
+               PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS sess_id
       FROM marked
@@ -914,6 +915,7 @@ def events_session_survival_curve(
     w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     marked = e.select(
         "user_id",
+        "event_id",
         "ts_us",
         F.when(
             F.lag("ts_us").over(w_order).isNull()
@@ -928,7 +930,7 @@ def events_session_survival_curve(
     )
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.withColumn("sess_id", F.sum("new_sess").over(w_cum))
