@@ -176,3 +176,10 @@ def _load_all() -> None:
     from .llm import staged_r8
 
     staged_r8.promote_to_registry(list(staged_r8.R8_BATCH))
+
+    # Round-9 registration: the 10-query R9_BATCH — window math
+    # (10 new + the 40 stalest r5-evidence rows = 50) rotates most of
+    # the r5 cohort this round; see staged_r9's module docstring.
+    from .llm import staged_r9
+
+    staged_r9.promote_to_registry(list(staged_r9.R9_BATCH))

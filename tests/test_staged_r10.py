@@ -455,9 +455,6 @@ def test_no_name_collisions_across_slates_and_registry():
     day (register() raises 'duplicate'), which is exactly the wrong
     time to find out. (This caught the weekly-retention query
     shadowing the registered daily one in round 7.)"""
-    from python_nyc_taxi_data_pipeline_spark.llm.staged_r9 import (
-        STAGED as S9,
-    )
     from python_nyc_taxi_data_pipeline_spark.llm.staged_r11 import (
         STAGED as S11,
     )
@@ -476,10 +473,10 @@ def test_no_name_collisions_across_slates_and_registry():
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
     live = set(all_queries())
-    # staged_r8 promoted into the registry in round 8 — it is now part
-    # of `live`, so only the still-pending slates are checked here.
+    # staged_r8/staged_r9 promoted into the registry in rounds 8/9 —
+    # they are now part of `live`, so only the still-pending slates
+    # are checked here.
     slates = {
-        "r9": set(S9),
         "r10": set(STAGED),
         "r11": set(S11),
         "r12": set(S12),
