@@ -490,21 +490,33 @@ def main() -> int:
         arg = sys.argv[2] if len(sys.argv) >= 3 else "curated"
         if arg == "curated":
             names = list(ISOLATED_QUERIES)
-            # Auto-snapshot every >1.5× in-suite regressor the last
-            # suite run flagged (r7 VERDICT directive #2) — the curated
-            # set is chosen by cost, so a mid-pack regressor would
-            # otherwise never get a contention-free number.
-            try:
-                with open(
-                    os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_local.json",
-                    )
-                ) as f:
-                    flagged = json.load(f).get("regressors_vs_prev", {}) or {}
-            except (OSError, ValueError):
-                flagged = {}
-            names.extend(sorted(n for n in flagged if n not in names))
+            # Auto-snapshot every >1.5× in-suite regressor EVER flagged
+            # (r8 VERDICT directive #7 widened this from last-run-only):
+            # union the flag sets from the latest suite run AND every
+            # recorded round payload, so any query that ever tripped the
+            # radar accumulates a per-round isolated history row and
+            # adjudication never depends on an out-of-band probe.
+            repo = os.path.dirname(os.path.abspath(__file__))
+            flagged: set = set()
+            import glob as _glob
+
+            for p in [os.path.join(repo, "BENCH_local.json")] + sorted(
+                _glob.glob(os.path.join(repo, "BENCH_r[0-9][0-9].json"))
+            ):
+                try:
+                    with open(p) as f:
+                        flagged |= set(
+                            json.load(f).get("regressors_vs_prev", {}) or {}
+                        )
+                except (OSError, ValueError):
+                    pass
+            live = set(all_queries().keys()) | {
+                "medallion_e2e",
+                "medallion_e2e_nofastpath",
+            }
+            names.extend(
+                sorted(n for n in flagged if n not in names and n in live)
+            )
         else:
             names = [n for n in arg.split(",") if n]
         return run_isolated(names, sf_dir)

@@ -70,14 +70,27 @@ KNN_EXACT_TOPK_SQL = f"""
     oracle=KNN_EXACT_TOPK_SQL,
     tags=("llm", "similarity"),
 )
-def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_cosine_bruteforce(
+    spark: SparkSession, sf_dir: str, query_ceiling: int | None = None
+) -> DataFrame:
     """Exact cosine top-5 neighbors for the query subset
-    (vec_id % 50 == 0). Query side broadcasts; candidates stream."""
+    (vec_id % 50 == 0). Query side broadcasts; candidates stream.
+
+    ``query_ceiling``: restrict the query side to vec_id below it —
+    the PRODUCTION shape, where the query set is fixed (pinned probe
+    block) and does not grow with the corpus. The registered contract
+    keeps the corpus-proportional subset (it is what the oracle
+    hashes); the scale harness stresses the pinned shape so the
+    candidate frame is measured growing ~linearly in corpus size, not
+    quadratically through the query side."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    q = n.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    qside = n.filter(F.col("vec_id") % QUERY_MOD == 0)
+    if query_ceiling is not None:
+        qside = qside.filter(F.col("vec_id") < F.lit(query_ceiling))
+    q = qside.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
@@ -263,7 +276,9 @@ def embeddings_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def knn_gemm_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_gemm_raw(
+    spark: SparkSession, sf_dir: str, query_ceiling: int | None = None
+) -> DataFrame:
     """Vectorized brute-force kNN: the query matrix ships inside a
     self-contained mapInPandas closure; each Arrow batch of corpus
     vectors does ONE numpy GEMM against it and emits per-batch top-k
@@ -275,15 +290,19 @@ def knn_gemm_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     block broadcasts. Float summation order differs from the scalar
     plan, so the registered ``knn_cosine_gemm`` query wraps this in a
     contract comparing it against the exact scalar plan.
+
+    ``query_ceiling`` pins the collected query block to vec_id below
+    it (production: a FIXED probe set — the driver-side collect is
+    then O(|probe set|), not corpus-proportional). Registered contract
+    unchanged when None.
     """
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings")
-    qrows = (
-        e.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    qdf = e.filter(F.col("vec_id") % QUERY_MOD == 0)
+    if query_ceiling is not None:
+        qdf = qdf.filter(F.col("vec_id") < F.lit(query_ceiling))
+    qrows = qdf.select("vec_id", "embedding").collect()
     q_ids = [int(r["vec_id"]) for r in qrows]
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -339,7 +358,9 @@ def knn_gemm_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "similarity", "vectorized"),
 )
-def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_cosine_gemm(
+    spark: SparkSession, sf_dir: str, query_ceiling: int | None = None
+) -> DataFrame:
     """Driver-checkable contract over ``knn_gemm_raw``: GEMM float64
     summation order differs from the scalar fold by final ulps, so the
     registered query joins the GEMM top-k against the exact scalar
@@ -347,10 +368,12 @@ def knn_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts per query that the neighbor sets are identical and the
     reported similarities agree within the 6-dp rounding tolerance. The
     DuckDB oracle recomputes the exact top-k counts and expects TRUE."""
-    gemm = knn_gemm_raw(spark, sf_dir).select(
+    gemm = knn_gemm_raw(spark, sf_dir, query_ceiling=query_ceiling).select(
         "query_id", "neighbor_id", F.col("cosine_sim").alias("sim_g")
     )
-    exact = knn_cosine_bruteforce(spark, sf_dir).select(
+    exact = knn_cosine_bruteforce(
+        spark, sf_dir, query_ceiling=query_ceiling
+    ).select(
         "query_id", "neighbor_id", F.col("cosine_sim").alias("sim_e")
     )
     j = exact.join(gemm, ["query_id", "neighbor_id"], "full_outer")

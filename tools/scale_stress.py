@@ -131,6 +131,22 @@ def _margin_mining_fixedq(spark, sf_dir):
     return embeddings_margin_mining(spark, sf_dir, test_ceiling=10_000_000)
 
 
+def _knn_gemm_fixedq(spark, sf_dir):
+    """knn_cosine_gemm with the query block PINNED to the base copy
+    (vec_id < the inflation shift): the production shape — a fixed
+    probe set against a growing corpus — so the driver-side collect is
+    O(|probe set|) and both the GEMM candidate emit and the exact
+    scalar pair frame must track corpus size ~linearly. Without the
+    pin the vec_id % 50 block grows with the corpus and the stress
+    measures the intrinsically quadratic all-pairs frame instead of
+    the operator (the same class margin mining's fixedq pin closes)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.similarity import (
+        knn_cosine_gemm,
+    )
+
+    return knn_cosine_gemm(spark, sf_dir, query_ceiling=10_000_000)
+
+
 # Non-registered callables stressed alongside the registry queries.
 EXTRA_FNS = {
     "embeddings_semdedup_scaledk": _semdedup_scaledk,
@@ -141,6 +157,7 @@ EXTRA_FNS = {
     "docs_semantic_decontamination": _staged("docs_semantic_decontamination"),
     "corpus_vocab_growth": _staged("corpus_vocab_growth"),
     "embeddings_margin_mining_fixedq": _margin_mining_fixedq,
+    "knn_cosine_gemm_fixedq": _knn_gemm_fixedq,
     "docs_edit_similarity_pairs": _staged("docs_edit_similarity_pairs"),
     "embeddings_pca_power": _staged("embeddings_pca_power"),
     "docs_source_js_divergence": _staged("docs_source_js_divergence"),
@@ -492,6 +509,12 @@ MAX_EXPONENT = {
     "docs_semantic_decontamination": 1.35,
     "corpus_vocab_growth": 1.35,
     "embeddings_margin_mining_fixedq": 1.35,
+    # kNN GEMM with the probe block pinned to the base copy: the
+    # corpus streams through mapInPandas against a constant query
+    # matrix (candidate emit = |corpus| batches x constant top-k) and
+    # the exact-side broadcast pair frame is query-bounded — both
+    # shuffles ~linear in corpus size.
+    "knn_cosine_gemm_fixedq": 1.35,
     # Edit-similarity verify rides the inverted-index pair emit (the
     # prefix bijection keeps copies pairing only among themselves, so
     # candidate pairs — and the text-fetch joins — scale ~k); the
