@@ -247,7 +247,23 @@ def run_one(name: str, sf_dir: str, repeats: int = 3) -> int:
                 q = slate[name]
                 break
         else:
-            raise KeyError(name)
+            # Last fallback: stress-harness production variants
+            # (tools/scale_stress.py EXTRA_FNS — e.g. the scaled-k
+            # SemDeDup or fixed-query margin-mining shapes), so scale
+            # rungs can probe the adjudicated production shapes with
+            # the same fresh-JVM harness as registered queries.
+            import types
+
+            tools_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"
+            )
+            if tools_dir not in sys.path:
+                sys.path.insert(0, tools_dir)
+            from scale_stress import EXTRA_FNS
+
+            if name not in EXTRA_FNS:
+                raise KeyError(name)
+            q = types.SimpleNamespace(fn=EXTRA_FNS[name])
     for _ in range(repeats):
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -269,10 +285,11 @@ def run_one(name: str, sf_dir: str, repeats: int = 3) -> int:
     return 0
 
 
-def run_isolated(names: list[str], sf_dir: str) -> int:
+def run_isolated(names: list[str], sf_dir: str) -> dict:
     """Fresh-JVM-per-query loop: subprocess `bench.py --one NAME` for
-    each name and write BENCH_isolated.json. Use to attribute in-suite
-    regressions (suite contention vs real plan cost)."""
+    each name and write BENCH_isolated.json (returns this run's
+    per-name results). Use to attribute in-suite regressions (suite
+    contention vs real plan cost)."""
     import subprocess
 
     results = {}
@@ -350,7 +367,7 @@ def run_isolated(names: list[str], sf_dir: str) -> int:
     with open(snap_path, "w") as f:
         f.write(json.dumps(snap) + "\n")
     print(json.dumps(out))
-    return 0
+    return results
 
 
 def current_round(repo: str) -> int:
@@ -519,7 +536,8 @@ def main() -> int:
             )
         else:
             names = [n for n in arg.split(",") if n]
-        return run_isolated(names, sf_dir)
+        run_isolated(names, sf_dir)
+        return 0
     # Plan-regression tripwire (r6 VERDICT directive #8): compare every
     # headliner's physical-plan operator multiset against the previous
     # PLANS.md snapshot BEFORE the timed suite (own JVM, sequential —
@@ -619,6 +637,38 @@ def main() -> int:
     ) as f:
         f.write(line + "\n")
     print(line)
+    # Close the regressor-adjudication loop IN-ROUND (r8 VERDICT
+    # directive #3): every name this suite run just flagged gets a
+    # fresh-JVM probe now — appended to the round's isolated snapshot
+    # by run_isolated — so no round ever ends with an unadjudicated
+    # flag set (r8 closed with two that only a judge-session probe
+    # cleared). The suite JVM is stopped first so the probes aren't
+    # measured under its memory pressure.
+    spark.stop()
+    reprobe: dict[str, float | None] = {}
+    if regressors:
+        print(
+            f"# re-probing {len(regressors)} flagged names fresh-JVM",
+            file=sys.stderr,
+        )
+        iso = run_isolated(sorted(regressors), sf_dir)
+        reprobe = {
+            n: (r.get("warm_min") if isinstance(r, dict) else None)
+            for n, r in iso.items()
+        }
+        # fold the adjudication into the persisted full record too
+        try:
+            lp = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_local.json",
+            )
+            with open(lp) as f:
+                full = json.load(f)
+            full["regressor_reprobe_warm"] = reprobe
+            with open(lp, "w") as f:
+                f.write(json.dumps(full) + "\n")
+        except (OSError, ValueError):
+            pass
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:15]
     )
@@ -635,7 +685,38 @@ def main() -> int:
         "medallion_nofastpath_rows_per_sec": round(dist_rows / dist_sec, 1),
         "plan_tripwire": tripwire,
         "regressors_vs_prev": regressors,
+        "regressor_reprobe_warm": reprobe,
     }
+    # PRIMARY round-over-round comparator (r8 VERDICT directive #6):
+    # the isolated-warm suite — sum of fresh-JVM warm minima for the
+    # curated set from the attribution history. The shared-JVM in-suite
+    # total above stays for ordering/contention realism, but host
+    # variance has drowned its signal (40 spuriously flagged names in
+    # r8); compare isolated-first.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_isolated.json",
+            )
+        ) as f:
+            iso_hist = json.load(f)
+        if iso_hist.get("sf") == sf_of(sf_dir):
+            warms = {
+                n: r.get("warm_min")
+                for n, r in iso_hist.get("queries", {}).items()
+                if n in ISOLATED_QUERIES
+                and isinstance(r, dict)
+                and isinstance(r.get("warm_min"), (int, float))
+            }
+            compact_payload["isolated_warm_total"] = {
+                "value": round(sum(warms.values()), 3),
+                "n_queries": len(warms),
+                "of_curated": len(ISOLATED_QUERIES),
+                "detail": "BENCH_isolated.json",
+            }
+    except (OSError, ValueError):
+        pass
     # Fold in the latest near-dup scale-stress verdict (tools/
     # scale_stress.py) when present: per-query worst shuffle-growth
     # exponent across 1×/2×/4× corpus inflation.
@@ -674,7 +755,6 @@ def main() -> int:
             pass
     compact = json.dumps(compact_payload)
     print(compact)
-    spark.stop()
     return 0
 
 

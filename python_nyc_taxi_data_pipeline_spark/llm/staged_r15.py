@@ -23,6 +23,32 @@ The seed:
   rolled up monthly with peak and end-of-month levels — the WIP
   curve, with the global cumulative computed on the two-level
   prefix-sum scaffold (no global-order window).
+
+Round-9 growth (r8 VERDICT directive #5 — slate to ≥8):
+
+- ``corpus_filter_ablation_lattice``: the 3-bit survivorship lattice
+  over quality gate × exact-dup survivorship × lang allowlist — per
+  combo: docs and token mass (micro share). The standard curation
+  ablation table ("what does each filter uniquely remove"), one
+  level up from the registered pairwise filter-agreement matrix.
+- ``docs_split_leakage_contract``: content-hash-keyed
+  train/val/test split vs the naive id-keyed split — per source:
+  split counts, dup groups, and the leakage certificate (dup groups
+  straddling content splits MUST be zero; the id-split straddle
+  count shows what the naive split would leak).
+- ``orders_priority_mix_drift_tvd``: monthly order-priority mix vs
+  the global mix as total-variation distance in micro units over
+  the dense month×priority spine — the categorical drift lens
+  (complement to the registered KS/PSI numeric-drift pair).
+- ``events_halflife_engagement``: decay-weighted engagement scores
+  with an exact weekly half-life ladder (weight = 1e6 >> weeks-old,
+  pure integer shifts) rolled into score bands — recency-weighted
+  activity, the scoring operator behind "active user" definitions.
+- ``docs_ttr_window_profile``: windowed type-token ratio (20-word
+  windows, short tail included) per doc, banded per source — the
+  lexical-diversity profile (vocabulary richness), complementary to
+  the repetition-mass profile (r11) which measures the opposite
+  failure mode.
 """
 
 from __future__ import annotations
@@ -47,8 +73,13 @@ class StagedQuery:
 STAGED: dict[str, StagedQuery] = {}
 
 R15_BATCH: tuple[str, ...] = (
+    "corpus_filter_ablation_lattice",
+    "docs_split_leakage_contract",
+    "docs_ttr_window_profile",
     "events_burstiness_fano",
+    "events_halflife_engagement",
     "orders_backlog_timeseries",
+    "orders_priority_mix_drift_tvd",
     "part_type_brand_hhi",
 )
 
@@ -481,4 +512,548 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "end_backlog"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Filter-ablation lattice (3-bit survivorship over the curation gates)
+# --------------------------------------------------------------------
+
+ABL_MIN_WORDS = 20
+ABL_MAX_WORDS = 80
+ABL_LANGS = ("en", "es", "fr")
+
+
+def _ablation_oracle() -> str:
+    langs = ", ".join(f"'{l}'" for l in ABL_LANGS)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ), flags AS (
+      SELECT n_words,
+             n_words BETWEEN {ABL_MIN_WORDS} AND {ABL_MAX_WORDS} AS q_keep,
+             rn = 1 AS d_keep,
+             lang IN ({langs}) AS l_keep
+      FROM w
+    ), tot AS (
+      SELECT CAST(sum(n_words) AS BIGINT) AS t FROM flags
+    )
+    SELECT q_keep, d_keep, l_keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS token_mass,
+           CAST(sum(n_words) * 1000000
+                // (SELECT greatest(t, 1) FROM tot) AS BIGINT)
+             AS token_share_micro
+    FROM flags GROUP BY 1, 2, 3
+    """
+
+
+@stage(
+    "corpus_filter_ablation_lattice",
+    oracle=_ablation_oracle(),
+    tags=("llm", "curation", "quality", "report"),
+)
+def corpus_filter_ablation_lattice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation ABLATION lattice: every doc is flagged by the three
+    canonical gates — quality (word count in
+    [{ABL_MIN_WORDS}, {ABL_MAX_WORDS}]), exact-dup survivorship
+    (keep-first by doc_id within a text-hash group), and language
+    allowlist — and the corpus is reported per 3-bit combo with doc
+    count, token mass, and micro token share. This is the standard
+    "what does each filter uniquely remove" table a curation review
+    reads before composing gates (the registered pairwise
+    filter-agreement matrix answers correlation BETWEEN two gates;
+    the lattice shows the full joint decomposition, including the
+    doubly/triply-removed mass each pairwise view double-counts).
+
+    Exactness: integer word counts on the shared single-space-split
+    + empty-token-exclusion convention; micro share by integer DIV
+    against the greatest(,1)-guarded total.
+
+    Scale (100 TB): one scan computing flags (the dup flag is one
+    hash-partitioned window keyed by the text hash — the registered
+    dedup-keep-first shuffle), then an 8-group hash aggregate; the
+    share join broadcasts a one-row total."""
+    from pyspark.sql import Window
+
+    w = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)")
+        .alias("n_words"),
+        F.row_number()
+        .over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("rn"),
+    )
+    langs = ", ".join(f"'{l}'" for l in ABL_LANGS)
+    flags = w.select(
+        "n_words",
+        F.expr(
+            f"n_words BETWEEN {ABL_MIN_WORDS} AND {ABL_MAX_WORDS}"
+        ).alias("q_keep"),
+        (F.col("rn") == 1).alias("d_keep"),
+        F.expr(f"lang IN ({langs})").alias("l_keep"),
+    )
+    tot = flags.agg(
+        F.greatest(F.sum("n_words"), F.lit(1)).cast("bigint").alias("t")
+    )
+    return (
+        flags.groupBy("q_keep", "d_keep", "l_keep")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("token_mass"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "q_keep",
+            "d_keep",
+            "l_keep",
+            "n_docs",
+            "token_mass",
+            F.expr("token_mass * 1000000 DIV t")
+            .cast("bigint")
+            .alias("token_share_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Train/val/test split leakage contract (content-hash vs naive keying)
+# --------------------------------------------------------------------
+
+SPLIT_TRAIN_BUCKETS = 8  # of 10: 80/10/10
+
+
+def _split_leakage_oracle() -> str:
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(('0x' || substr(md5(text), 1, 4)) AS UBIGINT) % 10
+               AS cb,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS UBIGINT) % 10 AS nb
+      FROM documents
+    ), lab AS (
+      SELECT source, h,
+             CASE WHEN cb < {SPLIT_TRAIN_BUCKETS} THEN 'train'
+                  WHEN cb = {SPLIT_TRAIN_BUCKETS} THEN 'val'
+                  ELSE 'test' END AS c_split,
+             CASE WHEN nb < {SPLIT_TRAIN_BUCKETS} THEN 'train'
+                  WHEN nb = {SPLIT_TRAIN_BUCKETS} THEN 'val'
+                  ELSE 'test' END AS n_split
+      FROM keyed
+    ), per_doc AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN c_split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN c_split = 'val' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN c_split = 'test' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_test
+      FROM lab GROUP BY 1
+    ), groups AS (
+      SELECT source, h, count(*) AS sz,
+             count(DISTINCT c_split) AS c_k,
+             count(DISTINCT n_split) AS n_k
+      FROM lab GROUP BY 1, 2
+    ), per_group AS (
+      SELECT source,
+             CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+             CAST(sum(CASE WHEN sz > 1 AND c_k > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS leak_groups_content,
+             CAST(sum(CASE WHEN sz > 1 AND n_k > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS leak_groups_naive
+      FROM groups GROUP BY 1
+    )
+    SELECT d.source, d.n_docs, d.n_train, d.n_val, d.n_test,
+           g.n_dup_groups, g.leak_groups_content, g.leak_groups_naive
+    FROM per_doc d JOIN per_group g USING (source)
+    """
+
+
+@stage(
+    "docs_split_leakage_contract",
+    oracle=_split_leakage_oracle(),
+    tags=("llm", "curation", "contract", "sampling"),
+)
+def docs_split_leakage_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/val/test SPLIT assignment with the leakage certificate:
+    docs are bucketed 80/10/10 by a hash of their CONTENT (md5 of the
+    text), so exact duplicates always land in the same split — per
+    source the contract reports split counts, the number of exact-dup
+    groups, the count of dup groups straddling content-keyed splits
+    (MUST be 0 — the certificate), and the count that the naive
+    id-keyed split would have straddled (the leak the content key
+    prevents). Split-by-content-hash is the eval-hygiene rule every
+    training pipeline needs once dedup is not perfect upstream.
+
+    Exactness: the established cross-engine bucket hash (Spark
+    ``conv(substr(md5,1,4),16,10)`` = DuckDB ``('0x'||substr)::
+    UBIGINT``, 16 bits so the value is exact in both); counts only.
+
+    Scale (100 TB): one scan to per-doc labels (hashing is
+    map-side), one hash aggregate per source and one per
+    (source, text-hash) group — the group aggregate is the same
+    shuffle exact dedup already pays. No windows, no collect."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        (
+            F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("bigint")
+            % 10
+        ).alias("cb"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+        ).alias("nb"),
+    )
+    tb = SPLIT_TRAIN_BUCKETS
+    lab = d.select(
+        "source",
+        "h",
+        F.when(F.col("cb") < tb, "train")
+        .when(F.col("cb") == tb, "val")
+        .otherwise("test")
+        .alias("c_split"),
+        F.when(F.col("nb") < tb, "train")
+        .when(F.col("nb") == tb, "val")
+        .otherwise("test")
+        .alias("n_split"),
+    )
+    per_doc = lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("c_split") == "train").cast("int"))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum((F.col("c_split") == "val").cast("int"))
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum((F.col("c_split") == "test").cast("int"))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    groups = lab.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("c_split").alias("c_k"),
+        F.countDistinct("n_split").alias("n_k"),
+    )
+    per_group = groups.groupBy("source").agg(
+        F.sum((F.col("sz") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.sum(((F.col("sz") > 1) & (F.col("c_k") > 1)).cast("int"))
+        .cast("bigint")
+        .alias("leak_groups_content"),
+        F.sum(((F.col("sz") > 1) & (F.col("n_k") > 1)).cast("int"))
+        .cast("bigint")
+        .alias("leak_groups_naive"),
+    )
+    return per_doc.join(per_group, "source")
+
+
+# --------------------------------------------------------------------
+# Monthly priority-mix drift as total-variation distance (categorical)
+# --------------------------------------------------------------------
+
+
+def _priority_tvd_oracle() -> str:
+    return """
+    WITH o AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS m,
+             o_orderpriority AS c
+      FROM orders
+    ), cnt AS (
+      SELECT m, c, CAST(count(*) AS BIGINT) AS x FROM o GROUP BY 1, 2
+    ), spine AS (
+      SELECT mon.m, cat.c
+      FROM (SELECT DISTINCT m FROM o) mon
+      CROSS JOIN (SELECT DISTINCT c FROM o) cat
+    ), dense AS (
+      SELECT s.m, s.c, COALESCE(cnt.x, 0) AS x
+      FROM spine s LEFT JOIN cnt ON cnt.m = s.m AND cnt.c = s.c
+    ), rowt AS (
+      SELECT m, CAST(sum(x) AS BIGINT) AS r FROM dense GROUP BY 1
+    ), gl AS (
+      SELECT c, CAST(sum(x) AS BIGINT) AS g FROM dense GROUP BY 1
+    ), n AS (
+      SELECT CAST(sum(x) AS BIGINT) AS nn FROM dense
+    ), dev AS (
+      SELECT d.m, r.r,
+             abs(d.x * 1000000 // greatest(r.r, 1)
+                 - gl.g * 1000000 // (SELECT nn FROM n)) AS dv
+      FROM dense d
+      JOIN rowt r ON r.m = d.m
+      JOIN gl ON gl.c = d.c
+    )
+    SELECT m AS month_start,
+           CAST(max(r) AS BIGINT) AS n_orders,
+           CAST(sum(dv) // 2 AS BIGINT) AS tvd_micro,
+           CAST(max(dv) AS BIGINT) AS max_dev_micro
+    FROM dev GROUP BY 1
+    """
+
+
+@stage(
+    "orders_priority_mix_drift_tvd",
+    oracle=_priority_tvd_oracle(),
+    tags=("warehouse", "drift", "timeseries"),
+)
+def orders_priority_mix_drift_tvd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Categorical drift as TOTAL-VARIATION distance: each month's
+    order-priority mix vs the global mix, TVD = ½·Σ|share_mc −
+    share_c| in micro units over the DENSE month×priority spine
+    (zero-count cells still contribute |0 − global share| — dropping
+    them understates drift, the categorical analog of the Fano
+    empty-hour bug). The drift-monitor lens for CATEGORICAL columns,
+    complementing the registered KS (numeric CDF) and PSI
+    (share-log-ratio) monitors; TVD is the bounded [0, 1e6] metric
+    alerting rules prefer.
+
+    Exactness: micro shares by integer DIV (identical truncation on
+    both engines, greatest(,1)-guarded), absolute differences and a
+    final DIV 2 — all BIGINT.
+
+    Scale (100 TB): one scan to a (month, priority) hash aggregate
+    (calendar × 5-value vocabulary — metadata-sized); the spine
+    cross-join and share joins all run on that domain. No windows,
+    no collect."""
+    o = load(spark, sf_dir, "orders").select(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m"),
+        F.col("o_orderpriority").alias("c"),
+    )
+    cnt = o.groupBy("m", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    spine = o.select("m").distinct().crossJoin(
+        F.broadcast(o.select("c").distinct())
+    )
+    dense = (
+        spine.join(cnt, ["m", "c"], "left")
+        .select("m", "c", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    rowt = dense.groupBy("m").agg(F.sum("x").cast("bigint").alias("r"))
+    glob = dense.groupBy("c").agg(F.sum("x").cast("bigint").alias("g"))
+    n = dense.agg(F.sum("x").cast("bigint").alias("nn"))
+    dev = (
+        dense.join(rowt, "m")
+        .join(F.broadcast(glob), "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "m",
+            "r",
+            F.expr(
+                "abs(x * 1000000 DIV greatest(r, 1)"
+                " - g * 1000000 DIV nn)"
+            ).alias("dv"),
+        )
+    )
+    return dev.groupBy(F.col("m").alias("month_start")).agg(
+        F.max("r").cast("bigint").alias("n_orders"),
+        F.expr("CAST(sum(dv) DIV 2 AS BIGINT)").alias("tvd_micro"),
+        F.max("dv").cast("bigint").alias("max_dev_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Half-life-decayed engagement scoring (exact integer weight ladder)
+# --------------------------------------------------------------------
+
+HLE_HALFLIFE_DAYS = 7
+HLE_BAND_MICRO = 1000000  # score band width (1.0 in micro units)
+
+
+def _halflife_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS day
+      FROM events
+    ), a AS (
+      SELECT max(day) AS anchor FROM e
+    ), wts AS (
+      SELECT user_id,
+             1000000 // (CAST(1 AS BIGINT) << least(
+               ((SELECT anchor FROM a) - day) // {HLE_HALFLIFE_DAYS},
+               62)) AS w
+      FROM e
+    ), scored AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(sum(w) AS BIGINT) AS score
+      FROM wts GROUP BY 1
+    )
+    SELECT CAST(score // {HLE_BAND_MICRO} AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(sum(score) AS BIGINT) AS sum_score_micro
+    FROM scored GROUP BY 1
+    """
+
+
+@stage(
+    "events_halflife_engagement",
+    oracle=_halflife_oracle(),
+    tags=("events", "analytics", "scoring"),
+)
+def events_halflife_engagement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recency-decayed ENGAGEMENT scoring with an exact half-life:
+    each event contributes weight 1e6 >> (weeks old), i.e. a
+    {HLE_HALFLIFE_DAYS}-day half-life realized as pure integer
+    shifts (age anchored to the corpus's newest event day — a
+    data-derived anchor, so the query is replay-stable), summed per
+    user and reported as a band histogram (band = whole units of
+    full-weight-event equivalents). This is the standard "active
+    user" scoring operator — recency-weighted so a burst last week
+    outranks the same volume last year — in a form both engines
+    compute bit-identically (no float exp()).
+
+    Exactness: integer day arithmetic from the epoch anchor; the
+    weight ladder is 1e6 DIV 2^k with the shift capped at 62 (past
+    k=20 the weight is exactly 0 in both engines — truncating DIV).
+
+    Scale (100 TB): one scan to per-(user) hash aggregates (the
+    weight is map-side arithmetic against a broadcast one-row
+    anchor), then a band-histogram aggregate over users. No windows,
+    no collect."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    )
+    a = e.agg(F.max("day").alias("anchor"))
+    wts = e.crossJoin(F.broadcast(a)).select(
+        "user_id",
+        F.expr(
+            f"1000000 DIV shiftleft(CAST(1 AS BIGINT),"
+            f" least((anchor - day) DIV {HLE_HALFLIFE_DAYS}, 62))"
+        ).alias("w"),
+    )
+    scored = wts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.sum("w").cast("bigint").alias("score"),
+    )
+    return scored.groupBy(
+        F.expr(f"CAST(score DIV {HLE_BAND_MICRO} AS BIGINT)").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.sum("score").cast("bigint").alias("sum_score_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Windowed type-token ratio profile (lexical diversity per source)
+# --------------------------------------------------------------------
+
+TTR_WINDOW_WORDS = 20
+TTR_BAND_MICRO = 100000  # 0.1 bands over [0, 1e6]
+
+
+def _ttr_oracle() -> str:
+    w = TTR_WINDOW_WORDS
+    return f"""
+    WITH words AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), sized AS (
+      SELECT source, ws, len(ws) AS n,
+             (len(ws) + {w} - 1) // {w} AS nw
+      FROM words WHERE len(ws) > 0
+    ), ttr AS (
+      SELECT source, nw,
+             list_reduce(
+               [ CAST(len(list_distinct(ws[i * {w} + 1 : i * {w} + {w}]))
+                      AS BIGINT) * 1000000
+                 // len(ws[i * {w} + 1 : i * {w} + {w}])
+                 for i in generate_series(0, nw - 1) ],
+               (acc, x) -> acc + x) AS ttr_sum
+      FROM sized
+    )
+    SELECT source,
+           CAST(ttr_sum // nw // {TTR_BAND_MICRO} AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ttr_sum // nw) AS BIGINT) AS sum_ttr_micro
+    FROM ttr GROUP BY 1, 2
+    """
+
+
+@stage(
+    "docs_ttr_window_profile",
+    oracle=_ttr_oracle(),
+    tags=("llm", "quality", "textstats"),
+)
+def docs_ttr_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed TYPE-TOKEN RATIO (lexical diversity) profile: each
+    doc's words are cut into {TTR_WINDOW_WORDS}-word windows (short
+    tail INCLUDED — the same short-final-frame discipline the
+    multimodal contracts pin), each window scores distinct/total in
+    micro units, and the doc's mean window-TTR is banded per source
+    into a 0.1-wide histogram. Windowing is what makes TTR
+    length-comparable (raw TTR collapses for long docs); low bands
+    flag template/boilerplate-heavy sources, high bands flag
+    word-salad — the vocabulary-RICHNESS lens, complementary to the
+    r11 repetition-mass profile which measures repeated-span mass.
+
+    Exactness: the shared single-space-split + empty-token-exclusion
+    convention; per-window and per-doc ratios are integer DIV in
+    micro units (array fold order is identical in both engines, and
+    all summands are integers, so no float-order hazard).
+
+    Scale (100 TB): entirely map-side per-doc array arithmetic (one
+    projection — no explode, no shuffle until the final
+    (source, band) hash aggregate over bounded groups)."""
+    w = TTR_WINDOW_WORDS
+    sized = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("ws"),
+        )
+        .withColumn("n", F.size("ws"))
+        .filter(F.col("n") > 0)
+        .withColumn("nw", F.expr(f"(n + {w} - 1) DIV {w}"))
+    )
+    ttr = sized.select(
+        "source",
+        "nw",
+        F.expr(
+            f"aggregate(transform(sequence(0, nw - 1),"
+            f" i -> CAST(size(array_distinct(slice(ws, i * {w} + 1, {w})))"
+            f"      AS BIGINT) * 1000000"
+            f"      DIV size(slice(ws, i * {w} + 1, {w}))),"
+            f" 0L, (acc, x) -> acc + x)"
+        ).alias("ttr_sum"),
+    )
+    return ttr.groupBy(
+        "source",
+        F.expr(
+            f"CAST(ttr_sum DIV nw DIV {TTR_BAND_MICRO} AS BIGINT)"
+        ).alias("band"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.expr("ttr_sum DIV nw")).cast("bigint").alias(
+            "sum_ttr_micro"
+        ),
     )

@@ -22,7 +22,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r15_batch_matches_staged():
     assert sorted(R15_BATCH) == sorted(STAGED)
-    assert len(R15_BATCH) == 3
+    assert len(R15_BATCH) == 8
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -211,3 +211,223 @@ def test_backlog_timeseries_replay_and_conservation(spark):
     assert got["opened"].sum() == len(spans)
     assert got["closed"].sum() == len(spans)
     assert int(got.iloc[-1]["end_backlog"]) == 0
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in text.split(" ") if w != ""]
+
+
+def test_ablation_lattice_replay_and_conservation(spark):
+    import hashlib
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r15 import (
+        ABL_LANGS,
+        ABL_MAX_WORDS,
+        ABL_MIN_WORDS,
+    )
+
+    got = (
+        STAGED["corpus_filter_ablation_lattice"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["q_keep", "d_keep", "l_keep"])
+        .reset_index(drop=True)
+    )
+    docs = _pd("documents")
+    nw = docs["text"].map(lambda t: len(_words(t)))
+    h = docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    rn = (
+        pd.DataFrame({"h": h, "doc_id": docs["doc_id"]})
+        .sort_values(["h", "doc_id"])
+        .groupby("h")
+        .cumcount()
+    )
+    rep = pd.DataFrame(
+        {
+            "q_keep": nw.between(ABL_MIN_WORDS, ABL_MAX_WORDS),
+            "d_keep": rn.sort_index() == 0,
+            "l_keep": docs["lang"].isin(ABL_LANGS),
+            "n_words": nw,
+        }
+    )
+    total = max(int(rep["n_words"].sum()), 1)
+    exp = (
+        rep.groupby(["q_keep", "d_keep", "l_keep"])
+        .agg(n_docs=("n_words", "size"), token_mass=("n_words", "sum"))
+        .reset_index()
+        .sort_values(["q_keep", "d_keep", "l_keep"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for g, e in zip(got.itertuples(), exp.itertuples()):
+        assert (g.q_keep, g.d_keep, g.l_keep) == (
+            e.q_keep,
+            e.d_keep,
+            e.l_keep,
+        )
+        assert g.n_docs == e.n_docs and g.token_mass == e.token_mass
+        assert g.token_share_micro == e.token_mass * 1000000 // total
+    # conservation: the lattice partitions the corpus exactly
+    assert got["n_docs"].sum() == len(docs)
+    assert got["token_mass"].sum() == rep["n_words"].sum()
+
+
+def test_split_leakage_replay_and_certificate(spark):
+    import hashlib
+
+    got = (
+        STAGED["docs_split_leakage_contract"].fn(spark, SF_DIR).toPandas()
+    )
+    docs = _pd("documents")
+    # the certificate: content-keyed splits can never straddle a dup
+    # group (same text => same bucket), and split counts partition docs
+    assert (got["leak_groups_content"] == 0).all()
+    assert (
+        got["n_train"] + got["n_val"] + got["n_test"] == got["n_docs"]
+    ).all()
+    assert got["n_docs"].sum() == len(docs)
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % 10
+
+    def split_of(b: int) -> str:
+        return "train" if b < 8 else ("val" if b == 8 else "test")
+
+    docs = docs.assign(
+        h=docs["text"].map(
+            lambda t: hashlib.md5(t.encode()).hexdigest()
+        ),
+        c_split=docs["text"].map(lambda t: split_of(bucket(t))),
+        n_split=docs["doc_id"].map(lambda i: split_of(bucket(str(i)))),
+    )
+    for row in got.itertuples():
+        sub = docs[docs["source"] == row.source]
+        assert row.n_docs == len(sub)
+        assert row.n_train == int((sub["c_split"] == "train").sum())
+        assert row.n_val == int((sub["c_split"] == "val").sum())
+        assert row.n_test == int((sub["c_split"] == "test").sum())
+        g = sub.groupby("h").agg(
+            sz=("h", "size"), nk=("n_split", "nunique")
+        )
+        assert row.n_dup_groups == int((g["sz"] > 1).sum())
+        assert row.leak_groups_naive == int(
+            ((g["sz"] > 1) & (g["nk"] > 1)).sum()
+        )
+
+
+def test_priority_tvd_replay_and_bounds(spark):
+    got = (
+        STAGED["orders_priority_mix_drift_tvd"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+    )
+    # Spark DATE -> object dtype of datetime.date; pin to Timestamps
+    got["month_start"] = pd.to_datetime(got["month_start"])
+    got = got.set_index("month_start").sort_index()
+    orders = _pd("orders")
+    m = pd.to_datetime(orders["o_orderdate"]).dt.to_period("M")
+    c = orders["o_orderpriority"]
+    cats = sorted(c.unique())
+    n = len(orders)
+    gshare = {
+        k: int(v) * 1000000 // n for k, v in c.value_counts().items()
+    }
+    assert len(got) == m.nunique()
+    # TVD is bounded [0, 1e6]; per-month replay is exact
+    assert ((got["tvd_micro"] >= 0) & (got["tvd_micro"] <= 1000000)).all()
+    for period, sub in pd.DataFrame({"m": m, "c": c}).groupby("m"):
+        r = len(sub)
+        vc = sub["c"].value_counts()
+        devs = [
+            abs(
+                int(vc.get(k, 0)) * 1000000 // max(r, 1) - gshare[k]
+            )
+            for k in cats
+        ]
+        key = period.to_timestamp().date()
+        row = got.loc[pd.Timestamp(key)]
+        assert int(row["n_orders"]) == r
+        assert int(row["tvd_micro"]) == sum(devs) // 2
+        assert int(row["max_dev_micro"]) == max(devs)
+
+
+def test_halflife_engagement_replay_and_laws(spark):
+    got = (
+        STAGED["events_halflife_engagement"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("band")
+        .sort_index()
+    )
+    ev = _pd("events")
+    day = pd.to_datetime(ev["ts"]).dt.normalize()
+    anchor = day.max()
+    age_weeks = ((anchor - day).dt.days // 7).clip(upper=62)
+    w = age_weeks.map(lambda k: 1000000 // (1 << int(k)))
+    scored = pd.DataFrame({"u": ev["user_id"], "w": w}).groupby("u").agg(
+        n_ev=("w", "size"), score=("w", "sum")
+    )
+    exp = (
+        scored.assign(band=scored["score"] // 1000000)
+        .groupby("band")
+        .agg(
+            n_users=("score", "size"),
+            n_events=("n_ev", "sum"),
+            sum_score_micro=("score", "sum"),
+        )
+        .sort_index()
+    )
+    assert got.index.tolist() == exp.index.tolist()
+    assert (got["n_users"].values == exp["n_users"].values).all()
+    assert (got["n_events"].values == exp["n_events"].values).all()
+    assert (
+        got["sum_score_micro"].values == exp["sum_score_micro"].values
+    ).all()
+    # laws: every user counted once; score never exceeds n_ev full weights
+    assert got["n_users"].sum() == ev["user_id"].nunique()
+    assert (scored["score"] <= scored["n_ev"] * 1000000).all()
+
+
+def test_ttr_window_profile_replay_and_short_tail(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r15 import (
+        TTR_BAND_MICRO,
+        TTR_WINDOW_WORDS,
+    )
+
+    got = (
+        STAGED["docs_ttr_window_profile"].fn(spark, SF_DIR).toPandas()
+    )
+    docs = _pd("documents")
+    W = TTR_WINDOW_WORDS
+
+    def doc_mean_ttr(text: str) -> int | None:
+        ws = _words(text)
+        if not ws:
+            return None
+        wins = [ws[i : i + W] for i in range(0, len(ws), W)]
+        ttrs = [len(set(win)) * 1000000 // len(win) for win in wins]
+        return sum(ttrs) // len(wins)
+
+    means = docs["text"].map(doc_mean_ttr)
+    rep = pd.DataFrame(
+        {"source": docs["source"], "mean": means}
+    ).dropna()
+    # short tail is INCLUDED: a 25-word doc has 2 windows (20 + 5)
+    assert len([w for w in range(0, 25, W)]) == 2
+    exp = (
+        rep.assign(band=rep["mean"] // TTR_BAND_MICRO)
+        .groupby(["source", "band"])
+        .agg(n_docs=("mean", "size"), sum_ttr_micro=("mean", "sum"))
+        .reset_index()
+    )
+    g = got.sort_values(["source", "band"]).reset_index(drop=True)
+    e = exp.sort_values(["source", "band"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["source"] == e["source"]).all()
+    assert (g["band"].astype(int).values == e["band"].astype(int).values).all()
+    assert (g["n_docs"].values == e["n_docs"].values).all()
+    assert (
+        g["sum_ttr_micro"].values == e["sum_ttr_micro"].values
+    ).all()
+    # law: TTR is a ratio in [0, 1e6]; bands stay within [0, 10]
+    assert g["band"].between(0, 10).all()

@@ -381,7 +381,7 @@ EXTRA_FNS.update(
     }
 )
 
-# round-15 staged seed (llm/staged_r15.py)
+# round-15 staged slate (llm/staged_r15.py)
 EXTRA_FNS.update(
     {
         name: _staged15(name)
@@ -389,6 +389,11 @@ EXTRA_FNS.update(
             "events_burstiness_fano",
             "part_type_brand_hhi",
             "orders_backlog_timeseries",
+            "corpus_filter_ablation_lattice",
+            "docs_split_leakage_contract",
+            "docs_ttr_window_profile",
+            "events_halflife_engagement",
+            "orders_priority_mix_drift_tvd",
         )
     }
 )
@@ -728,6 +733,18 @@ MAX_EXPONENT = {
     "part_type_brand_hhi": 1.35,
     # backlog = per-order span aggregate + day-domain prefix scaffold.
     "orders_backlog_timeseries": 1.35,
+    # r15 growth: ablation lattice = the dedup-keep-first window + an
+    # 8-group aggregate; split contract = two source-keyed aggregates
+    # (the group agg rides the same text-hash shuffle exact dedup
+    # pays); TTR is map-side array math + a (source, band) aggregate;
+    # half-life is map-side weight arithmetic + per-user then per-band
+    # aggregates (users ~k under key-shifted inflation); TVD runs on
+    # the (month, priority) metadata domain.
+    "corpus_filter_ablation_lattice": 1.35,
+    "docs_split_leakage_contract": 1.35,
+    "docs_ttr_window_profile": 1.35,
+    "events_halflife_engagement": 1.35,
+    "orders_priority_mix_drift_tvd": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
