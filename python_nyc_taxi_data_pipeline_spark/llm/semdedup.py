@@ -314,3 +314,171 @@ def embeddings_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k=None) is the production data-derived-k path, covered by the
     k-scaling scale-stress entry."""
     return semdedup(spark, sf_dir, k=SEMDEDUP_K)
+
+
+# --------------------------------------------------------------------
+# Hierarchical SemDeDup — the O(n·b·log k) clusterer for data-derived k
+# --------------------------------------------------------------------
+
+HIER_BRANCH = 8  # children per cell per level (power of 2)
+# Past this many cells the per-level (cell → mean) table stops
+# broadcasting and becomes a hash join on cell_id — at deep levels
+# there are many cells, so the join distributes with no skew.
+HIER_BROADCAST_CELLS = 4096
+HIER_MAX_LEVELS = 60  # hard depth backstop (log_b n is ~10 at 1e9 docs)
+
+
+def _hier_rp_child(bits: int) -> str:
+    """Deterministic split of a cell into 2^bits children: the sign
+    pattern of the MEAN-CENTERED vector's projections onto ``bits``
+    cell-salted integer-mixed hyperplanes — an RP-tree node split.
+    Centering on the cell mean (column ``mu``, joined per cell) makes
+    every plane cut through the cell's mass, so splits stay roughly
+    balanced regardless of where the cell sits in space; salting the
+    planes by cell id decorrelates cuts across cells and levels. Needs
+    NO windows and NO data-seed collects even for a single cell, and
+    cannot collapse the way nearest-synthetic-seed Lloyd assignment
+    does (measured on this fixture: argmin-to-children-means folded
+    the 8-way split back into the corpus's 2 natural modes)."""
+    terms = []
+    for p in range(bits):
+        # Golden-ratio Weyl mix: consecutive (cell, p, j) inputs land
+        # 0.618·2^32 apart mod 2^32 — equidistributed components (a
+        # plain linear-congruential ramp here makes every plane ~the
+        # all-ones direction and every level cut along the same axis,
+        # which collapsed the tree to 2-4 cells on this fixture). The
+        # inner pmod keeps the product under int64 (ANSI overflow).
+        plane_j = (
+            "(CAST(pmod(pmod(cell * 1103515245"
+            f" + {p} * 12345 + j, 2147483647) * 2654435761,"
+            " 4294967296) AS DOUBLE) / 4294967296.0E0) - 0.5E0"
+        )
+        proj = (
+            "aggregate(zip_with(zip_with(v, mu, (x, m) -> x - m),"
+            f" transform(sequence(0, {{dim}} - 1), j -> {plane_j}),"
+            " (x, y) -> x * y),"
+            " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def semdedup_hier(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    branch: int = HIER_BRANCH,
+) -> DataFrame:
+    """SemDeDup with a HIERARCHICAL (RP-tree) clusterer — the at-scale
+    answer to the scaled-k cost wall the rung probes measured: flat
+    assignment against k data-derived centroids is O(n·k·d) compute
+    per pass, and with the production rule k = n/{tcs} that term is
+    quadratic in corpus size (BENCH_rung_16x: ``embeddings_semdedup_
+    ivf_scaledk`` implied exponent 1.16 and climbing). Here every
+    OVERSIZED cell (> 2× the target size) splits into ``branch``
+    children by mean-centered salted-hyperplane sign bits, repeated
+    until no cell is oversized — total compute O(n · log k · d),
+    near-linear, the recursive-partition shape production ANN
+    trainers (RP-tree/annoy forests, hierarchical k-means) use.
+
+    Scale architecture (100 TB):
+    - per level the only aggregate is the per-OVERSIZED-cell MEAN
+      (posexplode (cell, dim) average — the linear shuffle
+      ``lloyd_iterate`` pays); already-small cells drop out of later
+      levels entirely, so per-level work decays once the tree
+      approaches the target granularity;
+    - the (cell → mean) table is BROADCAST while metadata-sized
+      (≤ {bc} cells) and a hash join on cell_id once cells are
+      plentiful (no skew then, and no k·d broadcast wall — the flat
+      variant's failure mode — ever appears);
+    - the split itself is a map-side sign fold over the centered
+      vector — deterministic, collapse-proof, NO windows, NO
+      data-seed collects;
+    - lineage is truncated per level (localCheckpoint) so the plan
+      stays flat across levels;
+    - the final within-cell ε-ball prune is the shared
+      ``_prune_within_clusters`` — the adaptive size gate HARD-BOUNDS
+      every cell at 2× target (even on adversarially clumped data,
+      which a fixed level count cannot promise), so the pair scan
+      stays O(n · {tcs}).
+
+    Cell GEOMETRY depends on float mean summation order in the last
+    ulps (like every Lloyd-family clusterer), so this variant carries
+    law-based tests and stress/rung entries instead of a DuckDB value
+    oracle.
+
+    Returns (vec_id, cluster_id, kept)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    n_count = e.count()
+    if k is None:
+        k = max(1, math.ceil(n_count / SEMDEDUP_TARGET_CLUSTER_SIZE))
+    # Adaptive size gate: a cell splits only while it holds more than
+    # 2x the target size, so (a) depth grows smoothly with n instead
+    # of stepping a full extra corpus pass at every ceil(log_b k)
+    # boundary, (b) already-small cells are never over-split (recall
+    # is not sacrificed to tree granularity), and (c) the bound on
+    # the final cell size — and with it the within-cell pair scan —
+    # holds even on adversarially clumped data, which a fixed level
+    # count cannot promise. Cell ids use b-ary heap numbering
+    # (child = cell*b + ch + 1), injective across depths, so stopped
+    # leaves and live children never collide.
+    cap = 2 * max(1, math.ceil(n_count / k))
+    head = e.select(F.size("v").alias("d")).head()
+    dim = int(head["d"]) if head is not None else 0
+    bits = max(1, int(math.log2(branch)))
+    rp_child = _hier_rp_child(bits).format(dim=dim)
+    pts = e.withColumn("cell", F.lit(0).cast("bigint")).localCheckpoint(
+        eager=True
+    )
+    for _level in range(HIER_MAX_LEVELS):
+        over = (
+            pts.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cn"))
+            .filter(F.col("cn") > cap)
+            .select("cell")
+        )
+        n_over_cells = over.count()  # metadata-scale aggregate
+        if n_over_cells == 0:
+            break
+        if n_over_cells <= HIER_BROADCAST_CELLS:
+            over = F.broadcast(over)
+        stay = pts.join(over, "cell", "left_anti")
+        sel = pts.join(over, "cell")
+        mu = (
+            sel.select("cell", F.posexplode("v").alias("j", "x"))
+            .groupBy("cell", "j")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, m))),"
+                    " s -> s.m)"
+                ).alias("mu")
+            )
+        )
+        if n_over_cells <= HIER_BROADCAST_CELLS:
+            mu = F.broadcast(mu)
+        split = sel.join(mu, "cell").select(
+            "vec_id",
+            "v",
+            (
+                F.col("cell") * branch
+                + F.expr(rp_child).cast("bigint")
+                + 1
+            ).alias("cell"),
+        )
+        pts = stay.unionByName(split).localCheckpoint(eager=True)
+    assign = pts.select(
+        "vec_id",
+        F.col("cell").alias("cluster_id"),
+        "v",
+        _norm(F.col("v")).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    return _prune_within_clusters(assign)
+
+
+semdedup_hier.__doc__ = semdedup_hier.__doc__.format(
+    tcs=SEMDEDUP_TARGET_CLUSTER_SIZE, bc=HIER_BROADCAST_CELLS
+)

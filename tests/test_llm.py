@@ -1574,3 +1574,62 @@ def test_cdc_chunk_fold_matches_python_replay(spark, tmp_path):
         for ci, n, h in replay(ws):
             want[(doc_id, ci)] = (n, h)
     assert got == want
+
+
+def test_semdedup_hier_partition_balance_and_prune_laws(spark):
+    """The RP-tree hierarchical SemDeDup (the at-scale clusterer for
+    data-derived k): (1) every vector is assigned exactly once;
+    (2) the adaptive size gate HARD-BOUNDS every cell at 2x ceil(n/k)
+    — the guarantee that keeps the within-cell pair scan linear at
+    any corpus size; (3) the shared
+    greedy prune keeps each cell's lowest id and only drops vectors
+    with a lower-id epsilon-mate in the SAME cell (recomputed exactly);
+    (4) the plan carries no cartesian/row-UDF antipatterns."""
+    import math as _math
+
+    from python_nyc_taxi_data_pipeline_spark.llm.semdedup import (
+        HIER_BRANCH,
+        SEMDEDUP_COSINE,
+        SEMDEDUP_TARGET_CLUSTER_SIZE,
+        semdedup_hier,
+    )
+    from tests.test_plans import plan_of
+
+    df = semdedup_hier(spark, SF_DIR)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    rows = df.collect()
+    n = load(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    k = max(1, _math.ceil(n / SEMDEDUP_TARGET_CLUSTER_SIZE))
+    cap = 2 * max(1, _math.ceil(n / k))
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    sizes = [len(m) for m in by_cluster.values()]
+    assert max(sizes) <= cap, (max(sizes), cap)
+    assert HIER_BRANCH >= 2  # heap-numbered ids need b-ary children
+    for members in by_cluster.values():
+        lowest = min(m.vec_id for m in members)
+        assert next(m for m in members if m.vec_id == lowest).kept
+    emb = {
+        r.vec_id: r.embedding
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    for members in by_cluster.values():
+        for m in members:
+            if m.kept:
+                continue
+            mates = [o for o in members if o.vec_id < m.vec_id]
+            assert any(
+                cos(emb[m.vec_id], emb[o.vec_id]) >= SEMDEDUP_COSINE
+                for o in mates
+            ), m.vec_id

@@ -65,6 +65,13 @@ EXPECTED_SUPERLINEAR = {
         "held-out block is 10% of the corpus (q grows with n); "
         "production pins the query side (fixedq stress variant: 0.637)"
     ),
+    "embeddings_semdedup_ivf_scaledk": (
+        "flat Lloyd assignment against k data-derived centroids is "
+        "O(n*k*d) compute with k = n/64 — intrinsically quadratic "
+        "(16x rung measured 1.162); the at-scale path is the "
+        "hierarchical RP-tree clusterer (embeddings_semdedup_hier_"
+        "scaledk, O(n*log k*d), probed on the same rung)"
+    ),
 }
 
 

@@ -131,6 +131,31 @@ def _margin_mining_fixedq(spark, sf_dir):
     return embeddings_margin_mining(spark, sf_dir, test_ceiling=10_000_000)
 
 
+def _semdedup_hier_scaledk(spark, sf_dir):
+    """Hierarchical (RP-tree) SemDeDup with data-derived k — the
+    at-scale clusterer: ceil(log_b k) mean-centered salted-hyperplane
+    split levels, O(n·log k·d) compute, no k·d broadcast, balanced
+    cells feeding the shared within-cell prune. This is the production
+    path past the flat scaled-k variants' O(n·k) assignment wall
+    (BENCH_rung_16x measured ivf_scaledk at exponent 1.16).
+
+    Broadcast is disabled (the _incremental_dedup_shufflejoin rule):
+    at 1x the checkpointed assign frame is small enough that AQE
+    broadcasts the within-cell pair join (1x shuffle 0.31 MB vs the
+    flat variant's 1.9 MB), and the 2x threshold crossing then reads
+    as a fake 2.7 growth exponent. Forcing the shuffle join at every
+    size measures the asymptotic shape — which is what a 100 TB
+    corpus runs anyway. Per-level (cell -> mean) joins keep their
+    explicit broadcast HINTS (hints override the threshold), exactly
+    like production."""
+    from python_nyc_taxi_data_pipeline_spark.llm.semdedup import (
+        semdedup_hier,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return semdedup_hier(spark, sf_dir, k=None)
+
+
 def _knn_gemm_fixedq(spark, sf_dir):
     """knn_cosine_gemm with the query block PINNED to the base copy
     (vec_id < the inflation shift): the production shape — a fixed
@@ -152,6 +177,7 @@ EXTRA_FNS = {
     "embeddings_semdedup_scaledk": _semdedup_scaledk,
     "docs_incremental_exact_dedup_shufflejoin": _incremental_dedup_shufflejoin,
     "embeddings_semdedup_ivf_scaledk": _semdedup_ivf_scaledk,
+    "embeddings_semdedup_hier_scaledk": _semdedup_hier_scaledk,
     # round-7 staged candidates (llm/staged_r7.py)
     "docs_minhash_oph_pairs": _staged("docs_minhash_oph_pairs"),
     "docs_semantic_decontamination": _staged("docs_semantic_decontamination"),
@@ -520,6 +546,10 @@ MAX_EXPONENT = {
     # the exact-side broadcast pair frame is query-bounded — both
     # shuffles ~linear in corpus size.
     "knn_cosine_gemm_fixedq": 1.35,
+    # Hierarchical SemDeDup: per level one (cell, dim) mean aggregate
+    # (linear) + a map-side sign split; levels grow log(k), and the
+    # balanced cells keep the within-cell pair shuffle ~n·cell_size.
+    "embeddings_semdedup_hier_scaledk": 1.35,
     # Edit-similarity verify rides the inverted-index pair emit (the
     # prefix bijection keeps copies pairing only among themselves, so
     # candidate pairs — and the text-fetch joins — scale ~k); the
