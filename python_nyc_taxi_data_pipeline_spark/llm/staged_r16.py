@@ -1,0 +1,435 @@
+"""Round-16 registration candidates — seed slate started in round 9.
+
+Same staging mechanism as ``staged_r8``–``staged_r15``; promotion in
+round 16 via ``staged_r16.promote_to_registry(R16_BATCH)``.
+
+The seed:
+
+- ``embeddings_semdedup_hier_contract``: driver-checkable contract
+  over the hierarchical (RP-tree) SemDeDup clusterer — the at-scale
+  path the 16× rung adjudication names (hier 0.236 implied exponent
+  vs flat scaled-k IVF 1.195). Cell geometry is float-order
+  sensitive, so the query emits corpus-level FACTS the driver can
+  hash (the ``embeddings_semdedup_ivf_contract`` pattern): total
+  points, exactly-once assignment, the 2×⌈n/k⌉ hard cell-size cap,
+  every cell's lowest id kept, and kept-rate agreement with the flat
+  data-derived-k variant within a 10% band.
+- ``customer_order_gap_percentiles``: exact inter-order-gap
+  percentiles (p50/p75) per market segment — repeat-purchase latency
+  profiling: per-customer consecutive-order day gaps via a keyed lag
+  window, then the engine's exact-percentile convention per segment.
+- ``events_session_type_lift``: session-level event-type association
+  — for each type pair, sessions containing both vs the independence
+  expectation, support/confidence/lift in exact micro units (the
+  ``orders_basket_lift`` operator family lifted onto sessionized
+  behavioral data).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import QueryFn
+
+
+@dataclass(frozen=True)
+class StagedQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+STAGED: dict[str, StagedQuery] = {}
+
+R16_BATCH: tuple[str, ...] = (
+    "customer_order_gap_percentiles",
+    "embeddings_semdedup_hier_contract",
+    "events_session_type_lift",
+)
+
+
+def promote_to_registry(names: list[str]) -> list[str]:
+    """Round-16 registration in one call; ``names`` is REQUIRED —
+    whole-slate promotion must be spelled out (``list(STAGED)``)."""
+    from ..registry import register
+
+    if names is None:
+        raise ValueError(
+            "promote_to_registry requires an explicit name batch; "
+            "spell out whole-slate promotion as list(STAGED)"
+        )
+    promoted = []
+    for name in names:
+        q = STAGED[name]
+        register(name, q.oracle, q.tags)(q.fn)
+        promoted.append(name)
+    return promoted
+
+
+def stage(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Mirror of ``registry.register`` that records into ``STAGED``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query name {name!r}")
+        STAGED[name] = StagedQuery(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# Hierarchical SemDeDup contract (corpus-level facts, driver-hashable)
+# --------------------------------------------------------------------
+
+HIER_KEPT_BAND_PPM = 100000  # kept-rate agreement band vs flat: 10%
+
+
+@stage(
+    "embeddings_semdedup_hier_contract",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_points,
+           TRUE AS all_assigned,
+           TRUE AS cells_within_cap,
+           TRUE AS lowest_ids_kept,
+           TRUE AS kept_rate_close
+    FROM embeddings
+    """,
+    tags=("llm", "dedup", "similarity", "clustering", "contract"),
+)
+def embeddings_semdedup_hier_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkable contract pinning the hierarchical (RP-tree) SemDeDup
+    variant — the at-scale clusterer (16× rung: hier implied exponent
+    0.236 / 6.4 s warm vs flat scaled-k IVF 1.195 / 128.6 s). Cell
+    geometry depends on float mean summation order, so the query
+    emits corpus-level facts (the IVF-contract pattern), one row:
+
+    - ``total_points``: corpus size (oracle recomputes);
+    - ``all_assigned``: exactly one verdict per vector;
+    - ``cells_within_cap``: every cell ≤ 2×⌈n/k⌉ — the adaptive size
+      gate's hard bound, the property that keeps the within-cell pair
+      scan linear in corpus size;
+    - ``lowest_ids_kept``: the greedy prune kept each cell's lowest
+      vec_id;
+    - ``kept_rate_close``: |kept_hier − kept_flat| ≤ 10% of n vs the
+      flat data-derived-k variant (same ε, same prune — only the
+      partitioner differs, so survivor volume must broadly agree).
+
+    Scale (100 TB): the hier clusterer is O(n·log k·d) with no k·d
+    broadcast (see ``semdedup_hier``); the flat comparator rides the
+    same fixture-scale path the registered scaled-k stress variant
+    uses; everything else is one-row aggregate metadata."""
+    import math as _math
+
+    from .semdedup import (
+        SEMDEDUP_TARGET_CLUSTER_SIZE,
+        semdedup,
+        semdedup_hier,
+    )
+
+    n_corpus = load(spark, sf_dir, "embeddings").count()
+    k = max(1, _math.ceil(n_corpus / SEMDEDUP_TARGET_CLUSTER_SIZE))
+    cap = 2 * max(1, _math.ceil(n_corpus / k))
+    hier = semdedup_hier(spark, sf_dir).localCheckpoint(eager=True)
+    flat_kept = (
+        semdedup(spark, sf_dir, k=None)
+        .agg(F.sum(F.col("kept").cast("int")).alias("fk"))
+        .select(F.col("fk").cast("bigint").alias("flat_kept"))
+    )
+    per_cell = hier.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.expr("min_by(kept, vec_id)").alias("lowest_kept"),
+    )
+    cell_facts = per_cell.agg(
+        (F.max("cn") <= F.lit(cap)).alias("cells_within_cap"),
+        F.expr("bool_and(lowest_kept)").alias("lowest_ids_kept"),
+    )
+    hier_facts = hier.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_points"),
+        F.countDistinct("vec_id").alias("n_distinct"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("hier_kept"),
+    )
+    band = F.lit(n_corpus * HIER_KEPT_BAND_PPM // 1000000)
+    return (
+        hier_facts.crossJoin(F.broadcast(cell_facts))
+        .crossJoin(F.broadcast(flat_kept))
+        .select(
+            "total_points",
+            (
+                (F.col("total_points") == F.lit(n_corpus))
+                & (F.col("n_distinct") == F.lit(n_corpus))
+            ).alias("all_assigned"),
+            "cells_within_cap",
+            "lowest_ids_kept",
+            (
+                F.abs(F.col("hier_kept") - F.col("flat_kept")) <= band
+            ).alias("kept_rate_close"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Inter-order gap percentiles per segment (repeat-purchase latency)
+# --------------------------------------------------------------------
+
+
+def _order_gap_oracle() -> str:
+    return """
+    WITH o AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o.o_orderdate AS DATE)) AS day
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), gaps AS (
+      SELECT segment,
+             day - lag(day) OVER (
+               PARTITION BY o_custkey ORDER BY day, segment) AS gap
+      FROM o
+      QUALIFY gap IS NOT NULL
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(floor(median(gap)) AS BIGINT) AS p50_gap_days,
+           CAST(floor(quantile_cont(gap, 0.75)) AS BIGINT) AS p75_gap_days,
+           CAST(max(gap) AS BIGINT) AS max_gap_days
+    FROM gaps GROUP BY 1
+    """
+
+
+@stage(
+    "customer_order_gap_percentiles",
+    oracle=_order_gap_oracle(),
+    tags=("warehouse", "analytics", "percentile"),
+)
+def customer_order_gap_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase LATENCY profile: consecutive-order day gaps per
+    customer (keyed lag window), summarized per market segment with
+    the exact-percentile convention (p50/p75 via linear-interpolation
+    percentile — Spark ``percentile`` = DuckDB ``quantile_cont``,
+    both exact sort-based definitions, truncated to whole days after
+    interpolation). The CRM inter-purchase-time table that drives
+    churn-risk windows ("customer overdue at 2× their segment p50").
+
+    Exactness: integer day arithmetic from the epoch anchor; the only
+    floats are the two interpolated percentiles — 0.5 and 0.75 are
+    EXACT binary fractions, so with integer gaps the interpolated
+    value is an exact dyadic rational (denominator ≤ 4) in IEEE
+    double on both engines, floored BEFORE the BIGINT cast on both
+    (DuckDB's double→int CAST rounds half-to-even while Spark's
+    truncates — floor() removes the half-boundary divergence this
+    fixture actually hit at 307.5); 0.9 would not even be an exact
+    fraction, so p90 is deliberately avoided.
+
+    Scale (100 TB): orders⋈customer is a broadcast-dim join; gaps are
+    one customer-keyed window pass (parallel across customers); the
+    exact percentile buffers the gap column per segment — gaps are
+    one row per repeat order, the corpus compressed by the
+    orders-per-customer fold. Per-segment groups are bounded by the
+    5-value segment vocabulary."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .alias("day"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("day", "segment")
+    gaps = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("o_custkey", "segment", "day")
+        .withColumn("gap", F.col("day") - F.lag("day").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.expr("CAST(floor(percentile(gap, 0.5D)) AS BIGINT)").alias(
+            "p50_gap_days"
+        ),
+        F.expr("CAST(floor(percentile(gap, 0.75D)) AS BIGINT)").alias(
+            "p75_gap_days"
+        ),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+    )
+
+
+# --------------------------------------------------------------------
+# Session-level event-type association (lift over sessionized streams)
+# --------------------------------------------------------------------
+
+STL_GAP_S = 1800  # the registered 30-minute session gap
+
+
+def _session_lift_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             date_diff('microsecond',
+                       TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  > {STL_GAP_S} * 1000000 OR lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ), sess AS (
+      SELECT user_id, event_type,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    ), st AS (
+      SELECT DISTINCT user_id, sess_id, event_type FROM sess
+    ), ns AS (
+      SELECT CAST(count(DISTINCT (user_id, sess_id)) AS BIGINT) AS n
+      FROM st
+    ), singles AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM st GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS both_cnt
+      FROM st a
+      JOIN st b ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+               AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.both_cnt,
+           CAST(p.both_cnt * 1000000 // (SELECT n FROM ns) AS BIGINT)
+             AS support_micro,
+           CAST(p.both_cnt * 1000000 // sa.cnt AS BIGINT)
+             AS confidence_micro,
+           CAST(p.both_cnt * (SELECT n FROM ns) * 1000000
+                // (sa.cnt * sb.cnt) AS BIGINT) AS lift_micro
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    """
+
+
+@stage(
+    "events_session_type_lift",
+    oracle=_session_lift_oracle(),
+    tags=("events", "analytics", "association", "sessions"),
+)
+def events_session_type_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-level event-type ASSOCIATION rules: sessions cut at the
+    registered {STL_GAP_S}-second gap (tie-broken on event_id like
+    every sessionization here), each session reduced to its distinct
+    type set, then for every type pair: co-occurring sessions,
+    support, confidence (P(b|a)), and lift vs independence — the
+    ``orders_basket_lift`` operator family on behavioral baskets
+    (what a recommender or funnel designer reads to find coupled
+    actions).
+
+    Exactness: integer counts; support/confidence/lift in micro
+    units by integer DIV (lift's cross-multiplication stays in
+    BIGINT: both_cnt·n·1e6 ≤ sessions²·1e6, ~1e17 at sf0.1's ~40k
+    sessions — inside int64; the stress inflater shifts user ids so
+    sessions scale ~k and the product's headroom holds to ~3e9
+    sessions).
+
+    Scale (100 TB): sessionization is the shared keyed window pass;
+    the distinct (session, type) reduction collapses the stream to
+    ≤|types| rows per session; the pair join is keyed by session
+    with ≤C(|types|,2) emits per session (type vocabulary is fixed),
+    so the shuffle is ~linear in sessions. Totals are broadcast
+    one-row/|types|-row frames."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(w_order).isNull()
+            | (
+                F.col("ts_us") - F.lag("ts_us").over(w_order)
+                > STL_GAP_S * 1000000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    st = (
+        marked.withColumn("sess_id", F.sum("new_sess").over(w_cum))
+        .select("user_id", "sess_id", "event_type")
+        .distinct()
+    )
+    ns = st.select("user_id", "sess_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    singles = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a = st.select(
+        "user_id", "sess_id", F.col("event_type").alias("type_a")
+    )
+    b = st.select(
+        "user_id", "sess_id", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "sess_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("both_cnt"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("cnt").alias("cnt_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            "both_cnt",
+            F.expr("both_cnt * 1000000 DIV n")
+            .cast("bigint")
+            .alias("support_micro"),
+            F.expr("both_cnt * 1000000 DIV cnt_a")
+            .cast("bigint")
+            .alias("confidence_micro"),
+            F.expr("both_cnt * n * 1000000 DIV (cnt_a * cnt_b)")
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+
+
+events_session_type_lift.__doc__ = events_session_type_lift.__doc__.format(
+    STL_GAP_S=STL_GAP_S
+)

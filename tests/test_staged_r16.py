@@ -1,0 +1,169 @@
+"""Tests for llm/staged_r16.py — the round-16 seed (hier-SemDeDup
+contract, order-gap percentiles, session type lift)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from python_nyc_taxi_data_pipeline_spark.catalog import FIXTURE_TABLES
+from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import (
+    R16_BATCH,
+    STAGED,
+    STL_GAP_S,
+)
+from tests.conftest import SF_DIR
+
+
+def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
+    return duckdb.sql(
+        f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+    ).fetchdf()
+
+
+def test_r16_batch_matches_staged():
+    assert sorted(R16_BATCH) == sorted(STAGED)
+    assert len(R16_BATCH) == 3
+
+
+def test_staged_plans_carry_no_antipatterns(spark):
+    from tests.test_plans import (
+        _benign_single_partition,
+        _single_partition_exchange_ids,
+        plan_of,
+    )
+
+    flagged = {}
+    for name, q in STAGED.items():
+        p = plan_of(q.fn(spark, SF_DIR))
+        bad = []
+        if "CartesianProduct" in p:
+            bad.append("cartesian")
+        if "BatchEvalPython" in p:
+            bad.append("row-udf")
+        sp = [
+            i
+            for i in _single_partition_exchange_ids(p)
+            if not _benign_single_partition(p, i)
+        ]
+        if sp:
+            bad.append(f"single-partition {sp}")
+        if bad:
+            flagged[name] = bad
+    assert flagged == {}
+
+
+def test_staged_oracle_parity_sf0001(spark):
+    from tools.oracle_check import compare
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    for name, q in STAGED.items():
+        sdf = q.fn(spark, SF_DIR).toPandas()
+        ddf = con.execute(q.oracle).fetchdf()
+        problems = compare(name, sdf, ddf)
+        assert not problems, f"{name}: {problems}"
+        assert len(sdf) > 0, f"{name}: degenerate empty result"
+    con.close()
+
+
+def test_hier_contract_facts_all_hold(spark):
+    got = (
+        STAGED["embeddings_semdedup_hier_contract"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert len(got) == 1
+    row = got[0]
+    assert row.total_points == len(_pd("embeddings"))
+    assert row.all_assigned and row.cells_within_cap
+    assert row.lowest_ids_kept and row.kept_rate_close
+
+
+def test_order_gap_percentiles_numpy_replay(spark):
+    got = (
+        STAGED["customer_order_gap_percentiles"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("segment")
+        .sort_index()
+    )
+    orders = _pd("orders")
+    cust = _pd("customer").set_index("c_custkey")
+    day = (
+        pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    df = pd.DataFrame(
+        {
+            "cust": orders["o_custkey"],
+            "seg": orders["o_custkey"].map(cust["c_mktsegment"]),
+            "day": day,
+        }
+    ).sort_values(["cust", "day"])
+    df["gap"] = df.groupby("cust")["day"].diff()
+    gaps = df.dropna(subset=["gap"])
+    for seg, sub in gaps.groupby("seg"):
+        g = np.sort(sub["gap"].to_numpy())
+        row = got.loc[seg]
+        assert row["n_gaps"] == len(g)
+        # numpy 'linear' is the same type-7 interpolation as Spark
+        # percentile / DuckDB quantile_cont; floor before comparing
+        assert row["p50_gap_days"] == int(
+            np.floor(np.percentile(g, 50, method="linear"))
+        )
+        assert row["p75_gap_days"] == int(
+            np.floor(np.percentile(g, 75, method="linear"))
+        )
+        assert row["max_gap_days"] == int(g.max())
+
+
+def test_session_type_lift_replay_and_laws(spark):
+    got = (
+        STAGED["events_session_type_lift"].fn(spark, SF_DIR).toPandas()
+    )
+    ev = _pd("events").sort_values(["user_id", "ts", "event_id"])
+    ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(ts_us=ts_us)
+    sess_sets: dict[tuple, set] = {}
+    for uid, sub in ev.groupby("user_id"):
+        sid, prev = 0, None
+        for r in sub.sort_values(["ts_us", "event_id"]).itertuples():
+            if prev is None or r.ts_us - prev > STL_GAP_S * 1_000_000:
+                sid += 1
+            prev = r.ts_us
+            sess_sets.setdefault((uid, sid), set()).add(r.event_type)
+    n = len(sess_sets)
+    singles: dict[str, int] = {}
+    pairs: dict[tuple, int] = {}
+    for types in sess_sets.values():
+        ts = sorted(types)
+        for t in ts:
+            singles[t] = singles.get(t, 0) + 1
+        for i, a in enumerate(ts):
+            for b in ts[i + 1 :]:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    exp_rows = {
+        (a, b): (
+            cnt,
+            cnt * 1_000_000 // n,
+            cnt * 1_000_000 // singles[a],
+            cnt * n * 1_000_000 // (singles[a] * singles[b]),
+        )
+        for (a, b), cnt in pairs.items()
+    }
+    assert len(got) == len(exp_rows)
+    for r in got.itertuples():
+        cnt, sup, conf, lift = exp_rows[(r.type_a, r.type_b)]
+        assert r.both_cnt == cnt
+        assert r.support_micro == sup
+        assert r.confidence_micro == conf
+        assert r.lift_micro == lift
+        # laws: confidence and support are probabilities; a < b only
+        assert 0 <= r.support_micro <= r.confidence_micro <= 1_000_000
+        assert r.type_a < r.type_b

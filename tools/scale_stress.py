@@ -296,6 +296,17 @@ def _staged15(name: str):
     return fn
 
 
+def _staged16(name: str):
+    """Resolve a round-16 STAGED query (llm/staged_r16.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
 # round-10 staged candidates (llm/staged_r10.py)
 EXTRA_FNS_R10 = (
     "docs_doremi_reweight_step",
@@ -421,6 +432,29 @@ EXTRA_FNS.update(
             "events_halflife_engagement",
             "orders_priority_mix_drift_tvd",
         )
+    }
+)
+
+def _hier_contract_shufflejoin(spark, sf_dir):
+    """The r16 hier contract with broadcast disabled — the same
+    measurement rule as _semdedup_hier_scaledk: both its clusterer
+    pair joins cross the AQE broadcast threshold between 1x and 2x,
+    which reads as a fake super-linear step (measured 1.371 with
+    broadcast on, from the 1x frames riding BHJ for free)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import STAGED
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return STAGED["embeddings_semdedup_hier_contract"].fn(spark, sf_dir)
+
+
+# round-16 staged seed (llm/staged_r16.py)
+EXTRA_FNS.update(
+    {
+        "embeddings_semdedup_hier_contract": _hier_contract_shufflejoin,
+        "customer_order_gap_percentiles": _staged16(
+            "customer_order_gap_percentiles"
+        ),
+        "events_session_type_lift": _staged16("events_session_type_lift"),
     }
 )
 
@@ -775,6 +809,15 @@ MAX_EXPONENT = {
     "docs_ttr_window_profile": 1.35,
     "events_halflife_engagement": 1.35,
     "orders_priority_mix_drift_tvd": 1.35,
+    # r16 seed: the hier contract runs the O(n log k) tree (stressed
+    # standalone at 1.173) plus the flat scaled-k comparator (0.967);
+    # gap percentiles are a keyed lag window + 5-group exact
+    # percentile buffers; session lift is the shared sessionization
+    # window + a session-keyed pair emit bounded by the fixed type
+    # vocabulary (C(8,2) per session).
+    "embeddings_semdedup_hier_contract": 1.35,
+    "customer_order_gap_percentiles": 1.35,
+    "events_session_type_lift": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
