@@ -527,6 +527,16 @@ def main() -> int:
                         )
                 except (OSError, ValueError):
                     pass
+            # plus the durable append-only history (BENCH_local is
+            # overwritten per run and driver payloads drop the field)
+            try:
+                with open(
+                    os.path.join(repo, "BENCH_flag_history.json")
+                ) as f:
+                    for fs in json.load(f).get("flag_sets", []):
+                        flagged |= set(fs.get("names", []))
+            except (OSError, ValueError):
+                pass
             live = set(all_queries().keys()) | {
                 "medallion_e2e",
                 "medallion_e2e_nofastpath",
@@ -614,6 +624,30 @@ def main() -> int:
             regressors[qname] = [round(prev, 3), round(cur, 3)]
     if regressors:
         print(f"# regressors_vs_prev: {regressors}", file=sys.stderr)
+        # Durable flag history: BENCH_local.json is overwritten every
+        # run and the driver's BENCH_rNN payload capture does not keep
+        # regressors_vs_prev, so without this append the "ever
+        # flagged" union (--isolated curated) forgets old flags (r8's
+        # 40-name set was lost exactly this way).
+        hist_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_flag_history.json",
+        )
+        try:
+            with open(hist_path) as f:
+                hist = json.load(f)
+        except (OSError, ValueError):
+            hist = {"flag_sets": []}
+        hist["flag_sets"].append(
+            {
+                "round": current_round(
+                    os.path.dirname(os.path.abspath(__file__))
+                ),
+                "names": sorted(regressors),
+            }
+        )
+        with open(hist_path, "w") as f:
+            f.write(json.dumps(hist) + "\n")
     line = json.dumps(
         {
             "metric": "query_suite_total",
