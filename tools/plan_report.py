@@ -310,6 +310,60 @@ HEADLINERS = [
         "band_hash) — never all-pairs; one exchange for the band join, "
         "one for the exact-Jaccard verification aggregate.",
     ),
+    (
+        "orders_basket_lift",
+        "Market-basket pair emit (registered r9): brand sets per order "
+        "via a keyed aggregate, pair generation rides the in-array "
+        "combination transform (never an order-keyed self-join "
+        "explosion), singles/totals broadcast back. Tripwire pins the "
+        "no-cartesian, bounded-pair-emit shape.",
+    ),
+    (
+        "docs_boilerplate_ngram_mass",
+        "Per-source template-gram audit (registered r9): one trigram "
+        "explode into a (source, gram) hash aggregate with map-side "
+        "combine, the df>=threshold gram set joined back by gram. "
+        "Tripwire pins the two-aggregate, one-join shape.",
+    ),
+    (
+        "events_error_cusum",
+        "SORTLESS CUSUM (registered r9): the sequential recursion is "
+        "the suffix-max identity over a calendar-bounded triangular "
+        "join on the day spine — day-domain rows only, no global-order "
+        "window, no per-event state. Tripwire pins the spine-sized "
+        "triangular shape.",
+    ),
+    (
+        "docs_pii_scrub_contract",
+        "Planted-injection scrub certificate (registered r9): one "
+        "corpus scan computing detect + redact expressions, a per-"
+        "source aggregate; zero joins that scale beyond the source "
+        "vocabulary. Tripwire pins the single-scan shape.",
+    ),
+    (
+        "docs_bpe_roundtrip_contract",
+        "Tokenizer-QC gate (registered r9): replays the trained merge "
+        "list over the word table (bounded merge count), verifies "
+        "concat(syms) == word||EOW per word, aggregates per language. "
+        "Tripwire pins the scan+replay+aggregate shape (no driver "
+        "loops beyond the fixed merge list).",
+    ),
+    (
+        "asof_last_click",
+        "As-of join (union+window, one shuffle — pinned r9 after its "
+        "r8 in-suite flag was adjudicated as contention): impressions "
+        "and clicks union into one keyed frame, last-click resolution "
+        "is a single keyed window pass. Tripwire pins the one-"
+        "exchange union+window shape.",
+    ),
+    (
+        "cms_event_type_counts",
+        "Count-min sketch aggregate (pinned r9 after its r8 in-suite "
+        "flag was adjudicated as contention): per-row hash lanes fold "
+        "into a fixed (depth x width) grid via partial aggregates — "
+        "sketch size is config-bounded, independent of corpus scale. "
+        "Tripwire pins the grid-aggregate shape.",
+    ),
 ]
 
 
