@@ -48,7 +48,9 @@ STAGED: dict[str, StagedQuery] = {}
 
 R16_BATCH: tuple[str, ...] = (
     "customer_order_gap_percentiles",
+    "docs_vocab_coverage_ladder",
     "embeddings_semdedup_hier_contract",
+    "events_peak_concurrency",
     "events_session_type_lift",
 )
 
@@ -432,4 +434,270 @@ def events_session_type_lift(
 
 events_session_type_lift.__doc__ = events_session_type_lift.__doc__.format(
     STL_GAP_S=STL_GAP_S
+)
+
+
+# --------------------------------------------------------------------
+# Vocabulary coverage ladder (top-k token-mass coverage)
+# --------------------------------------------------------------------
+
+VCL_KS = (10, 50, 100, 500)
+
+
+def _vocab_coverage_oracle() -> str:
+    ks = ", ".join(str(k) for k in VCL_KS)
+    return f"""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS word
+      FROM documents
+    ), cnt AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk
+      FROM cnt
+    )
+    SELECT CAST(l.k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN rk <= l.k THEN n ELSE 0 END) AS BIGINT)
+             AS top_mass,
+           CAST(sum(CASE WHEN rk <= l.k THEN n ELSE 0 END) * 1000000
+                // (SELECT greatest(t, 1) FROM tot) AS BIGINT)
+             AS coverage_micro
+    FROM ranked CROSS JOIN (SELECT unnest([{ks}]) AS k) l
+    GROUP BY 1
+    """
+
+
+@stage(
+    "docs_vocab_coverage_ladder",
+    oracle=_vocab_coverage_oracle(),
+    tags=("llm", "textstats", "tokenizer"),
+)
+def docs_vocab_coverage_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary COVERAGE ladder: for k in {VCL_KS}, the token mass
+    and micro share of the corpus covered by the top-k word types —
+    the vocabulary-size sizing table a tokenizer budget reads
+    (Zipf-head mass: how big must the vocab be before OOV mass is
+    negligible). Complements the registered rank-frequency Zipf
+    report (which shows the head SHAPE; this shows cumulative mass).
+
+    Exactness: the shared single-space-split + empty-token-exclusion
+    convention; ranking by (count desc, word asc) is UNIQUE (word is
+    the key), so top-k sets are identical in both engines; micro
+    share by guarded integer DIV.
+
+    Scale (100 TB): one explode into a word-key count (map-side
+    combine); the top-max(k) head is selected by
+    TakeOrderedAndProject on the Zipf-compressed vocabulary (no
+    global sort of the corpus), rank derives from the triangular
+    idiom on that CONSTANT-size frame, and the ladder is a broadcast
+    literal fanout. The total is a one-row broadcast."""
+    kmax = max(VCL_KS)
+    cnt = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x <> '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cnt.agg(
+        F.greatest(F.sum("n"), F.lit(1)).cast("bigint").alias("t")
+    )
+    top = (
+        cnt.orderBy(F.desc("n"), F.asc("word"))
+        .limit(kmax)
+        .localCheckpoint(eager=True)
+    )
+    lo = top.select(F.col("n").alias("o_n"), F.col("word").alias("o_w"))
+    ranked = (
+        top.join(
+            F.broadcast(lo),
+            (F.col("o_n") > F.col("n"))
+            | ((F.col("o_n") == F.col("n")) & (F.col("o_w") <= F.col("word"))),
+        )
+        .groupBy("word", "n")
+        .agg(F.count(F.lit(1)).alias("rk"))
+    )
+    ladder = spark.createDataFrame([(k,) for k in VCL_KS], "k long")
+    return (
+        ranked.crossJoin(F.broadcast(ladder))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("top_mass")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "top_mass",
+            F.expr("top_mass * 1000000 DIV t")
+            .cast("bigint")
+            .alias("coverage_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Peak concurrent sessions per day (interval counting, banded prefix)
+# --------------------------------------------------------------------
+
+PCC_GAP_S = 1800  # the registered 30-minute session gap
+
+
+def _peak_concurrency_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             date_diff('microsecond',
+                       TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  > {PCC_GAP_S} * 1000000 OR lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  IS NULL THEN 1 ELSE 0 END AS new_sess,
+             event_id
+      FROM e
+    ), sess AS (
+      SELECT user_id, ts_us,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    ), spans AS (
+      SELECT user_id, sess_id,
+             min(ts_us) AS t0, max(ts_us) + 1 AS t1
+      FROM sess GROUP BY 1, 2
+    ), bounds AS (
+      SELECT t0 AS ts_us, 1 AS delta FROM spans
+      UNION ALL
+      SELECT t1 AS ts_us, -1 AS delta FROM spans
+    ), cum AS (
+      SELECT ts_us, delta,
+             sum(delta) OVER (
+               ORDER BY ts_us, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS conc
+      FROM bounds
+    )
+    SELECT CAST(ts_us // 86400000000 AS BIGINT) AS day,
+           CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS sessions_started,
+           CAST(max(conc) AS BIGINT) AS peak_concurrent
+    FROM cum GROUP BY 1
+    """
+
+
+@stage(
+    "events_peak_concurrency",
+    oracle=_peak_concurrency_oracle(),
+    tags=("events", "analytics", "timeseries", "sessions"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENT SESSIONS per day — the capacity-planning curve:
+    sessions (the registered 30-minute-gap cut, event_id tie-broken)
+    become [first event, last event] intervals, interval endpoints
+    become a ±1 delta stream, and the running concurrency is the
+    global cumulative sum over time — computed on the banded
+    TWO-LEVEL PREFIX scaffold (intra-day keyed window + broadcast
+    day offsets), never a single-partition global window; DuckDB's
+    oracle uses its plain single-node cumulative, so the hash pins
+    the decomposition exactly. Ties at identical microseconds order
+    (−1 before +1) — the conservative convention, identical in both
+    engines.
+
+    Exactness: integer micros from the naive epoch anchor; counts
+    and one max.
+
+    Scale (100 TB): sessionization is the shared keyed window pass;
+    the boundary stream is 2 rows per session (the corpus compressed
+    by the events-per-session fold); the prefix machinery runs on
+    that boundary frame with day-keyed bands. No collect."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.when(
+                F.lag("ts_us").over(w_order).isNull()
+                | (
+                    F.col("ts_us") - F.lag("ts_us").over(w_order)
+                    > PCC_GAP_S * 1000000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w_cum))
+    )
+    spans = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts_us").alias("t0"),
+        (F.max("ts_us") + 1).alias("t1"),
+    )
+    bounds = spans.select(
+        F.col("t0").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.col("t1").alias("ts_us"), F.lit(-1).alias("delta"))
+    )
+    banded = bounds.withColumn(
+        "band", F.expr("ts_us DIV 86400000000")
+    )
+    intra = banded.withColumn(
+        "in_band_cum",
+        F.sum("delta").over(
+            Window.partitionBy("band")
+            .orderBy("ts_us", "delta")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    band_tot = banded.groupBy("band").agg(F.sum("delta").alias("bd"))
+    lower = band_tot.select(
+        F.col("band").alias("l_band"), F.col("bd").alias("l_bd")
+    )
+    offsets = (
+        band_tot.join(
+            F.broadcast(lower), F.col("l_band") < F.col("band"), "left"
+        )
+        .groupBy("band")
+        .agg(F.coalesce(F.sum("l_bd"), F.lit(0)).alias("offset"))
+    )
+    cum = intra.join(offsets, "band").withColumn(
+        "conc", (F.col("offset") + F.col("in_band_cum")).cast("bigint")
+    )
+    return cum.groupBy(
+        F.expr("CAST(ts_us DIV 86400000000 AS BIGINT)").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("sessions_started"),
+        F.max("conc").cast("bigint").alias("peak_concurrent"),
+    )
+
+
+docs_vocab_coverage_ladder.__doc__ = (
+    docs_vocab_coverage_ladder.__doc__.replace("{VCL_KS}", str(VCL_KS))
 )

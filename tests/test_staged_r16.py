@@ -24,7 +24,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r16_batch_matches_staged():
     assert sorted(R16_BATCH) == sorted(STAGED)
-    assert len(R16_BATCH) == 3
+    assert len(R16_BATCH) == 5
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -167,3 +167,78 @@ def test_session_type_lift_replay_and_laws(spark):
         # laws: confidence and support are probabilities; a < b only
         assert 0 <= r.support_micro <= r.confidence_micro <= 1_000_000
         assert r.type_a < r.type_b
+
+
+def test_vocab_coverage_ladder_replay_and_monotonicity(spark):
+    from collections import Counter
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import VCL_KS
+
+    got = (
+        STAGED["docs_vocab_coverage_ladder"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    docs = _pd("documents")
+    c = Counter()
+    for t in docs["text"]:
+        c.update(w for w in t.split(" ") if w != "")
+    total = sum(c.values())
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k in VCL_KS:
+        mass = sum(n for _, n in ordered[:k])
+        assert got.loc[k, "top_mass"] == mass
+        assert got.loc[k, "coverage_micro"] == mass * 1_000_000 // total
+    # laws: coverage is monotone in k and bounded by 1e6
+    cov = got["coverage_micro"].tolist()
+    assert cov == sorted(cov)
+    assert cov[-1] <= 1_000_000
+
+
+def test_peak_concurrency_replay_and_conservation(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import (
+        PCC_GAP_S,
+    )
+
+    got = (
+        STAGED["events_peak_concurrency"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    ev = _pd("events")
+    ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(ts_us=ts_us)
+    spans = []
+    for _, sub in ev.groupby("user_id"):
+        t0 = prev = None
+        for r in sub.sort_values(["ts_us", "event_id"]).itertuples():
+            if prev is None or r.ts_us - prev > PCC_GAP_S * 1_000_000:
+                if t0 is not None:
+                    spans.append((t0, prev + 1))
+                t0 = r.ts_us
+            prev = r.ts_us
+        spans.append((t0, prev + 1))
+    bounds = sorted(
+        [(t0, 1) for t0, _ in spans] + [(t1, -1) for _, t1 in spans],
+        key=lambda p: (p[0], p[1]),
+    )
+    conc, per_day_peak, per_day_starts = 0, {}, {}
+    for ts, d in bounds:
+        conc += d
+        day = ts // 86_400_000_000
+        per_day_peak[day] = max(per_day_peak.get(day, -(10**9)), conc)
+        if d > 0:
+            per_day_starts[day] = per_day_starts.get(day, 0) + 1
+    assert conc == 0  # every session closes
+    days = sorted(per_day_peak)
+    assert got.index.tolist() == days
+    for day in days:
+        assert got.loc[day, "peak_concurrent"] == per_day_peak[day]
+        assert got.loc[day, "sessions_started"] == per_day_starts.get(
+            day, 0
+        )
+    assert got["sessions_started"].sum() == len(spans)

@@ -455,6 +455,10 @@ EXTRA_FNS.update(
             "customer_order_gap_percentiles"
         ),
         "events_session_type_lift": _staged16("events_session_type_lift"),
+        "docs_vocab_coverage_ladder": _staged16(
+            "docs_vocab_coverage_ladder"
+        ),
+        "events_peak_concurrency": _staged16("events_peak_concurrency"),
     }
 )
 
@@ -818,6 +822,11 @@ MAX_EXPONENT = {
     "embeddings_semdedup_hier_contract": 1.35,
     "customer_order_gap_percentiles": 1.35,
     "events_session_type_lift": 1.35,
+    # coverage ladder = one word-count aggregate + a constant top-500
+    # head; peak concurrency = sessionization + a 2-rows-per-session
+    # boundary frame on the banded prefix scaffold.
+    "docs_vocab_coverage_ladder": 1.35,
+    "events_peak_concurrency": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
