@@ -47,7 +47,9 @@ class StagedQuery:
 STAGED: dict[str, StagedQuery] = {}
 
 R16_BATCH: tuple[str, ...] = (
+    "customer_cohort_repeat_rate",
     "customer_order_gap_percentiles",
+    "docs_lang_temperature_ladder",
     "docs_vocab_coverage_ladder",
     "embeddings_semdedup_hier_contract",
     "events_peak_concurrency",
@@ -700,4 +702,249 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 docs_vocab_coverage_ladder.__doc__ = (
     docs_vocab_coverage_ladder.__doc__.replace("{VCL_KS}", str(VCL_KS))
+)
+
+
+# --------------------------------------------------------------------
+# Temperature-mixture ladder (the alpha design table)
+# --------------------------------------------------------------------
+
+TML_ALPHAS = (0.2, 0.3, 0.5, 0.7, 1.0)
+
+
+def _temperature_ladder_oracle() -> str:
+    alphas = ", ".join(str(a) for a in TML_ALPHAS)
+    return f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per_lang
+    ), ladder AS (
+      SELECT unnest([{alphas}]) AS alpha
+    ), scored AS (
+      SELECT l.alpha, p.lang, p.n_tokens,
+             pow(p.n_tokens / t.total, l.alpha) AS w
+      FROM per_lang p CROSS JOIN ladder l CROSS JOIN tot t
+    ), z AS (
+      SELECT alpha, sum(w) AS z FROM scored GROUP BY 1
+    ), q AS (
+      SELECT s.alpha, s.lang, s.n_tokens, s.w / z.z AS q
+      FROM scored s JOIN z ON z.alpha = s.alpha
+    ), eff AS (
+      SELECT alpha, 1.0 / sum(q * q) AS eff_langs FROM q GROUP BY 1
+    )
+    SELECT q.alpha, q.lang, q.n_tokens,
+           round(q.q, 6) AS temp_frac,
+           round(q.q / (q.n_tokens / (SELECT total FROM tot)), 6)
+             AS sample_weight,
+           round(e.eff_langs, 6) AS effective_langs
+    FROM q JOIN eff e ON e.alpha = q.alpha
+    """
+
+
+@stage(
+    "docs_lang_temperature_ladder",
+    oracle=_temperature_ladder_oracle(),
+    tags=("llm", "selection", "sampling", "report"),
+)
+def docs_lang_temperature_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-mixture DESIGN TABLE: the registered single-α
+    language rebalance (q_l ∝ p_l^α) swept over α ∈ {TML_ALPHAS} —
+    per (α, lang): the temperature share, the per-token sample
+    weight, and the mixture's EFFECTIVE language count (1/Σq², the
+    participation-ratio diversity index; α=1 reproduces the natural
+    mix, α→0 approaches uniform = |langs|). This is the table a
+    multilingual data recipe reads to PICK α — the single-α query
+    answers "what does α=0.3 do", the ladder answers "which α".
+
+    Exactness: same convention as the registered mixture — double
+    pow/÷ rounded at 6 dp; the normalizer sums |langs| ≈ 5 doubles
+    whose order sensitivity (~1e-16 relative) sits far below the
+    rounding grain.
+
+    Scale (100 TB): ONE corpus scan to per-lang token totals;
+    everything after runs on the |langs|×|alphas| metadata domain
+    (broadcast one-row total, per-alpha normalizers from a ≤25-row
+    frame)."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("double").alias("total"))
+    ladder = spark.createDataFrame(
+        [(a,) for a in TML_ALPHAS], "alpha double"
+    )
+    scored = (
+        per_lang.crossJoin(F.broadcast(ladder))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("n_tokens") / F.col("total"))
+        .withColumn("w", F.pow("p", F.col("alpha")))
+    )
+    z = scored.groupBy("alpha").agg(F.sum("w").alias("z"))
+    q = scored.join(F.broadcast(z), "alpha").withColumn(
+        "q", F.col("w") / F.col("z")
+    )
+    eff = q.groupBy("alpha").agg(
+        (F.lit(1.0) / F.sum(F.col("q") * F.col("q"))).alias("eff_langs")
+    )
+    return q.join(F.broadcast(eff), "alpha").select(
+        "alpha",
+        "lang",
+        "n_tokens",
+        F.round("q", 6).alias("temp_frac"),
+        F.round(F.col("q") / F.col("p"), 6).alias("sample_weight"),
+        F.round("eff_langs", 6).alias("effective_langs"),
+    )
+
+
+# --------------------------------------------------------------------
+# Cohort repeat-purchase rate (orders-based acquisition cohorts)
+# --------------------------------------------------------------------
+
+CRR_WINDOW_DAYS = 90
+
+
+def _cohort_repeat_oracle() -> str:
+    return f"""
+    WITH o AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             min(day) AS first_day,
+             CAST(sum(CASE WHEN day = (SELECT min(day) FROM o i
+                                       WHERE i.o_custkey = o.o_custkey)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_at_first,
+             min(CASE WHEN day > (SELECT min(day) FROM o i
+                                  WHERE i.o_custkey = o.o_custkey)
+                 THEN day END) AS next_day
+      FROM o GROUP BY o_custkey
+    ), labeled AS (
+      SELECT CAST(date_trunc('month', DATE '1970-01-01'
+                   + to_days(CAST(first_day AS INT))) AS DATE)
+               AS cohort_month,
+             n_orders >= 2 AS repeated,
+             CASE WHEN n_at_first >= 2 THEN first_day ELSE next_day END
+               AS second_day,
+             first_day
+      FROM per_cust
+    )
+    SELECT cohort_month,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN repeated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST(sum(CASE WHEN repeated AND second_day - first_day
+                         <= {CRR_WINDOW_DAYS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat_{CRR_WINDOW_DAYS}d,
+           CAST(sum(CASE WHEN repeated THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS repeat_rate_micro
+    FROM labeled GROUP BY 1
+    """
+
+
+@stage(
+    "customer_cohort_repeat_rate",
+    oracle=_cohort_repeat_oracle(),
+    tags=("warehouse", "analytics", "cohorts"),
+)
+def customer_cohort_repeat_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Acquisition-cohort REPEAT-PURCHASE rates: customers grouped by
+    first-order month, reporting how many ever ordered again and how
+    many did so within {CRR_WINDOW_DAYS} days of their first order —
+    the orders-side retention table (the registered events-side
+    retention cohorts track LOGINS; a revenue review reads this one).
+    Second-order day is defined exactly: if two orders share the
+    first day, the repeat interval is 0; otherwise the earliest
+    strictly-later order day.
+
+    Exactness: integer day arithmetic; per-customer facts come from
+    a min/count aggregate plus one conditional aggregate over the
+    min joined back (nested aggregates are illegal in both engines;
+    the oracle spells the same quantities with correlated mins);
+    micro rate by integer DIV.
+
+    Scale (100 TB): two customer-keyed hash aggregates and one join,
+    ALL partitioned by the same custkey hash (the exchange is reused,
+    not repaid), then a calendar-bounded cohort aggregate. No
+    windows."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .alias("day"),
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("day").alias("first_day"),
+    )
+    # second pass keyed by the SAME custkey hash (exchange reuse): how
+    # many orders share the first day, and the earliest strictly-later
+    # day — nested aggregates (min inside sum) are illegal in both
+    # engines, so the oracle uses correlated mins and Spark joins the
+    # per-customer min back before one conditional aggregate.
+    per_cust = (
+        o.join(firsts, "o_custkey")
+        .groupBy("o_custkey", "n_orders", "first_day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("n_at_first"),
+            F.min(
+                F.when(F.col("day") > F.col("first_day"), F.col("day"))
+            ).alias("next_day"),
+        )
+    )
+    labeled = per_cust.select(
+        F.trunc(
+            F.expr("date_add(DATE '1970-01-01', CAST(first_day AS INT))"),
+            "month",
+        ).alias("cohort_month"),
+        (F.col("n_orders") >= 2).alias("repeated"),
+        F.when(F.col("n_at_first") >= 2, F.col("first_day"))
+        .otherwise(F.col("next_day"))
+        .alias("second_day"),
+        "first_day",
+    )
+    w = CRR_WINDOW_DAYS
+    return labeled.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("repeated").cast("int"))
+        .cast("bigint")
+        .alias("n_repeat"),
+        F.sum(
+            (
+                F.col("repeated")
+                & (F.col("second_day") - F.col("first_day") <= w)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias(f"n_repeat_{w}d"),
+        F.expr("CAST(sum(CASE WHEN repeated THEN 1 ELSE 0 END) * 1000000"
+               " DIV count(*) AS BIGINT)").alias("repeat_rate_micro"),
+    )
+
+
+docs_lang_temperature_ladder.__doc__ = (
+    docs_lang_temperature_ladder.__doc__.replace(
+        "{TML_ALPHAS}", str(TML_ALPHAS)
+    )
+)
+customer_cohort_repeat_rate.__doc__ = (
+    customer_cohort_repeat_rate.__doc__.replace(
+        "{CRR_WINDOW_DAYS}", str(CRR_WINDOW_DAYS)
+    )
 )

@@ -24,7 +24,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r16_batch_matches_staged():
     assert sorted(R16_BATCH) == sorted(STAGED)
-    assert len(R16_BATCH) == 5
+    assert len(R16_BATCH) == 7
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -242,3 +242,78 @@ def test_peak_concurrency_replay_and_conservation(spark):
             day, 0
         )
     assert got["sessions_started"].sum() == len(spans)
+
+
+def test_temperature_ladder_replay_and_limits(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import (
+        TML_ALPHAS,
+    )
+
+    got = STAGED["docs_lang_temperature_ladder"].fn(spark, SF_DIR).toPandas()
+    docs = _pd("documents")
+    toks = docs["text"].map(lambda t: len(t.split(" ")))
+    per_lang = toks.groupby(docs["lang"]).sum()
+    total = per_lang.sum()
+    langs = sorted(per_lang.index)
+    for alpha in TML_ALPHAS:
+        w = {l: (per_lang[l] / total) ** alpha for l in langs}
+        z = sum(w.values())
+        q = {l: w[l] / z for l in langs}
+        eff = 1.0 / sum(v * v for v in q.values())
+        sub = got[got["alpha"] == alpha].set_index("lang")
+        assert sorted(sub.index) == langs
+        for l in langs:
+            assert sub.loc[l, "temp_frac"] == round(q[l], 6)
+            assert sub.loc[l, "sample_weight"] == round(
+                q[l] / (per_lang[l] / total), 6
+            )
+            assert sub.loc[l, "effective_langs"] == round(eff, 6)
+    # limits: alpha=1 reproduces the natural mix (weight 1 for all);
+    # effective count grows as alpha shrinks toward uniform
+    nat = got[got["alpha"] == 1.0]
+    assert (nat["sample_weight"] == 1.0).all()
+    eff_by_alpha = (
+        got.groupby("alpha")["effective_langs"].first().sort_index()
+    )
+    assert eff_by_alpha.is_monotonic_decreasing
+    assert eff_by_alpha.iloc[0] <= len(langs) + 1e-6
+
+
+def test_cohort_repeat_rate_replay_and_conservation(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import (
+        CRR_WINDOW_DAYS,
+    )
+
+    got = STAGED["customer_cohort_repeat_rate"].fn(spark, SF_DIR).toPandas()
+    got["cohort_month"] = pd.to_datetime(got["cohort_month"])
+    got = got.set_index("cohort_month").sort_index()
+    orders = _pd("orders")
+    day = (
+        pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    df = pd.DataFrame({"c": orders["o_custkey"], "d": day})
+    rows = {}
+    for c, sub in df.groupby("c"):
+        ds = sorted(sub["d"])
+        first = ds[0]
+        month = pd.Timestamp("1970-01-01") + pd.Timedelta(days=first)
+        month = month.to_period("M").to_timestamp()
+        rep = len(ds) >= 2
+        second = ds[1] if rep else None
+        r = rows.setdefault(month, [0, 0, 0])
+        r[0] += 1
+        if rep:
+            r[1] += 1
+            if second - first <= CRR_WINDOW_DAYS:
+                r[2] += 1
+    assert got.index.tolist() == sorted(rows)
+    for month in sorted(rows):
+        n, rep, rep_w = rows[month]
+        row = got.loc[month]
+        assert row["n_customers"] == n
+        assert row["n_repeat"] == rep
+        assert row[f"n_repeat_{CRR_WINDOW_DAYS}d"] == rep_w
+        assert row["repeat_rate_micro"] == rep * 1_000_000 // n
+    # conservation: cohorts partition the customer base
+    assert got["n_customers"].sum() == df["c"].nunique()

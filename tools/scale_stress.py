@@ -459,6 +459,12 @@ EXTRA_FNS.update(
             "docs_vocab_coverage_ladder"
         ),
         "events_peak_concurrency": _staged16("events_peak_concurrency"),
+        "docs_lang_temperature_ladder": _staged16(
+            "docs_lang_temperature_ladder"
+        ),
+        "customer_cohort_repeat_rate": _staged16(
+            "customer_cohort_repeat_rate"
+        ),
     }
 )
 
@@ -827,6 +833,11 @@ MAX_EXPONENT = {
     # boundary frame on the banded prefix scaffold.
     "docs_vocab_coverage_ladder": 1.35,
     "events_peak_concurrency": 1.35,
+    # temperature ladder = one per-lang token aggregate + metadata
+    # math; cohort repeat = two custkey-keyed aggregates + one
+    # same-key join (exchange reuse), cohort rollup calendar-bounded.
+    "docs_lang_temperature_ladder": 1.35,
+    "customer_cohort_repeat_rate": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
