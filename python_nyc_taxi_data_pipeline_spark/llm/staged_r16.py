@@ -50,10 +50,12 @@ R16_BATCH: tuple[str, ...] = (
     "customer_cohort_repeat_rate",
     "customer_order_gap_percentiles",
     "docs_lang_temperature_ladder",
+    "docs_source_lang_association",
     "docs_vocab_coverage_ladder",
     "embeddings_semdedup_hier_contract",
     "events_peak_concurrency",
     "events_session_type_lift",
+    "events_value_iqr_trimmed_stats",
 )
 
 
@@ -948,3 +950,204 @@ customer_cohort_repeat_rate.__doc__ = (
         "{CRR_WINDOW_DAYS}", str(CRR_WINDOW_DAYS)
     )
 )
+
+
+# --------------------------------------------------------------------
+# IQR-trimmed robust stats per event type (robust monitoring family)
+# --------------------------------------------------------------------
+
+
+def _trimmed_stats_oracle() -> str:
+    return """
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), bounds AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(cents, 0.25)) AS BIGINT) AS p25,
+             CAST(floor(quantile_cont(cents, 0.75)) AS BIGINT) AS p75,
+             CAST(count(*) AS BIGINT) AS n_all
+      FROM v GROUP BY 1
+    ), trimmed AS (
+      SELECT v.event_type, b.p25, b.p75, b.n_all,
+             CAST(count(*) AS BIGINT) AS n_trim,
+             CAST(sum(v.cents) AS BIGINT) AS sum_trim
+      FROM v JOIN bounds b USING (event_type)
+      WHERE v.cents BETWEEN b.p25 AND b.p75
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type, n_all, p25 AS p25_cents, p75 AS p75_cents,
+           n_trim,
+           CAST(sum_trim * 1000000 // greatest(n_trim, 1) AS BIGINT)
+             AS trimmed_mean_cents_micro
+    FROM trimmed
+    """
+
+
+@stage(
+    "events_value_iqr_trimmed_stats",
+    oracle=_trimmed_stats_oracle(),
+    tags=("events", "analytics", "robust"),
+)
+def events_value_iqr_trimmed_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IQR-TRIMMED robust value stats per event type: values convert
+    EXACTLY to integer cents (the column is 2-dp money; round(x*100)
+    lands within 1e-9 of an integer on both engines, never at a half
+    boundary), the interquartile bounds come from the exact dyadic
+    percentile convention (0.25/0.75, floored before the cast — the
+    gap-percentile rule), and the trimmed mean averages only values
+    inside [p25, p75] — the robust central-tendency monitor that a
+    mean-shift alert should read instead of the raw mean (one whale
+    purchase cannot move it). Complements the registered MAD-outlier
+    query (which flags tails; this summarizes the core).
+
+    Exactness: integer cents end to end; the two interpolated
+    percentiles are exact dyadic rationals floored identically; the
+    trimmed mean is an integer micro DIV with a greatest(,1) guard.
+
+    Scale (100 TB): one scan to per-type exact-percentile aggregates
+    (groups = the fixed type vocabulary; the percentile buffers one
+    integer column per group), one broadcast join of the ≤|types|-row
+    bounds frame back, one conditional aggregate. No windows."""
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    bounds = v.groupBy("event_type").agg(
+        F.expr("CAST(floor(percentile(cents, 0.25D)) AS BIGINT)").alias(
+            "p25"
+        ),
+        F.expr("CAST(floor(percentile(cents, 0.75D)) AS BIGINT)").alias(
+            "p75"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+    )
+    return (
+        v.join(F.broadcast(bounds), "event_type")
+        .filter(F.col("cents").between(F.col("p25"), F.col("p75")))
+        .groupBy("event_type", "p25", "p75", "n_all")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trim"),
+            F.sum("cents").cast("bigint").alias("sum_trim"),
+        )
+        .select(
+            "event_type",
+            "n_all",
+            F.col("p25").alias("p25_cents"),
+            F.col("p75").alias("p75_cents"),
+            "n_trim",
+            F.expr(
+                "CAST(sum_trim * 1000000 DIV greatest(n_trim, 1)"
+                " AS BIGINT)"
+            ).alias("trimmed_mean_cents_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Source × language association strength (chi-square / Cramér's V)
+# --------------------------------------------------------------------
+
+
+def _source_lang_assoc_oracle() -> str:
+    return """
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ), m AS (
+      SELECT CAST(sum(o) AS DOUBLE) AS n,
+             CAST(count(DISTINCT source) AS BIGINT) AS r,
+             CAST(count(DISTINCT lang) AS BIGINT) AS k
+      FROM c
+    ), rt AS (
+      SELECT source, CAST(sum(o) AS DOUBLE) AS rsum FROM c GROUP BY 1
+    ), ct AS (
+      SELECT lang, CAST(sum(o) AS DOUBLE) AS csum FROM c GROUP BY 1
+    ), spine AS (
+      SELECT r.source, l.lang, r.rsum, l.csum
+      FROM rt r CROSS JOIN ct l
+    ), chi AS (
+      SELECT sum(pow(COALESCE(c.o, 0) - s.rsum * s.csum / (SELECT n FROM m), 2)
+                 / (s.rsum * s.csum / (SELECT n FROM m))) AS chi2
+      FROM spine s
+      LEFT JOIN c ON c.source = s.source AND c.lang = s.lang
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_docs,
+           CAST((m.r - 1) * (m.k - 1) AS BIGINT) AS dof,
+           round(chi.chi2, 6) AS chi2,
+           round(sqrt(chi.chi2 / (m.n * least(m.r - 1, m.k - 1))), 6)
+             AS cramers_v
+    FROM chi CROSS JOIN m
+    """
+
+
+@stage(
+    "docs_source_lang_association",
+    oracle=_source_lang_assoc_oracle(),
+    tags=("llm", "quality", "drift", "contract"),
+)
+def docs_source_lang_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source × language ASSOCIATION strength: Pearson chi-square over
+    the dense source×lang contingency (zero cells included — the
+    TVD-drift empty-cell rule) and Cramér's V (the [0,1]-normalized
+    effect size). V ≈ 0 means languages are mixed uniformly across
+    sources; V → 1 means sources are language-silos — the mixture
+    designer's independence check before stratifying by either axis
+    alone (a siloed corpus makes source weights double as hidden
+    language weights).
+
+    Exactness: the contingency is exact integers; chi-square and V
+    are double arithmetic rounded at 6 dp over a ≤|sources|·|langs|
+    (~100-cell) metadata frame — the registered filter-agreement /
+    temperature-mixture precedent (summation-order sensitivity
+    ~1e-16, far below the rounding grain).
+
+    Scale (100 TB): one scan to the (source, lang) hash aggregate;
+    everything after runs on the vocabulary-bounded contingency
+    domain (marginals, dense spine, one-row moments — all broadcast
+    metadata)."""
+    c = load(spark, sf_dir, "documents").groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    m = c.agg(
+        F.sum("o").cast("double").alias("n"),
+        F.countDistinct("source").cast("bigint").alias("r"),
+        F.countDistinct("lang").cast("bigint").alias("k"),
+    )
+    rt = c.groupBy("source").agg(F.sum("o").cast("double").alias("rsum"))
+    ct = c.groupBy("lang").agg(F.sum("o").cast("double").alias("csum"))
+    spine = rt.crossJoin(F.broadcast(ct))
+    chi = (
+        spine.join(c, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (
+                F.pow(
+                    F.coalesce("o", F.lit(0))
+                    - F.col("rsum") * F.col("csum") / F.col("n"),
+                    F.lit(2),
+                )
+                / (F.col("rsum") * F.col("csum") / F.col("n"))
+            ).alias("cell")
+        )
+        .agg(F.sum("cell").alias("chi2"))
+    )
+    return chi.crossJoin(F.broadcast(m)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        ((F.col("r") - 1) * (F.col("k") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("k") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

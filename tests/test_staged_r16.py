@@ -24,7 +24,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r16_batch_matches_staged():
     assert sorted(R16_BATCH) == sorted(STAGED)
-    assert len(R16_BATCH) == 7
+    assert len(R16_BATCH) == 9
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -317,3 +317,53 @@ def test_cohort_repeat_rate_replay_and_conservation(spark):
         assert row["repeat_rate_micro"] == rep * 1_000_000 // n
     # conservation: cohorts partition the customer base
     assert got["n_customers"].sum() == df["c"].nunique()
+
+
+def test_trimmed_stats_replay_and_robustness(spark):
+    got = (
+        STAGED["events_value_iqr_trimmed_stats"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = _pd("events")
+    cents = (ev["value"] * 100).round().astype("int64")
+    for et, sub in cents.groupby(ev["event_type"]):
+        g = np.sort(sub.to_numpy())
+        p25 = int(np.floor(np.percentile(g, 25, method="linear")))
+        p75 = int(np.floor(np.percentile(g, 75, method="linear")))
+        trim = g[(g >= p25) & (g <= p75)]
+        row = got.loc[et]
+        assert row["n_all"] == len(g)
+        assert row["p25_cents"] == p25 and row["p75_cents"] == p75
+        assert row["n_trim"] == len(trim)
+        assert row["trimmed_mean_cents_micro"] == int(
+            trim.sum()
+        ) * 1_000_000 // max(len(trim), 1)
+        # robustness: the trimmed mean sits inside the trim bounds
+        assert (
+            p25 * 1_000_000
+            <= row["trimmed_mean_cents_micro"]
+            <= p75 * 1_000_000
+        )
+
+
+def test_source_lang_association_replay_and_bounds(spark):
+    got = (
+        STAGED["docs_source_lang_association"].fn(spark, SF_DIR).toPandas()
+    )
+    assert len(got) == 1
+    docs = _pd("documents")
+    tab = pd.crosstab(docs["source"], docs["lang"])
+    n = tab.values.sum()
+    exp = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+    chi2 = (((tab.values - exp) ** 2) / exp).sum()
+    r, k = tab.shape
+    v = np.sqrt(chi2 / (n * min(r - 1, k - 1)))
+    row = got.iloc[0]
+    assert row["n_docs"] == n
+    assert row["dof"] == (r - 1) * (k - 1)
+    assert row["chi2"] == round(float(chi2), 6)
+    assert row["cramers_v"] == round(float(v), 6)
+    assert 0.0 <= row["cramers_v"] <= 1.0

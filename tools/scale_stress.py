@@ -465,6 +465,12 @@ EXTRA_FNS.update(
         "customer_cohort_repeat_rate": _staged16(
             "customer_cohort_repeat_rate"
         ),
+        "events_value_iqr_trimmed_stats": _staged16(
+            "events_value_iqr_trimmed_stats"
+        ),
+        "docs_source_lang_association": _staged16(
+            "docs_source_lang_association"
+        ),
     }
 )
 
@@ -838,6 +844,11 @@ MAX_EXPONENT = {
     # same-key join (exchange reuse), cohort rollup calendar-bounded.
     "docs_lang_temperature_ladder": 1.35,
     "customer_cohort_repeat_rate": 1.35,
+    # trimmed stats = per-type exact-percentile aggregate + one
+    # broadcast-bounds conditional aggregate; association runs on the
+    # vocabulary-bounded contingency domain after one scan.
+    "events_value_iqr_trimmed_stats": 1.35,
+    "docs_source_lang_association": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
