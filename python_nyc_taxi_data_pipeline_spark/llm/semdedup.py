@@ -325,7 +325,12 @@ HIER_BRANCH = 8  # children per cell per level (power of 2)
 # broadcasting and becomes a hash join on cell_id — at deep levels
 # there are many cells, so the join distributes with no skew.
 HIER_BROADCAST_CELLS = 4096
-HIER_MAX_LEVELS = 60  # hard depth backstop (log_b n is ~10 at 1e9 docs)
+# Hard depth backstop. log_8(n) is ~10 at 1e9 docs and ~13.4 at the
+# 1e12 design point; the no-shrink freeze below guarantees per-level
+# progress, so 20 is headroom, not a termination device. It must stay
+# <= 20: b-ary heap cell ids reach ~1.14*8^L at depth L, and depth 21
+# would push `cell * branch` past int64 (an ANSI arithmetic error).
+HIER_MAX_LEVELS = 20
 
 
 def _hier_rp_child(bits: int) -> str:
@@ -346,10 +351,14 @@ def _hier_rp_child(bits: int) -> str:
         # 0.618·2^32 apart mod 2^32 — equidistributed components (a
         # plain linear-congruential ramp here makes every plane ~the
         # all-ones direction and every level cut along the same axis,
-        # which collapsed the tree to 2-4 cells on this fixture). The
-        # inner pmod keeps the product under int64 (ANSI overflow).
+        # which collapsed the tree to 2-4 cells on this fixture). Both
+        # pmods keep products under int64 (ANSI overflow): cell is
+        # reduced BEFORE the salt multiply — deep heap ids reach ~2^60,
+        # and a raw `cell * 1103515245` overflows past depth ~11. For
+        # cell < 2^31 the reduction is the identity, so shallow-tree
+        # geometry (every realistic corpus) is unchanged.
         plane_j = (
-            "(CAST(pmod(pmod(cell * 1103515245"
+            "(CAST(pmod(pmod(pmod(cell, 2147483647) * 1103515245"
             f" + {p} * 12345 + j, 2147483647) * 2654435761,"
             " 4294967296) AS DOUBLE) / 4294967296.0E0) - 0.5E0"
         )
@@ -397,10 +406,15 @@ def semdedup_hier(
     - lineage is truncated per level (localCheckpoint) so the plan
       stays flat across levels;
     - the final within-cell ε-ball prune is the shared
-      ``_prune_within_clusters`` — the adaptive size gate HARD-BOUNDS
-      every cell at 2× target (even on adversarially clumped data,
-      which a fixed level count cannot promise), so the pair scan
-      stays O(n · {tcs}).
+      ``_prune_within_clusters`` — the adaptive size gate bounds every
+      SPLITTABLE cell at 2× target, so the pair scan stays
+      O(n · {tcs}). A cell no hyperplane can shrink (zero split
+      progress — e.g. more than 2× target EXACT-DUPLICATE embeddings,
+      whose mean-centered projections are all identical) is FROZEN at
+      its natural size instead of looping toward the depth backstop;
+      its within-cell pair scan is then the honest O(c²) cost of the
+      clump, which only upstream exact dedup (``dedup_exact``) can
+      remove.
 
     Cell GEOMETRY depends on float mean summation order in the last
     ulps (like every Lloyd-family clusterer), so this variant carries
@@ -420,8 +434,10 @@ def semdedup_hier(
     # boundary, (b) already-small cells are never over-split (recall
     # is not sacrificed to tree granularity), and (c) the bound on
     # the final cell size — and with it the within-cell pair scan —
-    # holds even on adversarially clumped data, which a fixed level
-    # count cannot promise. Cell ids use b-ary heap numbering
+    # holds for every cell a hyperplane CAN shrink; a cell that makes
+    # zero split progress (an exact-duplicate clump bigger than the
+    # cap) is frozen at its natural size by the no-shrink rule in the
+    # loop below. Cell ids use b-ary heap numbering
     # (child = cell*b + ch + 1), injective across depths, so stopped
     # leaves and live children never collide.
     cap = 2 * max(1, math.ceil(n_count / k))
@@ -432,20 +448,57 @@ def semdedup_hier(
     pts = e.withColumn("cell", F.lit(0).cast("bigint")).localCheckpoint(
         eager=True
     )
+    done: DataFrame | None = None
+    prev_cn: DataFrame | None = None  # (cell, cn) of cells split last level
     for _level in range(HIER_MAX_LEVELS):
         over = (
             pts.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("cn"))
             .filter(F.col("cn") > cap)
-            .select("cell")
         )
-        n_over_cells = over.count()  # metadata-scale aggregate
+        if prev_cn is not None:
+            # No-shrink FREEZE (termination guarantee): a still-
+            # oversized child holding its parent's ENTIRE count made
+            # zero split progress — every point produced the same sign
+            # pattern (exact-duplicate embeddings centered on their own
+            # mean project identically on every plane), and re-salting
+            # cannot separate identical inputs. Such a cell is final at
+            # its natural size; without this rule it loops to the depth
+            # backstop. Children are heap-numbered (cell >= 1), so the
+            # parent id is exact integer math.
+            stuck = (
+                over.withColumn(
+                    "parent", F.expr(f"(cell - 1) DIV {branch}")
+                )
+                .join(
+                    prev_cn.select(
+                        F.col("cell").alias("parent"),
+                        F.col("cn").alias("pcn"),
+                    ),
+                    "parent",
+                )
+                .filter(F.col("cn") == F.col("pcn"))
+                .select("cell")
+            )
+            over = over.join(stuck, "cell", "left_anti")
+        over = over.localCheckpoint(eager=True)  # metadata-scale frame
+        n_over_cells = over.count()
+        # Finished cells (small enough OR frozen) leave the loop — later
+        # levels never recount them, so per-level work truly decays.
+        fin = pts.join(
+            F.broadcast(over.select("cell"))
+            if n_over_cells <= HIER_BROADCAST_CELLS
+            else over.select("cell"),
+            "cell",
+            "left_anti",
+        )
+        done = fin if done is None else done.unionByName(fin)
         if n_over_cells == 0:
+            pts = None
             break
         if n_over_cells <= HIER_BROADCAST_CELLS:
             over = F.broadcast(over)
-        stay = pts.join(over, "cell", "left_anti")
-        sel = pts.join(over, "cell")
+        sel = pts.join(over.select("cell"), "cell")
         mu = (
             sel.select("cell", F.posexplode("v").alias("j", "x"))
             .groupBy("cell", "j")
@@ -469,8 +522,14 @@ def semdedup_hier(
                 + 1
             ).alias("cell"),
         )
-        pts = stay.unionByName(split).localCheckpoint(eager=True)
-    assign = pts.select(
+        pts = split.localCheckpoint(eager=True)
+        prev_cn = over.select("cell", "cn")
+    if pts is not None:
+        # Depth backstop exhausted with cells still oversized (cannot
+        # happen with the freeze rule short of ~8^20 genuine cells) —
+        # whatever remains is final at its current granularity.
+        done = pts if done is None else done.unionByName(pts)
+    assign = done.select(
         "vec_id",
         F.col("cell").alias("cluster_id"),
         "v",

@@ -5,15 +5,12 @@ round 16 via ``staged_r16.promote_to_registry(R16_BATCH)``.
 
 The seed:
 
-- ``embeddings_semdedup_hier_contract``: driver-checkable contract
-  over the hierarchical (RP-tree) SemDeDup clusterer — the at-scale
-  path the 16× rung adjudication names (hier 0.236 implied exponent
-  vs flat scaled-k IVF 1.195). Cell geometry is float-order
-  sensitive, so the query emits corpus-level FACTS the driver can
-  hash (the ``embeddings_semdedup_ivf_contract`` pattern): total
-  points, exactly-once assignment, the 2×⌈n/k⌉ hard cell-size cap,
-  every cell's lowest id kept, and kept-rate agreement with the flat
-  data-derived-k variant within a 10% band.
+- ``embeddings_quantization_sweep``: e1…e4 fixed-point precision
+  sweep (exact-representation counts + integer reconstruction-error
+  mass) — the how-many-bits table read before choosing int8/fp16/PQ.
+  Moved here from the r10 slate in the round-10 swap that pulled
+  ``embeddings_semdedup_hier_contract`` forward (r9 VERDICT
+  directive #2).
 - ``customer_order_gap_percentiles``: exact inter-order-gap
   percentiles (p50/p75) per market segment — repeat-purchase latency
   profiling: per-customer consecutive-order day gaps via a keyed lag
@@ -52,7 +49,7 @@ R16_BATCH: tuple[str, ...] = (
     "docs_lang_temperature_ladder",
     "docs_source_lang_association",
     "docs_vocab_coverage_ladder",
-    "embeddings_semdedup_hier_contract",
+    "embeddings_quantization_sweep",
     "events_peak_concurrency",
     "events_session_type_lift",
     "events_value_iqr_trimmed_stats",
@@ -87,98 +84,6 @@ def stage(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
         return fn
 
     return deco
-
-
-# --------------------------------------------------------------------
-# Hierarchical SemDeDup contract (corpus-level facts, driver-hashable)
-# --------------------------------------------------------------------
-
-HIER_KEPT_BAND_PPM = 100000  # kept-rate agreement band vs flat: 10%
-
-
-@stage(
-    "embeddings_semdedup_hier_contract",
-    oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS total_points,
-           TRUE AS all_assigned,
-           TRUE AS cells_within_cap,
-           TRUE AS lowest_ids_kept,
-           TRUE AS kept_rate_close
-    FROM embeddings
-    """,
-    tags=("llm", "dedup", "similarity", "clustering", "contract"),
-)
-def embeddings_semdedup_hier_contract(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Checkable contract pinning the hierarchical (RP-tree) SemDeDup
-    variant — the at-scale clusterer (16× rung: hier implied exponent
-    0.236 / 6.4 s warm vs flat scaled-k IVF 1.195 / 128.6 s). Cell
-    geometry depends on float mean summation order, so the query
-    emits corpus-level facts (the IVF-contract pattern), one row:
-
-    - ``total_points``: corpus size (oracle recomputes);
-    - ``all_assigned``: exactly one verdict per vector;
-    - ``cells_within_cap``: every cell ≤ 2×⌈n/k⌉ — the adaptive size
-      gate's hard bound, the property that keeps the within-cell pair
-      scan linear in corpus size;
-    - ``lowest_ids_kept``: the greedy prune kept each cell's lowest
-      vec_id;
-    - ``kept_rate_close``: |kept_hier − kept_flat| ≤ 10% of n vs the
-      flat data-derived-k variant (same ε, same prune — only the
-      partitioner differs, so survivor volume must broadly agree).
-
-    Scale (100 TB): the hier clusterer is O(n·log k·d) with no k·d
-    broadcast (see ``semdedup_hier``); the flat comparator rides the
-    same fixture-scale path the registered scaled-k stress variant
-    uses; everything else is one-row aggregate metadata."""
-    import math as _math
-
-    from .semdedup import (
-        SEMDEDUP_TARGET_CLUSTER_SIZE,
-        semdedup,
-        semdedup_hier,
-    )
-
-    n_corpus = load(spark, sf_dir, "embeddings").count()
-    k = max(1, _math.ceil(n_corpus / SEMDEDUP_TARGET_CLUSTER_SIZE))
-    cap = 2 * max(1, _math.ceil(n_corpus / k))
-    hier = semdedup_hier(spark, sf_dir).localCheckpoint(eager=True)
-    flat_kept = (
-        semdedup(spark, sf_dir, k=None)
-        .agg(F.sum(F.col("kept").cast("int")).alias("fk"))
-        .select(F.col("fk").cast("bigint").alias("flat_kept"))
-    )
-    per_cell = hier.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cn"),
-        F.expr("min_by(kept, vec_id)").alias("lowest_kept"),
-    )
-    cell_facts = per_cell.agg(
-        (F.max("cn") <= F.lit(cap)).alias("cells_within_cap"),
-        F.expr("bool_and(lowest_kept)").alias("lowest_ids_kept"),
-    )
-    hier_facts = hier.agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_points"),
-        F.countDistinct("vec_id").alias("n_distinct"),
-        F.sum(F.col("kept").cast("int")).cast("bigint").alias("hier_kept"),
-    )
-    band = F.lit(n_corpus * HIER_KEPT_BAND_PPM // 1000000)
-    return (
-        hier_facts.crossJoin(F.broadcast(cell_facts))
-        .crossJoin(F.broadcast(flat_kept))
-        .select(
-            "total_points",
-            (
-                (F.col("total_points") == F.lit(n_corpus))
-                & (F.col("n_distinct") == F.lit(n_corpus))
-            ).alias("all_assigned"),
-            "cells_within_cap",
-            "lowest_ids_kept",
-            (
-                F.abs(F.col("hier_kept") - F.col("flat_kept")) <= band
-            ).alias("kept_rate_close"),
-        )
-    )
 
 
 # --------------------------------------------------------------------
@@ -719,7 +624,9 @@ def _temperature_ladder_oracle() -> str:
     return f"""
     WITH per_lang AS (
       SELECT lang,
-             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT)
+               AS n_tokens
       FROM documents GROUP BY lang
     ), tot AS (
       SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per_lang
@@ -754,19 +661,23 @@ def _temperature_ladder_oracle() -> str:
 def docs_lang_temperature_ladder(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Temperature-mixture DESIGN TABLE: the registered single-α
-    language rebalance (q_l ∝ p_l^α) swept over α ∈ {TML_ALPHAS} —
+    """Temperature-mixture DESIGN TABLE: the temperature rebalance
+    rule (q_l ∝ p_l^α — the multilingual-sampling convention, cf. the
+    staged DoReMi/water-fill mixture family) swept over α ∈
+    {TML_ALPHAS} —
     per (α, lang): the temperature share, the per-token sample
     weight, and the mixture's EFFECTIVE language count (1/Σq², the
     participation-ratio diversity index; α=1 reproduces the natural
     mix, α→0 approaches uniform = |langs|). This is the table a
-    multilingual data recipe reads to PICK α — the single-α query
-    answers "what does α=0.3 do", the ladder answers "which α".
+    multilingual data recipe reads to PICK α.
 
-    Exactness: same convention as the registered mixture — double
-    pow/÷ rounded at 6 dp; the normalizer sums |langs| ≈ 5 doubles
-    whose order sensitivity (~1e-16 relative) sits far below the
-    rounding grain.
+    Exactness: double pow/÷ rounded at 6 dp; the normalizer sums
+    |langs| ≈ 5 doubles whose order sensitivity (~1e-16 relative)
+    sits far below the rounding grain. Token counts follow the
+    slate's shared convention (single-space split, EMPTY TOKENS
+    EXCLUDED — the `w <> ''` rule `docs_vocab_coverage_ladder` and
+    `corpus_filter_ablation_lattice` use), applied identically on
+    both engines.
 
     Scale (100 TB): ONE corpus scan to per-lang token totals;
     everything after runs on the |langs|×|alphas| metadata domain
@@ -776,7 +687,9 @@ def docs_lang_temperature_ladder(
     per_lang = (
         d.groupBy("lang")
         .agg(
-            F.sum(F.size(F.split("text", " ")))
+            F.sum(
+                F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+            )
             .cast("bigint")
             .alias("n_tokens")
         )
@@ -1150,4 +1063,89 @@ def docs_source_lang_association(
             ),
             6,
         ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------
+# Quantization precision sweep (how many bits does the index need)
+# --------------------------------------------------------------------
+
+QUANT_LEVELS = (10, 100, 1000, 10000)  # e1 .. e4 fixed-point scales
+
+
+def _quant_sweep_oracle() -> str:
+    levels = ", ".join(str(s) for s in QUANT_LEVELS)
+    return f"""
+    WITH x AS (
+      SELECT CAST(round(CAST(xv AS DOUBLE) * 10000.0, 0) AS BIGINT) AS q4
+      FROM (SELECT unnest(embedding) AS xv FROM embeddings)
+    ), lv AS (
+      SELECT unnest([{levels}]) AS scale_
+    ), err AS (
+      SELECT lv.scale_,
+             abs(x.q4 * lv.scale_ - CAST(round(CAST(x.q4 AS DOUBLE)
+                                               * lv.scale_ / 10000.0, 0)
+                                         AS BIGINT) * 10000) AS e_e4s
+      FROM x CROSS JOIN lv
+    )
+    SELECT scale_ AS quant_scale,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(CASE WHEN e_e4s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(max(e_e4s) AS BIGINT) AS max_abs_err_e4s,
+           CAST(sum(e_e4s) AS BIGINT) AS sum_abs_err_e4s
+    FROM err GROUP BY scale_
+    """
+
+
+@stage(
+    "embeddings_quantization_sweep",
+    oracle=_quant_sweep_oracle(),
+    tags=("llm", "embedding", "quantization", "report"),
+)
+def embeddings_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization precision sweep: for each fixed-point scale
+    (e1…e4), the exact-representation count and the absolute
+    reconstruction-error mass of quantizing every embedding
+    coordinate — the how-many-bits-does-the-index-need table read
+    before choosing int8 vs fp16 vs PQ for a 100 TB vector store
+    (when e2 already represents 99% of coordinates exactly, shipping
+    e4 wastes half the index bytes).
+
+    Exactness: coordinates first quantize to the canonical e4 integers
+    (the repo-wide exact grid); each coarser level re-quantizes THOSE
+    integers, so errors are exact integer differences in e4·scale
+    units — no float comparison anywhere. The inner round is
+    round-half-away on an exact ratio — the proven micro-quantize
+    pattern, identical cross-engine.
+
+    Scale (100 TB): one scan exploded to coordinates, a constant
+    4-way level fan-out, and a 4-group hash aggregate with map-side
+    combine — shuffle is 4 rows per partition."""
+    e = load(spark, sf_dir, "embeddings")
+    q4 = e.select(
+        F.explode("embedding").alias("xv")
+    ).select(
+        F.round(F.col("xv").cast("double") * 10000.0, 0).cast("bigint").alias("q4")
+    )
+    lv = F.array(*[F.lit(s) for s in QUANT_LEVELS])
+    err = q4.select(
+        "q4", F.explode(lv).alias("scale_")
+    ).select(
+        "scale_",
+        F.abs(
+            F.col("q4") * F.col("scale_")
+            - F.round(
+                F.col("q4").cast("double") * F.col("scale_") / 10000.0, 0
+            ).cast("bigint")
+            * 10000
+        ).alias("e_e4s"),
+    )
+    return err.groupBy(F.col("scale_").alias("quant_scale")).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.when(F.col("e_e4s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.max("e_e4s").alias("max_abs_err_e4s"),
+        F.sum("e_e4s").alias("sum_abs_err_e4s"),
     )

@@ -183,3 +183,12 @@ def _load_all() -> None:
     from .llm import staged_r9
 
     staged_r9.promote_to_registry(list(staged_r9.R9_BATCH))
+
+    # Round-10 registration: the 10-query R10_BATCH (9 r10-built names
+    # + the hier-SemDeDup contract pulled forward from the r16 seed in
+    # exchange for embeddings_quantization_sweep — r9 VERDICT directive
+    # #2). Window math: 10 new + the 40 stalest (the 10 remaining r5
+    # rows + the 30 oldest r6 rows) = 50; registry 210 -> 220.
+    from .llm import staged_r10
+
+    staged_r10.promote_to_registry(list(staged_r10.R10_BATCH))

@@ -1633,3 +1633,46 @@ def test_semdedup_hier_partition_balance_and_prune_laws(spark):
                 cos(emb[m.vec_id], emb[o.vec_id]) >= SEMDEDUP_COSINE
                 for o in mates
             ), m.vec_id
+
+
+def test_semdedup_hier_freezes_unsplittable_duplicate_clump(spark, tmp_path):
+    """An exact-duplicate clump BIGGER than the 2x-target cell cap can
+    never be separated by a mean-centered hyperplane (every member
+    projects identically), so the no-shrink freeze rule must stop
+    splitting it after one zero-progress level instead of looping to
+    the depth backstop — where b-ary heap cell ids would overflow
+    int64 (the r9 ADVICE crash scenario). Uses 0.1-style values whose
+    float mean is NOT exact, so the freeze is exercised on tiny-but-
+    nonzero centered vectors, not just literal zeros."""
+    from python_nyc_taxi_data_pipeline_spark.llm.semdedup import (
+        semdedup_hier,
+    )
+
+    clump = [(i, [0.1, 0.2, 0.3, 0.4]) for i in range(200)]
+    # 40 scattered singletons so the tree has real splitting to do too.
+    scatter = [
+        (
+            200 + i,
+            [
+                float((i * 37) % 13 - 6),
+                float((i * 17) % 11 - 5),
+                float((i * 29) % 7 - 3),
+                float(i % 5 + 1),
+            ],
+        )
+        for i in range(40)
+    ]
+    fixture = tmp_path / "sfclump"
+    fixture.mkdir()
+    spark.createDataFrame(
+        clump + scatter, "vec_id long, embedding array<float>"
+    ).write.parquet(str(fixture / "embeddings.parquet"))
+    rows = semdedup_hier(spark, str(fixture)).collect()
+    assert len(rows) == 240
+    assert len({r.vec_id for r in rows}) == 240
+    in_clump = [r for r in rows if r.vec_id < 200]
+    # Identical vectors always travel together: one frozen cell.
+    assert len({r.cluster_id for r in in_clump}) == 1
+    # cosine(identical) = 1 >= epsilon: greedy prune keeps only id 0.
+    kept = sorted(r.vec_id for r in in_clump if r.kept)
+    assert kept == [0]

@@ -414,41 +414,6 @@ def test_curriculum_manifest_property(spark):
         assert next_pos - 1 == g["n_docs"].sum()
 
 
-# --------------------------------------------------------------------
-# Quantization sweep — numpy referee + monotonicity laws
-# --------------------------------------------------------------------
-
-
-def test_quantization_sweep_replay(spark):
-    from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import QUANT_LEVELS
-
-    got = (
-        STAGED["embeddings_quantization_sweep"]
-        .fn(spark, SF_DIR)
-        .toPandas()
-        .sort_values("quant_scale", ignore_index=True)
-    )
-    emb = np.stack(_pd("embeddings")["embedding"].to_numpy()).astype(np.float64)
-    frac = emb.ravel() * 10000.0
-    q4 = np.round(frac)
-    half = np.isclose(np.abs(frac - np.trunc(frac)), 0.5)
-    q4 = np.where(half, np.trunc(frac) + np.sign(frac), q4).astype(np.int64)
-    assert (got["n_values"] == q4.size).all()
-    for r in got.itertuples():
-        ratio = q4.astype(np.float64) * r.quant_scale / 10000.0
-        rq = np.round(ratio)
-        h = np.isclose(np.abs(ratio - np.trunc(ratio)), 0.5)
-        rq = np.where(h, np.trunc(ratio) + np.sign(ratio), rq).astype(np.int64)
-        err = np.abs(q4 * r.quant_scale - rq * 10000)
-        assert r.n_exact == int((err == 0).sum()), r.quant_scale
-        assert r.max_abs_err_e4s == int(err.max()), r.quant_scale
-        assert r.sum_abs_err_e4s == int(err.sum()), r.quant_scale
-    # Monotone laws: finer scales are never less exact; e4 is lossless.
-    assert got["n_exact"].is_monotonic_increasing
-    assert got.iloc[-1]["n_exact"] == q4.size
-    assert got.iloc[-1]["sum_abs_err_e4s"] == 0
-
-
 def test_no_name_collisions_across_slates_and_registry():
     """Every staged slate must be disjoint from the live registry AND
     from every other slate — a collision only explodes on promotion
@@ -476,11 +441,12 @@ def test_no_name_collisions_across_slates_and_registry():
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
     live = set(all_queries())
-    # staged_r8/staged_r9 promoted into the registry in rounds 8/9 —
+    # staged_r8/r9/r10 promoted into the registry in rounds 8/9/10 —
     # they are now part of `live`, so only the still-pending slates
-    # are checked here.
+    # are checked here. The r10 slate must be a SUBSET of live (the
+    # registration actually happened), never a partial overlap.
+    assert set(STAGED) <= live, set(STAGED) - live
     slates = {
-        "r10": set(STAGED),
         "r11": set(S11),
         "r12": set(S12),
         "r13": set(S13),
@@ -526,3 +492,16 @@ def test_r11_seed_frame_sample_geometry(spark):
         rows, columns=["doc_id", "frame_idx", "n_bytes", "byte_sum", "first_byte"]
     )
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_hier_contract_facts_all_hold(spark):
+    got = (
+        STAGED["embeddings_semdedup_hier_contract"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert len(got) == 1
+    row = got[0]
+    assert row.total_points == len(_pd("embeddings"))
+    assert row.all_assigned and row.cells_within_cap
+    assert row.lowest_ids_kept and row.kept_rate_close

@@ -1,5 +1,7 @@
-"""Tests for llm/staged_r16.py — the round-16 seed (hier-SemDeDup
-contract, order-gap percentiles, session type lift)."""
+"""Tests for llm/staged_r16.py — the round-16 slate (order-gap
+percentiles, session type lift, ladders, quantization sweep; the
+hier-SemDeDup contract moved to the r10 slate in the round-10
+pull-forward swap)."""
 
 from __future__ import annotations
 
@@ -70,19 +72,6 @@ def test_staged_oracle_parity_sf0001(spark):
         assert not problems, f"{name}: {problems}"
         assert len(sdf) > 0, f"{name}: degenerate empty result"
     con.close()
-
-
-def test_hier_contract_facts_all_hold(spark):
-    got = (
-        STAGED["embeddings_semdedup_hier_contract"]
-        .fn(spark, SF_DIR)
-        .collect()
-    )
-    assert len(got) == 1
-    row = got[0]
-    assert row.total_points == len(_pd("embeddings"))
-    assert row.all_assigned and row.cells_within_cap
-    assert row.lowest_ids_kept and row.kept_rate_close
 
 
 def test_order_gap_percentiles_numpy_replay(spark):
@@ -251,7 +240,10 @@ def test_temperature_ladder_replay_and_limits(spark):
 
     got = STAGED["docs_lang_temperature_ladder"].fn(spark, SF_DIR).toPandas()
     docs = _pd("documents")
-    toks = docs["text"].map(lambda t: len(t.split(" ")))
+    # slate convention: single-space split, empty tokens excluded
+    toks = docs["text"].map(
+        lambda t: sum(1 for w in t.split(" ") if w != "")
+    )
     per_lang = toks.groupby(docs["lang"]).sum()
     total = per_lang.sum()
     langs = sorted(per_lang.index)
@@ -367,3 +359,35 @@ def test_source_lang_association_replay_and_bounds(spark):
     assert row["chi2"] == round(float(chi2), 6)
     assert row["cramers_v"] == round(float(v), 6)
     assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_quantization_sweep_replay(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import (
+        QUANT_LEVELS,
+    )
+
+    got = (
+        STAGED["embeddings_quantization_sweep"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("quant_scale", ignore_index=True)
+    )
+    emb = np.stack(_pd("embeddings")["embedding"].to_numpy()).astype(np.float64)
+    frac = emb.ravel() * 10000.0
+    q4 = np.round(frac)
+    half = np.isclose(np.abs(frac - np.trunc(frac)), 0.5)
+    q4 = np.where(half, np.trunc(frac) + np.sign(frac), q4).astype(np.int64)
+    assert (got["n_values"] == q4.size).all()
+    for r in got.itertuples():
+        ratio = q4.astype(np.float64) * r.quant_scale / 10000.0
+        rq = np.round(ratio)
+        h = np.isclose(np.abs(ratio - np.trunc(ratio)), 0.5)
+        rq = np.where(h, np.trunc(ratio) + np.sign(ratio), rq).astype(np.int64)
+        err = np.abs(q4 * r.quant_scale - rq * 10000)
+        assert r.n_exact == int((err == 0).sum()), r.quant_scale
+        assert r.max_abs_err_e4s == int(err.max()), r.quant_scale
+        assert r.sum_abs_err_e4s == int(err.sum()), r.quant_scale
+    # Monotone laws: finer scales are never less exact; e4 is lossless.
+    assert got["n_exact"].is_monotonic_increasing
+    assert got.iloc[-1]["n_exact"] == q4.size
+    assert got.iloc[-1]["sum_abs_err_e4s"] == 0

@@ -318,7 +318,6 @@ EXTRA_FNS_R10 = (
     "events_power_user_pareto",
     "orders_priority_sla",
     "docs_curriculum_shard_manifest",
-    "embeddings_quantization_sweep",
 )
 
 
@@ -436,21 +435,29 @@ EXTRA_FNS.update(
 )
 
 def _hier_contract_shufflejoin(spark, sf_dir):
-    """The r16 hier contract with broadcast disabled — the same
-    measurement rule as _semdedup_hier_scaledk: both its clusterer
-    pair joins cross the AQE broadcast threshold between 1x and 2x,
-    which reads as a fake super-linear step (measured 1.371 with
-    broadcast on, from the 1x frames riding BHJ for free)."""
-    from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import STAGED
+    """The hier contract (r10 slate after the round-10 pull-forward
+    swap) with broadcast disabled — the same measurement rule as
+    _semdedup_hier_scaledk: both its clusterer pair joins cross the
+    AQE broadcast threshold between 1x and 2x, which reads as a fake
+    super-linear step (measured 1.371 with broadcast on, from the 1x
+    frames riding BHJ for free)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r10 import STAGED
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     return STAGED["embeddings_semdedup_hier_contract"].fn(spark, sf_dir)
 
 
+# registered r10 slate member with a bespoke measurement rule
+EXTRA_FNS.update(
+    {"embeddings_semdedup_hier_contract": _hier_contract_shufflejoin}
+)
+
 # round-16 staged seed (llm/staged_r16.py)
 EXTRA_FNS.update(
     {
-        "embeddings_semdedup_hier_contract": _hier_contract_shufflejoin,
+        "embeddings_quantization_sweep": _staged16(
+            "embeddings_quantization_sweep"
+        ),
         "customer_order_gap_percentiles": _staged16(
             "customer_order_gap_percentiles"
         ),
