@@ -68,6 +68,7 @@ ISOLATED_QUERIES = (
     "embeddings_knn_label_probe",
     "embeddings_normalize_quantize",
     "embeddings_semdedup",
+    "embeddings_semdedup_hier_contract",
     "embeddings_semdedup_ivf_contract",
     "merge_into_orders",
     "retrieval_hybrid_ann_recall_eval",

@@ -20,6 +20,12 @@ The seed:
   expectation, support/confidence/lift in exact micro units (the
   ``orders_basket_lift`` operator family lifted onto sessionized
   behavioral data).
+- ``events_concurrency_time_integral`` (added in round 10, closing
+  the slate at 10): per-day busy user-µs (∫ concurrency dt) and exact
+  time-weighted average concurrency — the capacity twin of
+  ``events_peak_concurrency``; the engine's per-span day clipping and
+  the oracle's sweep-line are different algebras producing the same
+  integers (a cross-method identity, Little's-law bookkeeping).
 """
 
 from __future__ import annotations
@@ -50,6 +56,7 @@ R16_BATCH: tuple[str, ...] = (
     "docs_source_lang_association",
     "docs_vocab_coverage_ladder",
     "embeddings_quantization_sweep",
+    "events_concurrency_time_integral",
     "events_peak_concurrency",
     "events_session_type_lift",
     "events_value_iqr_trimmed_stats",
@@ -1148,4 +1155,181 @@ def embeddings_quantization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("n_exact"),
         F.max("e_e4s").alias("max_abs_err_e4s"),
         F.sum("e_e4s").alias("sum_abs_err_e4s"),
+    )
+
+
+# --------------------------------------------------------------------
+# Time-integral concurrency per day (the capacity twin of the peak)
+# --------------------------------------------------------------------
+
+ECI_DAY_US = 86_400_000_000
+
+
+def _concurrency_integral_oracle() -> str:
+    """Sweep-line replay: running concurrency over the ±1 boundary
+    stream (DuckDB's plain global cumulative), each constant-level
+    segment clipped to the days it spans — a genuinely DIFFERENT
+    algebra from the engine's per-span day clipping, so the hash
+    match is a cross-METHOD identity (∫conc dt == Σ span∩day), not
+    an implementation echo."""
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             date_diff('microsecond',
+                       TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  > {PCC_GAP_S} * 1000000 OR lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ), sess AS (
+      SELECT user_id, ts_us,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    ), spans AS (
+      SELECT user_id, sess_id,
+             min(ts_us) AS t0, max(ts_us) + 1 AS t1
+      FROM sess GROUP BY 1, 2
+    ), bounds AS (
+      SELECT t0 AS ts_us, 1 AS delta FROM spans
+      UNION ALL
+      SELECT t1 AS ts_us, -1 AS delta FROM spans
+    ), swept AS (
+      SELECT ts_us, delta,
+             sum(delta) OVER (
+               ORDER BY ts_us, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS conc,
+             lead(ts_us) OVER (ORDER BY ts_us, delta) AS nxt
+      FROM bounds
+    ), segs AS (
+      SELECT ts_us AS s, nxt AS t, conc
+      FROM swept WHERE nxt IS NOT NULL AND nxt > ts_us AND conc > 0
+    ), segfan AS (
+      SELECT s, t, conc,
+             unnest(generate_series(s // {ECI_DAY_US},
+                                    (t - 1) // {ECI_DAY_US})) AS day
+      FROM segs
+    ), segdays AS (
+      SELECT day,
+             conc * (least(t, (day + 1) * {ECI_DAY_US})
+                     - greatest(s, day * {ECI_DAY_US})) AS busy
+      FROM segfan
+    ), per_day AS (
+      SELECT day, CAST(sum(busy) AS BIGINT) AS busy_user_us
+      FROM segdays GROUP BY 1
+    ), spanfan AS (
+      SELECT unnest(generate_series(t0 // {ECI_DAY_US},
+                                    (t1 - 1) // {ECI_DAY_US})) AS day
+      FROM spans
+    ), active AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_sessions_active
+      FROM spanfan GROUP BY 1
+    )
+    SELECT CAST(p.day AS BIGINT) AS day,
+           a.n_sessions_active,
+           p.busy_user_us,
+           CAST(p.busy_user_us // 86400 AS BIGINT)
+             AS avg_concurrency_micro
+    FROM per_day p JOIN active a ON a.day = p.day
+    """
+
+
+@stage(
+    "events_concurrency_time_integral",
+    oracle=_concurrency_integral_oracle(),
+    tags=("events", "analytics", "timeseries", "sessions", "contract"),
+)
+def events_concurrency_time_integral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-INTEGRAL of session concurrency per day — the capacity
+    number the peak hides: busy user-microseconds (∫ concurrency dt)
+    and the day's time-WEIGHTED average concurrency in exact micro
+    units (busy_us DIV 86400, since a day is 86400e6 µs). Peak says
+    "provision for N"; the integral says what utilization actually
+    was — together they are the capacity-planning pair.
+
+    Method identity (the contract): the ENGINE computes the integral
+    WITHOUT ever materializing running concurrency — each session
+    span clips against the days it touches (explode + least/greatest,
+    all map-side after the shared keyed sessionization window) and
+    per-day overlap sums; the ORACLE computes the same integers by
+    sweep-line (global running ±1 cumulative × segment lengths, day-
+    clipped). ∫conc dt == Σ|span ∩ day| is Little's-law bookkeeping —
+    two independent algebras hashing identical means both are right.
+
+    Exactness: integer µs end to end; the only division is the final
+    DIV 86400 (truncating identically in both engines).
+
+    Scale (100 TB): sessionization is the shared keyed window; spans
+    compress the corpus to one row per session; the day explode fans
+    each span only to the days it ACTUALLY touches (sessions are
+    minutes long — fan-out ≈ 1); one hash aggregate on day. No global
+    windows, no collect — the engine-side plan never needs the
+    sweep-line's total order, which is exactly why this shape scales
+    where a naive port of the oracle would not."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(w_order).isNull()
+            | (
+                F.col("ts_us") - F.lag("ts_us").over(w_order)
+                > PCC_GAP_S * 1000000
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(w_cum))
+    spans = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts_us").alias("t0"),
+        (F.max("ts_us") + 1).alias("t1"),
+    )
+    clipped = spans.select(
+        "t0",
+        "t1",
+        F.explode(
+            F.expr(
+                f"sequence(t0 DIV {ECI_DAY_US}, (t1 - 1) DIV {ECI_DAY_US})"
+            )
+        ).alias("day"),
+    ).select(
+        "day",
+        (
+            F.least(F.col("t1"), (F.col("day") + 1) * F.lit(ECI_DAY_US))
+            - F.greatest(F.col("t0"), F.col("day") * F.lit(ECI_DAY_US))
+        ).alias("ov"),
+    )
+    return (
+        clipped.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions_active"),
+            F.sum("ov").cast("bigint").alias("busy_user_us"),
+        )
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "n_sessions_active",
+            "busy_user_us",
+            F.expr("CAST(busy_user_us DIV 86400 AS BIGINT)").alias(
+                "avg_concurrency_micro"
+            ),
+        )
     )

@@ -438,6 +438,9 @@ def test_no_name_collisions_across_slates_and_registry():
     from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import (
         STAGED as S16,
     )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+        STAGED as S17,
+    )
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
     live = set(all_queries())
@@ -453,6 +456,7 @@ def test_no_name_collisions_across_slates_and_registry():
         "r14": set(S14),
         "r15": set(S15),
         "r16": set(S16),
+        "r17": set(S17),
     }
     for name, s in slates.items():
         assert not (s & live), f"{name} collides with registry: {s & live}"

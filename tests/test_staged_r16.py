@@ -26,7 +26,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r16_batch_matches_staged():
     assert sorted(R16_BATCH) == sorted(STAGED)
-    assert len(R16_BATCH) == 9
+    assert len(R16_BATCH) == 10
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -391,3 +391,62 @@ def test_quantization_sweep_replay(spark):
     assert got["n_exact"].is_monotonic_increasing
     assert got.iloc[-1]["n_exact"] == q4.size
     assert got.iloc[-1]["sum_abs_err_e4s"] == 0
+
+
+def test_concurrency_time_integral_replay_and_identity(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r16 import (
+        ECI_DAY_US,
+        PCC_GAP_S,
+    )
+
+    got = (
+        STAGED["events_concurrency_time_integral"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    ev = _pd("events")
+    ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(ts_us=ts_us)
+    spans = []
+    for _, sub in ev.groupby("user_id"):
+        t0 = prev = None
+        for r in sub.sort_values(["ts_us", "event_id"]).itertuples():
+            if prev is None or r.ts_us - prev > PCC_GAP_S * 1_000_000:
+                if t0 is not None:
+                    spans.append((t0, prev + 1))
+                t0 = r.ts_us
+            prev = r.ts_us
+        spans.append((t0, prev + 1))
+    busy: dict[int, int] = {}
+    active: dict[int, int] = {}
+    for t0, t1 in spans:
+        for day in range(t0 // ECI_DAY_US, (t1 - 1) // ECI_DAY_US + 1):
+            lo = max(t0, day * ECI_DAY_US)
+            hi = min(t1, (day + 1) * ECI_DAY_US)
+            busy[day] = busy.get(day, 0) + (hi - lo)
+            active[day] = active.get(day, 0) + 1
+    assert got.index.tolist() == sorted(busy)
+    for day in sorted(busy):
+        assert got.loc[day, "busy_user_us"] == busy[day]
+        assert got.loc[day, "n_sessions_active"] == active[day]
+        assert (
+            got.loc[day, "avg_concurrency_micro"] == busy[day] // 86400
+        )
+    # Little's-law bookkeeping: the day-clipped integral conserves the
+    # total session time exactly.
+    assert got["busy_user_us"].sum() == sum(t1 - t0 for t0, t1 in spans)
+    # and the integral is consistent with the sibling peak query:
+    # avg (busy/day) can never exceed that day's peak concurrency.
+    peak = (
+        STAGED["events_peak_concurrency"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("day")
+    )
+    for day in got.index:
+        if day in peak.index:
+            assert got.loc[day, "avg_concurrency_micro"] <= (
+                peak.loc[day, "peak_concurrent"] * 1_000_000
+            )

@@ -1,0 +1,226 @@
+"""Tests for llm/staged_r17.py — the round-17 seed (interval-overlap
+pair join, daily autocorrelation, image aHash near-dup)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from python_nyc_taxi_data_pipeline_spark.catalog import FIXTURE_TABLES
+from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+    AH_GROUPS,
+    AH_TH,
+    AH_TW,
+    CUP_GAP_S,
+    DAC_LAGS,
+    R17_BATCH,
+    STAGED,
+)
+from tests.conftest import SF_DIR
+
+
+def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
+    return duckdb.sql(
+        f"SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+    ).fetchdf()
+
+
+def test_r17_batch_matches_staged():
+    assert sorted(R17_BATCH) == sorted(STAGED)
+    assert len(R17_BATCH) == 3
+
+
+def test_staged_plans_carry_no_antipatterns(spark):
+    from tests.test_plans import (
+        _benign_single_partition,
+        _single_partition_exchange_ids,
+        plan_of,
+    )
+
+    flagged = {}
+    for name, q in STAGED.items():
+        p = plan_of(q.fn(spark, SF_DIR))
+        bad = []
+        if "CartesianProduct" in p:
+            bad.append("cartesian")
+        if "BatchEvalPython" in p:
+            bad.append("row-udf")
+        sp = [
+            i
+            for i in _single_partition_exchange_ids(p)
+            if not _benign_single_partition(p, i)
+        ]
+        if sp:
+            bad.append(f"single-partition {sp}")
+        if bad:
+            flagged[name] = bad
+    assert flagged == {}
+
+
+def test_staged_oracle_parity_sf0001(spark):
+    from tools.oracle_check import compare
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    for name, q in STAGED.items():
+        sdf = q.fn(spark, SF_DIR).toPandas()
+        ddf = con.execute(q.oracle).fetchdf()
+        problems = compare(name, sdf, ddf)
+        assert not problems, f"{name}: {problems}"
+        assert len(sdf) > 0, f"{name}: degenerate empty result"
+    con.close()
+
+
+# --------------------------------------------------------------------
+# Interval-overlap pairs — brute-force pandas referee + laws
+# --------------------------------------------------------------------
+
+
+def _sessions(ev: pd.DataFrame, gap_s: int) -> list[tuple[int, int, int]]:
+    ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(ts_us=ts_us)
+    spans = []
+    for uid, sub in ev.groupby("user_id"):
+        t0 = prev = None
+        for r in sub.sort_values(["ts_us", "event_id"]).itertuples():
+            if prev is None or r.ts_us - prev > gap_s * 1_000_000:
+                if t0 is not None:
+                    spans.append((int(uid), t0, prev + 1))
+                t0 = r.ts_us
+            prev = r.ts_us
+        spans.append((int(uid), t0, prev + 1))
+    return spans
+
+
+def test_concurrent_pairs_bruteforce_replay(spark):
+    got = (
+        STAGED["events_concurrent_user_pairs"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index(["user_a", "user_b"])
+        .sort_index()
+    )
+    spans = _sessions(_pd("events"), CUP_GAP_S)
+    want: dict[tuple, list[int]] = {}
+    for i, (ua, a0, a1) in enumerate(spans):
+        for ub, b0, b1 in spans[i + 1:]:
+            if ua == ub:
+                continue
+            lo, hi = max(a0, b0), min(a1, b1)
+            if lo < hi:
+                key = (min(ua, ub), max(ua, ub))
+                w = want.setdefault(key, [0, 0])
+                w[0] += 1
+                w[1] += hi - lo
+    assert sorted(got.index) == sorted(want)
+    for key, (n, us) in want.items():
+        assert got.loc[key, "n_overlaps"] == n
+        assert got.loc[key, "overlap_us"] == us
+    # laws: canonical pair order; every overlap is at least 1 µs
+    assert (
+        got.index.get_level_values(0) < got.index.get_level_values(1)
+    ).all()
+    assert (got["overlap_us"] >= got["n_overlaps"]).all()
+
+
+# --------------------------------------------------------------------
+# Daily autocorrelation — numpy referee + Cauchy–Schwarz law
+# --------------------------------------------------------------------
+
+
+def test_daily_autocorr_numpy_replay(spark):
+    got = (
+        STAGED["orders_daily_autocorr"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("lag_days")
+        .sort_index()
+    )
+    orders = _pd("orders")
+    day = (
+        pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    lo, hi = int(day.min()), int(day.max())
+    c = np.zeros(hi - lo + 1, dtype=np.int64)
+    for d, n in day.value_counts().items():
+        c[int(d) - lo] = n
+    n_days, s = len(c), int(c.sum())
+    r = n_days * c - s  # exact n-scaled residuals
+    den = int((r.astype(object) * r.astype(object)).sum())
+    assert sorted(got.index) == sorted(DAC_LAGS)
+    for k in DAC_LAGS:
+        num = int((r[:-k].astype(object) * r[k:].astype(object)).sum())
+        row = got.loc[k]
+        assert row["n_pairs"] == n_days - k
+        assert row["num_scaled"] == num
+        assert row["den_scaled"] == den
+        assert row["autocorr"] == round(num / den, 6)
+        # Cauchy–Schwarz: the lagged inner product never exceeds the
+        # full-series energy
+        assert abs(row["autocorr"]) <= 1.0
+    # the weekly lag should dominate the monthly echo's NOISE floor
+    # only directionally — no magnitude law asserted (fixture-driven).
+
+
+# --------------------------------------------------------------------
+# Image aHash — full python replay of synth→resize→hash + laws
+# --------------------------------------------------------------------
+
+
+def _ahash_of(doc_id: int) -> tuple[int, int]:
+    g = doc_id % AH_GROUPS
+    w, h = 6 + g % 5, 5 + g % 4
+    n = w * h * 3
+    v = [(g * 131 + i * 7) % 256 for i in range(n)]
+    p = doc_id % n
+    v[p] = (v[p] + (doc_id // AH_GROUPS) % 7) % 256
+    gray = []
+    for y in range(AH_TH):
+        for x in range(AH_TW):
+            sy, sx = (y * h) // AH_TH, (x * w) // AH_TW
+            base = (sy * w + sx) * 3
+            gray.append((v[base] + v[base + 1] + v[base + 2]) // 3)
+    mu = sum(gray) // len(gray)
+    sig = sum(1 << j for j, gv in enumerate(gray) if gv > mu)
+    return g, sig
+
+
+def test_image_ahash_python_replay(spark):
+    got = (
+        STAGED["docs_image_ahash_neardup"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("ahash")
+        .sort_index()
+    )
+    doc_ids = sorted(_pd("documents")["doc_id"].astype(int))
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for did in doc_ids:
+        g, sig = _ahash_of(did)
+        buckets.setdefault(sig, []).append((did, g))
+    assert got.index.tolist() == sorted(buckets)
+    for sig, members in buckets.items():
+        row = got.loc[sig]
+        assert row["n_images"] == len(members)
+        assert row["n_templates"] == len({g for _, g in members})
+        assert row["min_doc_id"] == min(d for d, _ in members)
+        assert row["n_dup_pairs"] == len(members) * (len(members) - 1) // 2
+    # conservation: buckets partition the corpus
+    assert int(got["n_images"].sum()) == len(doc_ids)
+    # near-dup recall law: the single-byte scratch leaves most group
+    # members in ONE bucket — every template must have a dominant
+    # bucket holding a strict majority of its members.
+    per_template: dict[int, dict[int, int]] = {}
+    for sig, members in buckets.items():
+        for _, g in members:
+            per_template.setdefault(g, {}).setdefault(sig, 0)
+            per_template[g][sig] += 1
+    for g, sigs in per_template.items():
+        total = sum(sigs.values())
+        assert max(sigs.values()) * 2 > total, (g, sigs)

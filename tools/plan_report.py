@@ -186,6 +186,19 @@ HEADLINERS = [
         "n-row verdict frames into a scalar row.",
     ),
     (
+        "embeddings_semdedup_hier_contract",
+        "Hier-SemDeDup contract (registered r10): the RP-tree "
+        "clusterer's per-level work is a keyed count + per-oversized-"
+        "cell mean aggregate + map-side sign fold, each level behind "
+        "a localCheckpoint barrier (plan stays flat across depths); "
+        "finished/frozen cells LEAVE the loop (anti-join against the "
+        "oversized set) so later levels shrink; the (cell->mean) "
+        "table broadcasts while metadata-sized and hash-joins on "
+        "cell_id past 4096 cells; the within-cell pair scan shuffles "
+        "on cluster_id only; the flat comparator and the one-row fact "
+        "aggregates ride broadcast crossJoins.",
+    ),
+    (
         "docs_minhash_oph_pairs",
         "Densified OPH MinHash (staged r7): ONE xxhash64 per shingle; "
         "the hash array, the 16-bin mins, and the densified signature "

@@ -307,6 +307,17 @@ def _staged16(name: str):
     return fn
 
 
+def _staged17(name: str):
+    """Resolve a round-17 STAGED query (llm/staged_r17.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
 # round-10 staged candidates (llm/staged_r10.py)
 EXTRA_FNS_R10 = (
     "docs_doremi_reweight_step",
@@ -478,6 +489,20 @@ EXTRA_FNS.update(
         "docs_source_lang_association": _staged16(
             "docs_source_lang_association"
         ),
+        "events_concurrency_time_integral": _staged16(
+            "events_concurrency_time_integral"
+        ),
+    }
+)
+
+# round-17 staged seed (llm/staged_r17.py)
+EXTRA_FNS.update(
+    {
+        "events_concurrent_user_pairs": _staged17(
+            "events_concurrent_user_pairs"
+        ),
+        "orders_daily_autocorr": _staged17("orders_daily_autocorr"),
+        "docs_image_ahash_neardup": _staged17("docs_image_ahash_neardup"),
     }
 )
 
@@ -856,6 +881,21 @@ MAX_EXPONENT = {
     # vocabulary-bounded contingency domain after one scan.
     "events_value_iqr_trimmed_stats": 1.35,
     "docs_source_lang_association": 1.35,
+    # time integral = the shared keyed sessionization + a ~1-fan day
+    # explode + one day-group agg — event-volume work is the window
+    # pass, like the peak query it twins.
+    "events_concurrency_time_integral": 1.35,
+    # r17 seed. concurrent pairs' banded self-join grows with hourly
+    # concurrency² — under uniform event inflation concurrency rises
+    # linearly, so the pair stage is intrinsically steeper than the
+    # scan (like the registered q·n kNN contracts); the 1.9 ceiling
+    # pins it BELOW the all-pairs cliff while admitting the output's
+    # own quadratic density growth. Autocorr is one day-group agg +
+    # metadata-spine math; aHash is pure Arrow map stages + a ≤2^16-
+    # group agg.
+    "events_concurrent_user_pairs": 1.9,
+    "orders_daily_autocorr": 1.35,
+    "docs_image_ahash_neardup": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
