@@ -31,6 +31,17 @@ The seed (operator families the engine does not cover yet):
   nearest-neighbor resample arithmetic, integer grayscale, mean
   threshold, bit packing — in pure SQL, so the driver hash verifies
   the perceptual-hash GEOMETRY end to end.
+- ``events_error_context_window``: the windowed-count RANGE join
+  (stream-stream-join shape in batch) — per error event, the count /
+  error-share / recency-gap of same-user events in the 5 minutes
+  strictly before it, via the two-band probe decomposition (an
+  equi-join on (user, band) + residual range filter); the oracle
+  correlates with the raw range predicate.
+- ``lineitem_business_day_latency``: ship latency in BUSINESS days
+  per order priority — the closed-form weekday count W(d) =
+  5·(d DIV 7) + cum[d mod 7] (epoch-anchored) turns business-days-
+  between into two O(1) integer evaluations; no calendar table, no
+  UDF.
 """
 
 from __future__ import annotations
@@ -57,6 +68,8 @@ STAGED: dict[str, StagedQuery] = {}
 R17_BATCH: tuple[str, ...] = (
     "docs_image_ahash_neardup",
     "events_concurrent_user_pairs",
+    "events_error_context_window",
+    "lineitem_business_day_latency",
     "orders_daily_autocorr",
 )
 
@@ -568,4 +581,257 @@ docs_image_ahash_neardup.__doc__ = (
     .replace("{tw}", str(AH_TW))
     .replace("{th}", str(AH_TH))
     .replace("{cells}", str(AH_TW * AH_TH))
+)
+
+
+# --------------------------------------------------------------------
+# Error context window (windowed-count range join over event streams)
+# --------------------------------------------------------------------
+
+ECW_WINDOW_US = 300_000_000  # the 5-minute pre-error context window
+
+
+def _error_context_oracle() -> str:
+    """Naive algebra: correlate each error directly against the same
+    user's events with the raw range predicate — no banding. Matching
+    hashes prove the engine's two-band probe decomposition exact."""
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             date_diff('microsecond',
+                       TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+      FROM events
+    ), err AS (
+      SELECT user_id, event_id AS error_id, ts_us AS err_ts
+      FROM e WHERE event_type = 'error'
+    ), ctx AS (
+      SELECT r.error_id,
+             CAST(count(*) AS BIGINT) AS n_prior,
+             CAST(sum(CASE WHEN c.event_type = 'error'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_prior_errors,
+             max(c.ts_us) AS last_ts
+      FROM err r
+      JOIN e c ON c.user_id = r.user_id
+              AND c.ts_us >= r.err_ts - {ECW_WINDOW_US}
+              AND c.ts_us < r.err_ts
+      GROUP BY 1
+    )
+    SELECT r.error_id, r.user_id,
+           CAST(COALESCE(c.n_prior, 0) AS BIGINT) AS n_prior,
+           CAST(COALESCE(c.n_prior_errors, 0) AS BIGINT)
+             AS n_prior_errors,
+           CAST(COALESCE(r.err_ts - c.last_ts, -1) AS BIGINT)
+             AS last_gap_us
+    FROM err r LEFT JOIN ctx c ON c.error_id = r.error_id
+    """
+
+
+@stage(
+    "events_error_context_window",
+    oracle=_error_context_oracle(),
+    tags=("events", "join", "interval", "window"),
+)
+def events_error_context_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRE-ERROR CONTEXT — the windowed-count RANGE join (the
+    stream-stream-join shape in batch): for every error event, how
+    many same-user events landed in the 5 minutes strictly BEFORE it,
+    how many of those were themselves errors (error bursts), and the
+    gap to the most recent one (−1 when the window is empty — the
+    cold-start error). The triage table an on-call reads: errors with
+    dense click context are UX failures, errors preceded by errors
+    are cascades, context-free errors are background noise.
+
+    Decomposition: a 5-minute window can only reach back into the
+    error's own time band or the one before it (band = ts DIV window),
+    so each error probes exactly TWO (user, band) keys and the range
+    join becomes an EQUI-join on (user_id, band) + a residual range
+    filter — every context event lives in exactly one band, so no
+    probe double-counts and no distinct pass is needed. The oracle
+    correlates with the raw range predicate (no banding) — matching
+    hashes prove the decomposition, not just self-consistency.
+
+    Exactness: integer µs; strict `< err_ts` excludes the error
+    itself and any same-microsecond tie on BOTH engines; the empty
+    window is pinned to −1 (not NULL) on both.
+
+    Scale (100 TB): the equi-join shuffles on (user_id, band) — skew
+    bounded by a single user's 5-minute burst rate, the physically
+    meaningful hot key; probes are 2 rows per error; output is one
+    row per error. No global windows, no collect."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts_us").alias("err_ts"),
+    )
+    probes = err.select(
+        "user_id",
+        "error_id",
+        "err_ts",
+        F.explode(
+            F.expr(
+                f"array(err_ts DIV {ECW_WINDOW_US} - 1,"
+                f" err_ts DIV {ECW_WINDOW_US})"
+            )
+        ).alias("band"),
+    )
+    ctx = e.select(
+        "user_id",
+        F.expr(f"ts_us DIV {ECW_WINDOW_US}").alias("band"),
+        F.col("ts_us").alias("c_ts"),
+        F.col("event_type").alias("c_type"),
+    )
+    hits = (
+        probes.join(ctx, ["user_id", "band"])
+        .filter(
+            (F.col("c_ts") >= F.col("err_ts") - F.lit(ECW_WINDOW_US))
+            & (F.col("c_ts") < F.col("err_ts"))
+        )
+        .groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_prior"),
+            F.sum(F.when(F.col("c_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_prior_errors"),
+            F.max("c_ts").alias("last_ts"),
+        )
+    )
+    return err.join(hits, "error_id", "left").select(
+        "error_id",
+        "user_id",
+        F.coalesce(F.col("n_prior"), F.lit(0))
+        .cast("bigint")
+        .alias("n_prior"),
+        F.coalesce(F.col("n_prior_errors"), F.lit(0))
+        .cast("bigint")
+        .alias("n_prior_errors"),
+        F.coalesce(F.col("err_ts") - F.col("last_ts"), F.lit(-1))
+        .cast("bigint")
+        .alias("last_gap_us"),
+    )
+
+
+# --------------------------------------------------------------------
+# Business-day ship latency (calendar arithmetic, closed form)
+# --------------------------------------------------------------------
+
+# Weekdays among the first r days starting from the epoch (1970-01-01
+# was a THURSDAY): dows run (Thu Fri Sat Sun Mon Tue Wed); the
+# cumulative weekday count for r = 0..6 is below (full week adds 5).
+BDL_CUM = (0, 1, 2, 2, 2, 3, 4)
+
+
+def _busday_oracle() -> str:
+    cum = ", ".join(str(c) for c in BDL_CUM)
+    w = (
+        f"(5 * (({{d}}) // 7) + ([{cum}])[(({{d}}) % 7) + 1])"
+    )
+    return f"""
+    WITH j AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o.o_orderdate AS DATE)) AS d0,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(l.l_shipdate AS DATE)) AS d1
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), lat AS (
+      SELECT priority,
+             d1 - d0 AS cal_days,
+             {w.format(d="d1 + 1")} - {w.format(d="d0 + 1")} AS bus_days
+      FROM j
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(bus_days) AS BIGINT) AS sum_bus_days,
+           CAST(sum(bus_days) * 1000000 // count(*) AS BIGINT)
+             AS mean_bus_days_micro,
+           CAST(sum(cal_days) * 1000000 // count(*) AS BIGINT)
+             AS mean_cal_days_micro,
+           CAST(max(bus_days) AS BIGINT) AS max_bus_days
+    FROM lat GROUP BY 1
+    """
+
+
+@stage(
+    "lineitem_business_day_latency",
+    oracle=_busday_oracle(),
+    tags=("warehouse", "analytics", "calendar"),
+)
+def lineitem_business_day_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ship latency in BUSINESS DAYS per order priority — the calendar
+    arithmetic the SLA dashboards actually quote ("ships in 3 business
+    days"): the closed-form weekday count W(d) = 5·(d DIV 7) +
+    cum[(d mod 7)] (epoch-anchored — 1970-01-01 was a Thursday, so
+    cum = {BDL_CUM}) turns business-days-between into two O(1) integer
+    evaluations, B(d0, d1] = W(d1+1) − W(d0+1) — no calendar table, no
+    UDF, no iteration; weekends are exact, holidays are a follow-up
+    dimension table. Sits next to the registered calendar-day SLA
+    (`orders_priority_sla`) — the referee proves the closed form
+    against a literal datetime walk.
+
+    Exactness: pure integer day arithmetic; means are integer-micro
+    divisions (identical truncation on both engines). The count is
+    SIGNED — a ship date before its order date yields a negative
+    latency (W is monotone, so B(d0,d1] = −B(d1,d0]), which is the
+    honest rendering of a data error the calendar-day SLA also
+    surfaces; filter `bus_days < 0` upstream to quarantine them.
+
+    Scale (100 TB): the co-partitioned lineitem⋈orders fact join (both
+    shuffle on orderkey; AQE picks the strategy) + a 5-group hash
+    aggregate with map-side combine. The latency math is whole-stage
+    codegen — no UDF in the hot path."""
+    cum_arr = ", ".join(str(c) for c in BDL_CUM)
+
+    def w(d: str) -> str:
+        return (
+            f"(5 * (({d}) DIV 7)"
+            f" + element_at(array({cum_arr}), CAST(({d}) % 7 AS INT) + 1))"
+        )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01")
+        ).alias("d1"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("d0"),
+    )
+    lat = li.join(o, "l_orderkey").select(
+        "priority",
+        (F.col("d1") - F.col("d0")).alias("cal_days"),
+        F.expr(f"{w('d1 + 1')} - {w('d0 + 1')}").alias("bus_days"),
+    )
+    return lat.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("bus_days").cast("bigint").alias("sum_bus_days"),
+        F.expr(
+            "CAST(sum(bus_days) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("mean_bus_days_micro"),
+        F.expr(
+            "CAST(sum(cal_days) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("mean_cal_days_micro"),
+        F.max("bus_days").cast("bigint").alias("max_bus_days"),
+    )
+
+
+lineitem_business_day_latency.__doc__ = (
+    lineitem_business_day_latency.__doc__.replace("{BDL_CUM}", str(BDL_CUM))
 )

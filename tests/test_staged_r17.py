@@ -12,8 +12,10 @@ from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
     AH_GROUPS,
     AH_TH,
     AH_TW,
+    BDL_CUM,
     CUP_GAP_S,
     DAC_LAGS,
+    ECW_WINDOW_US,
     R17_BATCH,
     STAGED,
 )
@@ -28,7 +30,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r17_batch_matches_staged():
     assert sorted(R17_BATCH) == sorted(STAGED)
-    assert len(R17_BATCH) == 3
+    assert len(R17_BATCH) == 5
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -224,3 +226,112 @@ def test_image_ahash_python_replay(spark):
     for g, sigs in per_template.items():
         total = sum(sigs.values())
         assert max(sigs.values()) * 2 > total, (g, sigs)
+
+
+# --------------------------------------------------------------------
+# Error context window — brute-force pandas referee + laws
+# --------------------------------------------------------------------
+
+
+def test_error_context_window_bruteforce_replay(spark):
+    got = (
+        STAGED["events_error_context_window"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("error_id")
+        .sort_index()
+    )
+    ev = _pd("events")
+    ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    ev = ev.assign(ts_us=ts_us)
+    by_user = {u: sub for u, sub in ev.groupby("user_id")}
+    errors = ev[ev["event_type"] == "error"]
+    assert sorted(got.index) == sorted(errors["event_id"])
+    for r in errors.itertuples():
+        sub = by_user[r.user_id]
+        win = sub[
+            (sub["ts_us"] >= r.ts_us - ECW_WINDOW_US)
+            & (sub["ts_us"] < r.ts_us)
+        ]
+        row = got.loc[r.event_id]
+        assert row["user_id"] == r.user_id
+        assert row["n_prior"] == len(win)
+        assert row["n_prior_errors"] == int(
+            (win["event_type"] == "error").sum()
+        )
+        if len(win):
+            assert row["last_gap_us"] == r.ts_us - int(win["ts_us"].max())
+            assert 0 < row["last_gap_us"] <= ECW_WINDOW_US
+        else:
+            assert row["last_gap_us"] == -1
+    # law: error context never exceeds total prior context
+    assert (got["n_prior_errors"] <= got["n_prior"]).all()
+
+
+# --------------------------------------------------------------------
+# Business-day latency — datetime-walk referee for the closed form
+# --------------------------------------------------------------------
+
+
+def test_business_day_closed_form_matches_datetime_walk(spark):
+    from datetime import date, timedelta
+
+    got = (
+        STAGED["lineitem_business_day_latency"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("priority")
+        .sort_index()
+    )
+
+    def w(d: int) -> int:
+        return 5 * (d // 7) + BDL_CUM[d % 7]
+
+    def walk(d0: int, d1: int) -> int:
+        # literal weekday walk over (d0, d1]; SIGNED when d1 < d0
+        # (the fixture contains ship-before-order rows — the closed
+        # form counts them negative, surfacing the data error)
+        if d1 < d0:
+            return -walk(d1, d0)
+        epoch = date(1970, 1, 1)
+        n = 0
+        for d in range(d0 + 1, d1 + 1):
+            if (epoch + timedelta(days=d)).weekday() < 5:
+                n += 1
+        return n
+
+    li = _pd("lineitem")
+    orders = _pd("orders").set_index("o_orderkey")
+    d1 = (
+        pd.to_datetime(li["l_shipdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    d0 = (
+        pd.to_datetime(
+            li["l_orderkey"].map(orders["o_orderdate"])
+        ).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    pri = li["l_orderkey"].map(orders["o_orderpriority"])
+    bus = (d1 + 1).map(w) - (d0 + 1).map(w)
+    cal = d1 - d0
+    # closed form == the literal walk on a spot sample (the formula's
+    # correctness proof; the full frame uses the closed form)
+    for i in li.index[:200]:
+        assert bus[i] == walk(int(d0[i]), int(d1[i])), (d0[i], d1[i])
+    df = pd.DataFrame({"pri": pri, "bus": bus, "cal": cal})
+    for p, sub in df.groupby("pri"):
+        row = got.loc[p]
+        assert row["n_lines"] == len(sub)
+        assert row["sum_bus_days"] == int(sub["bus"].sum())
+        assert row["mean_bus_days_micro"] == int(
+            sub["bus"].sum() * 1_000_000 // len(sub)
+        )
+        assert row["mean_cal_days_micro"] == int(
+            sub["cal"].sum() * 1_000_000 // len(sub)
+        )
+        assert row["max_bus_days"] == int(sub["bus"].max())
+    # law: |business days| never exceed |calendar days|, and the two
+    # always share a sign (zero-crossing only together)
+    assert (bus.abs() <= cal.abs()).all()
+    assert ((bus == 0) | (bus * cal > 0)).all()

@@ -503,6 +503,12 @@ EXTRA_FNS.update(
         ),
         "orders_daily_autocorr": _staged17("orders_daily_autocorr"),
         "docs_image_ahash_neardup": _staged17("docs_image_ahash_neardup"),
+        "events_error_context_window": _staged17(
+            "events_error_context_window"
+        ),
+        "lineitem_business_day_latency": _staged17(
+            "lineitem_business_day_latency"
+        ),
     }
 )
 
@@ -896,6 +902,12 @@ MAX_EXPONENT = {
     "events_concurrent_user_pairs": 1.9,
     "orders_daily_autocorr": 1.35,
     "docs_image_ahash_neardup": 1.35,
+    # error context is a SAME-USER (user, band) equi-join — the
+    # inflater key-shifts users, so per-key density stays constant and
+    # the join grows with the error count; business-day latency is the
+    # co-partitioned fact join + a 5-group agg of O(1) integer math.
+    "events_error_context_window": 1.35,
+    "lineitem_business_day_latency": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
