@@ -42,6 +42,25 @@ The seed (operator families the engine does not cover yet):
   5·(d DIV 7) + cum[d mod 7] (epoch-anchored) turns business-days-
   between into two O(1) integer evaluations; no calendar table, no
   UDF.
+- ``docs_length_bootstrap_ci``: deterministic POISSON BOOTSTRAP of
+  the mean document length (the resampling family): per-(doc, rep)
+  Poisson(1) weights from md5-derived uniforms via repr()-exact
+  inverse-CDF literals — identical integer weights on both engines,
+  pure map-side, no shared state.
+- ``docs_char_entropy_quality``: character-entropy compression proxy
+  per source (low entropy = boilerplate/padding/keyword stuffing) —
+  per-term micro rounding before the sum (the interarrival-entropy
+  order-free convention).
+- ``customer_churn_training_frame``: point-in-time LEAKAGE-SAFE
+  feature/label extraction — pre-cutoff features, post-cutoff churn
+  label, one conditional-aggregation pass.
+- ``lineitem_approx_percentile_contract``: AQP accuracy contract for
+  ``percentile_approx`` (Greenwald–Khanna) — a second exact pass
+  verifies every approximate answer's true rank sits inside the
+  guaranteed q·n ± n/accuracy band, booleans the oracle pins TRUE.
+- ``orders_dow_adjusted_anomalies``: weekday-baseline residuals with
+  a 5×MAD robust threshold — the seasonally-adjusted anomaly list
+  (integer micro end to end; MAD is an exact dyadic median).
 """
 
 from __future__ import annotations
@@ -66,11 +85,16 @@ class StagedQuery:
 STAGED: dict[str, StagedQuery] = {}
 
 R17_BATCH: tuple[str, ...] = (
+    "customer_churn_training_frame",
+    "docs_char_entropy_quality",
     "docs_image_ahash_neardup",
+    "docs_length_bootstrap_ci",
     "events_concurrent_user_pairs",
     "events_error_context_window",
+    "lineitem_approx_percentile_contract",
     "lineitem_business_day_latency",
     "orders_daily_autocorr",
+    "orders_dow_adjusted_anomalies",
 )
 
 
@@ -834,4 +858,538 @@ def lineitem_business_day_latency(
 
 lineitem_business_day_latency.__doc__ = (
     lineitem_business_day_latency.__doc__.replace("{BDL_CUM}", str(BDL_CUM))
+)
+
+
+# --------------------------------------------------------------------
+# Deterministic Poisson bootstrap (resampling-based uncertainty)
+# --------------------------------------------------------------------
+
+BOOT_REPS = 48  # bootstrap replicates
+# Poisson(1) CDF, F(0)..F(6); u >= F(6) draws weight 7. The literals
+# are repr()-exact IEEE doubles embedded identically in BOTH engines'
+# SQL, so the inverse-CDF branch taken is identical bit-for-bit.
+BOOT_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+)
+
+
+def _boot_weight_case(u: str) -> str:
+    """CASE cascade: the smallest k with u < F(k), else 7."""
+    branches = " ".join(
+        f"WHEN {u} < {f} THEN {k}" for k, f in enumerate(BOOT_CDF)
+    )
+    return f"(CASE {branches} ELSE 7 END)"
+
+
+def _bootstrap_oracle() -> str:
+    reps = ", ".join(str(r) for r in range(BOOT_REPS))
+    u = (
+        "(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || rep::VARCHAR),"
+        " 1, 15))::BIGINT % 4294967296 AS DOUBLE) / 4294967296.0)"
+    )
+    return f"""
+    WITH reps AS (
+      SELECT unnest([{reps}]) AS rep
+    ), w AS (
+      SELECT r.rep, d.n_chars,
+             {_boot_weight_case(u)} AS k
+      FROM documents d CROSS JOIN reps r
+    )
+    SELECT rep,
+           CAST(sum(k) AS BIGINT) AS n_eff,
+           CAST(sum(k * n_chars) AS BIGINT) AS sum_len,
+           CAST(sum(k * n_chars) * 1000000
+                // greatest(sum(k), 1) AS BIGINT) AS mean_len_micro
+    FROM w GROUP BY 1
+    """
+
+
+@stage(
+    "docs_length_bootstrap_ci",
+    oracle=_bootstrap_oracle(),
+    tags=("llm", "sampling", "statistics", "bootstrap"),
+)
+def docs_length_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC POISSON BOOTSTRAP of the mean document length —
+    the resampling family (the engine had stratified/quota/hash
+    sampling but no uncertainty quantification): {B} replicates, each
+    document drawing a Poisson(1) replication weight from an md5-
+    derived uniform (the distributed-bootstrap standard — Poisson
+    weights need NO shared n, so the resample is a pure map; Chamandy
+    et al., "Estimating uncertainty for massive data streams"). The
+    spread of the {B} replicate means IS the sampling distribution of
+    the corpus mean-length estimator — the error bar every corpus
+    stat report should carry.
+
+    Determinism/exactness: u = (md5(doc:rep) mod 2³²)/2³² with the
+    repo's cross-engine hash convention; the inverse-CDF thresholds
+    are repr()-exact double literals shared by both SQL texts, so
+    every (doc, rep) draws the IDENTICAL integer weight on both
+    engines; replicate sums are pure integers, means integer-micro.
+
+    Scale (100 TB): the weight draw is map-side (hash + CASE — no
+    shuffle, no shared state); the {B}-way fan-out feeds a {B}-group
+    hash aggregate with map-side combine, so shuffle traffic is {B}
+    rows per partition regardless of corpus size. Bootstrap compute
+    is intrinsically {B}× one scan — bound B, not the corpus."""
+    reps = spark.range(BOOT_REPS).select(F.col("id").cast("int").alias("rep"))
+    u = (
+        "(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+        " CAST(rep AS STRING))), 1, 15), 16, 10) % 4294967296"
+        " AS DOUBLE) / 4294967296.0)"
+    )
+    w = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .crossJoin(F.broadcast(reps))
+        .withColumn("k", F.expr(_boot_weight_case(u)))
+    )
+    return w.groupBy("rep").agg(
+        F.sum("k").cast("bigint").alias("n_eff"),
+        F.sum(F.col("k") * F.col("n_chars")).cast("bigint").alias("sum_len"),
+        F.expr(
+            "CAST(sum(k * n_chars) * 1000000"
+            " DIV greatest(sum(k), 1) AS BIGINT)"
+        ).alias("mean_len_micro"),
+    )
+
+
+docs_length_bootstrap_ci.__doc__ = docs_length_bootstrap_ci.__doc__.replace(
+    "{B}", str(BOOT_REPS)
+)
+
+
+# --------------------------------------------------------------------
+# Character-entropy quality signal (compression proxy)
+# --------------------------------------------------------------------
+
+CEQ_LOW_MICRO = 2_000_000  # flag docs under 2.0 nats of char entropy
+
+
+def _char_entropy_oracle() -> str:
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, source, length(text) AS n,
+             unnest(generate_series(1, length(text))) AS i, text
+      FROM documents
+      WHERE length(text) > 0
+    ), cc AS (
+      SELECT doc_id, source, n, substr(text, i, 1) AS ch,
+             CAST(count(*) AS BIGINT) AS c
+      FROM pos GROUP BY 1, 2, 3, 4
+    ), terms AS (
+      SELECT cc.doc_id, cc.source,
+             CAST(round(-(CAST(cc.c AS DOUBLE) / cc.n)
+                        * ln(CAST(cc.c AS DOUBLE) / cc.n)
+                        * 1000000.0, 0) AS BIGINT) AS t_micro
+      FROM cc
+    ), per_doc AS (
+      SELECT doc_id, source,
+             CAST(sum(t_micro) AS BIGINT) AS h_micro
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(h_micro) // count(*) AS BIGINT) AS mean_h_micro,
+           CAST(sum(CASE WHEN h_micro < {CEQ_LOW_MICRO} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy,
+           CAST(min(h_micro) AS BIGINT) AS min_h_micro
+    FROM per_doc GROUP BY 1
+    """
+
+
+@stage(
+    "docs_char_entropy_quality",
+    oracle=_char_entropy_oracle(),
+    tags=("llm", "quality", "entropy"),
+)
+def docs_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-entropy quality signal — the compression proxy (a
+    document that gzip would crush has low char entropy: repeated
+    boilerplate, padding, SEO keyword stuffing), complementing the
+    token-level Gopher battery: per document, Shannon entropy of the
+    character distribution; per source, the mean, the minimum, and
+    the count of low-entropy documents (< {thr} micro-nats).
+
+    Exactness: the registered interarrival-entropy convention — every
+    −p·ln(p) TERM rounds to integer micro-nats BEFORE the sum, so the
+    per-doc entropy is an ORDER-FREE integer sum on both engines; all
+    aggregates integer.
+
+    Scale (100 TB): the char explode is the intrinsic cost (one row
+    per character — the same granularity any tokenizer pass pays),
+    immediately collapsed by a (doc, char) map-side combine into
+    ≤|alphabet| rows per doc; everything after is metadata-sized.
+    No UDF — `substring` + hash aggregates stay in codegen."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # The per-doc character total IS length(text) — carried through the
+    # grouping keys, so the term computation needs NO join back (a
+    # doc_id join here crossed the broadcast threshold under the 4x
+    # stress inflation and read as fake super-linear shuffle growth).
+    cc = (
+        d.select(
+            "doc_id",
+            "source",
+            F.length("text").alias("n"),
+            F.explode(
+                F.expr("transform(sequence(1, length(text)),"
+                       " i -> substring(text, i, 1))")
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "source", "n", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_doc = (
+        cc.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CAST(round(-(CAST(c AS DOUBLE) / n)"
+                " * ln(CAST(c AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT)"
+            ).alias("t_micro"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.sum("t_micro").cast("bigint").alias("h_micro"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(sum(h_micro) DIV count(1) AS BIGINT)").alias(
+            "mean_h_micro"
+        ),
+        F.sum(
+            F.when(F.col("h_micro") < CEQ_LOW_MICRO, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_low_entropy"),
+        F.min("h_micro").cast("bigint").alias("min_h_micro"),
+    )
+
+
+docs_char_entropy_quality.__doc__ = docs_char_entropy_quality.__doc__.replace(
+    "{thr}", str(CEQ_LOW_MICRO)
+)
+
+
+# --------------------------------------------------------------------
+# Point-in-time churn training frame (leakage-safe label extraction)
+# --------------------------------------------------------------------
+
+CHN_CUTOFF = "2000-01-01"  # feature/label cutoff (orders span 1995-2001)
+CHN_HORIZON_DAYS = 90  # churn = no order within 90 days after cutoff
+
+
+def _churn_frame_oracle() -> str:
+    return f"""
+    WITH o AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), cut AS (
+      SELECT date_diff('day', DATE '1970-01-01', DATE '{CHN_CUTOFF}') AS c
+    ), agg AS (
+      SELECT o.o_custkey AS custkey,
+             CAST(sum(CASE WHEN o.day < cut.c THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orders_pre,
+             CAST(sum(CASE WHEN o.day < cut.c THEN o.cents ELSE 0 END)
+                  AS BIGINT) AS spend_cents_pre,
+             CAST(cut.c - max(CASE WHEN o.day < cut.c THEN o.day END)
+                  AS BIGINT) AS recency_days,
+             CAST(cut.c - min(CASE WHEN o.day < cut.c THEN o.day END)
+                  AS BIGINT) AS tenure_days,
+             CAST(sum(CASE WHEN o.day >= cut.c
+                           AND o.day < cut.c + {CHN_HORIZON_DAYS}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_window
+      FROM o, cut GROUP BY 1, cut.c
+    )
+    SELECT custkey, n_orders_pre, spend_cents_pre,
+           recency_days, tenure_days,
+           (n_window = 0) AS churned
+    FROM agg WHERE n_orders_pre >= 1
+    """
+
+
+@stage(
+    "customer_churn_training_frame",
+    oracle=_churn_frame_oracle(),
+    tags=("warehouse", "ml", "labels", "point-in-time"),
+)
+def customer_churn_training_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POINT-IN-TIME churn training frame — the leakage-safe
+    feature/label extraction every supervised pipeline needs and most
+    get wrong: features (order count, spend, recency, tenure) computed
+    STRICTLY from orders before the {cut} cutoff; the label (churned =
+    zero orders in the following {h} days) STRICTLY from the window
+    after it. One conditional-aggregation pass produces both sides, so
+    the temporal firewall is a per-column predicate, not a join of two
+    differently-filtered scans that can drift apart. Customers with no
+    pre-cutoff history are excluded (nothing to featurize).
+
+    Exactness: integer day arithmetic from the epoch anchor; spend in
+    exact cents (round(price·100) — the 2-dp money convention);
+    label a boolean.
+
+    Scale (100 TB): ONE scan of orders into a custkey hash aggregate
+    with map-side combine — no window, no self-join; the frame is one
+    row per customer (the ML-ready output a feature store would
+    snapshot). Backfills = one query per cutoff, embarrassingly
+    parallel across cutoffs."""
+    cut = F.datediff(F.lit(CHN_CUTOFF).cast("date"), F.lit("1970-01-01"))
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    pre = F.col("day") < cut
+    win = (F.col("day") >= cut) & (F.col("day") < cut + CHN_HORIZON_DAYS)
+    agg = o.groupBy("custkey").agg(
+        F.sum(F.when(pre, 1).otherwise(0)).cast("bigint").alias(
+            "n_orders_pre"
+        ),
+        F.sum(F.when(pre, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("spend_cents_pre"),
+        (cut - F.max(F.when(pre, F.col("day"))))
+        .cast("bigint")
+        .alias("recency_days"),
+        (cut - F.min(F.when(pre, F.col("day"))))
+        .cast("bigint")
+        .alias("tenure_days"),
+        F.sum(F.when(win, 1).otherwise(0)).cast("bigint").alias("n_window"),
+    )
+    return agg.filter(F.col("n_orders_pre") >= 1).select(
+        "custkey",
+        "n_orders_pre",
+        "spend_cents_pre",
+        "recency_days",
+        "tenure_days",
+        (F.col("n_window") == 0).alias("churned"),
+    )
+
+
+customer_churn_training_frame.__doc__ = (
+    customer_churn_training_frame.__doc__.replace("{cut}", CHN_CUTOFF)
+    .replace("{h}", str(CHN_HORIZON_DAYS))
+)
+
+
+# --------------------------------------------------------------------
+# Approx-percentile accuracy contract (the AQP quantile sketch)
+# --------------------------------------------------------------------
+
+APC_ACCURACY = 10000  # Spark percentile_approx accuracy (eps = 1/acc)
+APC_QS_PPM = (500_000, 900_000, 990_000)  # p50 / p90 / p99
+
+
+def _approx_pct_oracle() -> str:
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) // {APC_ACCURACY} + 1 AS BIGINT) AS eps_rows,
+           TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+    FROM lineitem
+    """
+
+
+@stage(
+    "lineitem_approx_percentile_contract",
+    oracle=_approx_pct_oracle(),
+    tags=("warehouse", "aqp", "sketch", "contract"),
+)
+def lineitem_approx_percentile_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPROXIMATE-QUERY-PROCESSING contract for the quantile sketch —
+    the accuracy audit next to the HLL and CMS members of the sketch
+    family: Spark's ``percentile_approx`` (Greenwald–Khanna, rank
+    error ≤ n/accuracy) over exact price cents at p50/p90/p99, then a
+    SECOND exact pass computes each approximate answer's true rank
+    envelope and emits the boolean guarantee check — rank(approx)
+    within q·n ± (n DIV {acc} + 1). The oracle recomputes n and the
+    permitted slack and pins the booleans TRUE: a sketch regression
+    (or a mis-set accuracy knob) flips a hashed fact, not a vibe.
+    Ties are handled by the [count<, count≤] rank INTERVAL — the
+    guarantee holds iff the interval intersects the target band.
+
+    Scale (100 TB): two scans (one sketch aggregate, one conditional
+    rank count against the broadcast 1-row sketch result) — the AQP
+    point is that the sketch pass replaces a full sort; the exact
+    verification pass is what this CONTRACT adds and what production
+    would sample rather than run in full."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents")
+    )
+    qs = [p / 1_000_000 for p in APC_QS_PPM]
+    approx = li.agg(
+        F.expr(
+            f"percentile_approx(cents, array({', '.join(f'{q}D' for q in qs)}),"
+            f" {APC_ACCURACY})"
+        ).alias("ap")
+    ).select(*[F.col("ap")[i].alias(f"a{i}") for i in range(len(qs))])
+    checks = li.crossJoin(F.broadcast(approx)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.when(F.col("cents") < F.col(f"a{i}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"lt{i}")
+            for i in range(len(qs))
+        ],
+        *[
+            F.sum(F.when(F.col("cents") <= F.col(f"a{i}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"le{i}")
+            for i in range(len(qs))
+        ],
+    )
+    eps = F.expr(f"n DIV {APC_ACCURACY} + 1")
+    cols = [
+        F.col("n"),
+        eps.cast("bigint").alias("eps_rows"),
+    ]
+    for i, (ppm, name) in enumerate(zip(APC_QS_PPM, ("p50", "p90", "p99"))):
+        target = F.expr(f"n * {ppm} DIV 1000000")
+        cols.append(
+            (
+                (F.col(f"lt{i}") <= target + eps)
+                & (F.col(f"le{i}") >= target - eps)
+            ).alias(f"ok_{name}")
+        )
+    return checks.select(*cols)
+
+
+lineitem_approx_percentile_contract.__doc__ = (
+    lineitem_approx_percentile_contract.__doc__.replace(
+        "{acc}", str(APC_ACCURACY)
+    )
+)
+
+
+# --------------------------------------------------------------------
+# Weekday-adjusted anomaly days (seasonal baseline + robust threshold)
+# --------------------------------------------------------------------
+
+DOW_MAD_K = 5  # flag |residual| > 5 x MAD
+
+
+def _dow_anomaly_oracle() -> str:
+    return f"""
+    WITH o AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ), counts AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1
+    ), grid AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM o),
+                                    (SELECT max(day) FROM o))) AS day
+    ), spine AS (
+      SELECT g.day, ((g.day + 3) % 7) AS dow,
+             CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+      FROM grid g LEFT JOIN counts c ON c.day = g.day
+    ), base AS (
+      SELECT dow,
+             CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS mean_micro
+      FROM spine GROUP BY 1
+    ), resid AS (
+      SELECT s.day, s.dow, s.c,
+             s.c * 1000000 - b.mean_micro AS resid_micro
+      FROM spine s JOIN base b ON b.dow = s.dow
+    ), mad AS (
+      SELECT CAST(floor(median(abs(resid_micro))) AS BIGINT) AS mad_micro
+      FROM resid
+    )
+    SELECT r.day, CAST(r.dow AS BIGINT) AS dow, r.c,
+           CAST(r.resid_micro AS BIGINT) AS resid_micro,
+           CAST({DOW_MAD_K} * m.mad_micro AS BIGINT) AS threshold_micro
+    FROM resid r, mad m
+    WHERE abs(r.resid_micro) > {DOW_MAD_K} * m.mad_micro
+    """
+
+
+@stage(
+    "orders_dow_adjusted_anomalies",
+    oracle=_dow_anomaly_oracle(),
+    tags=("warehouse", "anomaly", "timeseries", "robust"),
+)
+def orders_dow_adjusted_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEEKDAY-ADJUSTED anomaly days — the monitor the autocorrelation
+    query justifies: daily order counts on the zero-filled spine,
+    residuals against the per-weekday mean baseline (the seasonality
+    the raw day-over-day alert would false-positive on), flagged where
+    |residual| exceeds {k}× the MAD of all residuals — the robust
+    threshold a single Black-Friday spike cannot inflate (unlike a
+    stddev rule, where one outlier raises its own bar).
+
+    Exactness: integer micro residuals (c·10⁶ − DIV-mean); the MAD's
+    median is a 0.5-quantile on integers — exact dyadic, floored
+    identically; the flag predicate is pure integer comparison.
+
+    Scale (100 TB): one scan to per-day counts; spine, weekday
+    baseline (7 rows, broadcast back) and the one-row MAD are all
+    metadata-domain; the output is the anomaly list itself."""
+    o = load(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("day")
+    )
+    counts = o.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lim = o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        lim.select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+        .join(F.broadcast(counts), "day", "left")
+        .select(
+            "day",
+            F.expr("(day + 3) % 7").alias("dow"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = spine.groupBy("dow").agg(
+        F.expr("CAST(sum(c) * 1000000 DIV count(1) AS BIGINT)").alias(
+            "mean_micro"
+        )
+    )
+    resid = spine.join(F.broadcast(base), "dow").select(
+        "day",
+        "dow",
+        "c",
+        (F.col("c") * 1_000_000 - F.col("mean_micro")).alias("resid_micro"),
+    )
+    mad = resid.agg(
+        F.expr(
+            "CAST(floor(percentile(abs(resid_micro), 0.5D)) AS BIGINT)"
+        ).alias("mad_micro")
+    )
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .filter(
+            F.abs(F.col("resid_micro")) > DOW_MAD_K * F.col("mad_micro")
+        )
+        .select(
+            "day",
+            F.col("dow").cast("bigint").alias("dow"),
+            "c",
+            F.col("resid_micro").cast("bigint").alias("resid_micro"),
+            (F.lit(DOW_MAD_K) * F.col("mad_micro"))
+            .cast("bigint")
+            .alias("threshold_micro"),
+        )
+    )
+
+
+orders_dow_adjusted_anomalies.__doc__ = (
+    orders_dow_adjusted_anomalies.__doc__.replace("{k}", str(DOW_MAD_K))
 )

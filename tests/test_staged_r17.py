@@ -30,7 +30,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r17_batch_matches_staged():
     assert sorted(R17_BATCH) == sorted(STAGED)
-    assert len(R17_BATCH) == 5
+    assert len(R17_BATCH) == 10
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -335,3 +335,234 @@ def test_business_day_closed_form_matches_datetime_walk(spark):
     # always share a sign (zero-crossing only together)
     assert (bus.abs() <= cal.abs()).all()
     assert ((bus == 0) | (bus * cal > 0)).all()
+
+
+# --------------------------------------------------------------------
+# Poisson bootstrap — python replay of the deterministic draw + laws
+# --------------------------------------------------------------------
+
+
+def test_bootstrap_deterministic_replay_and_spread(spark):
+    import hashlib
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+        BOOT_CDF,
+        BOOT_REPS,
+    )
+
+    got = (
+        STAGED["docs_length_bootstrap_ci"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("rep")
+        .sort_index()
+    )
+    docs = _pd("documents")
+    cdf = [float(f) for f in BOOT_CDF]
+
+    def weight(doc_id: int, rep: int) -> int:
+        h = int(
+            hashlib.md5(f"{doc_id}:{rep}".encode()).hexdigest()[:15], 16
+        )
+        u = (h % 4294967296) / 4294967296.0
+        for k, f in enumerate(cdf):
+            if u < f:
+                return k
+        return 7
+
+    assert got.index.tolist() == list(range(BOOT_REPS))
+    for rep in range(0, BOOT_REPS, 7):  # spot-check every 7th replicate
+        n_eff = sum_len = 0
+        for r in docs.itertuples():
+            k = weight(int(r.doc_id), rep)
+            n_eff += k
+            sum_len += k * int(r.n_chars)
+        row = got.loc[rep]
+        assert row["n_eff"] == n_eff
+        assert row["sum_len"] == sum_len
+        assert row["mean_len_micro"] == sum_len * 1_000_000 // max(n_eff, 1)
+    # laws: Poisson(1) keeps n_eff near n (within 4 sigma = 4*sqrt(n));
+    # the replicate means spread around the corpus mean
+    n = len(docs)
+    assert (abs(got["n_eff"] - n) <= 4 * max(n, 1) ** 0.5 + 1).all()
+    corpus_mean = docs["n_chars"].sum() * 1_000_000 // n
+    lo, hi = got["mean_len_micro"].min(), got["mean_len_micro"].max()
+    assert lo <= corpus_mean <= hi  # CI brackets the point estimate
+    assert lo < hi  # non-degenerate spread
+
+
+# --------------------------------------------------------------------
+# Char entropy — python replay of the per-term micro convention
+# --------------------------------------------------------------------
+
+
+def test_char_entropy_python_replay(spark):
+    import math
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+        CEQ_LOW_MICRO,
+    )
+
+    got = (
+        STAGED["docs_char_entropy_quality"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    docs = _pd("documents")
+    per_source: dict[str, list[int]] = {}
+    for r in docs.itertuples():
+        if len(r.text) == 0:
+            continue
+        counts: dict[str, int] = {}
+        for ch in r.text:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = len(r.text)
+        h = sum(
+            int(round(-(c / n) * math.log(c / n) * 1_000_000.0))
+            for c in counts.values()
+        )
+        per_source.setdefault(r.source, []).append(h)
+    assert sorted(got.index) == sorted(per_source)
+    for src, hs in per_source.items():
+        row = got.loc[src]
+        assert row["n_docs"] == len(hs)
+        assert row["mean_h_micro"] == sum(hs) // len(hs)
+        assert row["n_low_entropy"] == sum(1 for h in hs if h < CEQ_LOW_MICRO)
+        assert row["min_h_micro"] == min(hs)
+    # law: char entropy of an n-char doc is bounded by ln(alphabet)<=ln(n)
+    assert (got["mean_h_micro"] >= 0).all()
+
+
+# --------------------------------------------------------------------
+# Churn frame — leakage law + pandas replay
+# --------------------------------------------------------------------
+
+
+def test_churn_frame_replay_and_leakage_law(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+        CHN_CUTOFF,
+        CHN_HORIZON_DAYS,
+    )
+
+    got = (
+        STAGED["customer_churn_training_frame"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("custkey")
+        .sort_index()
+    )
+    orders = _pd("orders")
+    day = (
+        pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    cut = (pd.Timestamp(CHN_CUTOFF) - pd.Timestamp("1970-01-01")).days
+    df = pd.DataFrame(
+        {"cust": orders["o_custkey"], "day": day, "cents": cents}
+    )
+    want = {}
+    for cust, sub in df.groupby("cust"):
+        pre = sub[sub["day"] < cut]
+        if pre.empty:
+            continue
+        win = sub[(sub["day"] >= cut) & (sub["day"] < cut + CHN_HORIZON_DAYS)]
+        want[cust] = (
+            len(pre),
+            int(pre["cents"].sum()),
+            cut - int(pre["day"].max()),
+            cut - int(pre["day"].min()),
+            len(win) == 0,
+        )
+    assert sorted(got.index) == sorted(want)
+    for cust, (n, cents_, rec, ten, churned) in want.items():
+        row = got.loc[cust]
+        assert row["n_orders_pre"] == n
+        assert row["spend_cents_pre"] == cents_
+        assert row["recency_days"] == rec
+        assert row["tenure_days"] == ten
+        assert bool(row["churned"]) == churned
+    # leakage law: features are invariant to anything at/after the
+    # cutoff — recompute with the label window deleted entirely
+    df_nolabel = df[df["day"] < cut]
+    for cust, sub in df_nolabel.groupby("cust"):
+        row = got.loc[cust]
+        assert row["n_orders_pre"] == len(sub)
+        assert row["spend_cents_pre"] == int(sub["cents"].sum())
+    assert (got["recency_days"] >= 1).all()
+    assert (got["tenure_days"] >= got["recency_days"]).all()
+
+
+# --------------------------------------------------------------------
+# Approx-percentile contract — non-vacuous + exact-rank sanity
+# --------------------------------------------------------------------
+
+
+def test_approx_percentile_contract_holds_and_is_tight(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+        APC_ACCURACY,
+    )
+
+    got = (
+        STAGED["lineitem_approx_percentile_contract"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+    )
+    assert len(got) == 1
+    row = got.iloc[0]
+    li = _pd("lineitem")
+    n = len(li)
+    assert row["n"] == n
+    assert row["eps_rows"] == n // APC_ACCURACY + 1
+    assert bool(row["ok_p50"]) and bool(row["ok_p90"]) and bool(row["ok_p99"])
+    # non-vacuous: the permitted slack is a sliver of the corpus
+    assert row["eps_rows"] * 1000 < max(n, 1000)
+
+
+# --------------------------------------------------------------------
+# DOW anomalies — numpy replay of baseline/MAD/threshold
+# --------------------------------------------------------------------
+
+
+def test_dow_anomalies_numpy_replay(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+        DOW_MAD_K,
+    )
+
+    got = (
+        STAGED["orders_dow_adjusted_anomalies"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("day")
+        .sort_index()
+    )
+    orders = _pd("orders")
+    day = (
+        pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    lo, hi = int(day.min()), int(day.max())
+    c = np.zeros(hi - lo + 1, dtype=np.int64)
+    for d, cnt in day.value_counts().items():
+        c[int(d) - lo] = cnt
+    days = np.arange(lo, hi + 1)
+    dows = (days + 3) % 7
+    mean_micro = {
+        dw: int(c[dows == dw].sum()) * 1_000_000 // int((dows == dw).sum())
+        for dw in range(7)
+    }
+    resid = c * 1_000_000 - np.array([mean_micro[dw] for dw in dows])
+    mad = int(np.floor(np.percentile(np.abs(resid), 50, method="linear")))
+    thr = DOW_MAD_K * mad
+    flag = np.abs(resid) > thr
+    assert got.index.tolist() == list(days[flag])
+    for i, d in enumerate(days):
+        if not flag[i]:
+            continue
+        row = got.loc[d]
+        assert row["dow"] == dows[i]
+        assert row["c"] == c[i]
+        assert row["resid_micro"] == resid[i]
+        assert row["threshold_micro"] == thr

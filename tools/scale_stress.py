@@ -509,6 +509,17 @@ EXTRA_FNS.update(
         "lineitem_business_day_latency": _staged17(
             "lineitem_business_day_latency"
         ),
+        "docs_length_bootstrap_ci": _staged17("docs_length_bootstrap_ci"),
+        "docs_char_entropy_quality": _staged17("docs_char_entropy_quality"),
+        "customer_churn_training_frame": _staged17(
+            "customer_churn_training_frame"
+        ),
+        "lineitem_approx_percentile_contract": _staged17(
+            "lineitem_approx_percentile_contract"
+        ),
+        "orders_dow_adjusted_anomalies": _staged17(
+            "orders_dow_adjusted_anomalies"
+        ),
     }
 )
 
@@ -908,6 +919,16 @@ MAX_EXPONENT = {
     # co-partitioned fact join + a 5-group agg of O(1) integer math.
     "events_error_context_window": 1.35,
     "lineitem_business_day_latency": 1.35,
+    # bootstrap is a map-side weight draw + a B-group agg; char
+    # entropy's explode collapses behind a (doc, char) map-side
+    # combine; churn frame and the AQP contract are single-key/
+    # one-row aggregates; DOW anomalies run on the calendar-bounded
+    # spine after one per-day count.
+    "docs_length_bootstrap_ci": 1.35,
+    "docs_char_entropy_quality": 1.35,
+    "customer_churn_training_frame": 1.35,
+    "lineitem_approx_percentile_contract": 1.35,
+    "orders_dow_adjusted_anomalies": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
