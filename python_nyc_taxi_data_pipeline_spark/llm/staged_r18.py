@@ -1,0 +1,450 @@
+"""Round-18 registration candidates — seed slate started in round 10.
+
+Same staging mechanism as ``staged_r8``–``staged_r17``; promotion in
+round 18 via ``staged_r18.promote_to_registry(R18_BATCH)``.
+
+The seed (operator families the engine does not cover yet):
+
+- ``events_ab_cuped_readout``: EXPERIMENTATION readout with CUPED
+  variance reduction (Deng et al. 2013, "Improving the sensitivity of
+  online controlled experiments") — deterministic hash-parity arms,
+  pre-period covariate, pooled θ = cov(pre, post)/var(pre) from EXACT
+  n-scaled integer moments, per-arm adjusted means. The A/B-platform
+  primitive: the adjusted delta has the same expectation as the raw
+  delta at a fraction of the variance.
+- ``orders_naive_forecast_eval``: FORECAST-ACCURACY evaluation of the
+  seasonal-naive baseline (ŷ_d = y_{d−7}) per month — MAE, sMAPE and
+  bias in exact integer micro over the zero-filled day spine. The
+  eval harness every forecasting project runs FIRST: a model that
+  cannot beat the naive-7 baseline is noise.
+- ``events_session_path_trigrams``: SEQUENTIAL PATTERN mining lite —
+  per-session ordered event-type paths cut into trigrams, counted
+  corpus-wide (the Markov family captures pairs; paths of three are
+  where funnels become visible). The trigram domain is bounded by the
+  type vocabulary cubed, so the report is metadata-sized at any
+  corpus scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import QueryFn
+
+
+@dataclass(frozen=True)
+class StagedQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+STAGED: dict[str, StagedQuery] = {}
+
+R18_BATCH: tuple[str, ...] = (
+    "events_ab_cuped_readout",
+    "events_session_path_trigrams",
+    "orders_naive_forecast_eval",
+)
+
+
+def promote_to_registry(names: list[str]) -> list[str]:
+    """Round-18 registration in one call; ``names`` is REQUIRED —
+    whole-slate promotion must be spelled out (``list(STAGED)``)."""
+    from ..registry import register
+
+    if names is None:
+        raise ValueError(
+            "promote_to_registry requires an explicit name batch; "
+            "spell out whole-slate promotion as list(STAGED)"
+        )
+    promoted = []
+    for name in names:
+        q = STAGED[name]
+        register(name, q.oracle, q.tags)(q.fn)
+        promoted.append(name)
+    return promoted
+
+
+def stage(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Mirror of ``registry.register`` that records into ``STAGED``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED:
+            raise ValueError(f"duplicate staged query name {name!r}")
+        STAGED[name] = StagedQuery(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# CUPED A/B readout (experimentation / variance reduction)
+# --------------------------------------------------------------------
+
+# Pre/post split of the fixture's single event month (Jan 2024):
+# pre = days < the boundary, post = days >= it (epoch day numbers).
+CUPED_BOUNDARY_DAY = 19738  # 2024-01-16
+CUPED_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _cuped_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             {CUPED_CENTS} AS cents
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(sum(CASE WHEN day < {CUPED_BOUNDARY_DAY}
+                      THEN cents ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN day >= {CUPED_BOUNDARY_DAY}
+                      THEN cents ELSE 0 END) AS BIGINT) AS post
+      FROM e GROUP BY 1, 2
+    ), moments AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS BIGINT) AS sp,
+             CAST(sum(post) AS BIGINT) AS sq,
+             CAST(sum(pre * post) AS BIGINT) AS spq,
+             CAST(sum(pre * pre) AS BIGINT) AS spp
+      FROM per_user
+    ), theta AS (
+      SELECT n, sp, sq,
+             round(CAST(n * spq - sp * sq AS DOUBLE)
+                   / greatest(n * spp - sp * sp, 1), 6) AS th
+      FROM moments
+    ), arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(pre) * 1000000 // count(*) AS BIGINT)
+               AS mean_pre_micro,
+             CAST(sum(post) * 1000000 // count(*) AS BIGINT)
+               AS mean_post_micro
+      FROM per_user GROUP BY 1
+    )
+    SELECT a.arm, a.n_users, a.mean_pre_micro, a.mean_post_micro,
+           CAST(round(t.th * 1000000, 0) AS BIGINT) AS theta_micro,
+           CAST(round(a.mean_post_micro
+                      - t.th * (a.mean_pre_micro
+                                - CAST(t.sp * 1000000 // t.n AS DOUBLE)),
+                      0) AS BIGINT) AS adjusted_mean_micro
+    FROM arms a, theta t
+    """
+
+
+@stage(
+    "events_ab_cuped_readout",
+    oracle=_cuped_oracle(),
+    tags=("events", "experimentation", "statistics"),
+)
+def events_ab_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout with CUPED variance reduction — the
+    experimentation-platform primitive the engine lacked: users split
+    into two arms by id parity (a DETERMINISTIC stand-in for the
+    assignment column a real platform logs — the operator contract is
+    the arithmetic, not the randomizer), the pre-period spend is the
+    CUPED covariate, θ = cov(pre, post)/var(pre) is computed POOLED
+    (assignment-independent, as Deng et al. prescribe), and each arm
+    reports its raw and adjusted mean — identical expectations, the
+    adjusted one at (1 − ρ²) of the variance.
+
+    Exactness: per-user pre/post sums are exact cents; the pooled
+    moments are n-scaled integer sums (n·Σxy − ΣxΣy — no rational
+    mean anywhere), θ a 6-dp-rounded double of two exact integers;
+    the adjusted mean combines integer-micro means with θ in one
+    double expression rounded to integer micro — bit-identical on
+    both engines. Envelope: n·Σpre² must fit int64 — cents sums up
+    to ~10⁶ per user and ~10⁵ users; pre-scale to whole currency
+    units beyond that.
+
+    Scale (100 TB): one scan to per-user conditional sums (hash agg,
+    map-side combine), a one-row pooled-moment aggregate, a 2-row arm
+    aggregate — the θ broadcast is a scalar. No windows, no joins on
+    data-sized frames."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+            "day"
+        ),
+        F.expr(CUPED_CENTS).alias("cents"),
+    )
+    pre = F.col("day") < CUPED_BOUNDARY_DAY
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(pre, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("pre"),
+        F.sum(F.when(~pre, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("post"),
+    ).select(
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"), "pre", "post"
+    ).localCheckpoint(eager=True)
+    theta = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sp"),
+        F.sum("post").cast("bigint").alias("sq"),
+        F.sum(F.col("pre") * F.col("post")).cast("bigint").alias("spq"),
+        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("spp"),
+    ).select(
+        "n",
+        "sp",
+        F.expr(
+            "round(CAST(n * spq - sp * sq AS DOUBLE)"
+            " / greatest(n * spp - sp * sp, 1), 6)"
+        ).alias("th"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr("CAST(sum(pre) * 1000000 DIV count(1) AS BIGINT)").alias(
+            "mean_pre_micro"
+        ),
+        F.expr("CAST(sum(post) * 1000000 DIV count(1) AS BIGINT)").alias(
+            "mean_post_micro"
+        ),
+    )
+    return arms.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "n_users",
+        "mean_pre_micro",
+        "mean_post_micro",
+        F.expr("CAST(round(th * 1000000, 0) AS BIGINT)").alias(
+            "theta_micro"
+        ),
+        F.expr(
+            "CAST(round(mean_post_micro"
+            " - th * (mean_pre_micro"
+            "         - CAST(sp * 1000000 DIV n AS DOUBLE)), 0) AS BIGINT)"
+        ).alias("adjusted_mean_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (the baseline every model must beat)
+# --------------------------------------------------------------------
+
+NFE_LAG_DAYS = 7  # seasonal-naive: forecast(d) = actual(d - 7)
+
+
+def _forecast_eval_oracle() -> str:
+    return f"""
+    WITH o AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ), counts AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1
+    ), grid AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM o),
+                                    (SELECT max(day) FROM o))) AS day
+    ), spine AS (
+      SELECT g.day, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+      FROM grid g LEFT JOIN counts c ON c.day = g.day
+    ), ev AS (
+      SELECT a.day, a.c, f.c AS fc,
+             abs(a.c - f.c) AS ae,
+             a.c - f.c AS err,
+             2000000 * abs(a.c - f.c) // greatest(a.c + f.c, 1)
+               AS smape_term
+      FROM spine a JOIN spine f ON f.day = a.day - {NFE_LAG_DAYS}
+    )
+    SELECT CAST(date_trunc('month', DATE '1970-01-01'
+                 + to_days(CAST(day AS INT))) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(ae) * 1000000 // count(*) AS BIGINT) AS mae_micro,
+           CAST(sum(smape_term) // count(*) AS BIGINT) AS smape_micro,
+           CAST(sum(err) AS BIGINT) AS bias_days
+    FROM ev GROUP BY 1
+    """
+
+
+@stage(
+    "orders_naive_forecast_eval",
+    oracle=_forecast_eval_oracle(),
+    tags=("warehouse", "timeseries", "forecast", "eval"),
+)
+def orders_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST-ACCURACY harness for the seasonal-naive baseline
+    (ŷ_d = y_{d−7}) on the daily order-count series — per month: MAE,
+    sMAPE and signed bias. The first table any forecasting effort
+    produces: a candidate model's value is its skill OVER this
+    baseline (the lag the autocorrelation query shows is strongest),
+    and the monthly sMAPE trend is the drift alarm for an already-
+    deployed forecaster.
+
+    Exactness: zero-filled spine (missing days are real zeros); MAE
+    and bias are pure integer sums; each day's sMAPE term is
+    2·10⁶·|y−ŷ| DIV max(y+ŷ, 1) (the symmetric form, guarded for the
+    all-zero day), month means integer DIV.
+
+    Scale (100 TB): one scan to per-day counts; the spine self-join
+    at lag 7 runs on the metadata-sized calendar frame (broadcast);
+    months are calendar-bounded."""
+    o = load(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("day")
+    )
+    counts = o.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lim = o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        lim.select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+        .join(F.broadcast(counts), "day", "left")
+        .select("day", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    f = spine.select(
+        (F.col("day") + NFE_LAG_DAYS).alias("day"), F.col("c").alias("fc")
+    )
+    ev = spine.join(F.broadcast(f), "day").select(
+        "day",
+        "c",
+        "fc",
+        F.abs(F.col("c") - F.col("fc")).alias("ae"),
+        (F.col("c") - F.col("fc")).alias("err"),
+        F.expr(
+            "2000000 * abs(c - fc) DIV greatest(c + fc, 1)"
+        ).alias("smape_term"),
+    )
+    return ev.groupBy(
+        F.expr(
+            "CAST(date_trunc('month', date_add(DATE '1970-01-01',"
+            " CAST(day AS INT))) AS DATE)"
+        ).alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("CAST(sum(ae) * 1000000 DIV count(1) AS BIGINT)").alias(
+            "mae_micro"
+        ),
+        F.expr("CAST(sum(smape_term) DIV count(1) AS BIGINT)").alias(
+            "smape_micro"
+        ),
+        F.sum("err").cast("bigint").alias("bias_days"),
+    )
+
+
+# --------------------------------------------------------------------
+# Session path trigrams (sequential pattern mining lite)
+# --------------------------------------------------------------------
+
+SPT_GAP_S = 1800  # the registered 30-minute session gap
+
+
+def _path_trigrams_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             date_diff('microsecond',
+                       TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  > {SPT_GAP_S} * 1000000 OR lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                  IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ), sess AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    ), paths AS (
+      SELECT user_id, sess_id,
+             list(event_type ORDER BY ts_us, event_id) AS path
+      FROM sess GROUP BY 1, 2
+    ), tri AS (
+      SELECT path[i] || '>' || path[i + 1] || '>' || path[i + 2] AS trigram,
+             user_id, sess_id
+      FROM paths,
+           (SELECT unnest(generate_series(1, 1000)) AS i) g
+      WHERE i <= len(path) - 2
+    )
+    SELECT trigram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tri GROUP BY 1
+    """
+
+
+@stage(
+    "events_session_path_trigrams",
+    oracle=_path_trigrams_oracle(),
+    tags=("events", "sessions", "sequence", "mining"),
+)
+def events_session_path_trigrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEQUENTIAL-PATTERN mining lite: per-session ordered event-type
+    PATHS cut into trigrams and counted corpus-wide (occurrences +
+    distinct users). The Markov family sees pairs; length-3 windows
+    are where funnels (view>click>purchase) and loops
+    (error>view>error) become visible. Support counting over a
+    vocabulary-bounded n-gram domain — the first rung of
+    PrefixSpan-style mining, which at |types| = 5 is already ≤125
+    output rows at ANY corpus size.
+
+    Exactness: paths are (ts, event_id)-ordered on both engines (the
+    registered tie-break convention); trigram keys are plain string
+    joins; counts integers.
+
+    Scale (100 TB): the shared keyed sessionization window, one
+    sort_array per session (sessions are short — the array sort is
+    per-group map-side work), a map-side trigram explode (n−2 per
+    session), and a hash aggregate onto the bounded trigram domain —
+    shuffle is ≤125 rows per partition plus the distinct-user
+    rollup."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(w_order).isNull()
+            | (
+                F.col("ts_us") - F.lag("ts_us").over(w_order)
+                > SPT_GAP_S * 1000000
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(w_cum))
+    paths = sess.groupBy("user_id", "sess_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            " struct(ts_us, event_id, event_type))), s -> s.event_type)"
+        ).alias("path")
+    )
+    # Spark's sequence(1, 0) DESCENDS instead of returning empty, so
+    # short paths (< 3 events) must be gated before the explode.
+    tri = paths.filter(F.size("path") >= 3).select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(path) - 2),"
+                " i -> concat(path[i - 1], '>', path[i], '>', path[i + 1]))"
+            )
+        ).alias("trigram"),
+    )
+    return tri.groupBy("trigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -441,6 +441,9 @@ def test_no_name_collisions_across_slates_and_registry():
     from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
         STAGED as S17,
     )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r18 import (
+        STAGED as S18,
+    )
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
     live = set(all_queries())
@@ -457,6 +460,7 @@ def test_no_name_collisions_across_slates_and_registry():
         "r15": set(S15),
         "r16": set(S16),
         "r17": set(S17),
+        "r18": set(S18),
     }
     for name, s in slates.items():
         assert not (s & live), f"{name} collides with registry: {s & live}"

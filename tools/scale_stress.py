@@ -318,6 +318,17 @@ def _staged17(name: str):
     return fn
 
 
+def _staged18(name: str):
+    """Resolve a round-18 STAGED query (llm/staged_r18.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r18 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
 # round-10 staged candidates (llm/staged_r10.py)
 EXTRA_FNS_R10 = (
     "docs_doremi_reweight_step",
@@ -519,6 +530,19 @@ EXTRA_FNS.update(
         ),
         "orders_dow_adjusted_anomalies": _staged17(
             "orders_dow_adjusted_anomalies"
+        ),
+    }
+)
+
+# round-18 staged seed (llm/staged_r18.py)
+EXTRA_FNS.update(
+    {
+        "events_ab_cuped_readout": _staged18("events_ab_cuped_readout"),
+        "orders_naive_forecast_eval": _staged18(
+            "orders_naive_forecast_eval"
+        ),
+        "events_session_path_trigrams": _staged18(
+            "events_session_path_trigrams"
         ),
     }
 )
@@ -929,6 +953,13 @@ MAX_EXPONENT = {
     "customer_churn_training_frame": 1.35,
     "lineitem_approx_percentile_contract": 1.35,
     "orders_dow_adjusted_anomalies": 1.35,
+    # r18 seed: CUPED is one user-key agg + scalar moments; forecast
+    # eval runs on the calendar spine after one per-day count; path
+    # trigrams ride the shared sessionization window into a
+    # vocabulary-bounded (<=|types|^3) aggregate.
+    "events_ab_cuped_readout": 1.35,
+    "orders_naive_forecast_eval": 1.35,
+    "events_session_path_trigrams": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
