@@ -1130,9 +1130,16 @@ def embeddings_semdedup_hier_contract(
 
     - ``total_points``: corpus size (oracle recomputes);
     - ``all_assigned``: exactly one verdict per vector;
-    - ``cells_within_cap``: every cell ≤ 2×⌈n/k⌉ — the adaptive size
-      gate's hard bound, the property that keeps the within-cell pair
-      scan linear in corpus size;
+    - ``cells_within_cap``: every SPLITTABLE cell ≤ 2×⌈n/k⌉ — the
+      adaptive size gate's bound, the property that keeps the
+      within-cell pair scan linear in corpus size. "Splittable" =
+      holds ≥ 2 DISTINCT vectors: the clusterer's no-shrink FREEZE
+      rule (``semdedup_hier``) intentionally leaves an
+      exact-duplicate clump bigger than the cap at its natural size
+      (identical vectors project identically on every hyperplane, so
+      no split can shrink it — only upstream ``dedup_exact`` can),
+      so the cap is NOT a hard bound for distinct-count-1 cells and
+      those are excluded from the check;
     - ``lowest_ids_kept``: the greedy prune kept each cell's lowest
       vec_id;
     - ``kept_rate_close``: |kept_hier − kept_flat| ≤ 10% of n vs the
@@ -1151,7 +1158,8 @@ def embeddings_semdedup_hier_contract(
         semdedup_hier,
     )
 
-    n_corpus = load(spark, sf_dir, "embeddings").count()
+    emb = load(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
     k = max(1, _math.ceil(n_corpus / SEMDEDUP_TARGET_CLUSTER_SIZE))
     cap = 2 * max(1, _math.ceil(n_corpus / k))
     hier = semdedup_hier(spark, sf_dir).localCheckpoint(eager=True)
@@ -1160,12 +1168,23 @@ def embeddings_semdedup_hier_contract(
         .agg(F.sum(F.col("kept").cast("int")).alias("fk"))
         .select(F.col("fk").cast("bigint").alias("flat_kept"))
     )
-    per_cell = hier.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cn"),
-        F.expr("min_by(kept, vec_id)").alias("lowest_kept"),
+    # dv = distinct vectors in the cell; a dv=1 cell is an
+    # exact-duplicate clump the FREEZE rule leaves at natural size —
+    # exempt from the cap (see docstring). The vec_id join is
+    # co-partitionable and linear at scale.
+    per_cell = (
+        hier.join(emb.select("vec_id", "embedding"), "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.countDistinct("embedding").alias("dv"),
+            F.expr("min_by(kept, vec_id)").alias("lowest_kept"),
+        )
     )
     cell_facts = per_cell.agg(
-        (F.max("cn") <= F.lit(cap)).alias("cells_within_cap"),
+        F.expr(f"bool_and(cn <= {cap} OR dv = 1)").alias(
+            "cells_within_cap"
+        ),
         F.expr("bool_and(lowest_kept)").alias("lowest_ids_kept"),
     )
     hier_facts = hier.agg(

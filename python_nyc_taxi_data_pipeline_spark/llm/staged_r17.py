@@ -941,8 +941,8 @@ def docs_length_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     is intrinsically {B}× one scan — bound B, not the corpus."""
     reps = spark.range(BOOT_REPS).select(F.col("id").cast("int").alias("rep"))
     u = (
-        "(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
-        " CAST(rep AS STRING))), 1, 15), 16, 10) % 4294967296"
+        "(CAST(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+        " CAST(rep AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4294967296"
         " AS DOUBLE) / 4294967296.0)"
     )
     w = (

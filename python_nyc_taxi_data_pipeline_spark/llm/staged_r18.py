@@ -366,8 +366,9 @@ def _path_trigrams_oracle() -> str:
       SELECT path[i] || '>' || path[i + 1] || '>' || path[i + 2] AS trigram,
              user_id, sess_id
       FROM paths,
-           (SELECT unnest(generate_series(1, 1000)) AS i) g
-      WHERE i <= len(path) - 2
+           LATERAL (SELECT unnest(generate_series(
+                      1, greatest(len(path) - 2, 1))) AS i) g
+      WHERE len(path) >= 3
     )
     SELECT trigram,
            CAST(count(*) AS BIGINT) AS n_occurrences,

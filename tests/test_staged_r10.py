@@ -513,3 +513,43 @@ def test_hier_contract_facts_all_hold(spark):
     assert row.total_points == len(_pd("embeddings"))
     assert row.all_assigned and row.cells_within_cap
     assert row.lowest_ids_kept and row.kept_rate_close
+
+
+def test_hier_contract_exempts_frozen_duplicate_clump(spark, tmp_path):
+    """r10 ADVICE regression: the contract's cells_within_cap must
+    check SPLITTABLE cells only — an exact-duplicate clump bigger than
+    the 2x cap is intentionally frozen at natural size by the
+    clusterer's no-shrink rule (identical vectors can never be
+    separated by a hyperplane), so the contract must still emit TRUE
+    on such a fixture instead of contradicting its own oracle."""
+    clump = [(i, [0.1, 0.2, 0.3, 0.4]) for i in range(200)]
+    scatter = [
+        (
+            200 + i,
+            [
+                float((i * 37) % 13 - 6),
+                float((i * 17) % 11 - 5),
+                float((i * 29) % 7 - 3),
+                float(i % 5 + 1),
+            ],
+        )
+        for i in range(40)
+    ]
+    fixture = tmp_path / "sfclump"
+    fixture.mkdir()
+    spark.createDataFrame(
+        clump + scatter, "vec_id long, embedding array<float>"
+    ).write.parquet(str(fixture / "embeddings.parquet"))
+    row = (
+        STAGED["embeddings_semdedup_hier_contract"]
+        .fn(spark, str(fixture))
+        .collect()[0]
+    )
+    # n=240, target 64 -> k=4, cap = 2*ceil(240/4) = 120 < 200: the
+    # frozen clump cell genuinely exceeds the cap, so the OLD
+    # unconditional check returned false here; the dv=1 exemption is
+    # what makes this pass.
+    assert row.total_points == 240
+    assert row.all_assigned
+    assert row.cells_within_cap
+    assert row.lowest_ids_kept
