@@ -192,3 +192,13 @@ def _load_all() -> None:
     from .llm import staged_r10
 
     staged_r10.promote_to_registry(list(staged_r10.R10_BATCH))
+
+    # Round-11 registration: the 10-query R11_BATCH — lands t-closeness
+    # (completing the privacy triad), the cross-encoder distillation
+    # labels, the stream<->batch MinHash parity contract, and the
+    # audio/video frame-geometry contracts. Window math: 10 new + the
+    # 40 stalest (the 20 remaining r6 rows + the 20 oldest r7 rows)
+    # = 50; registry 220 -> 230.
+    from .llm import staged_r11
+
+    staged_r11.promote_to_registry(list(staged_r11.R11_BATCH))

@@ -175,3 +175,179 @@ def test_token_conventions_on_dirty_whitespace(spark, tmp_path):
     )
     # total mass at the deepest rung covers every non-empty token (10)
     assert int(got2["top_mass"].max()) <= 10
+
+
+# --------------------------------------------------------------------
+# r11 extension: the r17/r18 slates (r10 VERDICT directive #4)
+# --------------------------------------------------------------------
+
+
+def test_trigram_oracle_unbounded_on_long_sessions(spark, tmp_path):
+    """r10 ADVICE regression: the path-trigram oracle's position
+    fan-out was a fixed generate_series(1, 1000), silently losing
+    trigrams for sessions longer than 1002 events on the ORACLE side
+    only. Fixture: one 1100-event single session (1 s spacing, far
+    under the 30-min gap) — 1098 trigrams alternating a>b>a / b>a>b —
+    plus a 2-event user that must contribute none. The old bound
+    would have produced 499/499 on the oracle vs 549/549 on the
+    engine; the lateral path-length bound must agree exactly."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r18 import (
+        STAGED as S18,
+    )
+
+    fixture = tmp_path / "longsess"
+    fixture.mkdir()
+    rows = [
+        (i, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", 1,
+         "a" if i % 2 == 0 else "b", 0.0, "{}")
+        for i in range(1100)
+    ] + [
+        (2000, "2024-01-01 00:00:00", 2, "a", 0.0, "{}"),
+        (2001, "2024-01-01 00:00:01", 2, "b", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(str(fixture / "events.parquet"))
+    got = _run_pair(
+        spark, fixture, S18["events_session_path_trigrams"], ["events"]
+    ).set_index("trigram")
+    assert got.loc["a>b>a", "n_occurrences"] == 549
+    assert got.loc["b>a>b", "n_occurrences"] == 549
+    assert set(got.index) == {"a>b>a", "b>a>b"}
+    assert (got["n_users"] == 1).all()
+
+
+def test_bootstrap_hash_exact_with_ansi_off(spark, tmp_path):
+    """r10 ADVICE regression: the bootstrap uniform's conv() hex→int
+    hop must carry an explicit CAST AS BIGINT so the value stays
+    exact with ANSI mode OFF (string % int coerces the 60-bit conv
+    output to DOUBLE and loses precision). Probe: run the full
+    engine/oracle pair twice — ANSI on AND off — and require the
+    identical hash-exact result both times."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+        STAGED as S17,
+    )
+
+    fixture = tmp_path / "bootansi"
+    fixture.mkdir()
+    spark.createDataFrame(
+        [(i, f"doc {i}", "web", 37 + 13 * i) for i in range(40)],
+        "doc_id long, text string, source string, n_chars int",
+    ).write.parquet(str(fixture / "documents.parquet"))
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    q = S17["docs_length_bootstrap_ci"]
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        on = _run_pair(spark, fixture, q, ["documents"]).sort_values(
+            "rep", ignore_index=True
+        )
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        off = _run_pair(spark, fixture, q, ["documents"]).sort_values(
+            "rep", ignore_index=True
+        )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    pd.testing.assert_frame_equal(on, off)
+
+
+def test_business_day_closed_form_against_numpy_busday(spark, tmp_path):
+    """The r17 closed-form weekday count W(d) = 5·(d DIV 7) + cum[d%7]
+    (epoch day 0 = Thursday) probed on EVERY start day-of-week ×
+    several span lengths, refereed against numpy.busday_count — the
+    independent calendar authority — on top of engine/oracle parity.
+    bus_days = weekdays in (d0, d1] = np.busday_count(d0+1, d1+1)."""
+    import numpy as np
+
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+        STAGED as S17,
+    )
+
+    fixture = tmp_path / "busday"
+    fixture.mkdir()
+    # 1995-01-02 is a Monday; starts cover Mon..Sun, spans cover
+    # same-day, next-day, weekend hops, one and two whole weeks.
+    starts = [f"1995-01-{2 + k:02d}" for k in range(7)]
+    spans = [0, 1, 2, 6, 7, 13]
+    orders, lines, expected = [], [], 0
+    ok = 0
+    for s in starts:
+        for sp in spans:
+            d0 = np.datetime64(s)
+            d1 = d0 + sp
+            orders.append((ok, 1, "O", 1.0, f"{s} 00:00:00", "1-URGENT"))
+            lines.append((ok, f"{d1} 00:00:00"))
+            expected += int(np.busday_count(d0 + 1, d1 + 1))
+            ok += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+        "o_orderpriority",
+    ).write.parquet(str(fixture / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_shipdate string"
+    ).selectExpr(
+        "l_orderkey", "CAST(l_shipdate AS TIMESTAMP_NTZ) AS l_shipdate"
+    ).write.parquet(str(fixture / "lineitem.parquet"))
+    got = _run_pair(
+        spark, fixture, S17["lineitem_business_day_latency"], ["orders", "lineitem"]
+    )
+    assert len(got) == 1
+    assert int(got["n_lines"].iloc[0]) == ok
+    assert int(got["sum_bus_days"].iloc[0]) == expected
+
+
+def test_error_context_cold_start_and_strict_boundaries(spark, tmp_path):
+    """The r17 pre-error context window's three boundary conventions:
+    a cold-start error (nothing before it) pins last_gap_us to −1 on
+    both engines (not NULL); an event exactly AT err_ts − 5 min is
+    INSIDE (>= lower bound); a same-microsecond tie at err_ts is
+    OUTSIDE (strict <)."""
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r17 import (
+        STAGED as S17,
+    )
+
+    fixture = tmp_path / "coldstart"
+    fixture.mkdir()
+    rows = [
+        # user 1: error is the very FIRST event -> empty window, -1.
+        (10, "2024-01-01 00:00:00", 1, "error", 0.0, "{}"),
+        (11, "2024-01-01 00:01:00", 1, "view", 0.0, "{}"),
+        # user 2: context at exactly err_ts - 300s (inside), one
+        # mid-window error (burst), one tie at err_ts (outside).
+        (20, "2024-01-01 01:00:00.000000", 2, "view", 0.0, "{}"),
+        (21, "2024-01-01 01:02:00", 2, "error", 0.0, "{}"),
+        (22, "2024-01-01 01:05:00.000000", 2, "click", 0.0, "{}"),
+        (23, "2024-01-01 01:05:00.000000", 2, "error", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(str(fixture / "events.parquet"))
+    got = _run_pair(
+        spark, fixture, S17["events_error_context_window"], ["events"]
+    ).set_index("error_id")
+    # user 1 cold start
+    assert int(got.loc[10, "n_prior"]) == 0
+    assert int(got.loc[10, "last_gap_us"]) == -1
+    # error 21: only event 20 precedes it (exactly 120 s before)
+    assert int(got.loc[21, "n_prior"]) == 1
+    assert int(got.loc[21, "last_gap_us"]) == 120_000_000
+    # error 23: event 20 is exactly 300 s before (INSIDE, >=), error 21
+    # is 180 s before (burst), click 22 is the same microsecond
+    # (OUTSIDE, strict <) -> 2 prior, 1 prior error, gap 180 s.
+    assert int(got.loc[23, "n_prior"]) == 2
+    assert int(got.loc[23, "n_prior_errors"]) == 1
+    assert int(got.loc[23, "last_gap_us"]) == 180_000_000
