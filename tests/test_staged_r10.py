@@ -444,16 +444,20 @@ def test_no_name_collisions_across_slates_and_registry():
     from python_nyc_taxi_data_pipeline_spark.llm.staged_r18 import (
         STAGED as S18,
     )
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r19 import (
+        STAGED as S19,
+    )
     from python_nyc_taxi_data_pipeline_spark.registry import all_queries
 
     live = set(all_queries())
-    # staged_r8/r9/r10 promoted into the registry in rounds 8/9/10 —
-    # they are now part of `live`, so only the still-pending slates
-    # are checked here. The r10 slate must be a SUBSET of live (the
-    # registration actually happened), never a partial overlap.
+    # staged_r8/r9/r10/r11 promoted into the registry in rounds
+    # 8/9/10/11 — they are now part of `live`, so only the
+    # still-pending slates are checked here. Promoted slates must be
+    # a SUBSET of live (the registration actually happened), never a
+    # partial overlap.
     assert set(STAGED) <= live, set(STAGED) - live
+    assert set(S11) <= live, set(S11) - live
     slates = {
-        "r11": set(S11),
         "r12": set(S12),
         "r13": set(S13),
         "r14": set(S14),
@@ -461,6 +465,7 @@ def test_no_name_collisions_across_slates_and_registry():
         "r16": set(S16),
         "r17": set(S17),
         "r18": set(S18),
+        "r19": set(S19),
     }
     for name, s in slates.items():
         assert not (s & live), f"{name} collides with registry: {s & live}"

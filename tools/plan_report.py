@@ -377,6 +377,17 @@ HEADLINERS = [
         "sketch size is config-bounded, independent of corpus scale. "
         "Tripwire pins the grid-aggregate shape.",
     ),
+    (
+        "knn_pq_adc",
+        "PQ asymmetric-distance kNN (pinned r11 after its first "
+        "curated warm baseline landed in r10): ADC lookup tables are "
+        "built from broadcast codebooks, the corpus streams once "
+        "against the broadcast query block, and the top-k is a "
+        "per-query window over the bounded shortlist — no global "
+        "sort, no all-pairs join. Tripwire pins the broadcast + "
+        "window shape so a silent fallback to a shuffled join or a "
+        "SinglePartition sort shows up as operator growth.",
+    ),
 ]
 
 

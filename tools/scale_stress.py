@@ -329,6 +329,17 @@ def _staged18(name: str):
     return fn
 
 
+def _staged19(name: str):
+    """Resolve a round-19 STAGED query (llm/staged_r19.py)."""
+
+    def fn(spark, sf_dir):
+        from python_nyc_taxi_data_pipeline_spark.llm.staged_r19 import STAGED
+
+        return STAGED[name].fn(spark, sf_dir)
+
+    return fn
+
+
 # round-10 staged candidates (llm/staged_r10.py)
 EXTRA_FNS_R10 = (
     "docs_doremi_reweight_step",
@@ -544,6 +555,17 @@ EXTRA_FNS.update(
         "events_session_path_trigrams": _staged18(
             "events_session_path_trigrams"
         ),
+    }
+)
+
+# round-19 staged seed (llm/staged_r19.py)
+EXTRA_FNS.update(
+    {
+        "orders_hilbert_vs_zorder_quality": _staged19(
+            "orders_hilbert_vs_zorder_quality"
+        ),
+        "orders_priority_trend_ols": _staged19("orders_priority_trend_ols"),
+        "orders_benford_first_digit": _staged19("orders_benford_first_digit"),
     }
 )
 
@@ -960,6 +982,14 @@ MAX_EXPONENT = {
     "events_ab_cuped_readout": 1.35,
     "orders_naive_forecast_eval": 1.35,
     "events_session_path_trigrams": 1.35,
+    # r19 seed: both curve keys are computed map-side in one orders
+    # scan (the anchor is a broadcast 1-row aggregate) and everything
+    # after the (layout, file) zone-map agg is metadata-sized; the OLS
+    # trend and the Benford screen are single-scan hash aggregates
+    # onto calendar/digit-bounded groups.
+    "orders_hilbert_vs_zorder_quality": 1.35,
+    "orders_priority_trend_ols": 1.35,
+    "orders_benford_first_digit": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
