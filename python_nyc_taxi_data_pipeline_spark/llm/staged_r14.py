@@ -52,6 +52,13 @@ The seed slate:
   over the registered PageRank's trade edges (Σ min(w_ij, w_ji) /
   Σ w_ij) — hub-and-spoke vs balanced bilateral trade, the
   complementary structural read to PageRank's importance ranking.
+
+Round-11 growth (slate 9 -> 10):
+
+- ``docs_simhash_bit_bias``: fingerprint-health screen — per SimHash
+  bit lane, the fraction of documents setting it (a healthy Charikar
+  sketch is ≈50% everywhere); runs the production vote pipeline over
+  the cross-engine md5 hash so DuckDB replays every vote.
 """
 
 from __future__ import annotations
@@ -79,6 +86,7 @@ R14_BATCH: tuple[str, ...] = (
     "docs_bpe_vocab_size_curve",
     "docs_image_text_alignment_contract",
     "docs_license_propagation_contract",
+    "docs_simhash_bit_bias",
     "docs_string_pruning_contract",
     "embeddings_pq_adc_recall_curve",
     "events_session_survival_curve",
@@ -1278,3 +1286,123 @@ def nation_trade_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV greatest(w_out_e4 DIV 10000, 1)"
         ).alias("reciprocity_micro"),
     )
+
+
+# --------------------------------------------------------------------
+# SimHash bit-bias health screen (round-11 growth: slate 9 -> 10)
+# --------------------------------------------------------------------
+
+SIMHASH_BIAS_BITS = 60  # md5's first 15 hex digits -> 60 exact bits
+
+
+def _bit_bias_oracle() -> str:
+    return f"""
+    WITH posts AS (
+      SELECT DISTINCT doc_id, w,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+      )
+      WHERE w <> ''
+    ), votes AS (
+      SELECT p.doc_id, b.bit,
+             sum(CASE WHEN (p.h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)
+               AS v
+      FROM posts p
+      CROSS JOIN (
+        SELECT unnest(generate_series(0, {SIMHASH_BIAS_BITS - 1})) AS bit
+      ) b
+      GROUP BY 1, 2
+    ), perbit AS (
+      SELECT bit,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_set
+      FROM votes GROUP BY 1
+    )
+    SELECT CAST(bit AS BIGINT) AS bit, n_docs, n_set,
+           CAST(n_set * 1000000 // n_docs AS BIGINT) AS set_ppm,
+           CAST(n_set * 1000000 // n_docs - 500000 AS BIGINT) AS dev_ppm
+    FROM perbit
+    """
+
+
+@stage(
+    "docs_simhash_bit_bias",
+    oracle=_bit_bias_oracle(),
+    tags=("llm", "dedup", "sketch", "diagnostics"),
+)
+def docs_simhash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash FINGERPRINT-HEALTH screen — per bit lane, the fraction
+    of documents whose fingerprint sets that bit. A healthy Charikar
+    sketch is unbiased (every lane ≈ 50% over a diverse corpus); a
+    skewed lane means a broken hash mix, a vote-threshold bug, or a
+    degenerate vocabulary, and every Hamming-distance threshold
+    downstream silently loses resolution. The production fingerprint
+    (``dedup.simhash_table``) rides xxhash64; this contract runs the
+    SAME vote pipeline over the repo's cross-engine md5 hash
+    ({SIMHASH_BIAS_BITS} exact bits) so DuckDB can replay every vote.
+
+    Exactness: the hash is the established md5-15-hex convention;
+    votes, signs, and the >0 set rule are exact integers; ppm is
+    integer ``DIV``.
+
+    Scale (100 TB): one scan → word explode (map-side) → ONE
+    (doc_id) hash aggregate carrying {SIMHASH_BIAS_BITS} partial-sum
+    vote columns (the measured-fastest simhash_table layout, cites
+    ``llm/dedup.py:813``) → a {SIMHASH_BIAS_BITS}-wide unpivot into a
+    ≤{SIMHASH_BIAS_BITS}-group aggregate. No joins, no windows; the
+    oracle's bit cross-join is the oracle's problem, not the plan's."""
+    d = load(spark, sf_dir, "documents")
+    posts = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("text"), " "))
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .selectExpr(
+            "doc_id",
+            "CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) AS h",
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BIAS_BITS)
+    ]
+    agg = posts.groupBy("doc_id").agg(*votes)
+    stack_args = ", ".join(
+        f"{b}L, b{b}" for b in range(SIMHASH_BIAS_BITS)
+    )
+    lanes = agg.selectExpr(
+        f"stack({SIMHASH_BIAS_BITS}, {stack_args}) AS (bit, v)"
+    )
+    return (
+        lanes.groupBy("bit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("v") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_set"),
+        )
+        .selectExpr(
+            "bit",
+            "n_docs",
+            "n_set",
+            "CAST(n_set * 1000000 DIV n_docs AS BIGINT) AS set_ppm",
+            "CAST(n_set * 1000000 DIV n_docs - 500000 AS BIGINT)"
+            " AS dev_ppm",
+        )
+    )
+
+
+docs_simhash_bit_bias.__doc__ = docs_simhash_bit_bias.__doc__.replace(
+    "{SIMHASH_BIAS_BITS}", str(SIMHASH_BIAS_BITS)
+)

@@ -49,6 +49,19 @@ Round-9 growth (r8 VERDICT directive #5 — slate to ≥8):
   lexical-diversity profile (vocabulary richness), complementary to
   the repetition-mass profile (r11) which measures the opposite
   failure mode.
+
+Round-11 growth (slate 8 -> 10):
+
+- ``orders_theil_sen_trend``: Theil–Sen robust weekly trend per
+  priority — median of all pairwise slopes over the zero-filled week
+  spine (29% breakdown point) + median-residual intercept; the
+  robust twin of the r19 OLS contract, and the pairwise join runs on
+  CALENDAR-bounded metadata so inflation never grows it.
+- ``orders_volume_changepoint``: binary-segmentation changepoint on
+  the daily volume series — the split maximizing between-segment SSE
+  reduction from exact int64 prefix sums, with gain and segment
+  means; the one-shot level-shift detector complementing the
+  registered sequential CUSUM.
 """
 
 from __future__ import annotations
@@ -80,6 +93,8 @@ R15_BATCH: tuple[str, ...] = (
     "events_halflife_engagement",
     "orders_backlog_timeseries",
     "orders_priority_mix_drift_tvd",
+    "orders_theil_sen_trend",
+    "orders_volume_changepoint",
     "part_type_brand_hhi",
 )
 
@@ -1056,4 +1071,300 @@ def docs_ttr_window_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("ttr_sum DIV nw")).cast("bigint").alias(
             "sum_ttr_micro"
         ),
+    )
+
+
+# --------------------------------------------------------------------
+# Theil–Sen robust weekly trend (round-11 growth: slate 8 -> 10)
+# --------------------------------------------------------------------
+
+
+def _theil_sen_oracle() -> str:
+    return """
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) // 7 AS week
+      FROM orders
+    ), bounds AS (
+      SELECT min(week) AS w0, max(week) AS w1 FROM o
+    ), spine AS (
+      SELECT p.priority, g.week
+      FROM (SELECT DISTINCT priority FROM o) p
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT w0 FROM bounds),
+                                      (SELECT w1 FROM bounds))) AS week
+      ) g
+    ), counts AS (
+      SELECT priority, week, CAST(count(*) AS BIGINT) AS c
+      FROM o GROUP BY 1, 2
+    ), series AS (
+      SELECT s.priority,
+             CAST(s.week - b.w0 AS BIGINT) AS x,
+             CAST(COALESCE(c.c, 0) AS BIGINT) AS y
+      FROM spine s
+      CROSS JOIN bounds b
+      LEFT JOIN counts c ON c.priority = s.priority AND c.week = s.week
+    ), slopes AS (
+      SELECT a.priority,
+             round(CAST(b.y - a.y AS DOUBLE) / (b.x - a.x), 6) AS m
+      FROM series a
+      JOIN series b ON b.priority = a.priority AND b.x > a.x
+    ), med AS (
+      SELECT priority,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(quantile_cont(m, 0.5), 6) AS m6
+      FROM slopes GROUP BY 1
+    ), resid AS (
+      SELECT s.priority, m.n_pairs, m.m6,
+             round(s.y - m.m6 * s.x, 6) AS r
+      FROM series s JOIN med m ON m.priority = s.priority
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_weeks,
+           n_pairs,
+           CAST(round(m6 * 1000000, 0) AS BIGINT) AS ts_slope_micro,
+           CAST(round(round(quantile_cont(r, 0.5), 6) * 1000000, 0)
+                AS BIGINT) AS ts_intercept_micro
+    FROM resid GROUP BY 1, 3, m6
+    """
+
+
+@stage(
+    "orders_theil_sen_trend",
+    oracle=_theil_sen_oracle(),
+    tags=("warehouse", "statistics", "regression", "robust"),
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN robust trend of weekly order volume per priority —
+    the median of all pairwise slopes over the zero-filled week spine
+    (29% breakdown point: a burst month that drags OLS barely moves
+    it), plus the median-residual intercept. The robust twin of the
+    r19 OLS contract on the same series; the slope gap between the
+    two IS the outlier alarm.
+
+    Exactness: slopes are 6-dp-rounded doubles of exact int64
+    differences; the median is the exact-binary-fraction percentile
+    convention (Spark ``percentile(m, 0.5D)`` = DuckDB
+    ``quantile_cont``) re-rounded at 6 dp before it feeds the
+    residual pass, so both engines interpolate identical 6-dp
+    multisets; outputs are integer micro.
+
+    Scale (100 TB): the data-sized work is one scan into a
+    (priority, week) hash aggregate; the pairwise join runs on the
+    CALENDAR-bounded series (|priorities| x |weeks| rows, checkpointed
+    metadata — pair count is independent of row count, so inflation
+    never grows it). Two metadata passes (slope median, residual
+    median) with the 5-row median frame broadcast back."""
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS priority",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        " AS BIGINT) DIV 7 AS week",
+    )
+    bounds = o.agg(F.min("week").alias("w0"), F.max("week").alias("w1"))
+    spine = (
+        o.select("priority")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr("priority", "explode(sequence(w0, w1)) AS week", "w0")
+    )
+    counts = o.groupBy("priority", "week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    series = (
+        spine.join(counts, ["priority", "week"], "left")
+        .selectExpr(
+            "priority",
+            "CAST(week - w0 AS BIGINT) AS x",
+            "CAST(COALESCE(c, 0) AS BIGINT) AS y",
+        )
+        .localCheckpoint(eager=True)  # calendar-bounded metadata
+    )
+    a = series.selectExpr("priority", "x AS xa", "y AS ya")
+    b = series.selectExpr("priority", "x AS xb", "y AS yb")
+    slopes = (
+        a.join(b, "priority")
+        .filter(F.col("xb") > F.col("xa"))
+        .selectExpr(
+            "priority",
+            "round(CAST(yb - ya AS DOUBLE) / (xb - xa), 6) AS m",
+        )
+    )
+    med = slopes.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("round(percentile(m, 0.5D), 6)").alias("m6"),
+    )
+    resid = series.join(F.broadcast(med), "priority").selectExpr(
+        "priority",
+        "n_pairs",
+        "m6",
+        "round(y - m6 * x, 6) AS r",
+    )
+    return resid.groupBy("priority", "n_pairs", "m6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.expr(
+            "CAST(round(round(percentile(r, 0.5D), 6) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("ts_intercept_micro"),
+    ).selectExpr(
+        "priority",
+        "n_weeks",
+        "n_pairs",
+        "CAST(round(m6 * 1000000, 0) AS BIGINT) AS ts_slope_micro",
+        "ts_intercept_micro",
+    )
+
+
+# --------------------------------------------------------------------
+# Binary-segmentation changepoint (round-11 growth)
+# --------------------------------------------------------------------
+
+
+def _changepoint_oracle() -> str:
+    return """
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ), bounds AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM o
+    ), spine AS (
+      SELECT p.priority, g.day
+      FROM (SELECT DISTINCT priority FROM o) p
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                      (SELECT d1 FROM bounds))) AS day
+      ) g
+    ), counts AS (
+      SELECT priority, day, CAST(count(*) AS BIGINT) AS c
+      FROM o GROUP BY 1, 2
+    ), series AS (
+      SELECT s.priority,
+             CAST(s.day - b.d0 + 1 AS BIGINT) AS k,
+             CAST(s.day AS BIGINT) AS day,
+             CAST(COALESCE(c.c, 0) AS BIGINT) AS y
+      FROM spine s
+      CROSS JOIN bounds b
+      LEFT JOIN counts c ON c.priority = s.priority AND c.day = s.day
+    ), pre AS (
+      SELECT priority, k, day,
+             sum(y) OVER (PARTITION BY priority ORDER BY k) AS sk,
+             CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n,
+             sum(y) OVER (PARTITION BY priority) AS sn
+      FROM series
+    ), gains AS (
+      SELECT priority, k, day, n, sn,
+             CAST(n * sk - k * sn AS DOUBLE) * CAST(n * sk - k * sn AS DOUBLE)
+               / (CAST(n AS DOUBLE) * k * (n - k)) AS gain,
+             sk
+      FROM pre WHERE k < n
+    ), best AS (
+      SELECT priority, k, day, n, sn, gain, sk,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY gain DESC, k ASC) AS rn
+      FROM gains
+    )
+    SELECT priority,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(sn AS BIGINT) AS total_orders,
+           CAST(day AS BIGINT) AS split_day_epoch,
+           CAST(round(gain * 1000000, 0) AS BIGINT) AS gain_micro,
+           CAST(sk * 1000000 // k AS BIGINT) AS mean_left_micro,
+           CAST((sn - sk) * 1000000 // (n - k) AS BIGINT)
+             AS mean_right_micro
+    FROM best WHERE rn = 1
+    """
+
+
+@stage(
+    "orders_volume_changepoint",
+    oracle=_changepoint_oracle(),
+    tags=("warehouse", "statistics", "changepoint", "timeseries"),
+)
+def orders_volume_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BINARY-SEGMENTATION changepoint on daily order volume per
+    priority — the single split that maximizes the between-segment
+    SSE reduction G(k) = (n·S_k − k·S_n)² / (n·k·(n−k)) over the
+    zero-filled day spine, reported with the gain and both segment
+    means. The level-shift detector (one-shot binseg) that complements
+    the registered CUSUM (sequential drift alarm): CUSUM says "it
+    drifted", binseg says WHERE the regime changed.
+
+    Exactness: prefix sums and the G(k) numerator are exact int64
+    (n·S_k ≤ days·orders ≈ 4·10⁸ at sf0.1 — nine orders of magnitude
+    of headroom); the gain is the same IEEE double expression on both
+    engines from identical integers; the argmax tie-breaks on the
+    earlier day; segment means are integer-micro ``DIV``.
+
+    Scale (100 TB): one scan → (priority, day) hash aggregate; the
+    prefix-sum window and the argmax window run per priority over the
+    CALENDAR-bounded spine (≤ a few thousand rows per partition,
+    keyed — never a global single-partition sort). Inflation grows
+    counts, not the spine, so the window work is constant."""
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS priority",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        " AS BIGINT) AS day",
+    )
+    bounds = o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        o.select("priority")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr("priority", "explode(sequence(d0, d1)) AS day", "d0")
+    )
+    counts = o.groupBy("priority", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    series = spine.join(counts, ["priority", "day"], "left").selectExpr(
+        "priority",
+        "CAST(day - d0 + 1 AS BIGINT) AS k",
+        "CAST(day AS BIGINT) AS day",
+        "CAST(COALESCE(c, 0) AS BIGINT) AS y",
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("priority")
+    pre = series.select(
+        "priority",
+        "k",
+        "day",
+        F.sum("y").over(wcum).alias("sk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("y").over(wall).alias("sn"),
+    )
+    gains = pre.filter(F.col("k") < F.col("n")).selectExpr(
+        "priority",
+        "k",
+        "day",
+        "n",
+        "sn",
+        "sk",
+        "CAST(n * sk - k * sn AS DOUBLE) * CAST(n * sk - k * sn AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * k * (n - k)) AS gain",
+    )
+    wbest = Window.partitionBy("priority").orderBy(
+        F.col("gain").desc(), F.col("k").asc()
+    )
+    return (
+        gains.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .selectExpr(
+            "priority",
+            "n AS n_days",
+            "sn AS total_orders",
+            "day AS split_day_epoch",
+            "CAST(round(gain * 1000000, 0) AS BIGINT) AS gain_micro",
+            "CAST(sk * 1000000 DIV k AS BIGINT) AS mean_left_micro",
+            "CAST((sn - sk) * 1000000 DIV (n - k) AS BIGINT)"
+            " AS mean_right_micro",
+        )
     )

@@ -23,6 +23,21 @@ The seed (operator families the engine does not cover yet):
   where funnels become visible). The trigram domain is bounded by the
   type vocabulary cubed, so the report is metadata-sized at any
   corpus scale.
+
+Round-11 growth (slate 3 -> 6):
+
+- ``events_weekly_retention_triangle``: the canonical cohort
+  retention matrix — users cohorted by first-active week, active
+  share per (cohort, age) in ppm; the growth-analytics table the
+  stickiness point-ratio summarizes.
+- ``events_type_entropy_rate``: conditional next-step entropy per
+  state and the frequency-weighted entropy rate of the SAME Markov
+  matrix the registered transition/stationary pair reports — the
+  predictability lens (deterministic funnel vs branching point).
+- ``docs_stratified_split_manifest``: deterministic md5 8/1/1
+  train/val/test split reported per source stratum (docs, token
+  mass, shares ppm) — the dataset-card balance certificate; the r15
+  leakage contract covers content, this covers size/balance.
 """
 
 from __future__ import annotations
@@ -47,8 +62,11 @@ class StagedQuery:
 STAGED: dict[str, StagedQuery] = {}
 
 R18_BATCH: tuple[str, ...] = (
+    "docs_stratified_split_manifest",
     "events_ab_cuped_readout",
     "events_session_path_trigrams",
+    "events_type_entropy_rate",
+    "events_weekly_retention_triangle",
     "orders_naive_forecast_eval",
 )
 
@@ -449,3 +467,320 @@ def events_session_path_trigrams(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------
+# Weekly retention triangle (round-11 growth)
+# --------------------------------------------------------------------
+
+
+def _retention_oracle() -> str:
+    return """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS week
+      FROM events
+    ), first AS (
+      SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1
+    ), tri AS (
+      SELECT f.cohort_week,
+             CAST(a.week - f.cohort_week AS BIGINT) AS age_weeks,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM act a JOIN first f ON f.user_id = a.user_id
+      GROUP BY 1, 2
+    ), base AS (
+      SELECT cohort_week, n_active AS cohort_size
+      FROM tri WHERE age_weeks = 0
+    )
+    SELECT t.cohort_week, t.age_weeks, b.cohort_size, t.n_active,
+           CAST(t.n_active * 1000000 // b.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM tri t JOIN base b ON b.cohort_week = t.cohort_week
+    """
+
+
+@stage(
+    "events_weekly_retention_triangle",
+    oracle=_retention_oracle(),
+    tags=("analytics", "retention", "cohort", "growth"),
+)
+def events_weekly_retention_triangle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WEEKLY RETENTION TRIANGLE — users cohorted by first-active
+    week; per (cohort, age in weeks): active users and the retention
+    ppm vs the cohort's size. The canonical growth-analytics table
+    (every cohort chart and LTV model starts here); age 0 is the
+    cohort itself by construction (retention_ppm = 1e6). Complements
+    the registered DAU/WAU stickiness (a point ratio) and the r16
+    cohort repeat rate (orders) with the full events-side matrix.
+
+    Exactness: weeks are exact epoch-day ``DIV`` 7; counts and ppm
+    are exact integers.
+
+    Scale (100 TB): one scan → DISTINCT (user, week) hash aggregate;
+    the cohort lookup is a user-keyed equi-join (co-partitioned with
+    the distinct — AQE reuses the exchange); the triangle itself is
+    CALENDAR²-bounded metadata and the cohort-size join is
+    metadata-on-metadata."""
+    act = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+            " AS BIGINT) DIV 7 AS week",
+        )
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    tri = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week"))
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+        .localCheckpoint(eager=True)  # calendar^2-bounded metadata
+    )
+    base = tri.filter(F.col("age_weeks") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return tri.join(F.broadcast(base), "cohort_week").selectExpr(
+        "cohort_week",
+        "age_weeks",
+        "cohort_size",
+        "n_active",
+        "CAST(n_active * 1000000 DIV cohort_size AS BIGINT)"
+        " AS retention_ppm",
+    )
+
+
+# --------------------------------------------------------------------
+# Markov entropy rate (round-11 growth)
+# --------------------------------------------------------------------
+
+
+def _entropy_rate_oracle() -> str:
+    return """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), trans AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS ctot FROM trans
+    ), rows_ AS (
+      SELECT src, CAST(sum(c) AS BIGINT) AS crow,
+             CAST(count(*) AS BIGINT) AS out_degree
+      FROM trans GROUP BY 1
+    )
+    SELECT t.src,
+           r.crow AS n_out,
+           r.out_degree,
+           CAST(sum(CAST(round(-(CAST(t.c AS DOUBLE) / r.crow)
+                 * ln(CAST(t.c AS DOUBLE) / r.crow) * 1000000.0, 0)
+                 AS BIGINT)) AS BIGINT) AS h_row_micro,
+           CAST(sum(CAST(round(-(CAST(t.c AS DOUBLE) / o.ctot)
+                 * ln(CAST(t.c AS DOUBLE) / r.crow) * 1000000.0, 0)
+                 AS BIGINT)) AS BIGINT) AS h_rate_contrib_micro
+    FROM trans t
+    JOIN rows_ r ON r.src = t.src
+    CROSS JOIN tot o
+    GROUP BY 1, 2, 3
+    """
+
+
+@stage(
+    "events_type_entropy_rate",
+    oracle=_entropy_rate_oracle(),
+    tags=("analytics", "markov", "entropy", "information"),
+)
+def events_type_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENTROPY RATE of the user-journey Markov chain — per source
+    state: the conditional next-step entropy H(next|src) in
+    micro-nats and its empirical-frequency-weighted contribution to
+    the chain's entropy rate Ĥ = −Σ_ij (c_ij/C)·ln(c_ij/c_i·). The
+    predictability readout over the SAME transition matrix the
+    registered ``events_markov_transitions``/``_stationary`` pair
+    reports: a near-zero row means a deterministic funnel step, a
+    high row means a branching point — where recommendation/caching
+    effort pays.
+
+    Exactness: the registered entropy convention — every −p·ln(p)
+    TERM rounds to integer micro-nats BEFORE the sum (order-free
+    integer aggregation on both engines); probabilities are
+    int64/int64 double divisions, identical IEEE on both engines;
+    the transition ordering tie-break (ts, event_id) is the
+    registered Markov convention.
+
+    Scale (100 TB): the corpus-sized work is ONE per-user window
+    (lead) and ONE hash aggregate into the |types|²-bounded matrix;
+    everything downstream (row totals, the scalar total, both
+    entropy sums) is metadata over ≤|types|² rows with the 1-row
+    total broadcast by the planner."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    trans = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # <= |types|^2 metadata
+    )
+    rows_ = trans.groupBy("src").agg(
+        F.sum("c").cast("bigint").alias("crow"),
+        F.count(F.lit(1)).cast("bigint").alias("out_degree"),
+    )
+    tot = trans.agg(F.sum("c").cast("bigint").alias("ctot"))
+    return (
+        trans.join(F.broadcast(rows_), "src")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("src", "crow", "out_degree")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(-(CAST(c AS DOUBLE) / crow)"
+                    " * ln(CAST(c AS DOUBLE) / crow) * 1000000.0, 0)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("h_row_micro"),
+            F.sum(
+                F.expr(
+                    "CAST(round(-(CAST(c AS DOUBLE) / ctot)"
+                    " * ln(CAST(c AS DOUBLE) / crow) * 1000000.0, 0)"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("h_rate_contrib_micro"),
+        )
+        .selectExpr(
+            "src",
+            "crow AS n_out",
+            "out_degree",
+            "h_row_micro",
+            "h_rate_contrib_micro",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Stratified split manifest (round-11 growth)
+# --------------------------------------------------------------------
+
+SPLIT_BUCKETS = 10  # md5 % 10: 0-7 train, 8 val, 9 test
+
+
+def _split_manifest_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT source,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % {SPLIT_BUCKETS} <= 7 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    ::BIGINT % {SPLIT_BUCKETS} = 8 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      FROM documents
+    ), per AS (
+      SELECT source, split,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1, 2
+    ), src AS (
+      SELECT source,
+             CAST(sum(n_docs) AS BIGINT) AS src_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM per GROUP BY 1
+    )
+    SELECT p.source, p.split, p.n_docs, p.n_tokens,
+           CAST(p.n_docs * 1000000 // s.src_docs AS BIGINT)
+             AS doc_share_ppm,
+           CAST(p.n_tokens * 1000000 // greatest(s.src_tokens, 1)
+                AS BIGINT) AS token_share_ppm
+    FROM per p JOIN src s ON s.source = p.source
+    """
+
+
+@stage(
+    "docs_stratified_split_manifest",
+    oracle=_split_manifest_oracle(),
+    tags=("llm", "curation", "split", "manifest"),
+)
+def docs_stratified_split_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRATIFIED train/val/test SPLIT MANIFEST — the deterministic
+    hash split (md5 % {SPLIT_BUCKETS}: 8/1/1) reported per source
+    stratum: docs, whitespace-token mass, and each split's doc/token
+    share ppm within its source. The dataset-card table every
+    training run ships; the r15 leakage contract certifies the split
+    doesn't leak NEAR-DUP content — this manifest certifies its
+    SIZE/BALANCE story. Reproducible anywhere: the split is a pure
+    function of doc_id.
+
+    Exactness: the established cross-engine md5-15-hex hash; token
+    counts use the registered whitespace convention
+    (``size(split(text, ' '))``); shares are integer ``DIV`` with
+    the ``greatest(x, 1)`` zero-guard.
+
+    Scale (100 TB): one scan, split and token count computed
+    map-side, ONE (source, split) hash aggregate (≤ 3·|sources|
+    groups); the share join is metadata-on-metadata."""
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "source",
+        f"""CASE
+          WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15),
+                         16, 10) AS BIGINT) % {SPLIT_BUCKETS} <= 7
+            THEN 'train'
+          WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15),
+                         16, 10) AS BIGINT) % {SPLIT_BUCKETS} = 8
+            THEN 'val'
+          ELSE 'test'
+        END AS split""",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS toks",
+    )
+    per = d.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+    )
+    src = per.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("src_docs"),
+        F.sum("n_tokens").cast("bigint").alias("src_tokens"),
+    )
+    return per.join(F.broadcast(src), "source").selectExpr(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        "CAST(n_docs * 1000000 DIV src_docs AS BIGINT) AS doc_share_ppm",
+        "CAST(n_tokens * 1000000 DIV greatest(src_tokens, 1) AS BIGINT)"
+        " AS token_share_ppm",
+    )
+
+
+docs_stratified_split_manifest.__doc__ = (
+    docs_stratified_split_manifest.__doc__.replace(
+        "{SPLIT_BUCKETS}", str(SPLIT_BUCKETS)
+    )
+)

@@ -3,6 +3,8 @@ naive-forecast eval, session path trigrams)."""
 
 from __future__ import annotations
 
+import math
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -26,7 +28,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r18_batch_matches_staged():
     assert sorted(R18_BATCH) == sorted(STAGED)
-    assert len(R18_BATCH) == 3
+    assert len(R18_BATCH) == 6
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -221,3 +223,160 @@ def test_path_trigrams_python_replay(spark):
         assert got.loc[key, "n_users"] == len(users[key])
     # conservation: total trigram occurrences == sum over sessions
     assert int(got["n_occurrences"].sum()) == n_expected_total
+
+
+# --------------------------------------------------------------------
+# Retention triangle (round-11 growth) — pandas replay + laws
+# --------------------------------------------------------------------
+
+
+def test_retention_triangle_pandas_replay(spark):
+    got = (
+        STAGED["events_weekly_retention_triangle"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["cohort_week", "age_weeks"], ignore_index=True)
+    )
+    ev = _pd("events")
+    week = (
+        ev["ts"].astype("datetime64[ns]").values.astype("datetime64[D]")
+        - np.datetime64("1970-01-01")
+    ).astype("int64") // 7
+    act = pd.DataFrame(
+        {"u": ev["user_id"], "w": week}
+    ).drop_duplicates()
+    first = act.groupby("u")["w"].min()
+    act["cohort"] = act["u"].map(first)
+    act["age"] = act["w"] - act["cohort"]
+    tri = (
+        act.groupby(["cohort", "age"])["u"].nunique().reset_index(name="n")
+    )
+    base = tri[tri["age"] == 0].set_index("cohort")["n"]
+    tri["size"] = tri["cohort"].map(base)
+    tri["ppm"] = tri["n"] * 1_000_000 // tri["size"]
+    tri = tri.sort_values(["cohort", "age"], ignore_index=True)
+    assert len(got) == len(tri)
+    assert (got["cohort_week"].values == tri["cohort"].values).all()
+    assert (got["age_weeks"].values == tri["age"].values).all()
+    assert (got["cohort_size"].values == tri["size"].values).all()
+    assert (got["n_active"].values == tri["n"].values).all()
+    assert (got["retention_ppm"].values == tri["ppm"].values).all()
+    # laws: age 0 is the cohort itself; retention never exceeds 1e6;
+    # a cohort's active count never exceeds its size
+    a0 = got[got["age_weeks"] == 0]
+    assert (a0["retention_ppm"] == 1_000_000).all()
+    assert (a0["n_active"] == a0["cohort_size"]).all()
+    assert (got["retention_ppm"] <= 1_000_000).all()
+
+
+# --------------------------------------------------------------------
+# Entropy rate (round-11 growth) — pandas replay + info-theory laws
+# --------------------------------------------------------------------
+
+
+def test_entropy_rate_pandas_replay(spark):
+    got = (
+        STAGED["events_type_entropy_rate"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("src")
+        .sort_index()
+    )
+    ev = (
+        _pd("events")
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pairs = []
+    for _, grp in ev.groupby("user_id", sort=False):
+        et = grp["event_type"].tolist()
+        pairs.extend(zip(et, et[1:]))
+    trans = pd.Series(pairs).value_counts()
+    c = trans.rename_axis("pair").reset_index(name="c")
+    c["src"] = c["pair"].str[0]
+    crow = c.groupby("src")["c"].sum()
+    ctot = int(c["c"].sum())
+    for src, grp in c.groupby("src"):
+        row_n = int(crow[src])
+        h_row = sum(
+            int(round(-(cc / row_n) * math.log(cc / row_n) * 1e6))
+            for cc in grp["c"]
+        )
+        h_contrib = sum(
+            int(round(-(cc / ctot) * math.log(cc / row_n) * 1e6))
+            for cc in grp["c"]
+        )
+        assert got.loc[src, "n_out"] == row_n
+        assert got.loc[src, "out_degree"] == len(grp)
+        assert got.loc[src, "h_row_micro"] == h_row, src
+        assert got.loc[src, "h_rate_contrib_micro"] == h_contrib, src
+    # laws: row entropy in [0, ln(out_degree)] micro (+ rounding slop);
+    # contributions are non-negative and sum to <= max row entropy
+    for src in got.index:
+        k = int(got.loc[src, "out_degree"])
+        assert 0 <= got.loc[src, "h_row_micro"] <= round(
+            math.log(max(k, 2)) * 1e6
+        ) + k
+    assert (got["h_rate_contrib_micro"] >= 0).all()
+    assert (
+        got["h_rate_contrib_micro"].sum()
+        <= got["h_row_micro"].max() + len(got)
+    )
+
+
+# --------------------------------------------------------------------
+# Split manifest (round-11 growth) — hashlib replay + conservation
+# --------------------------------------------------------------------
+
+
+def test_split_manifest_hashlib_replay(spark):
+    import hashlib
+
+    got = (
+        STAGED["docs_stratified_split_manifest"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["source", "split"], ignore_index=True)
+    )
+    docs = _pd("documents")
+
+    def split_of(doc_id) -> str:
+        b = int(
+            hashlib.md5(str(int(doc_id)).encode()).hexdigest()[:15], 16
+        ) % 10
+        return "train" if b <= 7 else ("val" if b == 8 else "test")
+
+    docs["split"] = docs["doc_id"].map(split_of)
+    docs["toks"] = docs["text"].map(lambda t: len(str(t).split(" ")))
+    per = (
+        docs.groupby(["source", "split"])
+        .agg(n_docs=("doc_id", "size"), n_tokens=("toks", "sum"))
+        .reset_index()
+    )
+    srct = per.groupby("source")[["n_docs", "n_tokens"]].sum()
+    per["doc_share_ppm"] = per.apply(
+        lambda r: int(r["n_docs"])
+        * 1_000_000
+        // int(srct.loc[r["source"], "n_docs"]),
+        axis=1,
+    )
+    per["token_share_ppm"] = per.apply(
+        lambda r: int(r["n_tokens"])
+        * 1_000_000
+        // max(int(srct.loc[r["source"], "n_tokens"]), 1),
+        axis=1,
+    )
+    per = per.sort_values(["source", "split"], ignore_index=True)
+    assert len(got) == len(per)
+    for col in (
+        "n_docs",
+        "n_tokens",
+        "doc_share_ppm",
+        "token_share_ppm",
+    ):
+        assert (got[col].values == per[col].values).all(), col
+    # conservation: every doc lands in exactly one split
+    assert int(got["n_docs"].sum()) == len(docs)
+    # determinism: the split is a pure function of doc_id — rerunning
+    # the hash gives the same buckets (no RNG anywhere)
+    assert (docs["doc_id"].map(split_of) == docs["split"]).all()

@@ -569,6 +569,22 @@ EXTRA_FNS.update(
     }
 )
 
+# round-11 slate growth: r15 -> 10, r14 -> 10, r18 -> 6
+EXTRA_FNS.update(
+    {
+        "orders_theil_sen_trend": _staged15("orders_theil_sen_trend"),
+        "orders_volume_changepoint": _staged15("orders_volume_changepoint"),
+        "docs_simhash_bit_bias": _staged14("docs_simhash_bit_bias"),
+        "events_weekly_retention_triangle": _staged18(
+            "events_weekly_retention_triangle"
+        ),
+        "events_type_entropy_rate": _staged18("events_type_entropy_rate"),
+        "docs_stratified_split_manifest": _staged18(
+            "docs_stratified_split_manifest"
+        ),
+    }
+)
+
 # round-9 staged candidates (llm/staged_r9.py). orders_basket_lift is
 # deliberately absent: the key-shift inflater duplicates baskets, so
 # SUPPORT itself inflates (the triangle-counting caveat class).
@@ -990,6 +1006,19 @@ MAX_EXPONENT = {
     "orders_hilbert_vs_zorder_quality": 1.35,
     "orders_priority_trend_ols": 1.35,
     "orders_benford_first_digit": 1.35,
+    # r11 slate growth: Theil–Sen and the changepoint run their pair /
+    # window work on calendar-bounded metadata after one hash agg; the
+    # bit-bias screen is the simhash_table one-shuffle layout into a
+    # 60-group unpivot; the retention triangle is distinct + a
+    # user-keyed join into a calendar²-bounded matrix; entropy rate is
+    # the Markov lead-window into |types|² metadata; the split
+    # manifest is a single-scan two-level aggregate.
+    "orders_theil_sen_trend": 1.35,
+    "orders_volume_changepoint": 1.35,
+    "docs_simhash_bit_bias": 1.35,
+    "events_weekly_retention_triangle": 1.35,
+    "events_type_entropy_rate": 1.35,
+    "docs_stratified_split_manifest": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
