@@ -38,6 +38,20 @@ Round-11 growth (slate 3 -> 6):
   train/val/test split reported per source stratum (docs, token
   mass, shares ppm) — the dataset-card balance certificate; the r15
   leakage contract covers content, this covers size/balance.
+
+Round-11 close (slate 6 -> 10, the experimentation-platform shelf):
+
+- ``events_ab_srm_check``: sample-ratio mismatch — the two-cell
+  chi-square gate every A/B readout must pass before anything else.
+- ``events_cuped_variance_report``: the CUPED payoff certificate —
+  raw vs adjusted metric variance per arm and the realized reduction
+  ppm (what the covariate actually buys).
+- ``orders_did_readout``: difference-in-differences — the
+  quasi-experimental estimate for dated rollouts you could not
+  randomize; four cell means + the DiD in exact micro.
+- ``events_power_mde_planner``: minimum detectable effect at the
+  current arm size and a 2×/4×/8× ladder — the "can this experiment
+  even see it?" table.
 """
 
 from __future__ import annotations
@@ -64,9 +78,13 @@ STAGED: dict[str, StagedQuery] = {}
 R18_BATCH: tuple[str, ...] = (
     "docs_stratified_split_manifest",
     "events_ab_cuped_readout",
+    "events_ab_srm_check",
+    "events_cuped_variance_report",
+    "events_power_mde_planner",
     "events_session_path_trigrams",
     "events_type_entropy_rate",
     "events_weekly_retention_triangle",
+    "orders_did_readout",
     "orders_naive_forecast_eval",
 )
 
@@ -784,3 +802,410 @@ docs_stratified_split_manifest.__doc__ = (
         "{SPLIT_BUCKETS}", str(SPLIT_BUCKETS)
     )
 )
+
+
+# --------------------------------------------------------------------
+# SRM check (round-11 growth: the #1 A/B sanity gate)
+# --------------------------------------------------------------------
+
+# chi-square(df=1) critical value at alpha=0.05, Python literal in ppm
+SRM_CHI2_CRIT_MICRO = 3_841_459
+
+
+def _srm_oracle() -> str:
+    return f"""
+    WITH arms AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_users) AS BIGINT) AS n,
+             CAST(max(n_users) - min(n_users) AS BIGINT) AS gap
+      FROM arms
+    )
+    SELECT a.arm, a.n_users,
+           CAST(a.n_users * 1000000 // t.n AS BIGINT) AS share_ppm,
+           CAST(t.gap * t.gap * 1000000 // t.n AS BIGINT) AS chi2_micro,
+           t.gap * t.gap * 1000000 // t.n > {SRM_CHI2_CRIT_MICRO}
+             AS srm_flag
+    FROM arms a CROSS JOIN tot t
+    """
+
+
+@stage(
+    "events_ab_srm_check",
+    oracle=_srm_oracle(),
+    tags=("events", "experimentation", "quality", "srm"),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check — the FIRST gate every A/B readout
+    must pass: with a 50/50 intended split, the two-cell chi-square
+    collapses to (n₀−n₁)²/n, compared against the df=1 critical value
+    at α=0.05 (Python literal, ppm). An SRM means the assignment or
+    logging pipeline is broken and every downstream metric (incl. the
+    registered CUPED readout on the SAME parity arms) is invalid —
+    platforms auto-kill experiments on this flag.
+
+    Exactness: pure integer arithmetic end to end — counts, shares,
+    and the chi-square in micro via integer ``DIV``; the critical
+    value is an embedded literal.
+
+    Scale (100 TB): one scan → DISTINCT user hash aggregate into two
+    groups; everything downstream is a 2-row frame and a broadcast
+    1-row total."""
+    arms = (
+        load(spark, sf_dir, "events")
+        .selectExpr("CAST(user_id % 2 AS BIGINT) AS arm", "user_id")
+        .groupBy("arm")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+    tot = arms.agg(
+        F.sum("n_users").cast("bigint").alias("n"),
+        (F.max("n_users") - F.min("n_users")).cast("bigint").alias("gap"),
+    )
+    return arms.crossJoin(F.broadcast(tot)).selectExpr(
+        "arm",
+        "n_users",
+        "CAST(n_users * 1000000 DIV n AS BIGINT) AS share_ppm",
+        "CAST(gap * gap * 1000000 DIV n AS BIGINT) AS chi2_micro",
+        f"gap * gap * 1000000 DIV n > {SRM_CHI2_CRIT_MICRO} AS srm_flag",
+    )
+
+
+# --------------------------------------------------------------------
+# CUPED variance report (round-11 growth: the payoff certificate)
+# --------------------------------------------------------------------
+
+
+def _cuped_variance_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             {CUPED_CENTS} AS cents
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(sum(CASE WHEN day < {CUPED_BOUNDARY_DAY}
+                      THEN cents ELSE 0 END) AS BIGINT) AS pre,
+             CAST(sum(CASE WHEN day >= {CUPED_BOUNDARY_DAY}
+                      THEN cents ELSE 0 END) AS BIGINT) AS post
+      FROM e GROUP BY 1, 2
+    ), moments AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS BIGINT) AS sp,
+             CAST(sum(post) AS BIGINT) AS sq,
+             CAST(sum(pre * post) AS BIGINT) AS spq,
+             CAST(sum(pre * pre) AS BIGINT) AS spp
+      FROM per_user
+    ), theta AS (
+      SELECT round(CAST(n * spq - sp * sq AS DOUBLE)
+                   / greatest(n * spp - sp * sp, 1), 6) AS th,
+             sp // n AS mu_pre
+      FROM moments
+    ), adj AS (
+      SELECT u.arm, u.post,
+             u.post - CAST(round(t.th * (u.pre - t.mu_pre), 0) AS BIGINT)
+               AS y
+      FROM per_user u CROSS JOIN theta t
+    ), arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(post) AS BIGINT) AS s1,
+             CAST(sum(post * post) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS t1,
+             CAST(sum(y * y) AS BIGINT) AS t2
+      FROM adj GROUP BY 1
+    )
+    SELECT arm, n_users,
+           CAST(round((CAST(s2 AS DOUBLE) / n_users
+                 - (CAST(s1 AS DOUBLE) / n_users)
+                   * (CAST(s1 AS DOUBLE) / n_users)) * 100.0, 0)
+                AS BIGINT) AS var_post_e2,
+           CAST(round((CAST(t2 AS DOUBLE) / n_users
+                 - (CAST(t1 AS DOUBLE) / n_users)
+                   * (CAST(t1 AS DOUBLE) / n_users)) * 100.0, 0)
+                AS BIGINT) AS var_adj_e2,
+           CAST(round((1.0 - (CAST(t2 AS DOUBLE) / n_users
+                 - (CAST(t1 AS DOUBLE) / n_users)
+                   * (CAST(t1 AS DOUBLE) / n_users))
+                 / (CAST(s2 AS DOUBLE) / n_users
+                 - (CAST(s1 AS DOUBLE) / n_users)
+                   * (CAST(s1 AS DOUBLE) / n_users))) * 1000000.0, 0)
+                AS BIGINT) AS reduction_ppm
+    FROM arms
+    """
+
+
+@stage(
+    "events_cuped_variance_report",
+    oracle=_cuped_variance_oracle(),
+    tags=("events", "experimentation", "statistics", "variance"),
+)
+def events_cuped_variance_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CUPED PAYOFF CERTIFICATE — per arm, the population variance
+    of the raw post-period metric vs the CUPED-adjusted metric and
+    the reduction in ppm (the realized 1−ρ² — how much experiment
+    runtime the covariate actually buys). Companion to the registered
+    ``events_ab_cuped_readout``, which reports the adjusted MEANS
+    this report prices.
+
+    Exactness: same pooled θ (6-dp double of exact n-scaled integer
+    moments); the adjusted value rounds PER USER to integer cents
+    (order-free integer sums — never a running double sum); variances
+    combine exact int64 moments in one identical IEEE double
+    expression per engine, rounded once at centi-cents² / ppm.
+
+    Scale (100 TB): one scan → per-user hash aggregate; θ and the
+    pre-mean are a broadcast 1-row frame; per-arm moments are a 2-row
+    aggregate. No data-sized joins, no windows."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+            "day"
+        ),
+        F.expr(CUPED_CENTS).alias("cents"),
+    )
+    pre = F.col("day") < CUPED_BOUNDARY_DAY
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(pre, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("pre"),
+        F.sum(F.when(~pre, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("post"),
+    ).selectExpr("CAST(user_id % 2 AS BIGINT) AS arm", "pre", "post")
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sp"),
+        F.sum("post").cast("bigint").alias("sq"),
+        F.sum(F.col("pre") * F.col("post")).cast("bigint").alias("spq"),
+        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("spp"),
+    ).selectExpr(
+        "round(CAST(n * spq - sp * sq AS DOUBLE)"
+        " / greatest(n * spp - sp * sp, 1), 6) AS th",
+        "sp DIV n AS mu_pre",
+    )
+    adj = per_user.crossJoin(F.broadcast(mom)).selectExpr(
+        "arm",
+        "post",
+        "post - CAST(round(th * (pre - mu_pre), 0) AS BIGINT) AS y",
+    )
+    arms = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("post").cast("bigint").alias("s1"),
+        F.sum(F.col("post") * F.col("post")).cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("t1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("t2"),
+    )
+    vp = (
+        "(CAST(s2 AS DOUBLE) / n_users"
+        " - (CAST(s1 AS DOUBLE) / n_users)"
+        " * (CAST(s1 AS DOUBLE) / n_users))"
+    )
+    va = (
+        "(CAST(t2 AS DOUBLE) / n_users"
+        " - (CAST(t1 AS DOUBLE) / n_users)"
+        " * (CAST(t1 AS DOUBLE) / n_users))"
+    )
+    return arms.selectExpr(
+        "arm",
+        "n_users",
+        f"CAST(round({vp} * 100.0, 0) AS BIGINT) AS var_post_e2",
+        f"CAST(round({va} * 100.0, 0) AS BIGINT) AS var_adj_e2",
+        f"CAST(round((1.0 - {va} / {vp}) * 1000000.0, 0) AS BIGINT)"
+        " AS reduction_ppm",
+    )
+
+
+# --------------------------------------------------------------------
+# Difference-in-differences (round-11 growth)
+# --------------------------------------------------------------------
+
+DID_BOUNDARY = "DATE '1995-06-01'"  # mid-fixture policy date
+
+
+def _did_oracle() -> str:
+    return f"""
+    WITH o AS (
+      SELECT CAST(o_custkey % 2 AS BIGINT) AS grp,
+             CASE WHEN CAST(o_orderdate AS DATE) >= {DID_BOUNDARY}
+                  THEN 1 ELSE 0 END AS period,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), cells AS (
+      SELECT grp, period,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) * 1000000 // count(*) AS BIGINT)
+               AS mean_micro
+      FROM o GROUP BY 1, 2
+    ), did AS (
+      SELECT CAST(
+               (max(CASE WHEN grp = 1 AND period = 1
+                    THEN mean_micro END)
+                - max(CASE WHEN grp = 1 AND period = 0
+                      THEN mean_micro END))
+               - (max(CASE WHEN grp = 0 AND period = 1
+                      THEN mean_micro END)
+                  - max(CASE WHEN grp = 0 AND period = 0
+                        THEN mean_micro END)) AS BIGINT) AS did_micro
+      FROM cells
+    )
+    SELECT c.grp, c.period, c.n_orders, c.mean_micro, d.did_micro
+    FROM cells c CROSS JOIN did d
+    """
+
+
+@stage(
+    "orders_did_readout",
+    oracle=_did_oracle(),
+    tags=("warehouse", "experimentation", "causal", "did"),
+)
+def orders_did_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout — the quasi-experimental
+    causal estimate for a policy that hit one group at a known date:
+    mean order value per (group, pre/post) cell and the DiD estimate
+    (Δtreated − Δcontrol) in integer micro. Group is the
+    deterministic custkey parity (the stand-in for a real treatment
+    flag — the contract is the arithmetic); the boundary is a fixed
+    mid-fixture date. Completes the causal shelf next to the CUPED
+    randomized readout: CUPED for experiments you could randomize,
+    DiD for rollouts you could not.
+
+    Exactness: cents are the registered ``round(price*100)``
+    convention; cell means are integer-micro ``DIV``; the DiD is a
+    difference of four exact integers.
+
+    Scale (100 TB): one scan → a 4-group hash aggregate with
+    map-side combine; the DiD pivot is a 1-row aggregate of the
+    4-row frame, broadcast back. Nothing else."""
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_custkey % 2 AS BIGINT) AS grp",
+        f"CASE WHEN CAST(o_orderdate AS DATE) >= {DID_BOUNDARY}"
+        " THEN 1 ELSE 0 END AS period",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    cells = o.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(sum(cents) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    did = cells.agg(
+        F.expr(
+            "CAST((max(CASE WHEN grp = 1 AND period = 1"
+            " THEN mean_micro END)"
+            " - max(CASE WHEN grp = 1 AND period = 0"
+            " THEN mean_micro END))"
+            " - (max(CASE WHEN grp = 0 AND period = 1"
+            " THEN mean_micro END)"
+            " - max(CASE WHEN grp = 0 AND period = 0"
+            " THEN mean_micro END)) AS BIGINT)"
+        ).alias("did_micro")
+    )
+    return cells.crossJoin(F.broadcast(did)).select(
+        "grp", "period", "n_orders", "mean_micro", "did_micro"
+    )
+
+
+# --------------------------------------------------------------------
+# Power / MDE planner (round-11 growth)
+# --------------------------------------------------------------------
+
+# two-sided alpha=0.05 and power=0.8 normal quantiles, Python literals
+Z_ALPHA = 1.959964
+Z_BETA = 0.841621
+MDE_LADDER = (1, 2, 4, 8)  # multiples of the current per-arm size
+
+
+def _mde_oracle() -> str:
+    ladder = ", ".join(f"({m})" for m in MDE_LADDER)
+    return f"""
+    WITH e AS (
+      SELECT user_id, {CUPED_CENTS} AS cents FROM events
+    ), per_user AS (
+      SELECT user_id, CAST(sum(cents) AS BIGINT) AS spend
+      FROM e GROUP BY 1
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(spend) AS BIGINT) AS s1,
+             CAST(sum(spend * spend) AS BIGINT) AS s2
+      FROM per_user
+    ), ladder AS (
+      SELECT * FROM (VALUES {ladder}) AS t(mult)
+    )
+    SELECT CAST(l.mult AS BIGINT) AS mult,
+           CAST(m.n // 2 * l.mult AS BIGINT) AS n_per_arm,
+           CAST(round(({Z_ALPHA} + {Z_BETA})
+                 * sqrt(2.0 * (CAST(m.s2 AS DOUBLE) / m.n
+                        - (CAST(m.s1 AS DOUBLE) / m.n)
+                          * (CAST(m.s1 AS DOUBLE) / m.n))
+                        / (m.n // 2 * l.mult)) * 1000000.0, 0)
+                AS BIGINT) AS mde_abs_micro,
+           CAST(round(({Z_ALPHA} + {Z_BETA})
+                 * sqrt(2.0 * (CAST(m.s2 AS DOUBLE) / m.n
+                        - (CAST(m.s1 AS DOUBLE) / m.n)
+                          * (CAST(m.s1 AS DOUBLE) / m.n))
+                        / (m.n // 2 * l.mult))
+                 / (CAST(m.s1 AS DOUBLE) / m.n) * 1000000.0, 0)
+                AS BIGINT) AS mde_rel_ppm
+    FROM ladder l CROSS JOIN mom m
+    """
+
+
+@stage(
+    "events_power_mde_planner",
+    oracle=_mde_oracle(),
+    tags=("events", "experimentation", "power", "planning"),
+)
+def events_power_mde_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POWER / MINIMUM-DETECTABLE-EFFECT planner — for the current
+    per-arm size and a 2×/4×/8× ladder: the smallest true lift a
+    two-sided α=0.05, 80%-power test can detect, absolute (micro
+    cents) and relative (ppm of the mean), via
+    MDE = (z_α + z_β)·√(2σ²/n). The question every experiment review
+    asks FIRST ("can this A/B even see the effect we care about?"),
+    answered from the same per-user spend the CUPED pair reads.
+
+    Exactness: σ² combines exact int64 moments in one identical IEEE
+    double expression; z-quantiles are Python literals embedded in
+    both engines' SQL; ``sqrt`` is correctly rounded on both JVMs
+    and DuckDB (IEEE 754); single terminal rounding at micro/ppm.
+
+    Scale (100 TB): one scan → per-user hash aggregate → a 1-row
+    moment frame crossed with a 4-row literal ladder. Metadata only
+    after the first aggregate."""
+    per_user = (
+        load(spark, sf_dir, "events")
+        .selectExpr("user_id", f"{CUPED_CENTS} AS cents")
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("bigint").alias("spend"))
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("spend").cast("bigint").alias("s1"),
+        F.sum(F.col("spend") * F.col("spend")).cast("bigint").alias("s2"),
+    )
+    ladder = spark.createDataFrame(
+        [(m,) for m in MDE_LADDER], "mult bigint"
+    )
+    var = (
+        "(CAST(s2 AS DOUBLE) / n"
+        " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+    )
+    mde = (
+        f"({Z_ALPHA} + {Z_BETA})"
+        f" * sqrt(2.0 * {var} / (n DIV 2 * mult))"
+    )
+    return ladder.crossJoin(F.broadcast(mom)).selectExpr(
+        "mult",
+        "CAST(n DIV 2 * mult AS BIGINT) AS n_per_arm",
+        f"CAST(round({mde} * 1000000.0, 0) AS BIGINT) AS mde_abs_micro",
+        f"CAST(round({mde} / (CAST(s1 AS DOUBLE) / n) * 1000000.0, 0)"
+        " AS BIGINT) AS mde_rel_ppm",
+    )

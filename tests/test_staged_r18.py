@@ -28,7 +28,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r18_batch_matches_staged():
     assert sorted(R18_BATCH) == sorted(STAGED)
-    assert len(R18_BATCH) == 6
+    assert len(R18_BATCH) == 10
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -380,3 +380,160 @@ def test_split_manifest_hashlib_replay(spark):
     # determinism: the split is a pure function of doc_id — rerunning
     # the hash gives the same buckets (no RNG anywhere)
     assert (docs["doc_id"].map(split_of) == docs["split"]).all()
+
+
+# --------------------------------------------------------------------
+# SRM check (round-11 close) — replay + the two-cell identity
+# --------------------------------------------------------------------
+
+
+def test_srm_check_replay_and_identity(spark):
+    got = (
+        STAGED["events_ab_srm_check"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("arm")
+        .sort_index()
+    )
+    ev = _pd("events")
+    users = ev["user_id"].drop_duplicates()
+    n0 = int((users % 2 == 0).sum())
+    n1 = int((users % 2 == 1).sum())
+    n = n0 + n1
+    chi2 = (max(n0, n1) - min(n0, n1)) ** 2 * 1_000_000 // n
+    for arm, na in ((0, n0), (1, n1)):
+        row = got.loc[arm]
+        assert row["n_users"] == na
+        assert row["share_ppm"] == na * 1_000_000 // n
+        assert row["chi2_micro"] == chi2
+        assert bool(row["srm_flag"]) == (chi2 > 3_841_459)
+    # identity: the collapsed form equals the textbook two-cell sum
+    e = n / 2
+    chi2_text = ((n0 - e) ** 2 + (n1 - e) ** 2) / e
+    assert abs(chi2 / 1e6 - chi2_text) < 1e-3
+
+
+# --------------------------------------------------------------------
+# CUPED variance report (round-11 close) — replay
+# --------------------------------------------------------------------
+
+
+def test_cuped_variance_report_replay(spark):
+    got = (
+        STAGED["events_cuped_variance_report"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("arm")
+        .sort_index()
+    )
+    ev = _pd("events")
+    day = (
+        pd.to_datetime(ev["ts"]).dt.normalize()
+        - pd.Timestamp("1970-01-01")
+    ).dt.days
+    cents = (ev["value"] * 100).round().astype("int64")
+    df = pd.DataFrame({"u": ev["user_id"], "day": day, "cents": cents})
+    pu = {}
+    for u, sub in df.groupby("u"):
+        pre = int(sub.loc[sub["day"] < CUPED_BOUNDARY_DAY, "cents"].sum())
+        post = int(
+            sub.loc[sub["day"] >= CUPED_BOUNDARY_DAY, "cents"].sum()
+        )
+        pu[int(u)] = (int(u) % 2, pre, post)
+    n = len(pu)
+    sp = sum(p for _, p, _ in pu.values())
+    sq = sum(q for _, _, q in pu.values())
+    spq = sum(p * q for _, p, q in pu.values())
+    spp = sum(p * p for _, p, _ in pu.values())
+    th = round((n * spq - sp * sq) / max(n * spp - sp * sp, 1), 6)
+    mu_pre = sp // n
+    for arm in (0, 1):
+        posts = [q for a, _, q in pu.values() if a == arm]
+        ys = [
+            q - int(round(th * (p - mu_pre)))
+            for a, p, q in pu.values()
+            if a == arm
+        ]
+        na = len(posts)
+        vp = sum(x * x for x in posts) / na - (sum(posts) / na) ** 2
+        va = sum(x * x for x in ys) / na - (sum(ys) / na) ** 2
+        row = got.loc[arm]
+        assert row["n_users"] == na
+        assert row["var_post_e2"] == int(round(vp * 100))
+        assert row["var_adj_e2"] == int(round(va * 100))
+        assert row["reduction_ppm"] == int(round((1 - va / vp) * 1e6))
+        assert row["var_post_e2"] >= 0 and row["var_adj_e2"] >= 0
+
+
+# --------------------------------------------------------------------
+# DiD (round-11 close) — replay + the four-cell identity
+# --------------------------------------------------------------------
+
+
+def test_did_replay_and_identity(spark):
+    got = (
+        STAGED["orders_did_readout"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["grp", "period"], ignore_index=True)
+    )
+    o = _pd("orders")
+    grp = (o["o_custkey"] % 2).astype("int64")
+    period = (
+        pd.to_datetime(o["o_orderdate"]) >= pd.Timestamp("1995-06-01")
+    ).astype("int64")
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    cells = {}
+    for (g, p), sub in cents.groupby([grp, period]):
+        cells[(int(g), int(p))] = (
+            len(sub),
+            int(sub.sum()) * 1_000_000 // len(sub),
+        )
+    did = (cells[(1, 1)][1] - cells[(1, 0)][1]) - (
+        cells[(0, 1)][1] - cells[(0, 0)][1]
+    )
+    assert len(got) == 4
+    for _, row in got.iterrows():
+        n, m = cells[(int(row["grp"]), int(row["period"]))]
+        assert row["n_orders"] == n
+        assert row["mean_micro"] == m
+        assert row["did_micro"] == did
+    # conservation: the four cells partition the orders table
+    assert int(got["n_orders"].sum()) == len(o)
+
+
+# --------------------------------------------------------------------
+# MDE planner (round-11 close) — replay + the 1/sqrt(n) law
+# --------------------------------------------------------------------
+
+
+def test_mde_planner_replay_and_sqrt_law(spark):
+    from python_nyc_taxi_data_pipeline_spark.llm.staged_r18 import (
+        MDE_LADDER,
+        Z_ALPHA,
+        Z_BETA,
+    )
+
+    got = (
+        STAGED["events_power_mde_planner"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("mult")
+        .sort_index()
+    )
+    ev = _pd("events")
+    cents = (ev["value"] * 100).round().astype("int64")
+    spend = cents.groupby(ev["user_id"]).sum()
+    n = len(spend)
+    s1, s2 = int(spend.sum()), int((spend * spend).sum())
+    var = s2 / n - (s1 / n) ** 2
+    for m in MDE_LADDER:
+        per_arm = n // 2 * m
+        mde = (Z_ALPHA + Z_BETA) * math.sqrt(2 * var / per_arm)
+        row = got.loc[m]
+        assert row["n_per_arm"] == per_arm
+        assert row["mde_abs_micro"] == int(round(mde * 1e6))
+        assert row["mde_rel_ppm"] == int(round(mde / (s1 / n) * 1e6))
+    # law: quadrupling n halves the MDE (up to the micro rounding grain)
+    assert abs(got.loc[4, "mde_abs_micro"] * 2 - got.loc[1, "mde_abs_micro"]) <= 2
+    assert abs(got.loc[8, "mde_abs_micro"] * 2 - got.loc[2, "mde_abs_micro"]) <= 2

@@ -582,6 +582,12 @@ EXTRA_FNS.update(
         "docs_stratified_split_manifest": _staged18(
             "docs_stratified_split_manifest"
         ),
+        "events_ab_srm_check": _staged18("events_ab_srm_check"),
+        "events_cuped_variance_report": _staged18(
+            "events_cuped_variance_report"
+        ),
+        "orders_did_readout": _staged18("orders_did_readout"),
+        "events_power_mde_planner": _staged18("events_power_mde_planner"),
     }
 )
 
@@ -1019,6 +1025,15 @@ MAX_EXPONENT = {
     "events_weekly_retention_triangle": 1.35,
     "events_type_entropy_rate": 1.35,
     "docs_stratified_split_manifest": 1.35,
+    # r18 close (experimentation shelf): SRM and the MDE planner are
+    # distinct-user / per-user hash aggregates into 2-4 row frames;
+    # the CUPED variance report is the CUPED per-user aggregate plus
+    # scalar-moment broadcasts; DiD is a 4-group aggregate with a
+    # 1-row pivot broadcast back.
+    "events_ab_srm_check": 1.35,
+    "events_cuped_variance_report": 1.35,
+    "orders_did_readout": 1.35,
+    "events_power_mde_planner": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
