@@ -33,6 +33,16 @@ The seed (operator families the engine does not cover yet):
   risk). The fraud/data-quality screen auditors run on any monetary
   column; a synthetic fixture's deviation profile is itself a
   fingerprint the test pins.
+
+Round-11 growth (slate 3 -> 5):
+
+- ``part_price_type_anova``: one-way ANOVA F across part types —
+  the categorical×numeric "does this dimension matter" gate, with
+  per-group SS terms rounded once before the order-free global sum.
+- ``orders_runs_test``: Wald–Wolfowitz runs test on daily volume —
+  the nonparametric randomness screen (too few runs = regimes, too
+  many = oscillation) that tells the trend/changepoint pair whether
+  there is anything to find.
 """
 
 from __future__ import annotations
@@ -61,6 +71,8 @@ R19_BATCH: tuple[str, ...] = (
     "orders_benford_first_digit",
     "orders_hilbert_vs_zorder_quality",
     "orders_priority_trend_ols",
+    "orders_runs_test",
+    "part_price_type_anova",
 )
 
 
@@ -568,4 +580,282 @@ def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_obs * 1000000 DIV n AS BIGINT) AS obs_ppm",
         f"CAST({exp} AS BIGINT) AS expected_ppm",
         f"CAST(n_obs * 1000000 DIV n - {exp} AS BIGINT) AS dev_ppm",
+    )
+
+
+# --------------------------------------------------------------------
+# One-way ANOVA across part types (round-11 growth: slate 3 -> 5)
+# --------------------------------------------------------------------
+
+
+def _anova_oracle() -> str:
+    return """
+    WITH g AS (
+      SELECT p_type,
+             CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS s1,
+             CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                      * CAST(round(p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS s2
+      FROM part GROUP BY 1
+    ), terms AS (
+      SELECT p_type, n_i, s1, s2,
+             CAST(round((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) / n_i * s1) * 100.0, 0)
+                  AS BIGINT) AS ssw_e2,
+             CAST(round(CAST(s1 AS DOUBLE) / n_i * s1 * 100.0, 0)
+                  AS BIGINT) AS msq_e2
+      FROM g
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_i) AS BIGINT) AS n,
+             CAST(sum(s1) AS BIGINT) AS s1t,
+             CAST(sum(ssw_e2) AS BIGINT) AS ssw_e2,
+             CAST(sum(msq_e2) AS BIGINT) AS msq_sum_e2
+      FROM terms
+    ), f AS (
+      SELECT k, n,
+             (CAST(msq_sum_e2 AS DOUBLE) / 100.0
+              - CAST(s1t AS DOUBLE) / n * s1t) AS ssb,
+             CAST(ssw_e2 AS DOUBLE) / 100.0 AS ssw
+      FROM tot
+    )
+    SELECT t.p_type, t.n_i,
+           CAST(t.s1 * 1000000 // t.n_i AS BIGINT) AS mean_micro,
+           f.k AS n_groups, f.n AS n_parts,
+           CAST(round(f.ssb / (f.k - 1)
+                 / (f.ssw / (f.n - f.k)) * 1000000.0, 0) AS BIGINT)
+             AS f_stat_micro
+    FROM terms t CROSS JOIN f
+    """
+
+
+@stage(
+    "part_price_type_anova",
+    oracle=_anova_oracle(),
+    tags=("warehouse", "statistics", "anova", "contract"),
+)
+def part_price_type_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA of part retail price across part types — per
+    type the group size and mean, plus the global F statistic
+    F = (SSB/(k−1)) / (SSW/(n−k)) repeated on every row (the
+    grouping-sets convention). The "does this dimension explain the
+    metric at all" gate that precedes any per-group deep dive; the
+    variance-decomposition complement to the registered
+    source×language association (categorical×categorical) — this is
+    categorical×numeric.
+
+    Exactness: cents moments are exact int64; each group's
+    within-sum-of-squares TERM and squared-mean term round once to
+    centi-cents² BEFORE the global sum (the registered entropy
+    term-rounding convention — order-free integer aggregation); the
+    F combines those exact integers in one identical IEEE double
+    expression, rounded once at micro.
+
+    Scale (100 TB): one scan → a |types|-group hash aggregate with
+    map-side combine; the F is a 1-row aggregate of the group frame
+    broadcast back onto it. No windows, no data-sized joins."""
+    cents = "CAST(round(p_retailprice * 100) AS BIGINT)"
+    g = load(spark, sf_dir, "part").groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.expr(f"CAST(sum({cents}) AS BIGINT)").alias("s1"),
+        F.expr(f"CAST(sum({cents} * {cents}) AS BIGINT)").alias("s2"),
+    )
+    terms = g.selectExpr(
+        "p_type",
+        "n_i",
+        "s1",
+        "CAST(round((CAST(s2 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) / n_i * s1) * 100.0, 0) AS BIGINT)"
+        " AS ssw_e2",
+        "CAST(round(CAST(s1 AS DOUBLE) / n_i * s1 * 100.0, 0) AS BIGINT)"
+        " AS msq_e2",
+    ).localCheckpoint(eager=True)  # |types|-bounded metadata
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1t"),
+        F.sum("ssw_e2").cast("bigint").alias("ssw_tot_e2"),
+        F.sum("msq_e2").cast("bigint").alias("msq_sum_e2"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).selectExpr(
+        "p_type",
+        "n_i",
+        "CAST(s1 * 1000000 DIV n_i AS BIGINT) AS mean_micro",
+        "k AS n_groups",
+        "n AS n_parts",
+        "CAST(round((CAST(msq_sum_e2 AS DOUBLE) / 100.0"
+        " - CAST(s1t AS DOUBLE) / n * s1t) / (k - 1)"
+        " / ((CAST(ssw_tot_e2 AS DOUBLE) / 100.0) / (n - k))"
+        " * 1000000.0, 0) AS BIGINT) AS f_stat_micro",
+    )
+
+
+# --------------------------------------------------------------------
+# Wald–Wolfowitz runs test (round-11 growth)
+# --------------------------------------------------------------------
+
+
+def _runs_test_oracle() -> str:
+    return """
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ), bounds AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM o
+    ), spine AS (
+      SELECT p.priority, g.day
+      FROM (SELECT DISTINCT priority FROM o) p
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                      (SELECT d1 FROM bounds))) AS day
+      ) g
+    ), counts AS (
+      SELECT priority, day, CAST(count(*) AS BIGINT) AS c
+      FROM o GROUP BY 1, 2
+    ), series AS (
+      SELECT s.priority, s.day,
+             CAST(COALESCE(c.c, 0) AS BIGINT) AS y
+      FROM spine s
+      LEFT JOIN counts c ON c.priority = s.priority AND c.day = s.day
+    ), med AS (
+      SELECT priority, round(quantile_cont(y, 0.5), 6) AS m
+      FROM series GROUP BY 1
+    ), signs AS (
+      SELECT s.priority, s.day,
+             CASE WHEN s.y > d.m THEN 1 ELSE 0 END AS sgn
+      FROM series s JOIN med d ON d.priority = s.priority
+      WHERE s.y <> d.m
+    ), runs AS (
+      SELECT priority, sgn,
+             lag(sgn) OVER (PARTITION BY priority ORDER BY day)
+               AS prev_sgn
+      FROM signs
+    ), agg AS (
+      SELECT priority,
+             CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_plus,
+             CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_minus,
+             CAST(sum(CASE WHEN prev_sgn IS NULL
+                           OR sgn <> prev_sgn THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_runs
+      FROM runs GROUP BY 1
+    )
+    SELECT priority, n_plus, n_minus, n_runs,
+           CASE WHEN n_plus = 0 OR n_minus = 0
+                     OR n_plus + n_minus < 2
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(round((n_runs
+                 - (1.0 + 2.0 * n_plus * n_minus
+                    / (n_plus + n_minus)))
+                 / sqrt(2.0 * n_plus * n_minus
+                        * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                        / ((n_plus + n_minus)
+                           * (n_plus + n_minus)
+                           * (n_plus + n_minus - 1.0)))
+                 * 1000000.0, 0) AS BIGINT) END AS z_micro
+    FROM agg
+    """
+
+
+@stage(
+    "orders_runs_test",
+    oracle=_runs_test_oracle(),
+    tags=("warehouse", "statistics", "nonparametric", "randomness"),
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ runs test on daily order volume per priority —
+    are the above/below-median days randomly interleaved, or does the
+    series cluster (trend/regimes: too FEW runs, z < 0) or oscillate
+    (negative autocorrelation: too MANY runs, z > 0)? The
+    nonparametric randomness screen that says whether the changepoint
+    / trend machinery (r15) has anything to find; ties at the median
+    are dropped, the classical convention.
+
+    Exactness: the median follows the exact-binary-fraction
+    percentile convention (integer daily counts, 6-dp re-round); the
+    sign sequence, run count, and n± are exact integers; z combines
+    them in one identical IEEE double expression (μ_R = 1 + 2ab/n,
+    σ²_R = 2ab(2ab−n)/(n²(n−1))), rounded once at micro.
+
+    Scale (100 TB): one scan → (priority, day) hash aggregate; the
+    lag window and everything after run per priority over the
+    CALENDAR-bounded spine — keyed windows on metadata, never a
+    global sort. Inflation grows counts, not the spine."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS priority",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        " AS BIGINT) AS day",
+    )
+    bounds = o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        o.select("priority")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr("priority", "explode(sequence(d0, d1)) AS day")
+    )
+    counts = o.groupBy("priority", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    series = spine.join(counts, ["priority", "day"], "left").selectExpr(
+        "priority", "day", "CAST(COALESCE(c, 0) AS BIGINT) AS y"
+    ).localCheckpoint(eager=True)  # calendar-bounded metadata
+    med = series.groupBy("priority").agg(
+        F.expr("round(percentile(y, 0.5D), 6)").alias("m")
+    )
+    signs = (
+        series.join(F.broadcast(med), "priority")
+        .filter(F.col("y") != F.col("m"))
+        .selectExpr(
+            "priority",
+            "day",
+            "CASE WHEN y > m THEN 1 ELSE 0 END AS sgn",
+        )
+    )
+    runs = signs.select(
+        "priority",
+        "sgn",
+        F.lag("sgn")
+        .over(Window.partitionBy("priority").orderBy("day"))
+        .alias("prev_sgn"),
+    )
+    agg = runs.groupBy("priority").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_plus"),
+        F.sum(F.when(F.col("sgn") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_minus"),
+        F.sum(
+            F.when(
+                F.col("prev_sgn").isNull()
+                | (F.col("sgn") != F.col("prev_sgn")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    return agg.selectExpr(
+        "priority",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        # degenerate guard (classical convention): a one-sided sign
+        # sequence has sigma_R = 0 — report z = 0, never divide
+        "CASE WHEN n_plus = 0 OR n_minus = 0"
+        " OR n_plus + n_minus < 2 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(round((n_runs"
+        " - (1.0 + 2.0 * n_plus * n_minus / (n_plus + n_minus)))"
+        " / sqrt(2.0 * n_plus * n_minus"
+        " * (2.0 * n_plus * n_minus - n_plus - n_minus)"
+        " / ((n_plus + n_minus) * (n_plus + n_minus)"
+        " * (n_plus + n_minus - 1.0)))"
+        " * 1000000.0, 0) AS BIGINT) END AS z_micro",
     )

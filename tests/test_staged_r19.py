@@ -38,7 +38,7 @@ def _pd(table: str, sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 def test_r19_batch_matches_staged():
     assert sorted(R19_BATCH) == sorted(STAGED)
-    assert len(R19_BATCH) == 3
+    assert len(R19_BATCH) == 5
 
 
 def test_staged_plans_carry_no_antipatterns(spark):
@@ -270,3 +270,113 @@ def test_benford_pandas_replay(spark):
     pd.testing.assert_frame_equal(
         got.astype({c: "int64" for c in want.columns[1:]}), want
     )
+
+
+# --------------------------------------------------------------------
+# ANOVA (round-11 growth) — numpy referee against the raw formula
+# --------------------------------------------------------------------
+
+
+def test_anova_matches_numpy_replay(spark):
+    got = (
+        STAGED["part_price_type_anova"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("p_type")
+        .sort_index()
+    )
+    part = _pd("part")
+    cents = (part["p_retailprice"] * 100).round().astype("int64")
+    groups = {
+        t: grp.to_numpy() for t, grp in cents.groupby(part["p_type"])
+    }
+    k, n = len(groups), len(part)
+    # replicate the engine's per-group centi-rounding exactly
+    ssw_e2 = sum(
+        int(round((float((g * g).sum()) - float(g.sum()) / len(g) * g.sum()) * 100))
+        for g in groups.values()
+    )
+    msq_e2 = sum(
+        int(round(float(g.sum()) / len(g) * g.sum() * 100))
+        for g in groups.values()
+    )
+    s1t = int(cents.sum())
+    ssb = msq_e2 / 100.0 - float(s1t) / n * s1t
+    f_micro = int(round(ssb / (k - 1) / ((ssw_e2 / 100.0) / (n - k)) * 1e6))
+    assert (got["n_groups"] == k).all()
+    assert (got["n_parts"] == n).all()
+    assert (got["f_stat_micro"] == f_micro).all()
+    for t, g in groups.items():
+        assert got.loc[t, "n_i"] == len(g)
+        assert got.loc[t, "mean_micro"] == int(g.sum()) * 1_000_000 // len(g)
+    # sanity vs the unrounded textbook F: the term-rounding grain is
+    # centi-cents^2, invisible at micro precision on this fixture
+    means = {t: g.mean() for t, g in groups.items()}
+    grand = cents.mean()
+    ssb_raw = sum(len(g) * (means[t] - grand) ** 2 for t, g in groups.items())
+    ssw_raw = sum(((g - means[t]) ** 2).sum() for t, g in groups.items())
+    f_raw = (ssb_raw / (k - 1)) / (ssw_raw / (n - k))
+    assert abs(f_micro / 1e6 - f_raw) < 1e-3
+
+
+# --------------------------------------------------------------------
+# Runs test (round-11 growth) — numpy referee + direction laws
+# --------------------------------------------------------------------
+
+
+def _runs_z(signs: np.ndarray) -> tuple[int, int, int, float]:
+    a = int((signs == 1).sum())
+    b = int((signs == 0).sum())
+    r = 1 + int((signs[1:] != signs[:-1]).sum())
+    n = a + b
+    mu = 1 + 2 * a * b / n
+    var = 2 * a * b * (2 * a * b - n) / (n * n * (n - 1))
+    return a, b, r, (r - mu) / math.sqrt(var)
+
+
+def test_runs_test_matches_numpy_replay(spark):
+    got = (
+        STAGED["orders_runs_test"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .set_index("priority")
+    )
+    o = _pd("orders")
+    day = (
+        pd.to_datetime(o["o_orderdate"]).values.astype("datetime64[D]")
+        - np.datetime64("1970-01-01")
+    ).astype("int64")
+    d0, d1 = int(day.min()), int(day.max())
+    for prio, grp in pd.DataFrame(
+        {"p": o["o_orderpriority"], "d": day}
+    ).groupby("p"):
+        y = np.zeros(d1 - d0 + 1, dtype="int64")
+        vc = (grp["d"] - d0).value_counts()
+        y[vc.index.to_numpy()] = vc.to_numpy()
+        med = round(float(np.median(y)), 6)
+        kept = y[y != med]
+        signs = (kept > med).astype("int64")
+        a = int((signs == 1).sum())
+        b = int((signs == 0).sum())
+        row = got.loc[prio]
+        if a == 0 or b == 0 or a + b < 2:  # the engine's guard
+            assert row["z_micro"] == 0
+            assert row["n_plus"] == a and row["n_minus"] == b
+            continue
+        a, b, r, z = _runs_z(signs)
+        assert row["n_plus"] == a
+        assert row["n_minus"] == b
+        assert row["n_runs"] == r
+        assert row["z_micro"] == round(z * 1e6)
+
+
+def test_runs_test_direction_laws():
+    """Alternating series → far MORE runs than chance (z >> 0);
+    two solid blocks → far FEWER (z << 0); the two failure modes the
+    screen separates."""
+    alt = np.tile([1, 0], 50)
+    _, _, _, z_alt = _runs_z(alt)
+    assert z_alt > 5
+    blocks = np.array([1] * 50 + [0] * 50)
+    _, _, _, z_blk = _runs_z(blocks)
+    assert z_blk < -5

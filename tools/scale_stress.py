@@ -588,6 +588,8 @@ EXTRA_FNS.update(
         ),
         "orders_did_readout": _staged18("orders_did_readout"),
         "events_power_mde_planner": _staged18("events_power_mde_planner"),
+        "part_price_type_anova": _staged19("part_price_type_anova"),
+        "orders_runs_test": _staged19("orders_runs_test"),
     }
 )
 
@@ -1034,6 +1036,11 @@ MAX_EXPONENT = {
     "events_cuped_variance_report": 1.35,
     "orders_did_readout": 1.35,
     "events_power_mde_planner": 1.35,
+    # r19 growth: ANOVA is one |types|-group aggregate + a 1-row F
+    # broadcast; the runs test does its lag window on the
+    # calendar-bounded spine after one (priority, day) hash agg.
+    "part_price_type_anova": 1.35,
+    "orders_runs_test": 1.35,
 }
 EVENTLOG_DIR = "/tmp/spark-stress-eventlogs"
 
