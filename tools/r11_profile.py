@@ -90,6 +90,8 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     import bench as benchmod
@@ -130,7 +132,14 @@ def main() -> int:
         key=os.path.getmtime,
     )
     if logs:
-        parse_eventlog(logs[-1])
+        target = logs[-1]
+        if os.path.isdir(target):  # Spark 4 rolling eventlog dir
+            for p in sorted(os.listdir(target)):
+                full = os.path.join(target, p)
+                if os.path.isfile(full) and "events" in p:
+                    parse_eventlog(full)
+        else:
+            parse_eventlog(target)
     return 0
 
 
