@@ -114,7 +114,18 @@ def bench_medallion(spark, sf_dir: str, local_fastpaths: bool = True) -> tuple[f
     # the rows left wall-time flat and doubled rows/s). The source frame
     # is cached — the reference's timed loop also starts from an
     # in-memory (pandas) batch, not from re-deriving per action.
-    taxi = orders_as_taxi(spark, sf_dir, copies=100).cache()
+    # The cached source must not be a SINGLE partition: orders.parquet
+    # is one 2.7 MB row group, and the explode(copies) inherits that 1
+    # split, which serialized every downstream batch scan into one task
+    # (measured ~0.9 s per batch scan at sf0.1, twice per batch — the
+    # r11 profile's dominant ingest cost). Repartition the source to
+    # the session's parallelism BEFORE caching — untimed setup, same
+    # rows; a real ingest source is many files/splits, never one.
+    taxi = (
+        orders_as_taxi(spark, sf_dir, copies=100)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
     taxi.count()
     batches = []
     for m in range(1, 6):

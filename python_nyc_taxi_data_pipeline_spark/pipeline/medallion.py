@@ -76,6 +76,14 @@ class MedallionConfig:
     # the code a real cluster (s3://, hdfs://) runs, kept testable
     # locally by flipping this flag.
     local_fastpaths: bool = True
+    # AQE advisory partition size applied around the bronze/silver
+    # writes (REBALANCE hint sizing). None → $SPARK_GRAFT_WRITE_ADVISORY
+    # or "4m". The local default keeps a MB-scale month batch spread
+    # over several encode tasks instead of one straggler (measured
+    # 0.93 s -> 0.56 s per batch write at sf0.1); production should set
+    # 256m-512m so post-compression parquet files land in the
+    # 128 MB - 1 GB range the I/O guide targets.
+    write_advisory: str | None = None
 
 
 @dataclass(frozen=True)
@@ -103,6 +111,37 @@ class MedallionPipeline:
         return self.cfg.local_fastpaths and "://" not in path
 
     # -- table access -----------------------------------------------------
+
+    def _write_advisory(self) -> str:
+        return self.cfg.write_advisory or os.environ.get(
+            "SPARK_GRAFT_WRITE_ADVISORY", "4m"
+        )
+
+    def _advisory_scope(self):
+        """Context manager: temporarily set the AQE advisory partition
+        size for a REBALANCE-hinted write, restoring the session value
+        after. The medallion writer is single-threaded (the reference's
+        orchestrator is a sequential month loop), so the scoped session
+        conf cannot race another query."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            try:
+                old = self.spark.conf.get(key)
+            except Exception:
+                old = None
+            self.spark.conf.set(key, self._write_advisory())
+            try:
+                yield
+            finally:
+                if old is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, old)
+
+        return scope()
 
     def _read_or_none(self, path: str) -> DataFrame | None:
         # Local-path existence check first: avoids Spark logging a noisy
@@ -172,19 +211,24 @@ class MedallionPipeline:
                 F.date_format(F.col(self.cfg.ts_col), "yyyy-MM"),
             )
             obs_in = Observation()
-            (
-                # repartition on the partition column before the
-                # partitioned write: AQE sizes the shuffle output, so
-                # each month partition lands as few right-sized files
-                # instead of one tiny file per scan task (32 locally;
-                # thousands on a cluster) — the standard small-files
-                # guard for partitioned sinks.
-                in_win.repartition(F.col(self.cfg.partition_col))
-                .observe(obs_in, F.count(F.lit(1)).alias("n"))
-                .write.mode("append")
-                .partitionBy(self.cfg.partition_col)
-                .parquet(self.bronze_path)
-            )
+            # REBALANCE on the partition column before the partitioned
+            # write: AQE sizes the shuffle output (splitting skewed
+            # months, merging slivers), so each month partition lands
+            # as a few advisory-sized files instead of one tiny file
+            # per scan task — the standard small-files guard for
+            # partitioned sinks. The r10 form (repartition(col)) hashed
+            # a single-month batch into ONE reducer, serializing the
+            # parquet encode (measured 0.93 s/batch at sf0.1 vs 0.56 s
+            # rebalanced); REBALANCE keeps the guard and the
+            # parallelism at any batch/cluster size.
+            with self._advisory_scope():
+                (
+                    in_win.hint("rebalance", F.col(self.cfg.partition_col))
+                    .observe(obs_in, F.count(F.lit(1)).alias("n"))
+                    .write.mode("append")
+                    .partitionBy(self.cfg.partition_col)
+                    .parquet(self.bronze_path)
+                )
             loaded = int(obs_in.get["n"])
 
             # dead-letter with cross-run key dedup (U1/S8).
@@ -320,6 +364,11 @@ class MedallionPipeline:
         from pyspark.sql import Observation
 
         out = transform(bronze_df)
+        # (r11 note: a REBALANCE-hinted write was measured here and
+        # REGRESSED silver 2.2 s -> 4.1 s at sf0.1 — the extra full
+        # shuffle of the deduped fact costs more than parallel encode
+        # saves; the transform's own shuffle output already feeds the
+        # writer directly. Left as-is deliberately.)
         # row count from the write's own Observation metric — no second
         # scan of the just-written table
         obs = Observation()
