@@ -221,9 +221,14 @@ def bpe_train_serial(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES)
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
         merges.append((rnd, a, b, cnt))
-        words = words.select(
-            "word", "freq", _merge_col(a, b).alias("syms")
-        ).localCheckpoint(eager=True)
+        words = words.select("word", "freq", _merge_col(a, b).alias("syms"))
+        # Truncate lineage every 3rd round and at the end (r11: was
+        # every round — one materialization JOB per merge; replaying
+        # <=2 fold projections over the checkpointed distinct-word
+        # table is cheaper than the job it saves, and the plan stays
+        # bounded).
+        if rnd % 3 == 0 or rnd == n_merges:
+            words = words.localCheckpoint(eager=True)
     _MERGES_CACHE[key] = list(merges)
     return merges, words
 

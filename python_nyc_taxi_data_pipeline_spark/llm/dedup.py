@@ -901,7 +901,14 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = simhash_table(spark, sf_dir, only_docs=participants)
+    # The fingerprint frame feeds BOTH pair sides (sa and sb): without
+    # a barrier the whole semi-join + 64-vote aggregate subtree is
+    # planned (and executed) once per consumer — three copies in the
+    # r10 plan, ~2/3 of the query's cost. Participants are pair
+    # members (tiny), so the checkpoint materializes a handful of rows.
+    sh = simhash_table(spark, sf_dir, only_docs=participants).localCheckpoint(
+        eager=True
+    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

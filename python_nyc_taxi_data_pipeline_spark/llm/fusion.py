@@ -214,10 +214,18 @@ def _bm_anchors(spark: SparkSession, sf_dir: str):
         .select("query_id", "doc_id", "rank")
         .localCheckpoint(eager=True)
     )
+    # The normalized-embedding frame feeds MANY branches (anchor
+    # election, every broadcast query block, the corpus stream of each
+    # dense variant — five subtrees in the recall eval); without a
+    # barrier each one replans and re-executes the parquet scan + norm
+    # derivation, and the eval's plan reached 50 Exchange references.
+    # In production this frame is the persisted, already-normalized
+    # vector table; pinning it here reproduces that shape.
     n = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
         .select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+        .localCheckpoint(eager=True)
     )
     # Anchor = the best-ranked BM25 candidate that HAS an embedding
     # (the embeddings table covers a subset of doc_ids at some SFs; a
@@ -230,6 +238,8 @@ def _bm_anchors(spark: SparkSession, sf_dir: str):
         .withColumn("arn", F.row_number().over(aw))
         .filter(F.col("arn") == 1)
         .select("query_id", F.col("doc_id").alias("anchor_id"))
+        # |queries| rows, consumed by 2-3 broadcast builds per variant
+        .localCheckpoint(eager=True)
     )
     return bm, n, anchors
 

@@ -128,7 +128,10 @@ def segment_dedup_apply(d: DataFrame) -> DataFrame:
         "doc_id",
         F.size("segs").cast("int").alias("total_segments"),
         F.posexplode("segs").alias("seg_idx", "seg_text"),
-    )
+        # Two consumers (keeper election + the semi-join probe side):
+        # pin the segmentation once instead of re-splitting the corpus
+        # per branch (r11; MEMORY_AND_DISK, spills at size).
+    ).localCheckpoint(eager=True)
     # doc_id must fit the remaining 63-SEG_IDX_BITS bits and be
     # non-negative: a doc_id >= 2^43 (or < 0) would overflow the bigint
     # shift and silently corrupt min() keeper election, so it fails

@@ -517,10 +517,17 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     converts the later joins to broadcast at runtime while the
     surviving-user sets fit the threshold."""
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # Each stage feeds BOTH the next stage and its own count branch,
+    # and Spark plans (and executes) every occurrence separately — the
+    # r10 plan held 12 parquet scans with zero ReusedExchange. Pinning
+    # each stage's per-user table executes every stage exactly once
+    # (r11; localCheckpoint is MEMORY_AND_DISK, so an SF-scaled stage
+    # table spills rather than OOMs at size).
     s1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         e.filter(F.col("event_type") == "click")
@@ -528,6 +535,7 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")

@@ -283,6 +283,10 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bg"),
         )
         .distinct()
+        # Three consumers (per-source counts + both pair sides) — pin
+        # the corpus explode + distinct once instead of 3x (r11; the
+        # same staging a production run does before a self-join).
+        .localCheckpoint(eager=True)
     )
     per_source = bigrams.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
     a = bigrams.select(F.col("source").alias("source_a"), "bg")
