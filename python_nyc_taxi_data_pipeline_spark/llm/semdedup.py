@@ -119,25 +119,43 @@ def semdedup(
             F.col("nrm").alias("snrm"),
         )
     )
-    cos_seed = F.round(
-        _dot(F.col("v"), F.col("sv")) / (F.col("nrm") * F.col("snrm")), 6
+    # argmin via struct-min over a SINGLE-ROW broadcast seed matrix
+    # (the kmeans.assign_nearest design): per row, all k rounded
+    # cosines fold map-side and array_min picks the lexicographic
+    # (−cos, seed_id) minimum — exactly the oracle's ORDER BY cos DESC,
+    # seed_id tie-break. The r10 form crossJoined the k seed ROWS and
+    # re-grouped by vec_id, which shuffled every vector k times
+    # (n·k·d doubles — the dominant exchange of this plan at any
+    # scale); the map-side fold removes that exchange outright
+    # (guide §2.4) with the same k·d broadcast ceiling the row form
+    # already had. Cosine arithmetic is element-identical (_dot fold,
+    # same rounding), proven by the exact per-row oracle of
+    # ``embeddings_semdedup`` at all three SFs.
+    seed_mat = F.broadcast(
+        k_seeds.agg(
+            F.array_sort(
+                F.collect_list(F.struct("seed_id", "sv", "snrm"))
+            ).alias("seeds")
+        )
     )
-    # argmin via struct-min: lexicographic (−cos, seed_id) — exactly the
-    # oracle's ORDER BY cos DESC, seed_id tie-break, without a window.
+    best = F.array_min(
+        F.transform(
+            F.col("seeds"),
+            lambda s: F.struct(
+                (
+                    -F.round(
+                        _dot(F.col("v"), s["sv"])
+                        / (F.col("nrm") * s["snrm"]),
+                        6,
+                    )
+                ).alias("neg_cos"),
+                s["seed_id"].alias("seed_id"),
+            ),
+        )
+    )
     assign = (
-        n.crossJoin(F.broadcast(k_seeds))
-        .select(
-            "vec_id",
-            "v",
-            "nrm",
-            F.struct((-cos_seed).alias("neg_cos"), F.col("seed_id")).alias("sc"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("v").alias("v"),
-            F.first("nrm").alias("nrm"),
-            F.min("sc").getField("seed_id").alias("cluster_id"),
-        )
+        n.crossJoin(seed_mat)
+        .select("vec_id", "v", "nrm", best["seed_id"].alias("cluster_id"))
         # three consumers below (both pair sides + the final projection)
         # — pin the assignment once instead of recomputing the
         # k-seed scoring per branch
