@@ -52,12 +52,30 @@ def connected_components(
         # into a single min-aggregate (2 shuffles/round: the join and the
         # groupBy), replacing the previous neighbor-agg + left-join +
         # change-detection-join (3 shuffles + an extra join).
-        new_labels = (
+        prop = (
             sym.join(labels, sym.dst == labels.node)
             .select(F.col("src").alias("node"), F.col("component"))
             .union(labels.select("node", "component"))
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # POINTER JUMP fused into the same round (r11): component ←
+        # label(component) when one exists. Labels only ever decrease
+        # and label(x) is itself a reachable node's label, so the
+        # fixpoint (min reachable id) is unchanged — but long chains
+        # now collapse in O(log diameter) rounds instead of
+        # O(diameter). Each saved round saves a full
+        # plan/schedule/checkpoint cycle, which dominates round cost
+        # on shallow graphs (and at scale saves a corpus-sized join).
+        jump = labels.select(
+            F.col("node").alias("component"), F.col("component").alias("c2")
+        )
+        new_labels = (
+            prop.join(jump, "component", "left")
+            .select(
+                "node",
+                F.coalesce("c2", "component").alias("component"),
+            )
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
         # Convergence via a SCALAR: per-node labels only ever decrease,
