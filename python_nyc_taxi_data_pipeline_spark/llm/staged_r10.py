@@ -1159,12 +1159,23 @@ def embeddings_semdedup_hier_contract(
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    n_corpus = emb.count()
+    # ONE pinned (vec_id, v) frame feeds both clusterer variants (r11;
+    # each previously re-ran the parquet load + double-cast, plus its
+    # own count()).
+    from pyspark.sql import functions as _F
+
+    base = emb.select(
+        "vec_id",
+        _F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=True)
+    n_corpus = base.count()
     k = max(1, _math.ceil(n_corpus / SEMDEDUP_TARGET_CLUSTER_SIZE))
     cap = 2 * max(1, _math.ceil(n_corpus / k))
-    hier = semdedup_hier(spark, sf_dir).localCheckpoint(eager=True)
+    hier = semdedup_hier(spark, sf_dir, base=base).localCheckpoint(
+        eager=True
+    )
     flat_kept = (
-        semdedup(spark, sf_dir, k=None)
+        semdedup(spark, sf_dir, k=None, base=base)
         .agg(F.sum(F.col("kept").cast("int")).alias("fk"))
         .select(F.col("fk").cast("bigint").alias("flat_kept"))
     )
