@@ -16,11 +16,24 @@ driver, not the data, becomes the bottleneck.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+
+# First min-label round (1-based) that fuses the pointer jump in. The
+# jump costs one extra join+shuffle per round and only SAVES rounds on
+# graphs deeper than ~2 hops; near-dup clusters are shallow by
+# construction (fixture diameter ≤ 2 — every measured graph converges
+# before round 3), so the early rounds run the plain 2-shuffle pass and
+# the jump arms only for the long-chain tail where its O(log diameter)
+# collapse actually pays (r12 interleaved A/B: always-jump vs never-jump
+# vs gate — numbers in OPTIMIZATION_r12.md; the env override exists for
+# that A/B harness, not for tuning).
+CC_JUMP_AFTER = int(os.environ.get("SPARK_GRAFT_CC_JUMP_AFTER", "3"))
 
 
 def connected_components(
@@ -47,7 +60,7 @@ def connected_components(
         ).collect()[0][0]
 
     prev_sum = label_sum(labels)
-    for _ in range(max_iter):
+    for rnd in range(1, max_iter + 1):
         # ONE fused pass per round: neighbor labels and own labels union
         # into a single min-aggregate (2 shuffles/round: the join and the
         # groupBy), replacing the previous neighbor-agg + left-join +
@@ -64,20 +77,26 @@ def connected_components(
         # and label(x) is itself a reachable node's label, so the
         # fixpoint (min reachable id) is unchanged — but long chains
         # now collapse in O(log diameter) rounds instead of
-        # O(diameter). Each saved round saves a full
-        # plan/schedule/checkpoint cycle, which dominates round cost
-        # on shallow graphs (and at scale saves a corpus-sized join).
-        jump = labels.select(
-            F.col("node").alias("component"), F.col("component").alias("c2")
-        )
-        new_labels = (
-            prop.join(jump, "component", "left")
-            .select(
-                "node",
-                F.coalesce("c2", "component").alias("component"),
+        # O(diameter). The jump is ROUND-GATED (r12): it adds one
+        # join+shuffle per round, which on shallow graphs (near-dup
+        # clusters converge in ≤ 2 rounds) costs more than the rounds
+        # it saves — so the first CC_JUMP_AFTER-1 rounds run the plain
+        # 2-shuffle pass and the jump arms only for deeper graphs,
+        # keeping the O(log diameter) bound for the long-chain tail.
+        if rnd >= CC_JUMP_AFTER:
+            jump = labels.select(
+                F.col("node").alias("component"), F.col("component").alias("c2")
             )
-            .localCheckpoint(eager=True)  # truncate lineage per round
-        )
+            new_labels = (
+                prop.join(jump, "component", "left")
+                .select(
+                    "node",
+                    F.coalesce("c2", "component").alias("component"),
+                )
+                .localCheckpoint(eager=True)  # truncate lineage per round
+            )
+        else:
+            new_labels = prop.localCheckpoint(eager=True)
         # Convergence via a SCALAR: per-node labels only ever decrease,
         # so sum(component) is strictly monotone until the fixpoint —
         # equal sums ⟺ no label moved (metadata-sized action, no join).
