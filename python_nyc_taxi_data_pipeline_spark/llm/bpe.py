@@ -47,8 +47,6 @@ sums (order-free).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,40 +86,24 @@ def _merge_col(left: str, right: str) -> Column:
     )
 
 
-# Learned merge tables keyed on (fixture dir, fixture fingerprint,
-# n_merges, trainer mode). The merge list is plain driver data (no session/RDD
-# handles), so a cache hit is safe across sessions — it skips the
-# per-round pair-count shuffle + argmax entirely; only the cheap
-# fold-chain replay reruns (`_apply_merges`). This halves the bench
-# cost: docs_bpe_merges trains, docs_bpe_encode replays. The
-# fingerprint (documents.parquet file sizes + mtimes) invalidates the
-# entry when a fixture dir is REGENERATED in-process under the same
-# path — e.g. the /tmp/stress_x* dirs tools/scale_stress.py rebuilds
-# per run — which would otherwise replay stale merges over new data.
-_MERGES_CACHE: dict[tuple[str, str, int, str], list[tuple[int, str, str, int]]] = {}
-
-
-def _fixture_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the documents fixture: sorted
-    (relpath, size, mtime_ns) of every file under documents.parquet
-    (plain file or parquet directory). Pure os.stat — no data read."""
-    root = os.path.join(sf_dir, "documents.parquet")
-    parts: list[tuple[str, int, int]] = []
-    if os.path.isdir(root):
-        for dirpath, _, files in os.walk(root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                st = os.stat(p)
-                parts.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
-    elif os.path.exists(root):
-        st = os.stat(root)
-        parts.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
-    return repr(sorted(parts))
+# r12: the cross-query merge-table memo (`_MERGES_CACHE`, r8–r11) is
+# GONE. It replayed learned merges across queries within one bench
+# process, so in-suite timings of every BPE consumer after the first
+# measured replay, not training — exactly the memoised-result pattern
+# the round rules forbid (r11 VERDICT "What's wrong #4"). Every trainer
+# call now computes from the parquet fixtures; within ONE query
+# invocation the trained words frame is still shared by its own
+# consumers (that is plan reuse, not cross-run memoisation).
 
 
 def _base_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-word frequency table with the initial char+EOW split."""
-    d = load(spark, sf_dir, "documents")
+    from ..catalog import load_fanned
+
+    # load_fanned (guide §2.5): the word explode + per-char regexp split
+    # below otherwise runs on the fixture's single scan split; the guard
+    # makes it a no-op once the corpus scan is wide.
+    d = load_fanned(spark, sf_dir, "documents")
     return (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -179,24 +161,34 @@ def bpe_train(
     return bpe_train_serial(spark, sf_dir, n_merges)
 
 
-def bpe_train_serial(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES):
+def bpe_train_serial(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    snapshot_rounds: tuple[int, ...] | None = None,
+):
     """Run the EXACT distributed training loop (one pair-count shuffle
     + argmax per merge); returns the ordered merge list
     ``[(round, left, right, pair_count)]`` plus the final
     distinct-word segmentation frame ``(word, freq, syms)`` — the
     trained tokenizer's vocabulary mapping, consumed by
-    ``docs_bpe_encode``. The merge table is cached per
-    (sf_dir, n_merges); on a hit only the fold-chain replay runs."""
-    key = (os.path.abspath(sf_dir), _fixture_fingerprint(sf_dir), n_merges, "serial")
-    cached = _MERGES_CACHE.get(key)
-    if cached is not None:
-        # Lazy checkpoint: multi-consumer callers materialize the
-        # replayed fold chain once instead of re-executing it per
-        # action; a merges-only caller pays nothing.
-        return list(cached), _apply_merges(
-            _base_words(spark, sf_dir), cached
-        ).localCheckpoint(eager=False)
+    ``docs_bpe_encode``.
+
+    ``snapshot_rounds``: when given, ALSO return ``{m: words frame
+    after merge m}`` for each requested rung (round 0 = the char
+    baseline), as a third tuple element. Greedy training is
+    deterministic (argmax with a total-order tie-break), so the state
+    after m merges of one run to ``n_merges`` IS the result of training
+    to budget m — callers that need a budget curve train ONE trajectory
+    instead of one per rung (what the vocab-curve oracle already
+    replays as a single CTE chain). Snapshots are plain lazy frames:
+    consuming one replays at most the ≤2 fold projections since the
+    last checkpoint."""
     words = _base_words(spark, sf_dir).localCheckpoint(eager=True)
+    snaps: dict[int, DataFrame] = {}
+    wanted = set(snapshot_rounds or ())
+    if 0 in wanted:
+        snaps[0] = words
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
         pairs = words.select(
@@ -229,7 +221,10 @@ def bpe_train_serial(spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES)
         # bounded).
         if rnd % 3 == 0 or rnd == n_merges:
             words = words.localCheckpoint(eager=True)
-    _MERGES_CACHE[key] = list(merges)
+        if rnd in wanted:
+            snaps[rnd] = words
+    if snapshot_rounds is not None:
+        return merges, words, snaps
     return merges, words
 
 
@@ -253,17 +248,6 @@ def bpe_train_batched(
     the DEFAULT path for merge budgets above ``BPE_BATCH_THRESHOLD``
     (via the ``bpe_train`` gate); the registered queries train at
     N_MERGES=6 and therefore stay on the exact-oracle serial trainer."""
-    key = (
-        os.path.abspath(sf_dir),
-        _fixture_fingerprint(sf_dir),
-        n_merges,
-        f"batched{batch}",
-    )
-    cached = _MERGES_CACHE.get(key)
-    if cached is not None:
-        return list(cached), _apply_merges(
-            _base_words(spark, sf_dir), cached
-        ).localCheckpoint(eager=False)
     words = _base_words(spark, sf_dir).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     rnd = 0
@@ -303,7 +287,6 @@ def bpe_train_batched(
             merges.append((len(merges) + 1, a, b, cnt))
             words = words.select("word", "freq", _merge_col(a, b).alias("syms"))
         words = words.localCheckpoint(eager=True)
-    _MERGES_CACHE[key] = list(merges)
     return merges, words
 
 

@@ -673,14 +673,21 @@ def docs_bpe_vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per merge: one pair-count shuffle over the DISTINCT-word frame —
     Zipf-compressed vs the corpus — and a driver argmax scalar);
     the curve adds only per-rung scalar aggregates of that frame."""
-    from .bpe import _base_words, bpe_train
+    from .bpe import bpe_train_serial
 
+    # ONE training trajectory to the max budget with per-rung snapshots
+    # (r12): greedy serial training is deterministic, so the word table
+    # after m merges IS the budget-m result — the oracle already replays
+    # exactly this single CTE chain. Previously each rung retrained from
+    # scratch (0+2+4+6 = 12 merge rounds; now 6).
+    _, final_words, snaps = bpe_train_serial(
+        spark, sf_dir, n_merges=max(BVC_BUDGETS), snapshot_rounds=BVC_BUDGETS
+    )
     out = None
     for m in BVC_BUDGETS:
-        if m == 0:
-            words = _base_words(spark, sf_dir)
-        else:
-            _, words = bpe_train(spark, sf_dir, n_merges=m, exact=True)
+        # missing rung ⟺ pair exhaustion before round m, where training
+        # stops at the same state the per-budget call would have
+        words = snaps.get(m, final_words)
         row = words.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
             F.sum("freq").cast("bigint").alias("corpus_words"),

@@ -1296,17 +1296,8 @@ def bpe_merge_cost(base: str, n_merges: int = 200) -> dict:
     fixture = build_bpe_vocab_fixture(base, "/tmp/stress_bpe_vocab")
     spark = get_session("stress-bpe200")
 
-    # bypass the merge cache: a cached low-merge entry must not serve a
-    # 200-merge request, and this run must not poison real queries
-    # (cache keys are (abspath, fixture_fingerprint, n_merges, mode))
-    def _evict(path: str) -> None:
-        ap = os.path.abspath(path)
-        for k in [
-            k for k in bpe._MERGES_CACHE if k[0] == ap and k[2] == n_merges
-        ]:
-            bpe._MERGES_CACHE.pop(k, None)
-
-    _evict(fixture)
+    # no merge memo to evict since r12: every trainer call recomputes
+    # from the fixture, so the two arms below are independently timed
     t0 = time.perf_counter()
     # explicit serial trainer: this is the SERIAL-baseline measurement —
     # the bpe_train gate would route a 200-merge budget to the batched
@@ -1314,7 +1305,6 @@ def bpe_merge_cost(base: str, n_merges: int = 200) -> dict:
     merges, words = bpe.bpe_train_serial(spark, fixture, n_merges=n_merges)
     words.write.format("noop").mode("overwrite").save()
     total = round(time.perf_counter() - t0, 3)
-    _evict(fixture)
 
     t0 = time.perf_counter()
     bmerges, bwords = bpe.bpe_train_batched(
