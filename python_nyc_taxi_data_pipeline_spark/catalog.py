@@ -69,6 +69,56 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def load_fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load()`` plus a scale-adaptive rebalance for HEAVY PER-ROW
+    COMPUTE consumers (guide §2.5 "input skew: one huge unsplittable
+    file … repartition immediately after the read").
+
+    A parquet file with one row group is ONE scan split no matter the
+    core count — every downstream per-row transform before the first
+    exchange then serializes on a single core (the fixtures are exactly
+    this shape; measured up to ~4 s of one-task compute at sf0.1 on
+    32 idle cores). When the scan yields fewer splits than the session
+    parallelism, repartition to ``defaultParallelism``; otherwise
+    return the scan untouched. At production scale the table exceeds
+    ``maxPartitionBytes × cores`` so the guard disables itself and NO
+    shuffle is added — the rebalance only ever fires when the input is
+    small enough that shuffling it is trivially cheap relative to the
+    compute it parallelizes. (Same fix `hashed_shingle_table` has
+    carried since r6, made conditional and reusable.)
+
+    ``.rdd.getNumPartitions()`` on a bare scan only *plans* it (no job
+    runs — FileScanRDD partitions come from the already-cached file
+    listing), and is row-group-aware where a bytes/maxPartitionBytes
+    estimate is not. Use on freshly loaded tables only: on a derived
+    frame with exchanges the probe could trigger execution.
+    """
+    df = load(spark, sf_dir, name)
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT"):  # r12 A/B harness toggle
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def fan_out_if_narrow(scan_df: DataFrame, df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to the session parallelism when ``scan_df`` —
+    the freshly loaded table its rows derive from — planned fewer scan
+    splits than the session has cores (the ``load_fanned`` guard, for
+    DERIVED frames whose partitioning follows the narrow scan through
+    broadcast joins/filters). Fires only in the small-input regime
+    where the added exchange is KB–MB; at production scale the scan is
+    already wide and the frame passes through untouched."""
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT"):  # r12 A/B harness toggle
+        return df
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if scan_df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql plans)."""
     for name in FIXTURE_TABLES:

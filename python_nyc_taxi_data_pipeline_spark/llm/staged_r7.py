@@ -168,7 +168,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fan_out_if_narrow, load
 from ..registry import QueryFn
 from .dedup import (
     DF_CEILING,
@@ -544,6 +544,15 @@ def docs_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
+    # Fan out the STREAMED side of the dot-product join (guide §2.5
+    # "input skew"): the fixture's embeddings table is one parquet row
+    # group = ONE scan split, so the |train|·|test| interpreted
+    # zip_with/aggregate dot products all ran in a single task (~32×
+    # under-parallelized on 32 cores). Guarded on the source scan
+    # width: at production scale the scan is wide and no exchange is
+    # added; when it fires the shuffle is the slim train block (id +
+    # 64 doubles + norm).
+    train = fan_out_if_narrow(e, train)
     pairs = train.join(
         F.broadcast(test), F.col("test_doc_id") != F.col("train_doc_id")
     )
@@ -1145,6 +1154,12 @@ def embeddings_margin_mining(
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
+    # Fan out the streamed train side before the quadratic dot-product
+    # emit (guide §2.5): the single-row-group embeddings scan left the
+    # whole |train|·|test| cosine computation on ONE task. Guarded on
+    # the source scan width — a no-op at production scale (see
+    # docs_semantic_decontamination, the same shape).
+    train = fan_out_if_narrow(e, train)
     cos6 = F.round(
         _dot(F.col("tv"), F.col("cv")) / (F.col("tnrm") * F.col("cnrm")), 6
     )
@@ -1471,7 +1486,16 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint sums hold to ~1e10 rows; past that, drop _PCA_SCALE to 1e4
     or accumulate in DECIMAL(38,0). The sums collect is 2145 values
     regardless of corpus size."""
-    e = load(spark, sf_dir, "embeddings").select(
+    from ..catalog import load_fanned
+
+    # load_fanned (guide §2.5 "input skew"): the single-row-group
+    # fixture scan is ONE split, which serialized the dominant cost —
+    # 2080 interpreted product+round cells PER ROW feeding the moment
+    # aggregate — onto a single task (the r11 driver bench read 2.3×
+    # WORSE at 32 cores than 8 for exactly this reason). The guard
+    # makes it a no-op once the scan is wide; when it fires, the
+    # shuffle is the raw 64-float rows — ~3% of the exploded volume.
+    e = load_fanned(spark, sf_dir, "embeddings").select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     micro = lambda col: F.round(col * F.lit(_PCA_SCALE), 0).cast("bigint")  # noqa: E731
@@ -4016,11 +4040,24 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): the fact-table work is ONE aggregation — the
     4-table join down to at most |N|^2 = 625 edge rows (AQE broadcasts
     the three dimension sides; the lineitem scan is the only big
-    shuffle). All 5 iterations are dimension-table work on 25-row
-    frames (broadcast joins, localCheckpoint-flattened lineage) — the
-    standard scale split for graph analytics on transaction data:
-    aggregate the fact table ONCE into the bounded entity graph, then
-    iterate on the graph alone."""
+    shuffle). The 5 iterations then run DRIVER-side over the collected
+    edge list (the ``embeddings_pca_power`` sanctioned pattern: the
+    collect is DIMENSION-bounded — ≤ |N|² = 625 rows at ANY corpus
+    size, the graph never grows with the fact table). r12: the
+    previous in-Spark iteration already collected the same frames to
+    the driver every round (each ``broadcast(dang)``/``broadcast(inc)``
+    build is a driver collect) and additionally paid 5 ×
+    (plan + codegen + checkpoint job + 2 broadcast builds) of pure
+    scheduling on 25-row frames — driver-measured ~0.5 s/round at
+    sf0.1, and identical at 100 TB because the cost is per-ROUND, not
+    per-row. The replay is arithmetic-identical: integer sums are
+    order-free exact; every double op replicates the removed plan's op
+    order; ``F.round(double, 0)`` is HALF_UP over the shortest decimal
+    representation (java BigDecimal.valueOf), which
+    ``Decimal(repr(x))`` reproduces bit-for-bit — proven by the
+    unchanged unrolled-CTE oracle at all three SFs."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
     li = load(spark, sf_dir, "lineitem")
     su = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
@@ -4047,93 +4084,66 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("w_e4")
         )
-        .localCheckpoint(eager=True)  # the ONE fact-scale job
     )
-    outw = edges.groupBy("src").agg(F.sum("w_e4").cast("bigint").alias("w_out"))
-    inw = edges.groupBy("dst").agg(F.sum("w_e4").cast("bigint").alias("w_in"))
-    ew = (
-        edges.join(outw, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col("w_e4").cast("double") / F.col("w_out").cast("double")).alias(
-                "wf"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
-    nodes = na.select(
-        F.col("n_nationkey").alias("node"), "n_name"
-    ).localCheckpoint(eager=True)
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("nd"))
-    p = (
-        nodes.join(F.broadcast(nn))
-        .select(
-            "node",
-            F.round(F.lit(float(PR_SCALE)) / F.col("nd"), 0)
-            .cast("bigint")
-            .alias("pr"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    srcs = outw.select(F.col("src").alias("node")).distinct()
+    # the ONE fact-scale job; everything below is ≤625-row driver work
+    edge_rows = [(r["src"], r["dst"], r["w_e4"]) for r in edges.collect()]
+    node_rows = [
+        (r["n_nationkey"], r["n_name"])
+        for r in na.select("n_nationkey", "n_name").collect()
+    ]
+
+    def round0(x: float) -> int:
+        # F.round(double, 0).cast(bigint) == HALF_UP on the double's
+        # SHORTEST decimal repr (BigDecimal.valueOf == Double.toString;
+        # Python repr is the same shortest round-trip string). For
+        # |x| < 2^52 every m+0.5 is exactly representable, so shortest-
+        # repr and exact-binary HALF_UP agree — rank magnitudes are
+        # ≤ PR_SCALE (1e12), far inside that bound.
+        with localcontext() as ctx:
+            ctx.prec = 50
+            return int(
+                Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
+
+    outw: dict[int, int] = {}
+    inw: dict[int, int] = {}
+    for s, d, w in edge_rows:
+        outw[s] = outw.get(s, 0) + w  # exact int sums, order-free
+        inw[d] = inw.get(d, 0) + w
+    # wf: bigint→double casts then one IEEE division, as the plan did
+    ew = [(s, d, float(w) / float(outw[s])) for s, d, w in edge_rows]
+    nd = float(len(node_rows))
+    pr: dict[int, int] = {
+        node: round0(float(PR_SCALE) / nd) for node, _ in node_rows
+    }
+    tele_num = (1.0 - PR_DAMP) * float(PR_SCALE)  # Python-folded literal,
+    # exactly the constant the Column expression folded before dividing
     for _ in range(PR_ITERS):
-        dang = (
-            p.join(srcs, "node", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0)).cast("bigint").alias("d"))
+        dang = sum(p for node, p in pr.items() if node not in outw)
+        inc: dict[int, int] = {}
+        for s, d, wf in ew:
+            if s not in pr:  # the removed p⋈ew join dropped such edges
+                continue
+            inc[d] = inc.get(d, 0) + round0(float(pr[s]) * wf)
+        pr = {
+            node: round0(tele_num / nd)
+            + round0(PR_DAMP * (float(dang) / nd + float(inc.get(node, 0))))
+            for node, _ in node_rows
+        }
+    rows = [
+        (
+            name,
+            pr[node],
+            outw.get(node, 0),
+            inw.get(node, 0),
+            node not in outw,
         )
-        inc = (
-            p.join(ew, p.node == ew.src)
-            .groupBy(F.col("dst").alias("inode"))
-            .agg(
-                F.sum(
-                    F.round(F.col("pr").cast("double") * F.col("wf"), 0).cast(
-                        "bigint"
-                    )
-                )
-                .cast("bigint")
-                .alias("inc")
-            )
-        )
-        p = (
-            nodes.join(F.broadcast(nn))
-            .join(F.broadcast(dang))
-            .join(F.broadcast(inc), F.col("node") == F.col("inode"), "left")
-            .select(
-                "node",
-                (
-                    F.round(
-                        (1.0 - PR_DAMP) * float(PR_SCALE) / F.col("nd"), 0
-                    ).cast("bigint")
-                    + F.round(
-                        PR_DAMP
-                        * (
-                            F.col("d").cast("double") / F.col("nd")
-                            + F.coalesce(F.col("inc"), F.lit(0)).cast("double")
-                        ),
-                        0,
-                    ).cast("bigint")
-                )
-                .cast("bigint")
-                .alias("pr"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return (
-        nodes.join(p, "node")
-        .join(outw, nodes.node == outw.src, "left")
-        .join(inw, nodes.node == inw.dst, "left")
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("pr").alias("pagerank_pico"),
-            F.coalesce(F.col("w_out"), F.lit(0)).cast("bigint").alias(
-                "out_strength_e4"
-            ),
-            F.coalesce(F.col("w_in"), F.lit(0)).cast("bigint").alias(
-                "in_strength_e4"
-            ),
-            F.col("w_out").isNull().alias("is_dangling"),
-        )
+        for node, name in node_rows
+    ]
+    return spark.createDataFrame(
+        rows,
+        "nation string, pagerank_pico bigint, out_strength_e4 bigint,"
+        " in_strength_e4 bigint, is_dangling boolean",
     )
 
 
