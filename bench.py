@@ -404,7 +404,11 @@ def run_isolated(names: list[str], sf_dir: str) -> dict:
     return results
 
 
-DRIFT_TOP_N = 5  # movers re-probed per round by the drift rule
+# r12 (VERDICT #8): EVERY ≥1.2× mover gets the three-probe treatment —
+# the r11 top-5 cap left the CC-family movers (dedup_apply_best 1.98×,
+# dup_clusters 1.55×, ngram_jaccard_pairs 2.02×) unadjudicated because
+# they sorted below rank 5. The cap is now a runaway guard only.
+DRIFT_TOP_N = 1000  # movers re-probed per round by the drift rule
 DRIFT_MIN_RATIO = 1.2  # below this a "mover" is inside normal jitter
 DRIFT_PROBES = 3  # fresh-JVM probes per mover (host-noise adjudication)
 DRIFT_BAND = 1.25  # reprobe min within this × prior warm → host variance
