@@ -70,7 +70,9 @@ ISOLATED_QUERIES = (
     "embeddings_semdedup",
     "embeddings_semdedup_hier_contract",
     "embeddings_semdedup_ivf_contract",
+    "knn_pq_adc",  # r11 VERDICT #7: keep its warm history in the curated set
     "merge_into_orders",
+    "nation_trade_pagerank",  # r12 rewrite: track the driver-replay path
     "retrieval_hybrid_ann_recall_eval",
     "retrieval_hybrid_rrf",
     "retrieval_hybrid_rrf_ann",

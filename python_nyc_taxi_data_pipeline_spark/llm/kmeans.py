@@ -73,6 +73,12 @@ def assign_nearest(vectors: DataFrame, centroids: list[Centroid]) -> DataFrame:
 
 
 def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured and REJECTED (r12 interleaved 3×2 A/B): fanning this
+    # scan regressed every Lloyd consumer (embeddings_kmeans warm
+    # 2.98→3.15, semdedup family similar) — the 2 k-row corpus's k×d
+    # argmin is too light to amortize the added exchange, unlike the
+    # pca_power moment fold where the same guard won 3.1→1.1. The one
+    # consumer it helped (embeddings_pq_codes 1.00→0.84) fans inline.
     return load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("evec")
     )
@@ -299,8 +305,18 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free codegen pass with an explode to M rows per vector. At
     100 TB nothing is collected and the scan parallelism is the input's.
     """
-    vectors = _load_vectors(spark, sf_dir)
-    seeds = _seed_centroids(vectors, PQ_K)
+    # Inline fan (guide §2.5): the ONE _load_vectors consumer the r12
+    # A/B showed fan-out helping (warm 1.00→0.84, 3/3 probes) — the
+    # M-subspace explode multiplies the per-row fold work. Guarded
+    # no-op once the scan is wide; the seed collect below reuses the
+    # unfanned frame (a 4-row filter needs no rebalance).
+    from ..catalog import fan_out_if_narrow
+
+    vectors_plain = _load_vectors(spark, sf_dir)
+    vectors = fan_out_if_narrow(
+        load(spark, sf_dir, "embeddings"), vectors_plain
+    )
+    seeds = _seed_centroids(vectors_plain, PQ_K)
     cmat_df = spark.createDataFrame(
         [(
             [
@@ -344,6 +360,8 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_codes_with_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, m, code): every vector's per-subspace PQ code,
     carrying the coarse cell (``label``) for IVF pruning."""
+    # fan-out measured and rejected here (r12 A/B: knn_pq_adc warm
+    # 2.29→2.56 with it) — see _load_vectors.
     vectors = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("evec")
     )

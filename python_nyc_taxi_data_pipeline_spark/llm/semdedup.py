@@ -111,6 +111,10 @@ def semdedup(
     ``base``: an optional pre-staged (vec_id, v: array<double>) frame —
     contract queries that run several variants pass ONE pinned frame so
     the parquet load + double-cast executes once, not per variant."""
+    # fan-out measured and REJECTED for this family (r12 interleaved
+    # 3×2 A/B: embeddings_semdedup warm 2.68→2.89, both contracts
+    # ~+1 s) — the 2 k-row corpus's per-row folds are too light to
+    # amortize the added exchange; see kmeans._load_vectors.
     e = base if base is not None else load(
         spark, sf_dir, "embeddings"
     ).select("vec_id", _as_double(F.col("embedding")).alias("v"))
@@ -134,10 +138,22 @@ def semdedup(
     # re-grouped by vec_id, which shuffled every vector k times
     # (n·k·d doubles — the dominant exchange of this plan at any
     # scale); the map-side fold removes that exchange outright
-    # (guide §2.4) with the same k·d broadcast ceiling the row form
-    # already had. Cosine arithmetic is element-identical (_dot fold,
+    # (guide §2.4). Cosine arithmetic is element-identical (_dot fold,
     # same rounding), proven by the exact per-row oracle of
     # ``embeddings_semdedup`` at all three SFs.
+    #
+    # LIMIT (tighter than the k-row broadcast relation it replaced):
+    # collect_list folds all k seeds into ONE array cell, so k·d seed
+    # doubles must fit a single row value (Spark's ~2 GB single-value
+    # ceiling, and a one-task final agg). At d=64 that is k ≲ 4e6 —
+    # far above any sane SemDeDup seed count (k ≈ n/target_cluster);
+    # the assert makes the ceiling loud instead of an executor OOM,
+    # and past it the IVF contract variant is the right tool.
+    _dim = 64  # fixture embedding dim (staged_r7.EMB_DIM; no cyclic import)
+    assert k * _dim <= 50_000_000, (
+        f"semdedup fixed-seed path folds k*d={k * _dim} doubles into one "
+        "broadcast row (~2GB single-value ceiling); use the IVF variant"
+    )
     seed_mat = F.broadcast(
         k_seeds.agg(
             F.array_sort(
@@ -241,6 +257,8 @@ def semdedup_ivf(
     if base is not None:
         e = base.select("vec_id", F.col("v").alias("evec"))
     else:
+        # fan-out measured and rejected (r12 A/B) — see the fixed-seed
+        # path above.
         e = load(spark, sf_dir, "embeddings").select(
             "vec_id", _as_double(F.col("embedding")).alias("evec")
         )
@@ -302,6 +320,10 @@ def embeddings_semdedup_ivf_contract(
     # ONE pinned (vec_id, v) frame feeds both variants and the corpus
     # count (r11): previously each variant re-ran the parquet load +
     # double-cast, and the count was a third scan.
+    # Fanning this shared base was measured and REJECTED (r12
+    # interleaved 3×2 A/B: ivf_contract warm 4.69→6.59, hier_contract
+    # 5.08→5.78) — the per-row folds are too light at this corpus
+    # width to amortize the exchange; see kmeans._load_vectors.
     base = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double(F.col("embedding")).alias("v"))
@@ -466,6 +488,7 @@ def semdedup_hier(
 
     Returns (vec_id, cluster_id, kept). ``base``: optional pre-staged
     (vec_id, v) frame (see ``semdedup``)."""
+    # fan-out measured and rejected (r12 A/B) — see the fixed-seed path.
     e = base if base is not None else load(
         spark, sf_dir, "embeddings"
     ).select("vec_id", _as_double(F.col("embedding")).alias("v"))

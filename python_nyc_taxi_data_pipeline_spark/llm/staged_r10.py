@@ -1161,7 +1161,9 @@ def embeddings_semdedup_hier_contract(
     emb = load(spark, sf_dir, "embeddings")
     # ONE pinned (vec_id, v) frame feeds both clusterer variants (r11;
     # each previously re-ran the parquet load + double-cast, plus its
-    # own count()).
+    # own count()). Fanning it before the pin was measured and
+    # REJECTED in r12 (hier_contract warm 5.08→5.78 on the 3×2
+    # interleaved A/B) — see kmeans._load_vectors.
     from pyspark.sql import functions as _F
 
     base = emb.select(

@@ -117,17 +117,30 @@ class MedallionPipeline:
             "SPARK_GRAFT_WRITE_ADVISORY", "4m"
         )
 
+    # Class-level guard enforcing the single-threaded invariant the
+    # docstring below relies on: the session conf is GLOBAL, so a
+    # concurrent query planned inside the scope would silently inherit
+    # the write advisory. Non-blocking acquire → loud failure instead
+    # of silent mis-planning (r11 ADVICE item).
+    _advisory_lock = __import__("threading").Lock()
+
     def _advisory_scope(self):
         """Context manager: temporarily set the AQE advisory partition
         size for a REBALANCE-hinted write, restoring the session value
         after. The medallion writer is single-threaded (the reference's
-        orchestrator is a sequential month loop), so the scoped session
-        conf cannot race another query."""
+        orchestrator is a sequential month loop); ``_advisory_lock``
+        turns a violation of that assumption into an immediate error
+        rather than a silently mis-planned concurrent query."""
         import contextlib
 
         @contextlib.contextmanager
         def scope():
             key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            if not MedallionPipeline._advisory_lock.acquire(blocking=False):
+                raise RuntimeError(
+                    "_advisory_scope is not reentrant/concurrent: another "
+                    "write holds the session-global AQE advisory override"
+                )
             try:
                 old = self.spark.conf.get(key)
             except Exception:
@@ -136,10 +149,13 @@ class MedallionPipeline:
             try:
                 yield
             finally:
-                if old is None:
-                    self.spark.conf.unset(key)
-                else:
-                    self.spark.conf.set(key, old)
+                try:
+                    if old is None:
+                        self.spark.conf.unset(key)
+                    else:
+                        self.spark.conf.set(key, old)
+                finally:
+                    MedallionPipeline._advisory_lock.release()
 
         return scope()
 
