@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_fanned
 from ..registry import register
 from .similarity import _as_double, _dot, _norm
 
@@ -146,6 +146,12 @@ def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``prior + Σ count(tok)·s(class, tok)``; prediction is the exact
     argmin with (cost, class) tie-break. Returns one row per document
     (doc_id, lang, pred_lang, cost_micro, correct)."""
+    # Fanning this scan was measured and REJECTED in r12 (interleaved
+    # 3×2 A/B: warm 2.37/2.19 plain vs 3.91/3.21 fanned) — the frame is
+    # UNPINNED with four consumers, so the guard's probe + repartition
+    # re-planned per consumer and the added exchanges swamped the
+    # parallelism; the scoring path already fans via its own
+    # repartition("doc_id").
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
@@ -380,7 +386,11 @@ def embeddings_knn_label_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (votes DESC, label ASC tie-break). Returns one row per eval vector
     (vec_id, label, pred_label, votes, correct) — the standard probe
     of whether an embedding space separates its labels."""
-    e = load(spark, sf_dir, "embeddings").select(
+    # load_fanned (guide §2.5): the leave-one-out scoring streams
+    # |corpus|×|eval| interpreted 64-dim dot products off this scan
+    # (the margin_mining shape — its A/B won warm 3.58→1.96); guarded
+    # no-op once the scan is wide.
+    e = load_fanned(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )
     n = e.select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))

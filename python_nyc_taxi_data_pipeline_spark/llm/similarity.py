@@ -83,7 +83,12 @@ def knn_cosine_bruteforce(
     hashes); the scale harness stresses the pinned shape so the
     candidate frame is measured growing ~linearly in corpus size, not
     quadratically through the query side."""
-    e = load(spark, sf_dir, "embeddings").select(
+    # load_fanned (guide §2.5): the candidate stream runs |corpus|×|q|
+    # interpreted 64-dim dot products off this scan (the margin_mining
+    # shape); guarded no-op once the scan is wide.
+    from ..catalog import load_fanned
+
+    e = load_fanned(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     n = e.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))

@@ -3419,6 +3419,10 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_frame = o.agg(F.max(ts_ntz).alias("ref_ts"))
     # recency counts whole 24 h periods between NAIVE timestamps
     # (timestampdiff(DAY) / epoch_us floor-division in the oracle)
+    # Fanning this frame (and the histogram below) was measured and
+    # REJECTED in r12 (interleaved 3×2 A/B: warm 1.93/2.61/2.02 plain
+    # vs 3.04/2.44/3.05 fanned) — the downstream integer comparisons
+    # are too light to amortize the added exchanges.
     rfm = rfm0.join(F.broadcast(ref_frame)).select(
         "o_custkey",
         F.expr("timestampdiff(DAY, last_order, ref_ts)")

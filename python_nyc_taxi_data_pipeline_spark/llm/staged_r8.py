@@ -266,7 +266,12 @@ def docs_token_space_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     from .bpe import bpe_train
 
     _, vocab = bpe_train(spark, sf_dir, exact=True)
-    d = load(spark, sf_dir, "documents").select(
+    from ..catalog import load_fanned
+
+    # load_fanned (guide §2.5): the corpus-wide posexplode (~300 word
+    # rows per doc) + vocabulary join below otherwise run on the
+    # fixture's single scan split; guarded no-op once the scan is wide.
+    d = load_fanned(spark, sf_dir, "documents").select(
         "doc_id",
         _split_hh(F.col("doc_id")).alias("hh"),
         F.posexplode(F.split("text", " ")).alias("pos", "word"),

@@ -980,6 +980,10 @@ def docs_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     # materialize the word split BEFORE the trigram lambda (the
     # hashed_shingle_table split-barrier pattern — see word_trigrams)
+    # Fanning this frame was measured and REJECTED in r12 (interleaved
+    # 3×2 A/B: warm 1.83/1.73/1.73 plain vs 2.26/2.41/2.12 fanned) —
+    # repartitioning the exploded word ARRAYS (~300 strings/row) costs
+    # more than the K codegen hash-probes it would parallelize.
     w = d.select(
         "doc_id", hh.alias("hh"), F.split("text", " ").alias("w")
     ).localCheckpoint(eager=True)

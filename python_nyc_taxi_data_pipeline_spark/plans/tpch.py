@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fan_out_if_narrow, load
 from ..functions.scalars import decimal_avg, decimal_sum
 from ..registry import register
 
@@ -73,8 +73,18 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 7-column projection push into the parquet scan; partial (map-side)
     aggregation means the shuffle carries ≤ |groups|×|partitions| rows."""
     li = load(spark, sf_dir, "lineitem")
+    flt = li.filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    # fan_out_if_narrow (guide §2.5): the fixture's lineitem is one
+    # parquet row group = ONE effective scan task, which serializes the
+    # 8-aggregate decimal partial agg (~1.7 s of the 2.0 s warm time)
+    # on a single core. Guarded: a no-op once the scan is wide. All
+    # aggregates are decimal/integer (order-free), so the rebalance
+    # cannot change the result.
+    flt = fan_out_if_narrow(li, flt)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp_ntz"))
+        flt
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             decimal_sum("l_quantity", "sum_qty"),
