@@ -291,7 +291,7 @@ HEADLINERS = [
     ),
     (
         "nation_trade_pagerank",
-        "Weighted PageRank (staged r7): the 4-table edge aggregation — the only fact-scale job — runs once at checkpoint time, so the visible plan is entirely 25-row ExistingRDD frames: per-iteration dangling anti-join + incoming-mass HashAggregate (integer pico-rank terms), final assembly joins on nation keys. Iteration lineage is flattened by per-round localCheckpoints; nothing corpus-sized survives past the edge build.",
+        "Weighted PageRank (staged r7, r12 driver-replay): the 4-table edge aggregation — the only fact-scale job — runs at collect time; the 5 iterations replay DRIVER-side over the ≤625-row collected edge list (dimension-bounded at any corpus size — each round previously paid plan+codegen+checkpoint+2 broadcast builds of pure scheduling on 25-row frames), so the visible plan is the final createDataFrame scan only. Arithmetic replicates the removed plan op-for-op (integer sums order-free, HALF_UP shortest-repr rounding); the unrolled-CTE oracle and a pure-Python replay referee test pin it.",
     ),
     (
         "orders_zorder_skipping_contract",
