@@ -108,3 +108,43 @@ def test_read_and_next_watermark(spark):
     assert next_watermark(o, "o_orderdate", empty_win, datetime(1995, 1, 1)) == datetime(
         1995, 1, 1
     )
+
+
+def test_fanout_guard_semantics(spark, monkeypatch):
+    """The r12 scale-adaptive fan-out guard: repartitions to the
+    session parallelism ONLY when the source scan plans fewer splits
+    than the session has cores (the single-row-group fixture regime);
+    identity otherwise, and disabled outright by the A/B harness env.
+    Results must be row-identical either way (order-free check)."""
+    from python_nyc_taxi_data_pipeline_spark.catalog import (
+        fan_out_if_narrow,
+        load_fanned,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    plain = load(spark, SF_DIR, "orders")
+    assert plain.rdd.getNumPartitions() < par, (
+        "fixture scan expected narrower than the session; if the "
+        "fixtures gained row groups, this test needs a narrower input"
+    )
+    fanned = load_fanned(spark, SF_DIR, "orders")
+    assert fanned.rdd.getNumPartitions() == par
+    assert fanned.count() == plain.count()
+    # row-identical content, order-free
+    a = {tuple(r) for r in plain.select("o_orderkey", "o_custkey").collect()}
+    b = {tuple(r) for r in fanned.select("o_orderkey", "o_custkey").collect()}
+    assert a == b
+
+    # derived-frame variant fans on the SCAN's width, not its own
+    derived = plain.select("o_orderkey")
+    wide = fan_out_if_narrow(plain, derived)
+    assert wide.rdd.getNumPartitions() == par
+
+    # an already-wide frame passes through untouched (guard self-disables)
+    prefanned = plain.repartition(par)
+    assert fan_out_if_narrow(prefanned, derived) is derived
+
+    # A/B harness kill switch: both helpers become identity
+    monkeypatch.setenv("SPARK_GRAFT_NO_FANOUT", "1")
+    assert load_fanned(spark, SF_DIR, "orders").rdd.getNumPartitions() < par
+    assert fan_out_if_narrow(plain, derived) is derived
